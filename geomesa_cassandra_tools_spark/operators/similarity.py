@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_topk``: exact brute-force top-k for a (small) query set —
+  broadcast the queries, score JVM-side with zip_with/aggregate, window
+  top-k. The baseline every approximate method is measured against.
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — candidates share a
+  signed-projection signature, scored only within buckets. The scale path:
+  candidate count ∝ bucket sizes, not n².
+- ``ivf_topk``: IVF-style coarse quantization with deterministic seed
+  centroids — probe the nearest ``nprobe`` partitions only.
+
+Everything is Column-expression math (functions/vectors.py); no UDFs, so
+scoring stays inside whole-stage codegen and scales with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.functions.vectors import as_double, cosine, dot
+from geomesa_cassandra_tools_spark.operators.relational import top_k_per_group
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
+    return df.select(F.col(id_col).alias(id_out), as_double(F.col(vec_col)).alias(vec_out))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction), so
+    the 'cross join' is a broadcast nested loop with no shuffle of the
+    corpus — each corpus partition scores independently, then one window
+    top-k shuffle on query_id. Self-matches are excluded.
+    """
+    q = F.broadcast(_prep(queries, id_col, vec_col, "query_id", "qv"))
+    c = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    scored = (
+        q.join(c, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
+    ).withColumnRenamed("rn", "rank")
+
+
+def hyperplane_signature(vec, hyperplanes: list[list[float]]):
+    """Sign-bit signature of a vector against fixed hyperplanes, packed into
+    a bigint: bit_i = 1 iff dot(vec, H_i) >= 0."""
+    sig = F.lit(0).cast("bigint")
+    for i, h in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(float(x)) for x in h])
+        sig = sig + F.when(dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG; no RNG state)."""
+    planes, state = [], seed
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 1_103_515_245 + 12_345) % 2_147_483_647
+            row.append((state / 2_147_483_647.0) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose hyperplane signature
+    equals the query's. Equi-join on the signature → hash join, ~n/2^nbits
+    candidates per query instead of n. Recall < 1 by construction; raise by
+    multi-probe (flip one bit) or more tables — this is the 100 TB path
+    where brute force is off the table."""
+    planes = random_hyperplanes(dim, nbits)
+    q = _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
+        "sig", hyperplane_signature(F.col("qv"), planes)
+    )
+    c = _prep(corpus, id_col, vec_col, "cand_id", "cv").withColumn(
+        "sig", hyperplane_signature(F.col("cv"), planes)
+    )
+    scored = (
+        F.broadcast(q)
+        .alias("q")
+        .join(
+            c.alias("c"),
+            (F.col("q.sig") == F.col("c.sig")) & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
+    ).withColumnRenamed("rn", "rank")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: assign corpus vectors to their nearest centroid partition once;
+    each query probes only its ``nprobe`` nearest partitions. ``centroids``
+    is ``(cid, centroid array<double>)`` — at scale produced by a sampled
+    k-means; any deterministic coarse quantizer works."""
+    cent = F.broadcast(centroids.select("cid", as_double(F.col("centroid")).alias("cv0")))
+
+    def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
+        scored = df.join(cent).select(
+            idc, vecc, "cid", cosine(F.col(vecc), F.col("cv0")).alias("csim")
+        )
+        return top_k_per_group(scored, [idc], [F.col("csim").desc(), F.col("cid")], n).drop(
+            "csim"
+        )
+
+    c = assign(_prep(corpus, id_col, vec_col, "cand_id", "cv"), "cand_id", "cv", 1)
+    q = assign(_prep(queries, id_col, vec_col, "query_id", "qv"), "query_id", "qv", nprobe)
+    scored = (
+        F.broadcast(q)
+        .join(c, ["cid"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
+    ).withColumnRenamed("rn", "rank")

@@ -1,0 +1,75 @@
+"""Parquet table registry for the driver test corpus.
+
+The reference resolves tables through its GeoMesa catalog
+(/root/reference/geomesa.py:35-54) and a JSON node registry
+(/root/reference/cluster.py:45-50). Here the registry is a plain function of
+(sf_dir, table name) over parquet; the engine's own metadata tables live in
+``catalog.py``.
+
+At 100 TB each of these would be a partitioned parquet/Delta table (e.g.
+``lineitem`` partitioned by month of ``l_shipdate``); `spark.read.parquet` on
+a directory tree picks partition pruning up for free, so nothing in the query
+layer changes — only the write layout does (see operators/maintenance.py and
+operators/geo.py for the layout-producing side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always reach joins as broadcast sides.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright. Read the raw int64 nanos and truncate to micros
+        # with exact integer division (`div`, not `/` — ns-epoch exceeds
+        # double's 2^53 exact range) — the same ns→us truncation DuckDB
+        # applies, so both engines see identical timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table as a lazily-planned DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all corpus tables as temp views for spark.sql passthrough —
+    the engine's analog of the reference's raw-CQL escape hatch
+    (/root/reference/node.py:165-166)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

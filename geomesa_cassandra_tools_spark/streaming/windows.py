@@ -1,0 +1,96 @@
+"""Structured Streaming surface: watermarked windows + sessionization.
+
+The reference's streaming-shaped loops (poll-until-up with 300 s deadline,
+/root/reference/node.py:57-65; continuous re-scan of compaction/snapshot
+state, /root/reference/cluster.py:83-117) become declarative streaming
+queries: a watermark bounds state exactly like the poll deadline bounds the
+loop, and micro-batches are the re-scan.
+
+Each builder takes a (possibly streaming) DataFrame so the identical plan
+runs in batch tests (`spark.read`) and on streams (`spark.readStream`) —
+Spark's unified-API contract. `run_availablenow` drains a file stream to a
+memory sink for deterministic end-to-end tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    group_extra: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts; late rows beyond the watermark
+    are dropped (state stays bounded on an unbounded stream)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), width).alias("win"), *group_extra)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            *group_extra,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), width, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (built-in `session_window` — state merging
+    handled by Spark; for custom state semantics use
+    `applyInPandasWithState`)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def run_availablenow(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
+    """Drain a bounded stream (Trigger.AvailableNow) into a memory sink and
+    return the session-queryable table name — the deterministic harness for
+    streaming tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return query_name
