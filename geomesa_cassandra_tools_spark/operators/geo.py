@@ -65,14 +65,21 @@ def _interleave_int(x: int, y: int, res: int) -> int:
 
 
 def bbox_cell_ranges(
-    lon_min: float, lon_max: float, lat_min: float, lat_max: float, res: int = DEFAULT_RES
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    res: int = DEFAULT_RES,
+    max_ranges: int = 32,
 ) -> list[tuple[int, int]]:
-    """Contiguous z2 ranges covering a bbox (driver-side, tiny).
+    """z2 ranges covering a bbox (driver-side, tiny), capped at
+    ``max_ranges`` by merging the smallest gaps between runs.
 
-    Enumerates the cell rectangle and merges adjacent z-values into ranges —
-    at res=8 a worst-case bbox is 65k cells, microseconds of driver work.
-    GeoMesa's recursive range decomposition does the same job for res=31;
-    enumerate-and-merge is the right tool at layout resolution.
+    The cap trades read amplification for predicate size: a merged range
+    covers some cells outside the bbox (slack), which the exact refine
+    filters out — results never change, and the filter stays small enough
+    for codegen (a 2000-term OR blows Janino's 64 KB method limit).
+    GeoMesa's recursive range decomposition makes the same tradeoff.
     """
     x0 = _cell_index(lon_min, -180.0, 180.0, res)
     x1 = _cell_index(lon_max, -180.0, 180.0, res)
@@ -87,6 +94,18 @@ def bbox_cell_ranges(
             ranges[-1] = (ranges[-1][0], v)
         else:
             ranges.append((v, v))
+    if len(ranges) > max_ranges:
+        gaps = sorted(
+            (ranges[i + 1][0] - ranges[i][1], i) for i in range(len(ranges) - 1)
+        )
+        merge_after = {i for _, i in gaps[: len(ranges) - max_ranges]}
+        merged: list[tuple[int, int]] = []
+        for i, r in enumerate(ranges):
+            if merged and (i - 1) in merge_after:
+                merged[-1] = (merged[-1][0], r[1])
+            else:
+                merged.append(r)
+        ranges = merged
     return ranges
 
 

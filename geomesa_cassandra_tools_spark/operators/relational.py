@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the frame has fewer partitions than the
+    cluster has slots. Small single-file scans otherwise serialize every
+    expression-heavy downstream op onto one core; at real scale (thousands
+    of input splits) this is a no-op, so it's safe to leave in the path."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -234,7 +234,8 @@ def q14_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup: pair scores computed only for pairs
     sharing a shingle (equi-join — never a cross join), global top-20."""
     t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
+    # cached: the self-join consumes the shingle frame twice
+    sh = dedup.shingle_sets(t["documents"]).cache()
     return (
         dedup.jaccard_pairs(sh)
         .select("doc_a", "doc_b", "inter", "union_sz", F.round("jaccard", 6).alias("jaccard"))
@@ -248,7 +249,8 @@ def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over sorted-rank shingle ids (oracle-exact; xxhash64 swap at
     scale, see operators/dedup.py)."""
     t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
+    # cached: consumed by both the vocabulary build and the signature agg
+    sh = dedup.shingle_sets(t["documents"]).cache()
     vocab = dedup.shingle_vocabulary(sh)
     return dedup.minhash_signatures(sh, vocab, k=16)
 
@@ -257,9 +259,10 @@ def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: 8 bands × 2 rows candidate generation, exact
     Jaccard verification of candidates only."""
     t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
+    # cached: vocabulary + signatures + exact-Jaccard verify all branch here
+    sh = dedup.shingle_sets(t["documents"]).cache()
     vocab = dedup.shingle_vocabulary(sh)
-    sigs = dedup.minhash_signatures(sh, vocab, k=16)
+    sigs = dedup.minhash_signatures(sh, vocab, k=16).cache()
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     return dedup.jaccard_pairs(sh, candidates=cands).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -269,7 +272,7 @@ def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash over shingle hashes (majority-vote bits)."""
     t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
+    sh = dedup.shingle_sets(t["documents"]).cache()
     vocab = dedup.shingle_vocabulary(sh)
     return dedup.simhash(sh, vocab, bits=16)
 
@@ -308,7 +311,7 @@ def q18_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum((tid+1)*(pos+1)) mod P — at 100 TB keep the running mod per term
     (here total-then-mod is exact in int64 for corpus-sized docs)."""
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
+    toks = relational.ensure_parallelism(t["documents"].select("doc_id", "text")).select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
     )
     vocab = (
