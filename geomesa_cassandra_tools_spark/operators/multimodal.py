@@ -23,7 +23,7 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int"
 )
 
-FEATURE_SCHEMA = "media_id bigint, kind string, feature array<float>, n_bytes int"
+FEATURE_SCHEMA = "media_id bigint, kind string, feature array<double>, n_bytes int"
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int]:

@@ -108,6 +108,62 @@ def lsh_cosine_topk(
     ).withColumnRenamed("rn", "rank")
 
 
+def cosine_pairs_above(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold — embedding-based near-dup
+    detection, the vector twin of text MinHash dedup.
+
+    Block nested-loop with BLAS scoring: the reference side is a broadcast
+    numpy matrix, each partition multiplies its Arrow batch against it
+    (`mapInPandas`) and emits only above-threshold pairs — a 64-dim dot
+    through a matrix multiply is ~100× the throughput of per-row expression
+    evaluation (higher-order fns are interpreted, not codegen'd). The
+    broadcast side bounds n: at 100 TB generate candidates with
+    `lsh_cosine_topk`'s hyperplane buckets or `ivf_topk`'s partitions and
+    keep this as the verify-within-candidates stage — the same
+    candidates→verify shape as MinHash-LSH (operators/dedup.py).
+
+    Float note: BLAS summation order differs from a sequential fold by ~1
+    ulp; emitted `cos` is stable to well past 6 decimals but not bit-exact
+    vs a scalar-fold engine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_cassandra_tools_spark.operators.relational import ensure_parallelism
+
+    spark = corpus.sparkSession
+    prep = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    ref = prep.collect()
+    ids = np.array([r["id"] for r in ref], dtype=np.int64)
+    mat = np.array([r["v"] for r in ref], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def score(batches):
+        ids_all, m_all, n_all = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf["v"]), dtype=np.float64)
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = (block @ m_all.T) / np.outer(bn, n_all)
+            mask = (sims >= threshold) & (bids[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": bids[ai], "vec_b": ids_all[bi], "cos": sims[ai, bi]}
+            )
+
+    return ensure_parallelism(prep).mapInPandas(
+        score, "vec_a bigint, vec_b bigint, cos double"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

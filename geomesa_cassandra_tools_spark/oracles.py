@@ -9,6 +9,40 @@ from __future__ import annotations
 
 from geomesa_cassandra_tools_spark.functions.text import FINGERPRINT_MOD, STOPWORDS
 from geomesa_cassandra_tools_spark.operators.dedup import MINHASH_PRIME, minhash_params
+from geomesa_cassandra_tools_spark.operators.similarity import random_hyperplanes
+
+# Shared CTE: embeddings as double vectors with norms (cosine denominator).
+_VEC_CTE = """
+  v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+  n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v)
+"""
+
+_COS = "list_sum(list_transform(range(1, len({q}.e) + 1), i -> {q}.e[i] * {c}.e[i])) / ({q}.nrm * {c}.nrm)"
+
+
+def _hyperplane_sig_sql(dim: int = 64, nbits: int = 8) -> str:
+    """Signature expression mirroring similarity.hyperplane_signature: per
+    plane a flat left-associated dot-product chain (same fold order as the
+    Spark `aggregate`, so the sign test sees bit-identical doubles)."""
+    planes = random_hyperplanes(dim, nbits)
+    terms = []
+    for i, row in enumerate(planes):
+        dot = " + ".join(f"e[{j + 1}] * ({x!r})" for j, x in enumerate(row))
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _centroid_assign_sql(filter_sql: str, rn_cap: int) -> str:
+    """row_number-capped nearest-centroid assignment (ivf_topk's `assign`)."""
+    cos = "list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * c.ce[i])) / (a.nrm * c.cnrm)"
+    return f"""(
+    SELECT vec_id, e, nrm, cid FROM (
+      SELECT a.vec_id, a.e, a.nrm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+      FROM n a, cent c {filter_sql}
+    ) WHERE rn <= {rn_cap}
+  )"""
 
 # Shared CTE: distinct (doc_id, 3-gram shingle) pairs — mirrors
 # operators/dedup.py::shingle_sets.
@@ -325,4 +359,189 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
     "q25_simhash_docs": _simhash_sql(16),
+    "q26_lsh_cosine_topk": f"""
+WITH {_VEC_CTE},
+s0 AS (SELECT vec_id, e, nrm, ({_hyperplane_sig_sql(64, 8)}) AS sig FROM n),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS.format(q='q', c='c')} AS cos
+  FROM s0 q JOIN s0 c ON q.sig = c.sig AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+  FROM s
+)
+SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 5
+""",
+    "q27_ivf_topk": f"""
+WITH {_VEC_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+ca AS {_centroid_assign_sql("", 1)},
+qa AS {_centroid_assign_sql("WHERE a.vec_id >= 4 AND a.vec_id < 12", 2)},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS.format(q='q', c='c')} AS cos
+  FROM qa q JOIN ca c USING (cid) WHERE q.vec_id <> c.vec_id
+),
+r AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+  FROM s
+)
+SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 3
+""",
+    "q28_embedding_near_dups": f"""
+WITH {_VEC_CTE},
+s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS.format(q='a', c='b')} AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.35
+""",
+    "q29_media_features": """
+SELECT doc_id AS media_id,
+       list_extract(list_value('image', 'audio', 'video'), doc_id % 3 + 1) AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       """
+    + ",\n       ".join(
+        f"round((coalesce(list_sum(list_transform(range({i + 1}, strlen(text) + 1, 8),"
+        f" j -> unicode(text[j]))), 0) % 256) / 255.0, 6) AS f{i}"
+        for i in range(8)
+    )
+    + """
+FROM documents
+""",
+    "q30_media_dimensions": """
+SELECT doc_id AS media_id, 'image/png' AS mime,
+       CAST(64 + unicode(text[1]) % 64 AS BIGINT) AS width,
+       CAST(64 + unicode(text[strlen(text)]) % 64 AS BIGINT) AS height
+FROM documents WHERE doc_id % 3 = 0
+""",
+    "q31_video_frame_plan": """
+SELECT doc_id AS media_id,
+       CAST(floor(greatest(n_chars * 10 - 1, 0) / 1000) + 1 AS BIGINT) AS n_frames,
+       CAST(floor(greatest(n_chars * 10 - 1, 0) / 1000) * 1000 AS BIGINT) AS last_frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
+    "q32_stream_hourly_counts": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "q33_stream_user_sessions": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+)
+SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess_id
+""",
+    "q34_catalog_missing_tables": """
+WITH cat AS (
+  SELECT lower(n_name) AS sft, n_nationkey,
+         'Cat_' || lower(n_name) || '_z3' || chr(10) ||
+         'cat_' || lower(n_name) || '_z2' || chr(10) ||
+         'cat_' || lower(n_name) || '_id' || chr(10) ||
+         'xtra_' || lower(n_name) AS value
+  FROM nation
+),
+st AS (
+  SELECT DISTINCT sft, n_nationkey, lower(trim(t.tbl)) AS tbl
+  FROM cat, unnest(string_split(value, chr(10))) AS t(tbl)
+  WHERE lower(trim(t.tbl)) LIKE 'cat%'
+),
+ex AS (SELECT tbl FROM st WHERE n_nationkey % 2 = 0 OR NOT ends_with(tbl, '_z3'))
+SELECT sft, tbl AS missing_table FROM st WHERE tbl NOT IN (SELECT tbl FROM ex)
+""",
+    "q35_parse_compactions": """
+WITH lines AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS m, event_type, user_id FROM events
+)
+SELECT 'ks' || (user_id % 3) AS keyspace, 't' || (user_id % 5) AS "table",
+       count(*) AS n_compactions,
+       count(DISTINCT substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-' ||
+             substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-' || substr(m, 21, 12)) AS n_ids,
+       count(DISTINCT event_type) AS n_types
+FROM lines GROUP BY 1, 2
+""",
+    "q36_order_status_set_ops": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+    "q37_customer_order_trends": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS price,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       CAST(floor((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER fr
+                   + count(*) OVER fr)
+                  / (2 * count(*) OVER fr)) AS BIGINT) / 100.0 AS moving_avg3,
+       row_number() OVER w AS order_seq
+FROM orders WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       fr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "q38_click_view_correlation": """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS sec
+  FROM events
+),
+c AS (SELECT event_id AS click_id, user_id, sec FROM e WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, sec FROM e WHERE event_type = 'view')
+SELECT c.click_id, count(DISTINCT v.view_id) AS n_views
+FROM c JOIN v ON c.user_id = v.user_id AND v.sec BETWEEN c.sec AND c.sec + 600
+GROUP BY c.click_id
+""",
+    "q39_geo_dwithin": """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+),
+d AS (
+  SELECT c_custkey, lon, lat,
+         12742.0176 * asin(sqrt(
+             power(sin(radians(45.0 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(45.0)) * power(sin(radians(10.0 - lon) / 2), 2)
+         )) AS dist_km
+  FROM pts
+)
+SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat, round(dist_km, 6) AS dist_km
+FROM d WHERE dist_km <= 500.0
+""",
+    "q40_lang_id_confusion": """
+WITH d AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+h AS (
+  SELECT lang,
+         coalesce(list_sum(list_transform(l, t -> CASE WHEN t IN ('customer','hash','join') THEN 1 ELSE 0 END)), 0) AS h_de,
+         coalesce(list_sum(list_transform(l, t -> CASE WHEN t IN ('order','window','group') THEN 1 ELSE 0 END)), 0) AS h_en,
+         coalesce(list_sum(list_transform(l, t -> CASE WHEN t IN ('agg','merge','vector') THEN 1 ELSE 0 END)), 0) AS h_es,
+         coalesce(list_sum(list_transform(l, t -> CASE WHEN t IN ('scan','data','batch') THEN 1 ELSE 0 END)), 0) AS h_fr,
+         coalesce(list_sum(list_transform(l, t -> CASE WHEN t IN ('small','value','the') THEN 1 ELSE 0 END)), 0) AS h_zh
+  FROM d
+)
+SELECT lang,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted,
+       count(*) AS n_docs
+FROM h GROUP BY 1, 2
+""",
 }

@@ -19,9 +19,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geomesa_cassandra_tools_spark.functions import parsing
 from geomesa_cassandra_tools_spark.functions import text as T
-from geomesa_cassandra_tools_spark.operators import dedup, geo, joins, relational, similarity
-from geomesa_cassandra_tools_spark.sources.tables import load_tables
+from geomesa_cassandra_tools_spark.operators import (
+    dedup,
+    geo,
+    joins,
+    multimodal,
+    relational,
+    similarity,
+)
+from geomesa_cassandra_tools_spark.sources.tables import load_tables, stream_events
+from geomesa_cassandra_tools_spark.streaming import windows as stream_win
+
+#: marker-word lists for the language-ID heuristic (fixed, shared with the
+#: oracle SQL; the corpus vocabulary is synthetic, so these demonstrate the
+#: operator rather than real linguistics).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("customer", "hash", "join"),
+    "en": ("order", "window", "group"),
+    "es": ("agg", "merge", "vector"),
+    "fr": ("scan", "data", "batch"),
+    "zh": ("small", "value", "the"),
+}
 
 # ---------------------------------------------------------------- relational
 
@@ -454,6 +474,342 @@ def q24_suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- similarity (scale paths)
+
+
+def q26_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5: candidates restricted to the
+    query's sign-bit bucket (equi-join on signature — the 100 TB path where
+    q19's brute force is off the table). Deterministic LCG hyperplanes keep
+    the oracle exact."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    out = similarity.lsh_cosine_topk(
+        emb.where(F.col("vec_id") < 8), emb, k=5, dim=64, nbits=8
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos")
+    )
+
+
+def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized top-3: corpus assigned to its nearest of 4
+    centroid partitions once; each query probes its 2 nearest partitions
+    only. Centroids here are seed vectors (vec_id < 4) — at scale a sampled
+    k-means; the probe/assign pipeline is identical."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    out = similarity.ivf_topk(
+        emb.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 12)),
+        emb,
+        k=3,
+        centroids=centroids,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos")
+    )
+
+
+def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35): the vector analog of
+    text MinHash dedup; exact verify stage (see operators/similarity.py
+    scale note for the candidate-generation swap at 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    return similarity.cosine_pairs_above(t["embeddings"], 0.35).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def media_frame(t: dict[str, DataFrame]) -> DataFrame:
+    """Synthesize the multimodal corpus from `documents`: payload = UTF-8
+    bytes of the text (deterministic, oracle-reproducible), kind/mime cycle
+    over image/audio/video, video rows carry a duration. Real deployments
+    read this shape straight from parquet (binary column + typed metadata,
+    operators/multimodal.py MEDIA_SCHEMA)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    idx = (F.col("doc_id") % 3).cast("int") + 1
+    return t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, idx).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(mimes, idx).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("n_chars") * 10).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("duration_ms"),
+    )
+
+
+def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas;
+    decode stubbed deterministically — operators/multimodal.py). Features
+    unpacked to columns so the oracle can check every component."""
+    t = load_tables(spark, sf_dir)
+    feats = multimodal.extract_features(media_frame(t), feat_dim=8)
+    cols = [
+        F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}") for i in range(8)
+    ]
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("bigint").alias("n_bytes"), *cols
+    )
+
+
+def q30_media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-measure over image payloads (stubbed decode derives
+    dimensions from payload bytes; the mapInPandas plumbing is the real
+    part)."""
+    t = load_tables(spark, sf_dir)
+    probed = multimodal.probe_dimensions(media_frame(t))
+    return probed.where(F.col("kind") == "image").select(
+        "media_id",
+        "mime",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+def q31_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling cadence for video payloads: one row per sampled
+    timestamp (sequence+explode), summarized per media."""
+    t = load_tables(spark, sf_dir)
+    frames = multimodal.sample_frames(media_frame(t), every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
+    )
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def q32_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run: file-source stream → watermarked
+    tumbling window agg → AvailableNow drain to a memory sink. Same plan
+    shape as batch q11 — the unified-API contract, checked against the same
+    SQL oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = stream_win.tumbling_counts(ev, width="1 hour", watermark="2 hours")
+    name = stream_win.run_availablenow(agg, "hourly_counts")
+    return spark.table(name).withColumn(
+        "win_start", F.col("win_start").cast("timestamp_ntz")
+    )
+
+
+def q33_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization (`session_window`, 30 min gap)
+    drained via AvailableNow; the oracle recomputes sessions relationally
+    (lag + cumulative-sum), so Spark's session-merging state machine is
+    differentially tested against an independent formulation."""
+    ev = stream_events(spark, sf_dir)
+    agg = stream_win.session_counts(ev, gap="30 minutes", watermark="2 hours")
+    name = stream_win.run_availablenow(agg, "user_sessions")
+    return (
+        spark.table(name)
+        .withColumn("sess_start", F.col("sess_start").cast("timestamp_ntz"))
+        .withColumn("sess_end", F.col("sess_end").cast("timestamp_ntz"))
+    )
+
+
+# ------------------------------------------------- Layer A: catalog & parsing
+
+
+def q34_catalog_missing_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's existence probe (N concurrent DESCRIBEs + all() gate,
+    /root/reference/geomesa_cassandra.py:33-37,55-58) as ONE left-anti join.
+
+    Catalog rows are synthesized from `nation`: each SFT's value lists its
+    physical tables newline-separated (plus a non-catalog-prefixed line the
+    normalize/prefix-filter must drop, /root/reference/geomesa.py:51-52).
+    Even-keyed SFTs have all physical tables; odd-keyed ones are missing
+    their z3 table — exactly the rows this query must surface.
+    """
+    t = load_tables(spark, sf_dir)
+    sft = F.lower(F.col("n_name"))
+    cat = t["nation"].select(
+        F.lit("ks").alias("keyspace"),
+        F.lit("cat").alias("catalog"),
+        sft.alias("sft"),
+        F.concat(
+            F.lit("Cat_"), sft, F.lit("_z3\ncat_"), sft, F.lit("_z2\ncat_"), sft,
+            F.lit("_id\nxtra_"), sft,
+        ).alias("value"),
+        F.col("n_nationkey"),
+    )
+    # catalog.GeoCatalog.find_schema_tables generalized over all SFTs:
+    # explode → normalize (lower/trim) → catalog-prefix filter → distinct.
+    schema_tables = (
+        cat.select("sft", "n_nationkey", F.explode(F.split("value", "\n")).alias("tbl"))
+        .select("sft", "n_nationkey", F.lower(F.trim(F.col("tbl"))).alias("tbl"))
+        .where(F.col("tbl").startswith("cat"))
+        .distinct()
+    )
+    existing = schema_tables.where(
+        (F.col("n_nationkey") % 2 == 0) | ~F.col("tbl").endswith("_z3")
+    ).select("tbl")
+    return (
+        schema_tables.join(existing, "tbl", "left_anti")
+        .select("sft", F.col("tbl").alias("missing_table"))
+    )
+
+
+def q35_parse_compactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→struct ingestion of nodetool-shaped output (the reference's
+    splitlines→regex→dict path, /root/reference/node.py:110-114): synth
+    compactionstats lines (UUID from md5, noise headers mixed in), parsed
+    with regexp_extract — non-matching lines silently dropped, then
+    aggregated per (keyspace, table)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    m = F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8"))
+    uid = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8), F.substring(m, 9, 4), F.substring(m, 13, 4),
+        F.substring(m, 17, 4), F.substring(m, 21, 12),
+    )
+    data_lines = ev.select(
+        F.concat(
+            F.lit("   "), uid, F.lit(" "), F.col("event_type"),
+            F.lit(" ks"), (F.col("user_id") % 3).cast("string"),
+            F.lit(" t"), (F.col("user_id") % 5).cast("string"),
+            F.lit(" 1024 bytes 4096 total"),
+        ).alias("value")
+    )
+    noise = ev.limit(50).select(F.lit("pending tasks: 7").alias("value"))
+    parsed = parsing.parse_compactions(relational.union_all([data_lines, noise]))
+    return parsed.groupBy("keyspace", "table").agg(
+        F.count("*").alias("n_compactions"),
+        F.countDistinct("id").alias("n_ids"),
+        F.countDistinct("type").alias("n_types"),
+    )
+
+
+# --------------------------------------------------- relational (widening)
+
+
+def q36_order_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra the reference never had (SURVEY §2.1 set ops): customers
+    with BOTH open and finished orders (INTERSECT) minus any with pending
+    orders (EXCEPT)."""
+    o = load_tables(spark, sf_dir)["orders"]
+
+    def keys(status: str) -> DataFrame:
+        return o.where(F.col("o_orderstatus") == status).select("o_custkey")
+
+    return keys("O").intersect(keys("F")).exceptAll(keys("P").distinct())
+
+
+def q37_customer_order_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface: lag/lead neighbors and a 3-row moving
+    average per customer order history — one shuffle on o_custkey serves
+    all four window functions (same partitioning, Catalyst reuses it)."""
+    o = load_tables(spark, sf_dir)["orders"].where(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wavg = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        # moving average in exact integer cents with explicit half-up
+        # division — double `round()` half-handling differs between engines
+        # exactly when a 2-row frame averages to .xx5, so no float rounding
+        # may touch the value at all.
+        (
+            F.floor(
+                (2 * F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(wavg)
+                 + F.count(F.lit(1)).over(wavg))
+                / (2 * F.count(F.lit(1)).over(wavg))
+            ).cast("bigint")
+            / 100.0
+        ).alias("moving_avg3"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q38_click_view_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py): views landing inside each click's
+    10-minute follow-window, same user. Bucketized to an equi (user, bucket)
+    hash join + residual filter — never the BroadcastNestedLoop a pure
+    inequality join would plan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        sec.alias("lo"), (sec + 600).alias("hi"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), sec.alias("vsec")
+    )
+    joined = joins.range_join(
+        views, clicks, on=["user_id"], left_point="vsec",
+        right_lo="lo", right_hi="hi", bucket_width=600,
+    )
+    return (
+        joined.select(F.col("r.click_id").alias("click_id"), F.col("l.view_id").alias("view_id"))
+        .distinct()
+        .groupBy("click_id")
+        .agg(F.count("*").alias("n_views"))
+    )
+
+
+def q39_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_dwithin: customers within 500 km of (10°E, 45°N) — z2-coverable
+    bounding box prunes, exact haversine refines (cover-and-refine again:
+    results equal the oracle's plain great-circle filter)."""
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    ).withColumn("z2", geo.z2(F.col("lon"), F.col("lat"), res=6))
+    km = 500.0
+    clon, clat = 10.0, 45.0
+    dlat = km / 110.0  # generous cover margins; refine keeps exactness
+    dlon = km / (111.32 * 0.6)  # cos(49.6°) ≈ 0.648 — margin below that
+    boxed = geo.bbox_filter(
+        pts, "lon", "lat",
+        lon_min=clon - dlon, lon_max=clon + dlon,
+        lat_min=clat - dlat, lat_max=clat + dlat,
+        z2_col="z2", res=6,
+    )
+    dist = geo.haversine_km(F.col("lon"), F.col("lat"), F.lit(clon), F.lit(clat))
+    return (
+        boxed.withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= km)
+        .select(
+            "c_custkey",
+            F.round("lon", 6).alias("lon"),
+            F.round("lat", 6).alias("lat"),
+            F.round("dist_km", 6).alias("dist_km"),
+        )
+    )
+
+
+def q40_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax, functions/text.py) against
+    the labeled lang column — confusion-matrix counts. Pure scan + small
+    agg; no shuffle beyond the 25-group rollup."""
+    t = load_tables(spark, sf_dir)
+    pred = T.lang_id_heuristic(F.col("text"), LANG_MARKERS)
+    return (
+        t["documents"]
+        .select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -480,4 +836,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_ttl_surviving_events": q23_ttl_surviving_events,
     "q24_suppliers_by_region": q24_suppliers_by_region,
     "q25_simhash_docs": q25_simhash_docs,
+    "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
+    "q27_ivf_topk": q27_ivf_topk,
+    "q28_embedding_near_dups": q28_embedding_near_dups,
+    "q29_media_features": q29_media_features,
+    "q30_media_dimensions": q30_media_dimensions,
+    "q31_video_frame_plan": q31_video_frame_plan,
+    "q32_stream_hourly_counts": q32_stream_hourly_counts,
+    "q33_stream_user_sessions": q33_stream_user_sessions,
+    "q34_catalog_missing_tables": q34_catalog_missing_tables,
+    "q35_parse_compactions": q35_parse_compactions,
+    "q36_order_status_set_ops": q36_order_status_set_ops,
+    "q37_customer_order_trends": q37_customer_order_trends,
+    "q38_click_view_correlation": q38_click_view_correlation,
+    "q39_geo_dwithin": q39_geo_dwithin,
+    "q40_lang_id_confusion": q40_lang_id_confusion,
 }

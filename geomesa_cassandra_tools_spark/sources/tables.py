@@ -62,6 +62,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_table("events")`` — same schema, same
+    nanos→micros truncation, but a file-source stream. The identical
+    downstream plan then runs batch or streaming (Spark's unified API);
+    at scale the source would be Kafka/files-on-arrival with the same
+    schema contract."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP (with local timezone), not TIMESTAMP_NTZ —
+    # pin the session to UTC so the instant-based window math collects to the
+    # same wall-clock values the (naive-timestamp) oracle sees.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    df = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table as a lazily-planned DataFrame."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

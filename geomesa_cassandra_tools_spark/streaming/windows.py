@@ -81,16 +81,22 @@ def session_counts(
     )
 
 
+_RUN_SEQ = [0]
+
+
 def run_availablenow(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
     """Drain a bounded stream (Trigger.AvailableNow) into a memory sink and
     return the session-queryable table name — the deterministic harness for
-    streaming tests."""
+    streaming tests. Names are suffixed with a run counter so repeated
+    invocations in one session (bench loops) never collide."""
+    _RUN_SEQ[0] += 1
+    name = f"{query_name}_{_RUN_SEQ[0]}"
     q = (
         stream_df.writeStream.format("memory")
-        .queryName(query_name)
+        .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
-    return query_name
+    return name
