@@ -1,0 +1,320 @@
+"""Unit tests for operator modules not exercised through the oracle gate:
+catalog/metastore ops, the maintenance pipeline (side-effecting), text→struct
+parsing on nodetool-shaped fixtures, join edge cases, geo cover properties,
+and the multimodal plumbing contract (SURVEY.md §5 items 3–4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.catalog import GeoCatalog, nodes_registry
+from geomesa_cassandra_tools_spark.functions import parsing
+from geomesa_cassandra_tools_spark.operators import dedup, geo, joins, maintenance, multimodal
+
+# ------------------------------------------------------------------ catalog
+
+CAT_ROWS = [
+    ("ks", "cat", "roads", "Cat_roads_z3\ncat_roads_z2\n  CAT_ROADS_ID \nother_roads"),
+    ("ks", "cat", "pois", "cat_pois_z2\ncat_pois_id"),
+    ("ks", "other_cat", "roads", "other_cat_roads_z2"),
+]
+
+
+@pytest.fixture(scope="module")
+def cat(spark) -> GeoCatalog:
+    return GeoCatalog.from_rows(spark, CAT_ROWS)
+
+
+def test_list_sfts_scopes_and_dedups(cat):
+    got = {r["sft"] for r in cat.list_sfts("ks", "cat").collect()}
+    assert got == {"roads", "pois"}
+
+
+def test_find_schema_tables_normalizes_and_prefix_filters(cat):
+    got = {r["table"] for r in cat.find_schema_tables("ks", "cat", "roads").collect()}
+    # lower+trim applied, non-catalog-prefixed name dropped
+    assert got == {"cat_roads_z3", "cat_roads_z2", "cat_roads_id"}
+
+
+def test_missing_tables_anti_join(spark, cat):
+    existing = spark.createDataFrame(
+        [("cat_roads_z2",), ("cat_roads_id",)], "table string"
+    )
+    missing = {r["table"] for r in cat.missing_tables("ks", "cat", "roads", existing).collect()}
+    assert missing == {"cat_roads_z3"}
+    assert not cat.tables_exist("ks", "cat", "roads", existing)
+    all_there = existing.union(spark.createDataFrame([("cat_roads_z3",)], "table string"))
+    assert cat.tables_exist("ks", "cat", "roads", all_there)
+
+
+def test_remove_sft_filters_only_target(cat):
+    out = cat.remove_sft("ks", "cat", "roads").df
+    assert out.count() == 2
+    assert out.where((F.col("sft") == "roads") & (F.col("catalog") == "cat")).count() == 0
+
+
+def test_nodes_registry(spark, tmp_path):
+    p = tmp_path / "remotes.json"
+    p.write_text(json.dumps({
+        "n1": {"host": "10.0.0.1", "port": 22, "user": "a", "password": "x"},
+        "n2": {"host": "10.0.0.2", "port": 2222, "user": "b", "password": "y"},
+    }))
+    reg = nodes_registry(spark, str(p))
+    rows = {r["name"]: (r["host"], r["port"], r["user"]) for r in reg.collect()}
+    assert rows == {"n1": ("10.0.0.1", 22, "a"), "n2": ("10.0.0.2", 2222, "b")}
+
+
+# -------------------------------------------------------------- maintenance
+
+
+def test_remove_schema_pipeline(spark, tmp_path):
+    cat = GeoCatalog.from_rows(spark, [("ks", "cat", "roads", "cat_roads_z2\ncat_roads_id")])
+    paths = {}
+    for t in ("cat_roads_z2", "cat_roads_id"):
+        path = str(tmp_path / t)
+        spark.range(100).write.parquet(path)
+        paths[t] = path
+    new_cat, audit = maintenance.remove_schema(spark, cat, "ks", "cat", "roads", paths)
+    assert new_cat.df.count() == 0
+    for path in paths.values():
+        assert spark.read.parquet(path).count() == 0
+    acts = {r["action"] for r in audit.collect()}
+    assert {"identify_schema_tables", "tables_exist", "truncate", "compact",
+            "remove_sft_from_catalog"} <= acts
+    assert audit.where(~F.col("ok")).count() == 0
+
+
+def test_remove_schema_missing_table_raises(spark, tmp_path):
+    cat = GeoCatalog.from_rows(spark, [("ks", "cat", "roads", "cat_roads_z2")])
+    with pytest.raises(ValueError, match="do not exist"):
+        maintenance.remove_schema(spark, cat, "ks", "cat", "roads", {})
+
+
+def test_ttl_expire(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-08 00:00:00",), ("2024-01-10 00:00:00",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    out = maintenance.ttl_expire(df, "ts", ttl_seconds=3 * 86400, now_ts="2024-01-10 00:00:00")
+    assert out.count() == 2  # Jan 8 and Jan 10 survive a 3-day TTL
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(1000).repartition(16).write.parquet(path)
+    before, after = maintenance.compact_parquet(spark, path, target_file_mb=128)
+    assert before == 16 and after == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+# ------------------------------------------------------------------ parsing
+
+NODETOOL_COMPACTIONS = """\
+pending tasks: 2
+          id                                   compaction type keyspace table completed total unit progress
+   59f80a30-member-of-noise
+   8d9c6a70-0a1e-11ee-9c58-7b3a4d2e9f10 Compaction geomesa cat_roads_z2 12 100 bytes 12.00%
+   9e0d7b81-1b2f-11ee-9c58-7b3a4d2e9f10 Compaction geomesa cat_roads_id 99 100 bytes 99.00%
+"""
+
+NODETOOL_SNAPSHOTS = """\
+Snapshot Details:
+Snapshot name Keyspace name Column family name True size Size on disk
+   snap1 geomesa cat_roads_z2 0 bytes 13 bytes
+   snap2 othks othtbl 0 bytes 13 bytes
+"""
+
+
+def test_parse_compactions_drops_noise(spark):
+    lines = spark.createDataFrame(
+        [(l,) for l in NODETOOL_COMPACTIONS.splitlines()], "value string"
+    )
+    out = parsing.parse_compactions(lines).collect()
+    assert {(r["keyspace"], r["table"]) for r in out} == {
+        ("geomesa", "cat_roads_z2"),
+        ("geomesa", "cat_roads_id"),
+    }
+    assert all(len(r["id"]) == 36 for r in out)
+
+
+def test_parse_snapshots(spark):
+    lines = spark.createDataFrame(
+        [(l,) for l in NODETOOL_SNAPSHOTS.splitlines()], "value string"
+    )
+    out = parsing.parse_snapshots(lines)
+    got = {(r["name"], r["keyspace"], r["table"]) for r in out.collect()}
+    # header lines match the loose \S+ pattern too (the reference's regex is
+    # equally permissive for the name group); data rows must all be present
+    assert {("snap1", "geomesa", "cat_roads_z2"), ("snap2", "othks", "othtbl")} <= got
+
+
+def test_is_up_predicate(spark):
+    df = spark.createDataFrame(
+        [
+            ("Gossip active : true\nThrift : x\nNative Transport active : true",),
+            ("Gossip active : false\nNative Transport active : true",),
+        ],
+        "info string",
+    )
+    got = [r[0] for r in df.select(parsing.is_up(F.col("info"))).collect()]
+    assert got == [True, False]
+
+
+def test_cqlsh_data_rows(spark):
+    lines = spark.createDataFrame(
+        [(" sft",), ("-----",), ("    roads ",), ("    pois",), ("(2 rows)",)],
+        "value string",
+    )
+    got = {r["row"] for r in parsing.cqlsh_data_rows(lines).collect()}
+    assert got == {"roads", "pois"}
+
+
+# -------------------------------------------------------------------- joins
+
+
+def test_asof_join_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 100, "p1")], "user_id int, ts int, pid string")
+    right = spark.createDataFrame(
+        [(1, 100, "v_at"), (1, 90, "v_before"), (1, 101, "v_after")],
+        "user_id int, ts int, vid string",
+    )
+    out = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["vid"], how="inner",
+    ).collect()
+    assert len(out) == 1 and out[0]["vid_right"] == "v_at"
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, 50, "p1"), (2, 50, "p2")], "user_id int, ts int, pid string")
+    right = spark.createDataFrame([(1, 40, "v1")], "user_id int, ts int, vid string")
+    out = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["vid"], how="inner",
+    ).collect()
+    assert [(r["pid"], r["vid_right"]) for r in out] == [("p1", "v1")]
+
+
+def test_range_join_bucketed_equals_unbucketed(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(0, 100, 7)], "k int, p int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 30), (1, 25, 95), (2, 0, 100)], "k int, lo int, hi int"
+    )
+    plain = joins.range_join(left, right, on=["k"], left_point="p", right_lo="lo", right_hi="hi")
+    bucketed = joins.range_join(
+        left, right, on=["k"], left_point="p", right_lo="lo", right_hi="hi", bucket_width=16
+    )
+    key = lambda r: (r["k"], r["p"], r["lo"], r["hi"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bucketed.collect()))
+
+
+# ---------------------------------------------------------------------- geo
+
+
+def test_bbox_ranges_cover_all_inner_cells():
+    lon_min, lon_max, lat_min, lat_max, res = -10.0, 40.0, 20.0, 60.0, 6
+    ranges = geo.bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res=res, max_ranges=8)
+    assert len(ranges) <= 8
+
+    def covered(z: int) -> bool:
+        return any(lo <= z <= hi for lo, hi in ranges)
+
+    x0 = geo._cell_index(lon_min, -180.0, 180.0, res)
+    x1 = geo._cell_index(lon_max, -180.0, 180.0, res)
+    y0 = geo._cell_index(lat_min, -90.0, 90.0, res)
+    y1 = geo._cell_index(lat_max, -90.0, 90.0, res)
+    assert all(
+        covered(geo._interleave_int(x, y, res))
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    )
+
+
+def test_z2_matches_driver_side_interleave(spark):
+    pts = [(-180.0, -90.0), (0.0, 0.0), (179.9, 89.9), (-10.5, 42.25)]
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        "lon", "lat", geo.z2(F.col("lon"), F.col("lat"), res=8).alias("z")
+    )
+    for r in df.collect():
+        expected = geo._interleave_int(
+            geo._cell_index(r["lon"], -180.0, 180.0, 8),
+            geo._cell_index(r["lat"], -90.0, 90.0, 8),
+            8,
+        )
+        assert r["z"] == expected
+
+
+def test_write_z_ordered_files_have_tight_z_ranges(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(i % 360 - 180), float((i * 7) % 180 - 90)) for i in range(2000)],
+        "lon double, lat double",
+    )
+    path = str(tmp_path / "zord")
+    geo.write_z_ordered(df, path, "lon", "lat", num_files=4)
+    out = spark.read.parquet(path)
+    spans = (
+        out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.min("z2").alias("lo"), F.max("z2").alias("hi"))
+        .collect()
+    )
+    # range-partitioned files must not overlap in z2 (tight min/max = skippable)
+    ordered = sorted((r["lo"], r["hi"]) for r in spans)
+    assert all(a[1] <= b[0] for a, b in zip(ordered, ordered[1:]))
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def _media(spark):
+    rows = [
+        (0, "image", bytearray(b"abc"), "image/png", None, None, None),
+        (1, "video", bytearray(b"xyz1234"), "video/mp4", None, None, 2500),
+        (2, "audio", None, "audio/wav", None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_contract(spark):
+    out = multimodal.extract_features(_media(spark), feat_dim=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(len(r["feature"]) == 4 for r in rows.values())
+    assert rows[2]["n_bytes"] == 0 and rows[0]["n_bytes"] == 3
+    assert out.schema["feature"].dataType.simpleString() == "array<double>"
+
+
+def test_probe_dimensions_stub_is_deterministic(spark):
+    out = multimodal.probe_dimensions(_media(spark))
+    r0 = {r["media_id"]: (r["width"], r["height"]) for r in out.collect()}
+    assert r0[0] == (64 + ord("a") % 64, 64 + ord("c") % 64)
+    assert r0[2] == (0, 0)  # empty payload
+
+
+def test_sample_frames_cadence(spark):
+    out = multimodal.sample_frames(_media(spark), every_ms=1000)
+    ts = sorted(r["frame_ts_ms"] for r in out.collect())
+    assert ts == [0, 1000, 2000]  # duration 2500 → frames at 0/1000/2000
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def test_canonical_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "k string, v int"
+    )
+    out = {(r["k"], r["v"]) for r in dedup.canonical_dedup(df, ["k"], "v").collect()}
+    assert out == {("a", 1), ("b", 9)}
+
+
+def test_dedup_idempotent(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    once = dedup.exact_dedup(df, ["k"])
+    twice = dedup.exact_dedup(once, ["k"])
+    assert sorted(r["k"] for r in twice.collect()) == ["a", "b"]
