@@ -119,12 +119,25 @@ def bbox_filter(
     lat_max: float,
     z2_col: str | None = None,
     res: int = DEFAULT_RES,
+    z2_stored: bool = True,
 ) -> DataFrame:
     """Exact bbox filter, pruned by z2 ranges when a z2 column exists.
 
-    The z2 range disjunction is a pushable parquet predicate (min/max
-    row-group skipping on a clustered column); the exact lon/lat refine
-    runs after — cover-and-refine, results identical to the full scan.
+    ``z2_stored=True`` (a physical column, the write_z_ordered layout):
+    the cover is an OR-of-BETWEENs — a pushable parquet predicate (min/max
+    row-group skipping on the clustered column).
+
+    ``z2_stored=False`` (z2 derived in the same plan): the cover is an
+    `exists` over a literal range array instead. An OR-chain over a
+    *computed* column is a codegen trap — Catalyst collapses the projection
+    into the filter and re-inlines the whole bit-interleave expression into
+    every disjunct (no CSE across short-circuited branches), overflowing
+    Janino's 64 KB method limit; the higher-order form evaluates z2 once.
+    Nothing pushes to the scan either way (the column doesn't exist there),
+    so no pruning is lost.
+
+    Either way the exact lon/lat refine runs after — cover-and-refine,
+    results identical to the full scan.
     """
     exact = (
         (F.col(lon_col) >= lon_min)
@@ -134,11 +147,23 @@ def bbox_filter(
     )
     if z2_col is not None:
         ranges = bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res)
-        cover = None
-        for lo, hi in ranges:
-            term = F.col(z2_col).between(lo, hi)
-            cover = term if cover is None else (cover | term)
-        if cover is not None:
+        if ranges and z2_stored:
+            cover = None
+            for lo, hi in ranges:
+                term = F.col(z2_col).between(lo, hi)
+                cover = term if cover is None else (cover | term)
+            return df.where(cover).where(exact)
+        if ranges:
+            bounds = F.array(
+                *[
+                    F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+                    for lo, hi in ranges
+                ]
+            )
+            cover = F.exists(
+                bounds,
+                lambda r: (F.col(z2_col) >= r["lo"]) & (F.col(z2_col) <= r["hi"]),
+            )
             return df.where(cover).where(exact)
     return df.where(exact)
 

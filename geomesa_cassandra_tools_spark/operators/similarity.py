@@ -159,7 +159,10 @@ def cosine_pairs_above(
                 {"vec_a": bids[ai], "vec_b": ids_all[bi], "cos": sims[ai, bi]}
             )
 
-    return ensure_parallelism(prep).mapInPandas(
+    # one python worker per ~512-row block: enough blocks to spread across
+    # executors, few enough that worker spin-up doesn't dominate small n.
+    blocks = max(1, min(spark.sparkContext.defaultParallelism, len(ids) // 512))
+    return ensure_parallelism(prep, min_parts=blocks).mapInPandas(
         score, "vec_a bigint, vec_b bigint, cos double"
     )
 

@@ -433,7 +433,7 @@ def q22_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pts.withColumn("z2", geo.z2(F.col("lon"), F.col("lat"), res=6))
     hits = geo.bbox_filter(
         pts, "lon", "lat", lon_min=-10.0, lon_max=40.0, lat_min=20.0, lat_max=60.0,
-        z2_col="z2", res=6,
+        z2_col="z2", res=6, z2_stored=False,
     )
     return hits.select(
         "c_custkey", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat")
@@ -781,7 +781,7 @@ def q39_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "lon", "lat",
         lon_min=clon - dlon, lon_max=clon + dlon,
         lat_min=clat - dlat, lat_max=clat + dlat,
-        z2_col="z2", res=6,
+        z2_col="z2", res=6, z2_stored=False,
     )
     dist = geo.haversine_km(F.col("lon"), F.col("lat"), F.lit(clon), F.lit(clat))
     return (
