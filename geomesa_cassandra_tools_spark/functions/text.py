@@ -18,6 +18,21 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 FINGERPRINT_MOD = 1_000_003
 
+#: Rabin–Karp base for character rolling hashes.
+ROLLING_BASE = 257
+
+#: BPE-ish pre-tokenization regex: word runs or single non-space symbols —
+#: the usual pre-split a byte-pair tokenizer applies before merges. Same
+#: semantics under Java regex (Spark) and RE2 (DuckDB) for ASCII.
+BPE_SPLIT_RE = r"\w+|[^\w\s]"
+
+
+def rolling_hash_powers(max_len: int = 1024) -> list[tuple[int, int]]:
+    """(position, ROLLING_BASE^position mod FINGERPRINT_MOD) pairs — the
+    shared constant table both the Spark plan (broadcast join) and the SQL
+    oracle (VALUES list) consume, so the modular arithmetic is identical."""
+    return [(i, pow(ROLLING_BASE, i, FINGERPRINT_MOD)) for i in range(max_len)]
+
 
 def tokens(text: Column) -> Column:
     """Exact whitespace tokenization (documents corpus is single-spaced)."""
@@ -86,6 +101,13 @@ def fingerprint(token_id_positions: Column) -> Column:
             lambda acc, x: (acc + (x["tid"] + 1) * (x["pos"] + 1)) % FINGERPRINT_MOD,
         )
     ).alias("fingerprint")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (regexp_extract_all) — the token-count
+    companion to plain whitespace splitting; counts punctuation separately
+    from word runs the way byte-pair vocabularies see text."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
 
 
 def lang_id_heuristic(text: Column, marker_words: dict[str, tuple[str, ...]]) -> Column:

@@ -7,7 +7,12 @@ parameters are interpolated from the single source of truth in
 
 from __future__ import annotations
 
-from geomesa_cassandra_tools_spark.functions.text import FINGERPRINT_MOD, STOPWORDS
+from geomesa_cassandra_tools_spark.functions.text import (
+    BPE_SPLIT_RE,
+    FINGERPRINT_MOD,
+    STOPWORDS,
+    rolling_hash_powers,
+)
 from geomesa_cassandra_tools_spark.operators.dedup import MINHASH_PRIME, minhash_params
 from geomesa_cassandra_tools_spark.operators.similarity import random_hyperplanes
 
@@ -543,5 +548,41 @@ SELECT lang,
             ELSE 'zh' END AS predicted,
        count(*) AS n_docs
 FROM h GROUP BY 1, 2
+""",
+    "q41_rolling_hash_fingerprints": f"""
+WITH ch AS (
+  SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS j, text FROM documents
+)
+SELECT doc_id,
+       sum(unicode(ch.text[j]) * pw.p) % {FINGERPRINT_MOD} AS rolling_hash
+FROM ch
+JOIN (VALUES {", ".join(f"({i}, {p})" for i, p in rolling_hash_powers(1024))}) AS pw(i, p)
+  ON pw.i = ch.j - 1
+GROUP BY doc_id
+""",
+    "q42_sales_cube": """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q44_stream_stateful_totals": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+""",
+    "q45_token_stats_by_source": f"""
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS bpe,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(ws) AS sum_ws_tokens,
+       sum(bpe) AS sum_bpe_tokens, sum(punct) AS sum_punct
+FROM d GROUP BY source
 """,
 }

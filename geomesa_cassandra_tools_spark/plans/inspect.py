@@ -30,5 +30,10 @@ def assert_no_python_udf(df: DataFrame) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    plan = explain_str(df, "formatted")
-    return plan.count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans, read from the EXECUTED plan —
+    under AQE the pre-execution plan is provisional and carries no `*(n)`
+    codegen markers, so this materializes the frame (noop sink) first."""
+    df.collect()  # finalize THIS frame's own query execution (a sink write
+    # would execute a copy and leave df's AQE plan provisional)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    return plan.count("*(")

@@ -810,6 +810,100 @@ def q40_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp rolling hash over each document's character stream:
+    sum(char_code * B^pos) mod P. The modpow table is a tiny broadcast dim
+    (functions/text.py::rolling_hash_powers — shared verbatim with the
+    oracle's VALUES list); per-term products stay < 2^63, the final mod is
+    exact. At 100 TB this is a pure scan + one broadcast join + per-doc
+    partial agg — no wide shuffle beyond the doc_id combine."""
+    t = load_tables(spark, sf_dir)
+    powers = spark.createDataFrame(T.rolling_hash_powers(1024), "pos int, pw bigint")
+    chars = (
+        relational.ensure_parallelism(t["documents"].select("doc_id", "text"))
+        .select("doc_id", F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch"))
+        .where(F.col("ch") != "")
+    )
+    return (
+        chars.join(F.broadcast(powers), "pos")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.ascii(F.col("ch")).cast("bigint") * F.col("pw")) % T.FINGERPRINT_MOD)
+            .alias("rolling_hash")
+        )
+    )
+
+
+def q42_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping flags — all four
+    grouping-set combinations in one pass (partial aggs expand map-side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q43_approx_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch reach vs exact distinct per event type. The
+    approx path is THE 100 TB cardinality answer (mergeable sketch, no
+    distinct shuffle); exact sits beside it as the error reference. No SQL
+    oracle — DuckDB's approx_distinct uses a different sketch, so the
+    driver records the weaker rows-only check for this one."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
+def q44_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (`applyInPandasWithState`): per-user
+    running totals in explicit group state, drained with AvailableNow in
+    update mode. The bounded drain's final emission equals the batch
+    aggregate, so even this operator gets a full differential oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = stream_win.stateful_user_totals(ev)
+    name = stream_win.run_availablenow_update(agg, "stateful_totals")
+    return spark.table(name).select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+def q45_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per source: whitespace tokens vs BPE-ish
+    regex pre-tokens (word runs + single symbols) plus punctuation counts —
+    integer sums only, scan + one small agg."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "source",
+            T.token_count(txt).cast("bigint").alias("ws"),
+            F.size(T.bpe_tokens(txt)).cast("bigint").alias("bpe"),
+            F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0)).cast("bigint").alias("punct"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+            F.sum("punct").alias("sum_punct"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -851,4 +945,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_click_view_correlation": q38_click_view_correlation,
     "q39_geo_dwithin": q39_geo_dwithin,
     "q40_lang_id_confusion": q40_lang_id_confusion,
+    "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
+    "q42_sales_cube": q42_sales_cube,
+    "q43_approx_distinct_reach": q43_approx_distinct_reach,
+    "q44_stream_stateful_totals": q44_stream_stateful_totals,
+    "q45_token_stats_by_source": q45_token_stats_by_source,
 }
+
+#: Queries with no SQL oracle (the driver records rows-only checks):
+#: q43's HLL++ sketch has no DuckDB equivalent.
+NO_ORACLE: frozenset[str] = frozenset({"q43_approx_distinct_reach"})

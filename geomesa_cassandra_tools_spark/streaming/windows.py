@@ -81,6 +81,33 @@ def session_counts(
     )
 
 
+def stateful_user_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`): a
+    per-key running (count, sum) kept in explicit group state — the escape
+    hatch for semantics `session_window`/aggregations can't express
+    (SURVEY.md §4.3). Each micro-batch updates the state and emits the
+    current totals for keys seen in that batch; with a bounded source
+    drained in one AvailableNow batch the emission is the final answer,
+    which is what the differential oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(k, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key: [k[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.select(key, "value").groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 _RUN_SEQ = [0]
 
 
@@ -95,6 +122,22 @@ def run_availablenow(stream_df: DataFrame, query_name: str, timeout_sec: int = 1
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return name
+
+
+def run_availablenow_update(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
+    """AvailableNow drain in `update` output mode — required for arbitrary
+    stateful operators (complete mode isn't supported there)."""
+    _RUN_SEQ[0] += 1
+    name = f"{query_name}_{_RUN_SEQ[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

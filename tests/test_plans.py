@@ -1,0 +1,84 @@
+"""Plan-quality regression tests: pushdown reaches the scan, column pruning
+is real, dims broadcast, and no Python UDF sneaks into JVM-only paths —
+checked as properties of the optimized physical plan (plans/inspect.py), not
+by reading timing tea leaves."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.plans import inspect
+from geomesa_cassandra_tools_spark.queries import QUERIES
+from geomesa_cassandra_tools_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    plan = inspect.explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: only the 7 needed columns reach the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q24_dims_are_broadcast(spark):
+    plan = inspect.explain_str(QUERIES["q24_suppliers_by_region"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q05_anti_join_is_join_not_subquery_loop(spark):
+    plan = inspect.explain_str(QUERIES["q05_customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_equality_predicate_pushes_to_catalog_scan(spark, tmp_path):
+    # the engine analog of interpolating WHERE sft='x' into CQL
+    path = str(tmp_path / "cat")
+    spark.createDataFrame(
+        [("ks", "cat", "roads", "cat_roads_z2")],
+        "keyspace string, catalog string, sft string, value string",
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("sft") == "roads").select("value")
+    pushed = inspect.pushed_filters(df)
+    assert "EqualTo(sft,roads)" in pushed
+
+
+def test_jvm_only_paths_have_no_python_udf(spark):
+    for name in (
+        "q01_pricing_summary",
+        "q14_near_dup_pairs",
+        "q19_cosine_topk",
+        "q22_geo_bbox",
+        "q26_lsh_cosine_topk",
+        "q35_parse_compactions",
+        "q41_rolling_hash_fingerprints",
+    ):
+        inspect.assert_no_python_udf(QUERIES[name](spark, SF))
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    assert inspect.codegen_stage_count(QUERIES["q01_pricing_summary"](spark, SF)) >= 1
+
+
+def test_z2_range_predicate_is_pushable_on_stored_column(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [(float(i % 360 - 180), float((i * 7) % 180 - 90)) for i in range(500)],
+        "lon double, lat double",
+    )
+    path = str(tmp_path / "zstore")
+    geo.write_z_ordered(df, path, "lon", "lat", num_files=2)
+    stored = spark.read.parquet(path)
+    out = geo.bbox_filter(
+        stored, "lon", "lat", lon_min=0.0, lon_max=20.0, lat_min=0.0, lat_max=20.0,
+        z2_col="z2", res=8,
+    )
+    pushed = inspect.pushed_filters(out)
+    assert "GreaterThanOrEqual(z2" in pushed or "Or(And(" in pushed
