@@ -176,6 +176,28 @@ def st_contains_bbox(
     )
 
 
+def st_contains_convex(
+    lon: Column, lat: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Point-in-convex-polygon via half-plane tests: for a counter-clockwise
+    vertex ring, the point is inside iff every edge cross-product is >= 0
+    (boundary inclusive). Pure arithmetic — k sign tests, unrolled as Column
+    expressions, codegen-friendly and bit-identical in any SQL engine.
+    General (concave/holed) polygons need ray casting — that variant belongs
+    in a pandas UDF; convex covers the common query-region case."""
+    cond = None
+    k = len(vertices)
+    for i in range(k):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % k]
+        cross = (F.lit(x2 - x1) * (lat - F.lit(y1))) - (
+            F.lit(y2 - y1) * (lon - F.lit(x1))
+        )
+        term = cross >= 0
+        cond = term if cond is None else (cond & term)
+    return cond
+
+
 def st_dwithin_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column, km: float) -> Column:
     """Great-circle proximity predicate (haversine, built-in math only)."""
     return haversine_km(lon1, lat1, lon2, lat2) <= km

@@ -586,3 +586,45 @@ SELECT source, count(*) AS n_docs, sum(ws) AS sum_ws_tokens,
 FROM d GROUP BY source
 """,
 }
+
+
+def _polygon_sql() -> str:
+    from geomesa_cassandra_tools_spark.queries import Q46_POLYGON
+
+    k = len(Q46_POLYGON)
+    terms = []
+    for i in range(k):
+        x1, y1 = Q46_POLYGON[i]
+        x2, y2 = Q46_POLYGON[(i + 1) % k]
+        terms.append(
+            f"(({x2 - x1!r}) * (lat - ({y1!r})) - ({y2 - y1!r}) * (lon - ({x1!r}))) >= 0"
+        )
+    cond = "\n  AND ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+)
+SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat
+FROM pts
+WHERE {cond}
+"""
+
+
+ORACLES["q46_geo_polygon_contains"] = _polygon_sql()
+
+ORACLES["q47_stream_sliding_rates"] = """
+WITH w AS (
+  SELECT make_timestamp(CAST((floor(epoch(ts) / 900) - k) * 900 AS BIGINT) * 1000000) AS win_start
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, count(*) AS n_events
+FROM w GROUP BY win_start
+"""
+
+ORACLES["q48_doc_length_geomean"] = """
+SELECT lang, round(exp(avg(ln(n_chars))), 2) AS geomean_chars, count(*) AS n_docs
+FROM documents GROUP BY lang
+"""

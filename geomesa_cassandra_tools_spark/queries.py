@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -904,6 +906,71 @@ def q45_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: counter-clockwise convex query region for q46 (shared with the oracle).
+Q46_POLYGON: list[tuple[float, float]] = [
+    (0.0, 35.0), (20.0, 30.0), (35.0, 45.0), (20.0, 60.0), (0.0, 55.0)
+]
+
+
+def q46_geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_contains for a convex polygon: unrolled half-plane sign tests
+    (operators/geo.py::st_contains_convex) — exact, codegen'd, and
+    bit-identical to the oracle's inequality conjunction."""
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    return pts.where(
+        geo.st_contains_convex(F.col("lon"), F.col("lat"), Q46_POLYGON)
+    ).select("c_custkey", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"))
+
+
+def q47_stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h wide, 15 min slide): each event lands
+    in exactly 4 overlapping windows; drained via AvailableNow and checked
+    against a relational oracle that re-derives the window fan-out with
+    epoch arithmetic."""
+    ev = stream_events(spark, sf_dir)
+    agg = stream_win.sliding_rates(
+        ev, width="1 hour", slide="15 minutes", watermark="2 hours"
+    )
+    name = stream_win.run_availablenow(agg, "sliding_rates")
+    return (
+        spark.table(name)
+        .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        .withColumn("win_end", F.col("win_end").cast("timestamp_ntz"))
+    )
+
+
+def q48_doc_length_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): geometric mean of
+    document length per language — Arrow-batched, one value per group; the
+    oracle states it relationally as exp(avg(ln(x)))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
+        # so the count rides along as a second pandas aggregate
+        return len(v)
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.round(geomean(F.col("n_chars")), 2).alias("geomean_chars"),
+            n_rows(F.col("n_chars")).alias("n_docs"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -950,6 +1017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q44_stream_stateful_totals": q44_stream_stateful_totals,
     "q45_token_stats_by_source": q45_token_stats_by_source,
+    "q46_geo_polygon_contains": q46_geo_polygon_contains,
+    "q47_stream_sliding_rates": q47_stream_sliding_rates,
+    "q48_doc_length_geomean": q48_doc_length_geomean,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

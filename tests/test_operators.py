@@ -318,3 +318,50 @@ def test_dedup_idempotent(spark):
     once = dedup.exact_dedup(df, ["k"])
     twice = dedup.exact_dedup(once, ["k"])
     assert sorted(r["k"] for r in twice.collect()) == ["a", "b"]
+
+
+# ------------------------------------------------- property-based (driver)
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon1=hst.floats(-180, 179), lon2=hst.floats(-180, 179),
+    lat1=hst.floats(-90, 89), lat2=hst.floats(-90, 89),
+    res=hst.integers(3, 7), cap=hst.integers(4, 64),
+)
+def test_bbox_cover_is_complete_and_capped(lon1, lon2, lat1, lat2, res, cap):
+    lon_min, lon_max = sorted((lon1, lon2))
+    lat_min, lat_max = sorted((lat1, lat2))
+    ranges = geo.bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res=res, max_ranges=cap)
+    assert len(ranges) <= cap
+    assert all(lo <= hi for lo, hi in ranges)
+    # every cell of the exact rectangle is covered (cover ⊇ bbox — the
+    # invariant that makes cover-and-refine exact)
+    x0 = geo._cell_index(lon_min, -180.0, 180.0, res)
+    x1 = geo._cell_index(lon_max, -180.0, 180.0, res)
+    y0 = geo._cell_index(lat_min, -90.0, 90.0, res)
+    y1 = geo._cell_index(lat_max, -90.0, 90.0, res)
+    for x in (x0, x1):
+        for y in (y0, y1):
+            z = geo._interleave_int(x, y, res)
+            assert any(lo <= z <= hi for lo, hi in ranges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=hst.floats(-180, 180, allow_nan=False),
+    lat=hst.floats(-90, 90, allow_nan=False),
+    res=hst.integers(1, 16),
+)
+def test_z2_bit_interleave_roundtrip(lon, lat, res):
+    x = geo._cell_index(lon, -180.0, 180.0, res)
+    y = geo._cell_index(lat, -90.0, 90.0, res)
+    z = geo._interleave_int(x, y, res)
+    # de-interleave recovers the cell indices exactly
+    xr = sum(((z >> (2 * i)) & 1) << i for i in range(res))
+    yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(res))
+    assert (xr, yr) == (x, y)
+    assert 0 <= z < 1 << (2 * res)
