@@ -42,9 +42,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: (session id, sf_dir, table) → DataFrame plan. DataFrames are immutable
+#: lazy plans, so reuse is safe; rebuilding one costs a file listing + a
+#: parquet footer read on the driver — pure constant overhead when every
+#: query call re-resolves its tables.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _build_table(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects outright. Read the raw int64 nanos and truncate to micros
