@@ -111,35 +111,60 @@ def stateful_user_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
 _RUN_SEQ = [0]
 
 
-def run_availablenow(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
+def _drain(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    timeout_sec: int,
+    state_partitions: int | None,
+):
+    """Start an AvailableNow drain to a memory sink and block until done.
+
+    ``state_partitions`` temporarily overrides shuffle partitions for the
+    stream start: streaming state instantiates one store per shuffle
+    partition, a per-partition fixed cost — size it to stream volume, not to
+    the batch default (32 stores for a small drain is 3× pure overhead; a
+    100 TB stream would set hundreds). The conf is captured when the query
+    starts and restored right after."""
+    _RUN_SEQ[0] += 1
+    name = f"{query_name}_{_RUN_SEQ[0]}"
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(timeout_sec)
+    return name
+
+
+def run_availablenow(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    state_partitions: int | None = 8,
+):
     """Drain a bounded stream (Trigger.AvailableNow) into a memory sink and
     return the session-queryable table name — the deterministic harness for
     streaming tests. Names are suffixed with a run counter so repeated
     invocations in one session (bench loops) never collide."""
-    _RUN_SEQ[0] += 1
-    name = f"{query_name}_{_RUN_SEQ[0]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return name
+    return _drain(stream_df, query_name, "complete", timeout_sec, state_partitions)
 
 
-def run_availablenow_update(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
+def run_availablenow_update(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    state_partitions: int | None = 8,
+):
     """AvailableNow drain in `update` output mode — required for arbitrary
     stateful operators (complete mode isn't supported there)."""
-    _RUN_SEQ[0] += 1
-    name = f"{query_name}_{_RUN_SEQ[0]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return name
+    return _drain(stream_df, query_name, "update", timeout_sec, state_partitions)
