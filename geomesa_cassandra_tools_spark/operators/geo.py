@@ -198,6 +198,27 @@ def st_contains_convex(
     return cond
 
 
+def st_contains_polygon(
+    lon: Column, lat: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Point-in-polygon for an arbitrary (possibly concave) fixed ring via
+    ray casting: count edges whose span crosses the point's latitude and
+    whose intersection with the horizontal ray lies east of the point; odd
+    crossing count = inside. Unrolled per-vertex into plain arithmetic —
+    same expression the SQL oracle states, so results are bit-identical.
+    Boundary points follow the ray-casting convention (edge-dependent)."""
+    crossings = None
+    k = len(vertices)
+    for i in range(k):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % k]
+        spans = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        term = F.when(spans & (lon < x_at), 1).otherwise(0)
+        crossings = term if crossings is None else (crossings + term)
+    return crossings % 2 == 1
+
+
 def st_dwithin_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column, km: float) -> Column:
     """Great-circle proximity predicate (haversine, built-in math only)."""
     return haversine_km(lon1, lat1, lon2, lat2) <= km

@@ -26,6 +26,34 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with explicit key salting for hot keys: the (large, skewed)
+    left side derives a deterministic salt from its full row hash; the small
+    right side replicates ``salt`` times. The physical join key becomes
+    (key, salt), splitting any hot key's rows across ``salt`` tasks.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting is
+    for the ones it can't — aggregations after the join keyed on the hot key,
+    or sort-merge partitions a single key overflows. Deterministic salt
+    (xxhash64 of the row, not rand()) keeps results reproducible.
+    """
+    on = list(on)
+    lcols = left.columns
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return lsalted.join(rsalted, on + ["__salt"], how).drop("__salt")
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -628,3 +628,41 @@ ORACLES["q48_doc_length_geomean"] = """
 SELECT lang, round(exp(avg(ln(n_chars))), 2) AS geomean_chars, count(*) AS n_docs
 FROM documents GROUP BY lang
 """
+
+
+def _raycast_sql() -> str:
+    from geomesa_cassandra_tools_spark.queries import Q49_POLYGON
+
+    k = len(Q49_POLYGON)
+    terms = []
+    for i in range(k):
+        x1, y1 = Q49_POLYGON[i]
+        x2, y2 = Q49_POLYGON[(i + 1) % k]
+        terms.append(
+            f"CASE WHEN (({y1!r}) > lat) <> (({y2!r}) > lat)"
+            f" AND lon < ({x2 - x1!r}) * (lat - ({y1!r})) / ({y2 - y1!r}) + ({x1!r})"
+            f" THEN 1 ELSE 0 END"
+        )
+    crossings = "\n     + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+)
+SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat
+FROM pts
+WHERE ({crossings}) % 2 = 1
+"""
+
+
+ORACLES["q49_geo_concave_polygon"] = _raycast_sql()
+
+ORACLES["q50_segment_minmax_scale"] = """
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - min(c_acctbal) OVER w) /
+             (max(c_acctbal) OVER w - min(c_acctbal) OVER w), 6) AS scaled_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""

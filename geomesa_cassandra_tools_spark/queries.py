@@ -971,6 +971,49 @@ def q48_doc_length_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: concave test ring for q49 (no horizontal edges; shared with the oracle).
+Q49_POLYGON: list[tuple[float, float]] = [
+    (0.0, 30.0), (30.0, 31.0), (30.0, 60.0), (15.0, 45.0), (0.0, 59.0)
+]
+
+
+def q49_geo_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (concave) point-in-polygon via unrolled ray casting
+    (operators/geo.py::st_contains_polygon) — the notched ring would fool
+    the convex half-plane test; crossing parity handles it, with the oracle
+    stating the identical arithmetic."""
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    return pts.where(
+        geo.st_contains_polygon(F.col("lon"), F.col("lat"), Q49_POLYGON)
+    ).select("c_custkey", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"))
+
+
+def q50_segment_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInPandas` (the UDTF-like surface): min-max scale
+    account balances within each market segment — whole-group logic in
+    pandas, one Arrow batch per group, output schema declared. min/max are
+    exact, so the division is bit-identical to the oracle's window form."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["scaled_bal"] = ((pdf["c_acctbal"] - lo) / (hi - lo)).round(6)
+        return out
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(scale, "c_custkey bigint, c_mktsegment string, scaled_bal double")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1020,6 +1063,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_geo_polygon_contains": q46_geo_polygon_contains,
     "q47_stream_sliding_rates": q47_stream_sliding_rates,
     "q48_doc_length_geomean": q48_doc_length_geomean,
+    "q49_geo_concave_polygon": q49_geo_concave_polygon,
+    "q50_segment_minmax_scale": q50_segment_minmax_scale,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

@@ -365,3 +365,28 @@ def test_z2_bit_interleave_roundtrip(lon, lat, res):
     yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(res))
     assert (xr, yr) == (x, y)
     assert 0 <= z < 1 << (2 * res)
+
+
+# --------------------------------------------------------------- skew salting
+
+def test_salted_join_equals_plain_join(spark):
+    from geomesa_cassandra_tools_spark.operators.relational import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    right = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "k long, name string")
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, on=["k"], salt=4).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    from geomesa_cassandra_tools_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+    right = spark.createDataFrame([(1, "a")], "k long, name string")
+    out = salted_join(left, right, on=["k"], how="left", salt=3).collect()
+    got = {(r["k"], r["v"], r["name"]) for r in out}
+    assert got == {(1, 10, "a"), (99, 20, None)}
