@@ -198,6 +198,22 @@ def st_contains_convex(
     return cond
 
 
+#: WKT point literal, e.g. "POINT (12.5 -45)".
+WKT_POINT_RE = r"POINT \((-?[0-9.]+) (-?[0-9.]+)\)"
+
+
+def parse_wkt_point(wkt: Column) -> Column:
+    """Parse a WKT POINT string to a (lon, lat) struct — regexp_extract per
+    coordinate, JVM-side; rows that don't match yield nulls (schema-on-read,
+    same silent-drop contract as functions/parsing.py)."""
+    lon = F.regexp_extract(wkt, WKT_POINT_RE, 1)
+    lat = F.regexp_extract(wkt, WKT_POINT_RE, 2)
+    return F.struct(
+        F.when(lon != "", lon).cast("double").alias("lon"),
+        F.when(lat != "", lat).cast("double").alias("lat"),
+    )
+
+
 def st_contains_polygon(
     lon: Column, lat: Column, vertices: list[tuple[float, float]]
 ) -> Column:

@@ -659,6 +659,36 @@ WHERE ({crossings}) % 2 = 1
 
 ORACLES["q49_geo_concave_polygon"] = _raycast_sql()
 
+ORACLES["q51_wkt_roundtrip_bbox"] = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(round((c_custkey * 7919 % 36000) / 100.0 - 180.0) AS INT) AS loni,
+         CAST(round((c_custkey * 104729 % 18000) / 100.0 - 90.0) AS INT) AS lati
+  FROM customer
+),
+wkt AS (
+  SELECT c_custkey,
+         'POINT (' || CAST(loni AS VARCHAR) || ' ' || CAST(lati AS VARCHAR) || ')' AS w
+  FROM pts
+),
+parsed AS (
+  SELECT c_custkey,
+         CAST(regexp_extract(w, 'POINT \\((-?[0-9.]+) (-?[0-9.]+)\\)', 1) AS DOUBLE) AS lon,
+         CAST(regexp_extract(w, 'POINT \\((-?[0-9.]+) (-?[0-9.]+)\\)', 2) AS DOUBLE) AS lat
+  FROM wkt
+)
+SELECT c_custkey, lon, lat FROM parsed
+WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 20.0 AND lat <= 60.0
+"""
+
+ORACLES["q52_purchase_asof_left"] = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
 ORACLES["q50_segment_minmax_scale"] = """
 SELECT c_custkey, c_mktsegment,
        round((c_acctbal - min(c_acctbal) OVER w) /

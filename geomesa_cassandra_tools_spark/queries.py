@@ -1014,6 +1014,61 @@ def q50_segment_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_wkt_roundtrip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT text surface: serialize integer-coordinate POINT strings, parse
+    them back (geo.parse_wkt_point — regexp schema-on-read), and bbox-filter
+    the parsed coordinates. Integer coordinates keep the string form
+    engine-portable (float formatting differs between Java and C printf)."""
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        F.round((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0)
+        .cast("int").alias("loni"),
+        F.round((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0)
+        .cast("int").alias("lati"),
+    )
+    wkt = pts.select(
+        "c_custkey",
+        F.concat(
+            F.lit("POINT ("), F.col("loni").cast("string"), F.lit(" "),
+            F.col("lati").cast("string"), F.lit(")"),
+        ).alias("wkt"),
+    )
+    parsed = wkt.select("c_custkey", "wkt", geo.parse_wkt_point(F.col("wkt")).alias("pt"))
+    return (
+        parsed.where(
+            geo.st_contains_bbox(
+                F.col("pt.lon"), F.col("pt.lat"), -10.0, 40.0, 20.0, 60.0
+            )
+        )
+        .select("c_custkey", F.col("pt.lon").alias("lon"), F.col("pt.lat").alias("lat"))
+    )
+
+
+def q52_purchase_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join: every purchase keeps its row even with no earlier
+    view (null view columns) — checked against DuckDB's native ASOF LEFT
+    JOIN, so the union+window implementation is differentially tested in
+    both inner (q21) and outer forms."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    out = joins.asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], how="left",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id_right").alias("view_id"),
+        F.col("ts_right").alias("view_ts"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1065,6 +1120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_doc_length_geomean": q48_doc_length_geomean,
     "q49_geo_concave_polygon": q49_geo_concave_polygon,
     "q50_segment_minmax_scale": q50_segment_minmax_scale,
+    "q51_wkt_roundtrip_bbox": q51_wkt_roundtrip_bbox,
+    "q52_purchase_asof_left": q52_purchase_asof_left,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
