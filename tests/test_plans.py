@@ -82,3 +82,24 @@ def test_z2_range_predicate_is_pushable_on_stored_column(spark, tmp_path):
     )
     pushed = inspect.pushed_filters(out)
     assert "GreaterThanOrEqual(z2" in pushed or "Or(And(" in pushed
+
+
+def test_no_accidental_cross_joins_anywhere(spark):
+    """Sweep every batch query plan: cartesian products are never OK;
+    broadcast nested loops only where a broadcast-small-side scan is the
+    intended physical design (brute-force scoring baseline, scalar
+    broadcast, centroid assignment)."""
+    BNLJ_INTENDED = {
+        "q19_cosine_topk",          # brute-force baseline vs broadcast queries
+        "q23_ttl_surviving_events", # single-row broadcast of max(ts)
+        "q27_ivf_topk",             # corpus × 4 broadcast centroids
+    }
+    for name, fn in sorted(QUERIES.items()):
+        if "stream" in name:
+            continue  # streaming plans resolve at query start
+        plan = inspect.explain_str(fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in BNLJ_INTENDED:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans an unintended broadcast nested loop"
+            )
