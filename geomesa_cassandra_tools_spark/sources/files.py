@@ -1,0 +1,60 @@
+"""Generic file sources beyond parquet: text lines, CSV, JSON.
+
+The reference's only non-parquet inputs are free text (nodetool/cqlsh stdout,
+parsed at /root/reference/node.py:84,110-114) and JSON (the remotes registry,
+/root/reference/remote.py:83-90). Here those become schema-on-read sources:
+`read_text_lines` feeds functions/parsing.py's regexp extractors one row per
+line; CSV/JSON get explicit schemas (never inference in production — a
+schema drift should fail loudly, not re-type a column).
+
+At 100 TB all of these split by file/block automatically; the knobs that
+matter are `spark.sql.files.maxPartitionBytes` (set in session.py) and
+explicit schemas to skip the inference scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line, column ``value`` — the ingestion shape every parser
+    in functions/parsing.py consumes (splitlines-as-a-table)."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    header: bool = True,
+    permissive_column: str | None = None,
+) -> DataFrame:
+    """Schema-declared CSV read. With ``permissive_column`` set, malformed
+    rows land whole in that column instead of failing the job — the engine's
+    analog of the reference's silent regex drop, made explicit and queryable
+    (PERMISSIVE + _corrupt_record, SURVEY.md §2.1 fault-tolerant gather).
+
+    Spark refuses plans that reference ONLY the corrupt column (column
+    pruning would skip the parse that fills it) — `.cache()` the frame
+    before corrupt-rows-only audits, per Spark's documented contract."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if permissive_column is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", permissive_column
+        )
+    else:
+        reader = reader.option("mode", "FAILFAST")
+    return reader.csv(path)
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: str | StructType, multiline: bool = False
+) -> DataFrame:
+    """Schema-declared JSON-lines (or one-document-per-file) read."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .json(path)
+    )

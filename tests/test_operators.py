@@ -390,3 +390,39 @@ def test_salted_join_left_outer(spark):
     out = salted_join(left, right, on=["k"], how="left", salt=3).collect()
     got = {(r["k"], r["v"], r["name"]) for r in out}
     assert got == {(1, 10, "a"), (99, 20, None)}
+
+
+# ------------------------------------------------------------- file sources
+
+def test_read_text_lines_feeds_parsers(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.sources import files
+
+    p = tmp_path / "compactions.txt"
+    p.write_text(NODETOOL_COMPACTIONS)
+    lines = files.read_text_lines(spark, str(p))
+    out = parsing.parse_compactions(lines)
+    assert out.count() == 2
+
+
+def test_read_csv_permissive_captures_corrupt_rows(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.sources import files
+
+    p = tmp_path / "data.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    df = files.read_csv(
+        spark, str(p), "k int, v string, _bad string", permissive_column="_bad"
+    )
+    rows = df.collect()
+    good = [(r["k"], r["v"]) for r in rows if r["_bad"] is None]
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert sorted(good) == [(1, "alpha"), (3, "gamma")]
+    assert bad == ["not_an_int,beta"]
+
+
+def test_read_json_records_schema_declared(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.sources import files
+
+    p = tmp_path / "recs.jsonl"
+    p.write_text('{"name": "n1", "port": 22}\n{"name": "n2", "port": 2222}\n')
+    df = files.read_json_records(spark, str(p), "name string, port int")
+    assert {(r["name"], r["port"]) for r in df.collect()} == {("n1", 22), ("n2", 2222)}
