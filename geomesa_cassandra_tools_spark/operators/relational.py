@@ -15,13 +15,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition IF the frame has fewer partitions than the
-    cluster has slots. Small single-file scans otherwise serialize every
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, by: Sequence[str] | None = None
+) -> DataFrame:
+    """Repartition IF the frame has fewer partitions than the cluster has
+    slots. Small single-file scans otherwise serialize every
     expression-heavy downstream op onto one core; at real scale (thousands
-    of input splits) this is a no-op, so it's safe to leave in the path."""
+    of input splits) this is a no-op, so it's safe to leave in the path.
+
+    With ``by`` set, partitions by hash of those columns instead of round-
+    robin — downstream windows/aggregations keyed on the same columns then
+    reuse the partitioning (sort only, no second shuffle of the much larger
+    post-explode frame)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if by:
+            return df.repartition(target, *[F.col(c) for c in by])
         return df.repartition(target)
     return df
 

@@ -333,9 +333,9 @@ def q18_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum((tid+1)*(pos+1)) mod P — at 100 TB keep the running mod per term
     (here total-then-mod is exact in int64 for corpus-sized docs)."""
     t = load_tables(spark, sf_dir)
-    toks = relational.ensure_parallelism(t["documents"].select("doc_id", "text")).select(
-        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok")
-    )
+    toks = relational.ensure_parallelism(
+        t["documents"].select("doc_id", "text"), by=["doc_id"]
+    ).select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"))
     vocab = (
         toks.select("tok")
         .distinct()
@@ -822,7 +822,7 @@ def q41_rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     t = load_tables(spark, sf_dir)
     powers = spark.createDataFrame(T.rolling_hash_powers(1024), "pos int, pw bigint")
     chars = (
-        relational.ensure_parallelism(t["documents"].select("doc_id", "text"))
+        relational.ensure_parallelism(t["documents"].select("doc_id", "text"), by=["doc_id"])
         .select("doc_id", F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch"))
         .where(F.col("ch") != "")
     )
