@@ -689,6 +689,25 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+ORACLES["q53_sql_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["q54_price_percentiles"] = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
 ORACLES["q50_segment_minmax_scale"] = """
 SELECT c_custkey, c_mktsegment,
        round((c_acctbal - min(c_acctbal) OVER w) /

@@ -1069,6 +1069,40 @@ def q52_purchase_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL passthrough surface (the engine's raw-CQL escape hatch analog,
+    /root/reference/node.py:165-166): tables registered as views, the query
+    stated in SQL — GROUPING SETS, which has no direct DataFrame API.
+    Catalyst plans it identically to the DataFrame route."""
+    from geomesa_cassandra_tools_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q54_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ANSI percentile_cont semantics) of
+    order totals per status — a single pass with three quantiles; the
+    approximate twin at scale is `approx_percentile` (t-digest sketch)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1122,6 +1156,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_segment_minmax_scale": q50_segment_minmax_scale,
     "q51_wkt_roundtrip_bbox": q51_wkt_roundtrip_bbox,
     "q52_purchase_asof_left": q52_purchase_asof_left,
+    "q53_sql_grouping_sets": q53_sql_grouping_sets,
+    "q54_price_percentiles": q54_price_percentiles,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
