@@ -708,6 +708,30 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+ORACLES["q55_nation_top_suppliers_list"] = """
+WITH top AS (
+  SELECT s_nationkey, s_suppkey,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+)
+SELECT n_name,
+       array_to_string(list_sort(list(s_suppkey)), ',') AS top_suppliers,
+       count(*) AS n
+FROM top JOIN nation ON s_nationkey = n_nationkey
+WHERE rn <= 3
+GROUP BY n_name
+"""
+
+ORACLES["q56_ship_latency_by_priority"] = """
+SELECT o_orderpriority,
+       min(date_diff('day', o_orderdate, l_shipdate)) AS min_days,
+       max(date_diff('day', o_orderdate, l_shipdate)) AS max_days,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 2) AS avg_days,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
 ORACLES["q50_segment_minmax_scale"] = """
 SELECT c_custkey, c_mktsegment,
        round((c_acctbal - min(c_acctbal) OVER w) /

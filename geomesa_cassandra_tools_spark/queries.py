@@ -1103,6 +1103,47 @@ def q54_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_nation_top_suppliers_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list surface (the reference's accumulate-matches-into-a-list,
+    /root/reference/geomesa_cassandra.py:101-111) made deterministic:
+    per-nation top-3 suppliers by balance, collected sorted and serialized
+    to a comparable string (raw collect_list order is partition-dependent —
+    never hash-compare it unsorted)."""
+    t = load_tables(spark, sf_dir)
+    top = relational.top_k_per_group(
+        t["supplier"].select("s_nationkey", "s_suppkey", "s_acctbal"),
+        ["s_nationkey"],
+        [F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        3,
+    )
+    return (
+        top.join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_suppkey"))).alias("top_suppliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q56_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: whole-day order→ship latency distribution
+    per priority (datediff + min/max/avg over exact integer days)."""
+    t = load_tables(spark, sf_dir)
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(days).alias("min_days"),
+            F.max(days).alias("max_days"),
+            F.round(F.avg(days), 2).alias("avg_days"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1158,6 +1199,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_purchase_asof_left": q52_purchase_asof_left,
     "q53_sql_grouping_sets": q53_sql_grouping_sets,
     "q54_price_percentiles": q54_price_percentiles,
+    "q55_nation_top_suppliers_list": q55_nation_top_suppliers_list,
+    "q56_ship_latency_by_priority": q56_ship_latency_by_priority,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
