@@ -81,27 +81,42 @@ def lsh_cosine_topk(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     equals the query's. Equi-join on the signature → hash join, ~n/2^nbits
-    candidates per query instead of n. Recall < 1 by construction; raise by
-    multi-probe (flip one bit) or more tables — this is the 100 TB path
-    where brute force is off the table."""
+    candidates per query instead of n. Recall < 1 by construction;
+    ``multiprobe=m`` additionally probes the m buckets at Hamming distance 1
+    on the lowest bits (query side explodes to m+1 probe signatures — the
+    join stays equi, candidates grow ~(m+1)×, recall rises accordingly).
+    This is the 100 TB path where brute force is off the table."""
     planes = random_hyperplanes(dim, nbits)
     q = _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
         "sig", hyperplane_signature(F.col("qv"), planes)
     )
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
+        )
+        q = q.withColumn("sig", F.explode(probes))
     c = _prep(corpus, id_col, vec_col, "cand_id", "cv").withColumn(
         "sig", hyperplane_signature(F.col("cv"), planes)
     )
-    scored = (
+    pairs = (
         F.broadcast(q)
         .alias("q")
         .join(
             c.alias("c"),
             (F.col("q.sig") == F.col("c.sig")) & (F.col("query_id") != F.col("cand_id")),
         )
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "cand_id", "qv", "cv")
+    )
+    if multiprobe > 0:
+        # a candidate can land in several probed buckets — dedup before scoring
+        pairs = pairs.dropDuplicates(["query_id", "cand_id"])
+    scored = pairs.select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True

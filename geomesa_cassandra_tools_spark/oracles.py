@@ -394,6 +394,30 @@ r AS (
 )
 SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 3
 """,
+    "q57_lsh_multiprobe_topk": f"""
+WITH {_VEC_CTE},
+s0 AS (SELECT vec_id, e, nrm, ({_hyperplane_sig_sql(64, 8)}) AS sig FROM n),
+qprobe AS (
+  SELECT vec_id, e, nrm, unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+  FROM s0 WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, q.e AS qe, q.nrm AS qn,
+                  c.e AS ce, c.nrm AS cn
+  FROM qprobe q JOIN s0 c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+),
+s AS (
+  SELECT query_id, cand_id,
+         list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) / (qn * cn) AS cos
+  FROM cand
+),
+r AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+  FROM s
+)
+SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 5
+""",
     "q28_embedding_near_dups": f"""
 WITH {_VEC_CTE},
 s AS (

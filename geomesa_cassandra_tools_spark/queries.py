@@ -1144,6 +1144,20 @@ def q56_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (q26 + probing the 4 Hamming-1 buckets on
+    the low bits): ~5× the candidates, recall approaches brute force while
+    the join stays equi — the standard recall/cost dial at scale."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    out = similarity.lsh_cosine_topk(
+        emb.where(F.col("vec_id") < 8), emb, k=5, dim=64, nbits=8, multiprobe=4
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1201,6 +1215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_price_percentiles": q54_price_percentiles,
     "q55_nation_top_suppliers_list": q55_nation_top_suppliers_list,
     "q56_ship_latency_by_priority": q56_ship_latency_by_priority,
+    "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

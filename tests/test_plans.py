@@ -103,3 +103,33 @@ def test_no_accidental_cross_joins_anywhere(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans an unintended broadcast nested loop"
             )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing — the co-located-join layout for repeated big joins at
+    scale: both sides bucketed+sorted on the join key produce a
+    SortMergeJoin with NO Exchange (and no per-join shuffle ever again,
+    which is the point at 100 TB where the fact-to-fact shuffle IS the
+    bottleneck)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        load_tables(spark, SF)["lineitem"].select("l_orderkey", "l_quantity").write.bucketBy(
+            4, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("bdb.bl")
+        load_tables(spark, SF)["orders"].select("o_orderkey", "o_totalprice").write.bucketBy(
+            4, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("bdb.bo")
+        joined = spark.table("bdb.bl").join(
+            spark.table("bdb.bo"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = inspect.explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bdb.bl")
+        spark.sql("DROP TABLE IF EXISTS bdb.bo")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
