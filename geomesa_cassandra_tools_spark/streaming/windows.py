@@ -159,6 +159,20 @@ def run_availablenow(
     return _drain(stream_df, query_name, "complete", timeout_sec, state_partitions)
 
 
+def run_appendmode(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    state_partitions: int | None = 8,
+):
+    """AvailableNow drain in `append` output mode: only rows whose window
+    the watermark has finalized are emitted — the mode that exercises
+    late-data drop (complete mode re-emits everything). For checkpointed
+    restarts use a FILE sink — the memory sink cannot recover a checkpoint
+    (see tests/test_streaming.py for the parquet-sink restart pattern)."""
+    return _drain(stream_df, query_name, "append", timeout_sec, state_partitions)
+
+
 def run_availablenow_update(
     stream_df: DataFrame,
     query_name: str,
