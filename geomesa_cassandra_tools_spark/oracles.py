@@ -394,6 +394,34 @@ r AS (
 )
 SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 3
 """,
+    "q58_neardup_clusters": f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_VOCAB_CTE},
+  sigs AS (
+    SELECT doc_id,
+           {_minhash_select(16)}
+    FROM sid GROUP BY doc_id
+  ),
+  bands AS (
+    {_bands_union(8, 2)}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM cand
+    UNION
+    SELECT doc_b, doc_a FROM cand
+  ),
+  reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+  )
+SELECT node AS doc_id, min(r) AS cluster_id, (node = min(r)) AS is_keeper
+FROM reach GROUP BY node
+""",
     "q57_lsh_multiprobe_topk": f"""
 WITH {_VEC_CTE},
 s0 AS (SELECT vec_id, e, nrm, ({_hyperplane_sig_sql(64, 8)}) AS sig FROM n),

@@ -1158,6 +1158,24 @@ def q57_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: MinHash-LSH candidate pairs (q16's
+    pipeline) → connected components (min-label propagation) → one
+    deterministic keeper per cluster. The shape every production dedup
+    ships: pairs are evidence, clusters are the decision."""
+    t = load_tables(spark, sf_dir)
+    sh = dedup.shingle_sets(t["documents"]).cache()
+    vocab = dedup.shingle_vocabulary(sh)
+    sigs = dedup.minhash_signatures(sh, vocab, k=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1216,6 +1234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_nation_top_suppliers_list": q55_nation_top_suppliers_list,
     "q56_ship_latency_by_priority": q56_ship_latency_by_priority,
     "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
+    "q58_neardup_clusters": q58_neardup_clusters,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
