@@ -409,10 +409,25 @@ WITH RECURSIVE {_SHINGLES_CTE}, {_VOCAB_CTE},
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
   ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  pair_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  verified AS (
+    SELECT doc_a, doc_b
+    FROM pair_inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.1
+  ),
   edges AS (
-    SELECT doc_a AS a, doc_b AS b FROM cand
+    SELECT doc_a AS a, doc_b AS b FROM verified
     UNION
-    SELECT doc_b, doc_a FROM cand
+    SELECT doc_b, doc_a FROM verified
   ),
   reach(node, r) AS (
     SELECT a, a FROM (SELECT DISTINCT a FROM edges) t

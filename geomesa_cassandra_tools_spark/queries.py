@@ -1159,15 +1159,19 @@ def q57_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup resolution: MinHash-LSH candidate pairs (q16's
-    pipeline) → connected components (min-label propagation) → one
-    deterministic keeper per cluster. The shape every production dedup
-    ships: pairs are evidence, clusters are the decision."""
+    """End-to-end dedup resolution: MinHash-LSH candidates → exact-Jaccard
+    verify (≥ 0.1) → connected components (min-label propagation) → one
+    deterministic keeper per cluster. Clustering runs on VERIFIED pairs
+    only — raw candidate graphs grow with band-collision noise and chain
+    unrelated docs into giant components; the verify threshold bounds both
+    the graph and the semantics. The shape every production dedup ships:
+    pairs are evidence, clusters are the decision."""
     t = load_tables(spark, sf_dir)
     sh = dedup.shingle_sets(t["documents"]).cache()
     vocab = dedup.shingle_vocabulary(sh)
     sigs = dedup.minhash_signatures(sh, vocab, k=16)
-    pairs = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= 0.1)
     comp = dedup.connected_components(pairs)
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -34,6 +34,11 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast threshold: dims like `nation`/`region`/`nodes` always fit.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # local[N] runs executors inside the driver JVM, whose default heap is
+    # 1 GB — far too small for 32 concurrent tasks + caches on a 128 GiB
+    # box (OOMs after enough cached stages). Only applies when this factory
+    # launches the JVM; on a cluster the submitter sets executor memory.
+    "spark.driver.memory": "16g",
 }
 
 
