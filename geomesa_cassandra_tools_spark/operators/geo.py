@@ -214,6 +214,58 @@ def parse_wkt_point(wkt: Column) -> Column:
     )
 
 
+#: One "lon lat" coordinate pair inside a WKT ring.
+WKT_COORD_RE = r"(-?[0-9.]+) (-?[0-9.]+)"
+
+
+def parse_wkt_ring(wkt: Column) -> Column:
+    """Parse the outer ring of a WKT POLYGON (or LINESTRING) into an
+    `array<struct<lon double, lat double>>` — closes the gap left by
+    parse_wkt_point, which only handles POINT. Pure JVM string machinery:
+    `regexp_extract_all` pulls every coordinate pair, `transform` + `split`
+    types them; no Python UDF, so at 100 TB this stays inside whole-stage
+    codegen on the scan. WKT closes rings by repeating the first vertex —
+    the duplicate is kept (callers that need the open ring slice it off).
+    Malformed input yields an empty array (schema-on-read contract of
+    functions/parsing.py)."""
+    coords = F.regexp_extract_all(wkt, F.lit(WKT_COORD_RE), 0)
+    return F.transform(
+        coords,
+        lambda c: F.struct(
+            F.split(c, " ")[0].cast("double").alias("lon"),
+            F.split(c, " ")[1].cast("double").alias("lat"),
+        ),
+    )
+
+
+def ring_area(ring: Column) -> Column:
+    """Shoelace area of a closed ring (array<struct<lon,lat>> whose last
+    vertex repeats the first): |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| / 2 over the
+    n−1 edges. `aggregate` over `zip_with`-style adjacent pairs, expressed
+    with slice() so the whole thing is one codegen'd expression per row —
+    no explode, no shuffle, no UDF."""
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"],
+    )
+    total = F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+    return F.abs(total) / F.lit(2.0)
+
+
+def ring_bbox(ring: Column) -> Column:
+    """(min_lon, min_lat, max_lon, max_lat) of a parsed ring — array math
+    only, the envelope every spatial index keys on."""
+    lons = F.transform(ring, lambda p: p["lon"])
+    lats = F.transform(ring, lambda p: p["lat"])
+    return F.struct(
+        F.array_min(lons).alias("min_lon"),
+        F.array_min(lats).alias("min_lat"),
+        F.array_max(lons).alias("max_lon"),
+        F.array_max(lats).alias("max_lat"),
+    )
+
+
 def st_contains_polygon(
     lon: Column, lat: Column, vertices: list[tuple[float, float]]
 ) -> Column:

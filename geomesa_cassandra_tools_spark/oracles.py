@@ -806,3 +806,113 @@ SELECT c_custkey, c_mktsegment,
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment)
 """
+
+ORACLES["q59_tfidf_top_terms"] = """
+WITH terms AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, lang, term
+),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+by_lang AS (
+  SELECT lang, term, round(sum(tf * ln(n_docs / df)), 4) AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN nd
+  GROUP BY lang, term
+)
+SELECT lang, term, score, rank FROM (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+  FROM by_lang
+) WHERE rank <= 5
+"""
+
+ORACLES["q60_wkt_polygon_area"] = """
+WITH s AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey * 7919 % 300 AS INT) AS x,
+         CAST(s_suppkey * 104729 % 150 AS INT) AS y,
+         CAST(s_suppkey % 9 + 1 AS INT) AS w,
+         CAST(s_suppkey % 7 + 1 AS INT) AS h1,
+         CAST(s_suppkey % 5 + 2 AS INT) AS h2
+  FROM supplier
+),
+wkt AS (
+  SELECT s_suppkey,
+         'POLYGON ((' ||
+         CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+         CAST(x + w AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+         CAST(x + w AS VARCHAR) || ' ' || CAST(y + h1 AS VARCHAR) || ', ' ||
+         CAST(x AS VARCHAR) || ' ' || CAST(y + h2 AS VARCHAR) || ', ' ||
+         CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))' AS wkt
+  FROM s
+),
+ring AS (
+  SELECT s_suppkey,
+         list_transform(regexp_extract_all(wkt, '(-?[0-9.]+) (-?[0-9.]+)', 0),
+                        c -> struct_pack(
+                          lon := CAST(string_split(c, ' ')[1] AS DOUBLE),
+                          lat := CAST(string_split(c, ' ')[2] AS DOUBLE))) AS ring
+  FROM wkt
+),
+m AS (
+  SELECT s_suppkey,
+         CAST(len(ring) - 1 AS INT) AS n_vertices,
+         round(abs(list_sum(list_transform(range(1, len(ring)),
+               i -> ring[i].lon * ring[i+1].lat - ring[i+1].lon * ring[i].lat))) / 2.0,
+               2) AS area,
+         list_aggregate(list_transform(ring, p -> p.lon), 'min') AS min_lon,
+         list_aggregate(list_transform(ring, p -> p.lat), 'min') AS min_lat,
+         list_aggregate(list_transform(ring, p -> p.lon), 'max') AS max_lon,
+         list_aggregate(list_transform(ring, p -> p.lat), 'max') AS max_lat
+  FROM ring
+)
+SELECT s_suppkey, n_vertices, area, min_lon, min_lat, max_lon, max_lat
+FROM m WHERE area >= 10.0
+"""
+
+ORACLES["q61_hash_split_stats"] = f"""
+WITH d AS (
+  SELECT CASE WHEN ((doc_id % 1000003) * 1103515245 + 12345) % 100 < 80
+              THEN 'train' ELSE 'held_out' END AS split,
+         lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         (least(len(string_split(text, ' ')) / 100.0, 1.0)
+          + len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' '))
+          + (1 - list_sum(list_transform(string_split(text, ' '),
+                  t -> CASE WHEN t IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END))
+               / len(string_split(text, ' ')))) / 3 AS q
+  FROM documents
+)
+SELECT split, lang, count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM d GROUP BY split, lang
+"""
+
+ORACLES["q62_decontaminate_train"] = f"""
+WITH {_SHINGLES_CTE},
+eval_sh AS (
+  SELECT DISTINCT shingle
+  FROM sh JOIN documents USING (doc_id) WHERE source = 'src19'
+),
+contaminated AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN documents d USING (doc_id) JOIN eval_sh USING (shingle)
+  WHERE d.source <> 'src19'
+),
+flagged AS (
+  SELECT d.doc_id, d.lang, (c.doc_id IS NOT NULL) AS is_contaminated
+  FROM documents d LEFT JOIN contaminated c USING (doc_id)
+  WHERE d.source <> 'src19'
+)
+SELECT lang, count(*) AS train_docs,
+       CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+       CAST(sum(CASE WHEN is_contaminated THEN 0 ELSE 1 END) AS BIGINT) AS clean,
+       round(avg(CASE WHEN is_contaminated THEN 1.0 ELSE 0.0 END), 4)
+         AS contamination_rate
+FROM flagged GROUP BY lang
+"""

@@ -1180,6 +1180,161 @@ def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus: tf = in-doc term count, idf = ln(N/df),
+    ranked top-5 terms per language by corpus-wide summed score. Ranking
+    keys on the ROUNDED score (4dp) with the term as tiebreak — unrounded
+    doubles differ across engines in the last ulp, rounded ones don't.
+    At 100 TB: explode shuffles on (doc_id is already the partition key),
+    the (term) df-aggregation is the one wide shuffle, and N arrives via a
+    broadcast of a 1-row agg — no driver collect, no global sort."""
+    t = load_tables(spark, sf_dir)
+    docs = relational.ensure_parallelism(
+        t["documents"].select("doc_id", "lang", "text"), by=["doc_id"]
+    )
+    terms = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    # cached: both the per-term df aggregate and the scoring join consume
+    # tf; without it Spark re-tokenizes the corpus for each branch
+    tf = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf")).cache()
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    by_lang = scored.groupBy("lang", "term").agg(
+        F.round(F.sum("tfidf"), 4).alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        by_lang.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "term", "score", "rank")
+    )
+
+
+def q60_wkt_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT POLYGON schema-on-read (closes SURVEY §8's parsing gap):
+    serialize integer-coordinate right-trapezoid rings per supplier, parse
+    the ring back with geo.parse_wkt_ring (regexp_extract_all + transform —
+    one codegen'd expression, no UDF), then compute vertex count, shoelace
+    area, and the bbox envelope from the PARSED array. Trapezoid area is
+    w*(h1+h2)/2 over small ints — exact in any engine. At 100 TB this is a
+    pure narrow scan: parse, per-row array math, one filter; no shuffle at
+    all until the output sort a consumer might add."""
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"].select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 7919 % 300).cast("int").alias("x"),
+        (F.col("s_suppkey") * 104729 % 150).cast("int").alias("y"),
+        (F.col("s_suppkey") % 9 + 1).cast("int").alias("w"),
+        (F.col("s_suppkey") % 7 + 1).cast("int").alias("h1"),
+        (F.col("s_suppkey") % 5 + 2).cast("int").alias("h2"),
+    )
+    c = lambda xx, yy: F.concat_ws(" ", xx.cast("string"), yy.cast("string"))
+    wkt = s.select(
+        "s_suppkey",
+        F.concat(
+            F.lit("POLYGON (("),
+            F.concat_ws(
+                ", ",
+                c(F.col("x"), F.col("y")),
+                c(F.col("x") + F.col("w"), F.col("y")),
+                c(F.col("x") + F.col("w"), F.col("y") + F.col("h1")),
+                c(F.col("x"), F.col("y") + F.col("h2")),
+                c(F.col("x"), F.col("y")),
+            ),
+            F.lit("))"),
+        ).alias("wkt"),
+    )
+    parsed = wkt.select(
+        "s_suppkey", geo.parse_wkt_ring(F.col("wkt")).alias("ring")
+    )
+    out = parsed.select(
+        "s_suppkey",
+        (F.size("ring") - 1).alias("n_vertices"),
+        F.round(geo.ring_area(F.col("ring")), 2).alias("area"),
+        geo.ring_bbox(F.col("ring")).alias("bbox"),
+    ).select(
+        "s_suppkey",
+        "n_vertices",
+        "area",
+        F.col("bbox.min_lon").alias("min_lon"),
+        F.col("bbox.min_lat").alias("min_lat"),
+        F.col("bbox.max_lon").alias("max_lon"),
+        F.col("bbox.max_lat").alias("max_lat"),
+    )
+    return out.where(F.col("area") >= 10.0)
+
+
+def q61_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/held-out split by LCG hash of the key — the
+    reproducible-split primitive every training pipeline needs (a fraction
+    sample would reshuffle membership between runs and engines). The hash
+    is exact int64 arithmetic (same literals as dedup.minhash_params'
+    LCG), so the oracle reproduces membership bit-for-bit; in production
+    the one-liner swap is xxhash64(key) % 100. Split + per-(split, lang)
+    profile: doc count, token mass, mean quality. Narrow scan → one
+    partial-agg shuffle on (split, lang); nothing else."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        (F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345
+    ) % 100
+    docs = t["documents"].select(
+        F.when(bucket < 80, "train").otherwise("held_out").alias("split"),
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+def q62_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: docs from the held-out source (src19,
+    the eval benchmark stand-in) poison any training doc sharing a 3-gram
+    shingle. Semi-join on shingle marks contaminated; the report counts
+    kept vs dropped per language. This is the n-gram-overlap decontam step
+    of production LLM data pipelines (an anti-join, not a similarity
+    search — one shared n-gram is disqualifying). At 100 TB the eval
+    shingle set is small (benchmarks are) → broadcast semi-join against
+    the exploded train shingles; the only wide shuffle is the final
+    per-lang agg, after the contaminated flag is already attached."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.where(F.col("source") != "src19")
+    eval_sh = (
+        dedup.shingle_sets(docs.where(F.col("source") == "src19"))
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = dedup.shingle_sets(train)
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = (
+        train.select("doc_id", "lang")
+        .join(contaminated.withColumn("is_contaminated", F.lit(True)), "doc_id", "left")
+        .withColumn("is_contaminated", F.coalesce("is_contaminated", F.lit(False)))
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("train_docs"),
+        F.sum(F.col("is_contaminated").cast("int")).alias("contaminated"),
+        F.sum((~F.col("is_contaminated")).cast("int")).alias("clean"),
+        F.round(F.avg(F.col("is_contaminated").cast("double")), 4).alias(
+            "contamination_rate"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1239,6 +1394,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_ship_latency_by_priority": q56_ship_latency_by_priority,
     "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
     "q58_neardup_clusters": q58_neardup_clusters,
+    "q59_tfidf_top_terms": q59_tfidf_top_terms,
+    "q60_wkt_polygon_area": q60_wkt_polygon_area,
+    "q61_hash_split_stats": q61_hash_split_stats,
+    "q62_decontaminate_train": q62_decontaminate_train,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

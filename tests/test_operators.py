@@ -426,3 +426,44 @@ def test_read_json_records_schema_declared(spark, tmp_path):
     p.write_text('{"name": "n1", "port": 22}\n{"name": "n2", "port": 2222}\n')
     df = files.read_json_records(spark, str(p), "name string, port int")
     assert {(r["name"], r["port"]) for r in df.collect()} == {("n1", 22), ("n2", 2222)}
+
+
+# ------------------------------------------------------- WKT ring parsing
+
+
+def test_parse_wkt_ring_polygon_and_linestring(spark):
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",),
+            ("LINESTRING (1 1, 2 2)",),
+            ("not wkt at all",),
+        ],
+        ["wkt"],
+    )
+    rings = [r.ring for r in df.select(geo.parse_wkt_ring(F.col("wkt")).alias("ring")).collect()]
+    assert [(p.lon, p.lat) for p in rings[0]] == [(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]
+    assert [(p.lon, p.lat) for p in rings[1]] == [(1, 1), (2, 2)]
+    assert rings[2] == []  # malformed → empty array, schema-on-read contract
+
+
+def test_ring_area_shoelace(spark):
+    # 4x3 rectangle = 12; concave L-shape = 3; negative-coordinate triangle = 12.5
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))", 12.0),
+            ("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))", 3.0),
+            ("POLYGON ((-5 0, 0 0, 0 5, -5 0))", 12.5),
+        ],
+        ["wkt", "expected"],
+    )
+    out = df.select(
+        geo.ring_area(geo.parse_wkt_ring(F.col("wkt"))).alias("area"), "expected"
+    ).collect()
+    for r in out:
+        assert r.area == r.expected
+
+
+def test_ring_bbox_envelope(spark):
+    df = spark.createDataFrame([("POLYGON ((-5 0, 0 0, 0 5, -5 0))",)], ["wkt"])
+    b = df.select(geo.ring_bbox(geo.parse_wkt_ring(F.col("wkt"))).alias("b")).first().b
+    assert (b.min_lon, b.min_lat, b.max_lon, b.max_lat) == (-5.0, 0.0, 0.0, 5.0)

@@ -93,6 +93,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q19_cosine_topk",          # brute-force baseline vs broadcast queries
         "q23_ttl_surviving_events", # single-row broadcast of max(ts)
         "q27_ivf_topk",             # corpus × 4 broadcast centroids
+        "q59_tfidf_top_terms",      # single-row broadcast of count(*) as N
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
