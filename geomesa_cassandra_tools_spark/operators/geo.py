@@ -50,6 +50,58 @@ def z2(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
     )
 
 
+def _interleave_bits3(x: Column, y: Column, t: Column, res: int) -> Column:
+    """3-way Morton interleave (x bit→3i, y→3i+1, t→3i+2), res bits/dim."""
+    z = F.lit(0).cast("bigint")
+    for i in range(res):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        tbit = F.shiftright(t, i).bitwiseAND(F.lit(1))
+        z = (
+            z
+            + (xbit * F.lit(1 << (3 * i)))
+            + (ybit * F.lit(1 << (3 * i + 1)))
+            + (tbit * F.lit(1 << (3 * i + 2)))
+        )
+    return z
+
+
+#: bits per dimension for z3 (3*res bits total; 5 → 32 cells per dimension).
+Z3_RES = 5
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """Whole seconds since 1970-01-01 in the timestamp's own wall-clock
+    frame — TZ-independent for TIMESTAMP_NTZ (parquet naive timestamps),
+    matching DuckDB's treatment of the same column. `cast(ts as double)`
+    is illegal on NTZ in Spark 4 and `unix_timestamp` shifts by session
+    timezone; timestampdiff against an NTZ literal does neither."""
+    return F.timestamp_diff(
+        "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts
+    )
+
+
+def z3(
+    lon: Column,
+    lat: Column,
+    epoch_s: Column,
+    t_lo: int,
+    t_hi: int,
+    res: int = Z3_RES,
+) -> Column:
+    """z3 spatio-temporal cell id — lon/lat plus epoch-seconds within the
+    fixed period [t_lo, t_hi). The reference manages GeoMesa's z3 index
+    tables (`{catalog}_{sft}_z3`, SURVEY.md §1.1 row 3); here the curve is
+    a computed bigint column, usable for layout and range pruning exactly
+    like z2."""
+    return _interleave_bits3(
+        _scale(lon, -180.0, 180.0, res),
+        _scale(lat, -90.0, 90.0, res),
+        _scale(epoch_s.cast("double"), float(t_lo), float(t_hi), res),
+        res,
+    )
+
+
 def _cell_index(v: float, lo: float, hi: float, res: int) -> int:
     cells = 1 << res
     i = int((v - lo) / (hi - lo) * cells)
@@ -166,6 +218,113 @@ def bbox_filter(
             )
             return df.where(cover).where(exact)
     return df.where(exact)
+
+
+def _interleave_int3(x: int, y: int, t: int, res: int) -> int:
+    z = 0
+    for i in range(res):
+        z |= ((x >> i) & 1) << (3 * i)
+        z |= ((y >> i) & 1) << (3 * i + 1)
+        z |= ((t >> i) & 1) << (3 * i + 2)
+    return z
+
+
+def spacetime_cell_ranges(
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    t_min: int,
+    t_max: int,
+    t_lo: int,
+    t_hi: int,
+    res: int = Z3_RES,
+    max_ranges: int = 32,
+) -> list[tuple[int, int]]:
+    """z3 ranges covering a (bbox × time-interval) query box — the
+    GeoMesa-z3 decomposition, driver-side over ≤2^(3·res) cells. Same
+    merge-smallest-gaps cap as bbox_cell_ranges: slack is refined away by
+    the exact predicate, never a correctness concern."""
+    x0 = _cell_index(lon_min, -180.0, 180.0, res)
+    x1 = _cell_index(lon_max, -180.0, 180.0, res)
+    y0 = _cell_index(lat_min, -90.0, 90.0, res)
+    y1 = _cell_index(lat_max, -90.0, 90.0, res)
+    t0 = _cell_index(float(t_min), float(t_lo), float(t_hi), res)
+    t1 = _cell_index(float(t_max), float(t_lo), float(t_hi), res)
+    zs = sorted(
+        _interleave_int3(x, y, t, res)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+        for t in range(t0, t1 + 1)
+    )
+    ranges: list[tuple[int, int]] = []
+    for v in zs:
+        if ranges and v == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], v)
+        else:
+            ranges.append((v, v))
+    if len(ranges) > max_ranges:
+        gaps = sorted(
+            (ranges[i + 1][0] - ranges[i][1], i) for i in range(len(ranges) - 1)
+        )
+        merge_after = {i for _, i in gaps[: len(ranges) - max_ranges]}
+        merged: list[tuple[int, int]] = []
+        for i, r in enumerate(ranges):
+            if merged and (i - 1) in merge_after:
+                merged[-1] = (merged[-1][0], r[1])
+            else:
+                merged.append(r)
+        ranges = merged
+    return ranges
+
+
+def spacetime_filter(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    epoch_col: Column,
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    t_min: int,
+    t_max: int,
+    t_lo: int,
+    t_hi: int,
+    z3_col: str,
+    res: int = Z3_RES,
+    z3_stored: bool = False,
+) -> DataFrame:
+    """Cover-and-refine for a space-time box over a z3 column. Same
+    stored-vs-computed split as bbox_filter: stored → OR-of-BETWEENs
+    (pushable, row-group skipping); computed → `exists` over a literal
+    range array so z3 is evaluated once (Janino 64 KB guard)."""
+    exact = (
+        (F.col(lon_col) >= lon_min)
+        & (F.col(lon_col) <= lon_max)
+        & (F.col(lat_col) >= lat_min)
+        & (F.col(lat_col) <= lat_max)
+        & (epoch_col >= t_min)
+        & (epoch_col < t_max)
+    )
+    ranges = spacetime_cell_ranges(
+        lon_min, lon_max, lat_min, lat_max, t_min, t_max, t_lo, t_hi, res
+    )
+    if not ranges:
+        return df.where(exact)
+    if z3_stored:
+        cover = None
+        for lo, hi in ranges:
+            term = F.col(z3_col).between(lo, hi)
+            cover = term if cover is None else (cover | term)
+        return df.where(cover).where(exact)
+    bounds = F.array(
+        *[F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi")) for lo, hi in ranges]
+    )
+    cover = F.exists(
+        bounds, lambda r: (F.col(z3_col) >= r["lo"]) & (F.col(z3_col) <= r["hi"])
+    )
+    return df.where(cover).where(exact)
 
 
 def st_contains_bbox(

@@ -893,6 +893,136 @@ SELECT split, lang, count(*) AS docs,
 FROM d GROUP BY split, lang
 """
 
+ORACLES["q63_z3_spacetime"] = """
+WITH pts AS (
+  SELECT event_type, value, ts,
+         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM pts
+WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 20.0 AND lat <= 60.0
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'
+GROUP BY event_type
+"""
+
+ORACLES["q64_repetition_filter"] = """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d
+),
+c AS (
+  SELECT doc_id, source, bigram, count(*) AS cnt
+  FROM b GROUP BY doc_id, source, bigram
+),
+p AS (
+  SELECT doc_id, source, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac
+  FROM c GROUP BY doc_id, source
+)
+SELECT source, count(*) AS docs,
+       CAST(sum(CASE WHEN top_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitive_docs,
+       round(avg(top_frac), 4) AS avg_top_bigram_frac
+FROM p GROUP BY source
+"""
+
+ORACLES["q65_stratified_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ((doc_id * 1103515245 + 12345) % 2147483647) AS h,
+         (least(len(string_split(text, ' ')) / 100.0, 1.0)
+          + len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' '))
+          + (1 - list_sum(list_transform(string_split(text, ' '),
+                  t -> CASE WHEN t IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END))
+               / len(string_split(text, ' ')))) / 3 AS q
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, q,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+  FROM d
+)
+SELECT lang, count(*) AS n_sampled, round(avg(q), 4) AS avg_quality,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM r WHERE rnk <= 50 GROUP BY lang
+"""
+
+ORACLES["q66_event_funnel"] = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+v AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS view_ts
+  FROM ev GROUP BY user_id HAVING view_ts IS NOT NULL
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM ev)
+SELECT count(*) AS users_total,
+       count(v.view_ts) AS reached_view,
+       count(c.click_ts) AS reached_click,
+       count(p.purchase_ts) AS reached_purchase,
+       round(CAST(count(p.purchase_ts) AS DOUBLE) / count(v.view_ts), 4)
+         AS view_to_purchase_rate
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+ORACLES["q67_knn_classify"] = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS nbr_label,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS cos
+  FROM n q, n c
+  WHERE q.vec_id < 64 AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, nbr_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id)
+           AS rnk
+  FROM s
+),
+votes AS (
+  SELECT query_id, nbr_label, count(*) AS nv
+  FROM r WHERE rnk <= 5 GROUP BY query_id, nbr_label
+),
+pred AS (
+  SELECT query_id, nbr_label AS pred_label
+  FROM (SELECT query_id, nbr_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY nv DESC, nbr_label) AS pr
+        FROM votes)
+  WHERE pr = 1
+)
+SELECT p.pred_label, t.label AS true_label, count(*) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+GROUP BY p.pred_label, t.label
+"""
+
 ORACLES["q62_decontaminate_train"] = f"""
 WITH {_SHINGLES_CTE},
 eval_sh AS (

@@ -1335,6 +1335,185 @@ def q62_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z3 time period for the events corpus: January 2024, epoch seconds. A
+#: fixed period (not data-derived) so the curve is stable across scale
+#: factors — GeoMesa's z3 likewise bins time into fixed epochs (weeks).
+Z3_T_LO = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+Z3_T_HI = 1_706_745_600  # 2024-02-01 00:00:00 UTC
+
+
+def q63_z3_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal box query via z3 cover-and-refine — the query the
+    reference's `{catalog}_{sft}_z3` index tables exist to serve
+    (/root/reference/geomesa.py:52 manages them; SURVEY.md §1.1 row 3).
+    Points are synthesized from event_id exactly like q22's from c_custkey;
+    the time dimension is real (events.ts). The z3 range cover prunes, the
+    exact bbox+interval predicate refines, so the result equals the
+    oracle's plain filter. At 100 TB the z3 column is written (stored=True
+    path) and the OR-of-BETWEENs pushes into row-group skipping on the
+    z-ordered layout."""
+    t = load_tables(spark, sf_dir)
+    pts = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    t_min = Z3_T_LO + 7 * 86400   # 2024-01-08
+    t_max = Z3_T_LO + 15 * 86400  # 2024-01-16
+    epoch = geo.epoch_seconds(F.col("ts"))
+    pts = pts.withColumn(
+        "z3",
+        geo.z3(F.col("lon"), F.col("lat"), epoch, Z3_T_LO, Z3_T_HI, res=4),
+    )
+    hits = geo.spacetime_filter(
+        pts, "lon", "lat", epoch,
+        lon_min=-10.0, lon_max=40.0, lat_min=20.0, lat_max=60.0,
+        t_min=t_min, t_max=t_max, t_lo=Z3_T_LO, t_hi=Z3_T_HI,
+        z3_col="z3", res=4, z3_stored=False,
+    )
+    return hits.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q64_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc top-bigram fraction
+    (count of the most frequent bigram over all bigrams), docs above the
+    0.2 threshold flagged repetitive, profiled per source. Bigrams are
+    built JVM-side from the token array (transform over an index sequence
+    — no self-join, no UDF), then one explode feeds two partial-agg
+    shuffles both keyed on doc_id. At 100 TB: the explode multiplies rows
+    ~token-count×, but both aggs combine map-side and the doc_id key is
+    uniform — no skew, AQE-splittable."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = docs.groupBy("doc_id", "source", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_bigram.groupBy("doc_id", "source").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_frac")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("top_frac") > 0.2).cast("int")).alias("repetitive_docs"),
+        F.round(F.avg("top_frac"), 4).alias("avg_top_bigram_frac"),
+    )
+
+
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the first 50 docs per language in
+    LCG-hash order (same hash family as q61 so the oracle reproduces
+    membership exactly; production swap is xxhash64). This is the
+    reservoir-sampling analog that survives re-runs and engine changes —
+    window rank per stratum, not `sample()` (whose membership is
+    partition-dependent). One shuffle keyed on lang (5 strata here;
+    salt-or-split applies if a stratum dominates at scale)."""
+    t = load_tables(spark, sf_dir)
+    h = ((F.col("doc_id") * 1_103_515_245 + 12_345) % 2_147_483_647).alias("h")
+    docs = t["documents"].select(
+        "doc_id", "lang", h, T.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    sample = docs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 50)
+    return sample.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def q66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel: per user the first view, the first click after
+    that view, the first purchase after that click; one summary row of
+    stage reach + conversion rate. Three conditional-agg passes over
+    events, each a partial-agg shuffle on user_id joined back broadcast-
+    small — the standard funnel shape that needs no sessionization state.
+    At 100 TB each pass is scan+combine; the per-user frames never leave
+    the executors."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
+    ).where(F.col("view_ts").isNotNull())
+    c = (
+        ev.join(F.broadcast(v), "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.join(F.broadcast(c), "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    funnel = (
+        ev.select("user_id")
+        .distinct()
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count("*").alias("users_total"),
+        F.count("view_ts").alias("reached_view"),
+        F.count("click_ts").alias("reached_click"),
+        F.count("purchase_ts").alias("reached_purchase"),
+        F.round(
+            F.count("purchase_ts").cast("double") / F.count("view_ts"), 4
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label assignment: for each of the first 64 vectors, the
+    majority label among its 5 exact-cosine neighbors (leave-one-out),
+    tie-broken by smallest label; reported as a predicted×true confusion
+    count. The scoring reuses cosine_topk's broadcast-queries plan; the
+    vote is one more partial agg keyed on query_id. This is the
+    label-propagation / auto-labeling primitive of training-data curation
+    at 100 TB: queries broadcast, corpus partition-parallel, candidates
+    O(k) per query."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.where(F.col("vec_id") < 64)
+    nbrs = similarity.cosine_topk(q, emb, k=5)
+    labeled = nbrs.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("nbr_label")),
+        "cand_id",
+    )
+    votes = labeled.groupBy("query_id", "nbr_label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("nbr_label"))
+    pred = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("pred_label", "true_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1398,6 +1577,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_wkt_polygon_area": q60_wkt_polygon_area,
     "q61_hash_split_stats": q61_hash_split_stats,
     "q62_decontaminate_train": q62_decontaminate_train,
+    "q63_z3_spacetime": q63_z3_spacetime,
+    "q64_repetition_filter": q64_repetition_filter,
+    "q65_stratified_sample": q65_stratified_sample,
+    "q66_event_funnel": q66_event_funnel,
+    "q67_knn_classify": q67_knn_classify,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

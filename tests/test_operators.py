@@ -350,6 +350,86 @@ def test_bbox_cover_is_complete_and_capped(lon1, lon2, lat1, lat2, res, cap):
             assert any(lo <= z <= hi for lo, hi in ranges)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    lon1=hst.floats(-180, 179), lon2=hst.floats(-180, 179),
+    lat1=hst.floats(-90, 89), lat2=hst.floats(-90, 89),
+    t1=hst.integers(0, 2_000_000), t2=hst.integers(0, 2_000_000),
+    res=hst.integers(2, 5), cap=hst.integers(4, 64),
+)
+def test_z3_cover_is_complete_and_capped(lon1, lon2, lat1, lat2, t1, t2, res, cap):
+    lon_min, lon_max = sorted((lon1, lon2))
+    lat_min, lat_max = sorted((lat1, lat2))
+    t_min, t_max = sorted((t1, t2))
+    t_lo, t_hi = 0, 2_678_400  # one 31-day period
+    ranges = geo.spacetime_cell_ranges(
+        lon_min, lon_max, lat_min, lat_max, t_min, t_max, t_lo, t_hi,
+        res=res, max_ranges=cap,
+    )
+    assert len(ranges) <= cap
+    assert all(lo <= hi for lo, hi in ranges)
+    # corner cells of the exact query box are covered (cover ⊇ box)
+    x0 = geo._cell_index(lon_min, -180.0, 180.0, res)
+    x1 = geo._cell_index(lon_max, -180.0, 180.0, res)
+    y0 = geo._cell_index(lat_min, -90.0, 90.0, res)
+    y1 = geo._cell_index(lat_max, -90.0, 90.0, res)
+    tc0 = geo._cell_index(float(t_min), float(t_lo), float(t_hi), res)
+    tc1 = geo._cell_index(float(t_max), float(t_lo), float(t_hi), res)
+    for x in (x0, x1):
+        for y in (y0, y1):
+            for tc in (tc0, tc1):
+                z = geo._interleave_int3(x, y, tc, res)
+                assert any(lo <= z <= hi for lo, hi in ranges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=hst.floats(-180, 180, allow_nan=False),
+    lat=hst.floats(-90, 90, allow_nan=False),
+    t=hst.integers(0, 1_000_000),
+    res=hst.integers(1, 20),
+)
+def test_z3_bit_interleave_roundtrip(lon, lat, t, res):
+    x = geo._cell_index(lon, -180.0, 180.0, res)
+    y = geo._cell_index(lat, -90.0, 90.0, res)
+    tc = geo._cell_index(float(t), 0.0, 1_000_000.0, res)
+    z = geo._interleave_int3(x, y, tc, res)
+    xr = sum(((z >> (3 * i)) & 1) << i for i in range(res))
+    yr = sum(((z >> (3 * i + 1)) & 1) << i for i in range(res))
+    tr = sum(((z >> (3 * i + 2)) & 1) << i for i in range(res))
+    assert (xr, yr, tr) == (x, y, tc)
+    assert 0 <= z < 1 << (3 * res)
+
+
+def test_z3_column_matches_driver_side_interleave(spark):
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "lon": [-179.9, 0.0, 12.5, 179.0],
+            "lat": [-89.9, 0.0, 45.0, 89.0],
+            "epoch": [0, 1_000_000, 1_500_000, 2_600_000],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    t_lo, t_hi, res = 0, 2_678_400, 5
+    got = (
+        df.withColumn(
+            "z3", geo.z3(F.col("lon"), F.col("lat"), F.col("epoch"), t_lo, t_hi, res)
+        )
+        .orderBy("epoch")
+        .collect()
+    )
+    for r in got:
+        expect = geo._interleave_int3(
+            geo._cell_index(r["lon"], -180.0, 180.0, res),
+            geo._cell_index(r["lat"], -90.0, 90.0, res),
+            geo._cell_index(float(r["epoch"]), float(t_lo), float(t_hi), res),
+            res,
+        )
+        assert r["z3"] == expect
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     lon=hst.floats(-180, 180, allow_nan=False),
