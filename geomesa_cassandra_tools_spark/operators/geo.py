@@ -179,14 +179,17 @@ def bbox_filter(
     the cover is an OR-of-BETWEENs — a pushable parquet predicate (min/max
     row-group skipping on the clustered column).
 
-    ``z2_stored=False`` (z2 derived in the same plan): the cover is an
-    `exists` over a literal range array instead. An OR-chain over a
-    *computed* column is a codegen trap — Catalyst collapses the projection
-    into the filter and re-inlines the whole bit-interleave expression into
-    every disjunct (no CSE across short-circuited branches), overflowing
-    Janino's 64 KB method limit; the higher-order form evaluates z2 once.
-    Nothing pushes to the scan either way (the column doesn't exist there),
-    so no pruning is lost.
+    ``z2_stored=False`` (z2 derived in the same plan): the cover binds the
+    computed z2 ONCE as a higher-order-function lambda variable —
+    `exists(array(z2), zz -> exists(ranges, r -> lo<=zz<=hi))`. A plain
+    OR-chain (or an exists that references the column by name) is a
+    codegen trap: Catalyst collapses the projection into the filter and
+    re-inlines the whole bit-interleave expression into every disjunct —
+    no CSE across short-circuited branches, 2·|ranges| evaluations per row
+    and a Janino 64 KB overflow. Lambda variables are the one Catalyst
+    construct substitution cannot reach through. Nothing pushes to the
+    scan either way (the column doesn't exist there), so no pruning is
+    lost.
 
     Either way the exact lon/lat refine runs after — cover-and-refine,
     results identical to the full scan.
@@ -206,18 +209,23 @@ def bbox_filter(
                 cover = term if cover is None else (cover | term)
             return df.where(cover).where(exact)
         if ranges:
-            bounds = F.array(
-                *[
-                    F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
-                    for lo, hi in ranges
-                ]
-            )
-            cover = F.exists(
-                bounds,
-                lambda r: (F.col(z2_col) >= r["lo"]) & (F.col(z2_col) <= r["hi"]),
-            )
+            cover = _ranges_cover_bound_once(F.col(z2_col), ranges)
             return df.where(cover).where(exact)
     return df.where(exact)
+
+
+def _ranges_cover_bound_once(z: Column, ranges: list[tuple[int, int]]) -> Column:
+    """`exists(array(z), zz -> exists(ranges, r -> lo<=zz<=hi))` — the
+    single-element array binds the (possibly huge) z expression to a lambda
+    variable, so Catalyst's projection-collapse cannot re-inline it into
+    every range comparison. z is evaluated exactly once per row."""
+    bounds = F.array(
+        *[F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi")) for lo, hi in ranges]
+    )
+    return F.exists(
+        F.array(z),
+        lambda zz: F.exists(bounds, lambda r: (zz >= r["lo"]) & (zz <= r["hi"])),
+    )
 
 
 def _interleave_int3(x: int, y: int, t: int, res: int) -> int:
@@ -291,14 +299,15 @@ def spacetime_filter(
     t_max: int,
     t_lo: int,
     t_hi: int,
-    z3_col: str,
+    z3_col: str | Column,
     res: int = Z3_RES,
     z3_stored: bool = False,
 ) -> DataFrame:
-    """Cover-and-refine for a space-time box over a z3 column. Same
-    stored-vs-computed split as bbox_filter: stored → OR-of-BETWEENs
-    (pushable, row-group skipping); computed → `exists` over a literal
-    range array so z3 is evaluated once (Janino 64 KB guard)."""
+    """Cover-and-refine for a space-time box over a z3 column (name or
+    expression). Same stored-vs-computed split as bbox_filter: stored →
+    OR-of-BETWEENs (pushable, row-group skipping); computed → the
+    bind-once higher-order cover (`_ranges_cover_bound_once`) so the big
+    interleave expression is evaluated once per row, not per range."""
     exact = (
         (F.col(lon_col) >= lon_min)
         & (F.col(lon_col) <= lon_max)
@@ -307,6 +316,7 @@ def spacetime_filter(
         & (epoch_col >= t_min)
         & (epoch_col < t_max)
     )
+    z = F.col(z3_col) if isinstance(z3_col, str) else z3_col
     ranges = spacetime_cell_ranges(
         lon_min, lon_max, lat_min, lat_max, t_min, t_max, t_lo, t_hi, res
     )
@@ -315,16 +325,10 @@ def spacetime_filter(
     if z3_stored:
         cover = None
         for lo, hi in ranges:
-            term = F.col(z3_col).between(lo, hi)
+            term = z.between(lo, hi)
             cover = term if cover is None else (cover | term)
         return df.where(cover).where(exact)
-    bounds = F.array(
-        *[F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi")) for lo, hi in ranges]
-    )
-    cover = F.exists(
-        bounds, lambda r: (F.col(z3_col) >= r["lo"]) & (F.col(z3_col) <= r["hi"])
-    )
-    return df.where(cover).where(exact)
+    return df.where(_ranges_cover_bound_once(z, ranges)).where(exact)
 
 
 def st_contains_bbox(

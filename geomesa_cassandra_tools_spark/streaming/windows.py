@@ -108,6 +108,53 @@ def stateful_user_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def stateful_session_close(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 1_800_000,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Sessionization with explicit state expiry (`EventTimeTimeout`): each
+    key keeps a running event count; every event re-arms an event-time
+    timer at (newest event + gap). When the watermark passes a key's timer
+    with no new data, the update function is invoked with
+    ``state.hasTimedOut`` — it emits the final closed-session row and
+    removes the state. This is the custom-semantics analog of
+    `session_window` (SURVEY.md §4.3) and the part of the
+    applyInPandasWithState surface NoTimeout can't exercise: state
+    LIFECYCLE, not just state storage. Timers are per-key and fire during
+    a later micro-batch's planning, so state size stays bounded by live
+    sessions — the property that matters on an unbounded 100 TB stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_events bigint, closed boolean"
+    state_schema = "n bigint"
+
+    def update(k, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({key: [k[0]], "n_events": [n], "closed": [True]})
+            return
+        n = state.get[0] if state.exists else 0
+        newest = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pd.to_datetime(pdf[ts_col]).max()
+            newest = m if newest is None else max(newest, m)
+        state.update((n,))
+        if newest is not None:
+            state.setTimeoutTimestamp(int(newest.timestamp() * 1000) + gap_ms)
+        yield pd.DataFrame({key: [k[0]], "n_events": [n], "closed": [False]})
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.select(key, ts_col).groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 _RUN_SEQ = [0]
 
 

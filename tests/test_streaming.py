@@ -67,6 +67,68 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert any("10:00" in k and v == 1 for k, v in out.items()), out
 
 
+def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout lifecycle across checkpointed drains (timers are
+    evaluated against the checkpointed watermark, so restarts make the
+    firing deterministic):
+
+    - drain 1: users 1,2 each get one 10:00 event → timers armed at 10:30;
+      watermark ends at ~09:59 → nothing fires.
+    - drain 2: user 2 gets a 12:30 event (timer re-arms to 13:00). The data
+      batch runs at the checkpointed ~09:59 watermark, then the trailing
+      no-data micro-batch (noDataMicroBatches, on by default) advances it
+      to ~12:29 → past user 1's 10:30 timer only → user 1 closes with its
+      final count, state removed.
+    - drain 3: unrelated user 3 event advances the watermark to ~13:29 →
+      past user 2's 13:00 timer → user 2 closes with n=2; user 3 is the
+      only live session left (bounded state on an unbounded stream)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+        sessions = stream_win.stateful_session_close(stream, gap_ms=1_800_000)
+
+        def sink(batch_df, _):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def closed_so_far():
+        rows = spark.read.parquet(out_dir).collect()
+        return {r["user_id"]: r["n_events"] for r in rows if r["closed"]}, rows
+
+    write([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")])
+    drain()
+    closed, rows = closed_so_far()
+    assert closed == {}, rows
+
+    write([(2, "2024-01-01 12:30:00")])
+    drain()
+    closed, rows = closed_so_far()
+    assert closed == {1: 1}, rows
+
+    write([(3, "2024-01-01 13:30:00")])
+    drain()
+    closed, rows = closed_so_far()
+    assert closed == {1: 1, 2: 2}, rows
+    open_counts = {r["user_id"]: r["n_events"] for r in rows if not r["closed"]}
+    assert open_counts[3] == 1, rows
+
+
 def test_foreachbatch_sink_writes_each_microbatch(spark, tmp_path):
     src = str(tmp_path / "src")
     out_dir = str(tmp_path / "out")
