@@ -123,6 +123,77 @@ def lsh_cosine_topk(
     ).withColumnRenamed("rn", "rank")
 
 
+def blas_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overfetch: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine via BLAS candidate generation + exact rerank.
+
+    Stage 1 (approximate, fast): the query matrix is a numpy broadcast;
+    each corpus partition multiplies its Arrow batch against it
+    (`mapInPandas`) and emits only the local top-(k·overfetch) candidate
+    ids per query — a matmul is ~100× per-row expression evaluation, and
+    the emitted candidate set is tiny (parts × k·overfetch per query).
+
+    Stage 2 (exact, small): candidates are re-scored with the sequential
+    JVM fold (`cosine`) and window-ranked — so results are bit-identical
+    to the brute-force `cosine_topk` / a scalar-fold SQL engine, while the
+    full corpus is only ever touched by BLAS. Any true top-k item ranks
+    ≤ k within its own batch, so every batch's top-(k·overfetch) is a
+    superset of its contribution to the global top-k: the rerank is exact
+    by construction, overfetch only buffers against float-sum noise.
+
+    This candidates→verify shape is how the 100 TB path should look:
+    stage 1 scans, stage 2 touches O(parts·k) rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_prep = _prep(queries, id_col, vec_col, "query_id", "qv")
+    q_rows = q_prep.collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    kk = k * overfetch
+
+    def candidates(batches):
+        ids, qm, qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf["cv"]), dtype=np.float64)
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = (qm @ block.T) / np.outer(qn, bn)
+            sims[:, :] = np.where(cids[None, :] == ids[:, None], -np.inf, sims)
+            take = min(kk, sims.shape[1])
+            top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, take),
+                    "cand_id": cids[top].ravel(),
+                }
+            )
+
+    c_prep = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    cands = c_prep.mapInPandas(candidates, "query_id bigint, cand_id bigint")
+    scored = (
+        F.broadcast(cands)
+        .join(c_prep, "cand_id")
+        .join(F.broadcast(q_prep), "query_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
+    ).withColumnRenamed("rn", "rank")
+
+
 def cosine_pairs_above(
     corpus: DataFrame,
     threshold: float,

@@ -1023,6 +1023,70 @@ FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
 GROUP BY p.pred_label, t.label
 """
 
+ORACLES["q68_above_nation_avg"] = """
+WITH na AS (
+  SELECT c_nationkey, avg(c_acctbal) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey, count(*) AS n_above,
+       round(max(c.c_acctbal), 2) AS top_balance
+FROM customer c JOIN na USING (c_nationkey)
+WHERE c.c_acctbal > na.nation_avg
+GROUP BY c.c_nationkey
+"""
+
+ORACLES["q69_hourly_type_pivot"] = """
+SELECT hour(ts) AS hour,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY hour(ts)
+"""
+
+ORACLES["q70_order_value_deciles"] = """
+WITH r AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(max(pr), 6) AS max_percent_rank
+FROM r GROUP BY decile
+"""
+
+ORACLES["q71_nation_top_supplier"] = """
+SELECT s_nationkey,
+       arg_max(s_name, s_acctbal) AS richest_supplier,
+       round(max(s_acctbal), 2) AS max_bal,
+       arg_min(s_name, s_acctbal) AS poorest_supplier,
+       round(min(s_acctbal), 2) AS min_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+# width_bucket does not exist in DuckDB; the CASE mirrors Spark's
+# WidthBucket arithmetic term-for-term (same doubles, same floor).
+ORACLES["q72_price_histogram"] = """
+WITH b AS (
+  SELECT CASE
+           WHEN l_extendedprice < 900.0 THEN 0
+           WHEN l_extendedprice >= 105000.0 THEN 11
+           ELSE CAST(floor((l_extendedprice - 900.0)
+                           / ((105000.0 - 900.0) / 10)) AS BIGINT) + 1
+         END AS bucket,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT bucket, count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM b GROUP BY bucket
+"""
+
 ORACLES["q62_decontaminate_train"] = f"""
 WITH {_SHINGLES_CTE},
 eval_sh AS (

@@ -1390,18 +1390,24 @@ def q64_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~token-count×, but both aggs combine map-side and the doc_id key is
     uniform — no skew, AQE-splittable."""
     t = load_tables(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    docs = t["documents"].select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+    # bind the token array ONCE as a lambda variable (same trick as
+    # geo._ranges_cover_bound_once): referencing F.split(...) inside the
+    # per-index lambda would re-inline the full split into every
+    # element_at — 2·(n−1) splits of the whole text per doc.
+    bigrams = F.element_at(
+        F.transform(
+            F.array(F.split(F.col("text"), " ")),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
                 lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
                 ),
-            )
-        ).alias("bigram"),
+            ),
+        ),
+        1,
+    )
+    docs = t["documents"].select(
+        "doc_id", "source", F.explode(bigrams).alias("bigram")
     )
     per_bigram = docs.groupBy("doc_id", "source", "bigram").agg(
         F.count("*").alias("cnt")
@@ -1490,11 +1496,12 @@ def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote is one more partial agg keyed on query_id. This is the
     label-propagation / auto-labeling primitive of training-data curation
     at 100 TB: queries broadcast, corpus partition-parallel, candidates
-    O(k) per query."""
+    O(k) per query. Scoring is the BLAS-candidates + exact-rerank path
+    (`blas_cosine_topk`), bit-identical to brute force."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.where(F.col("vec_id") < 64)
-    nbrs = similarity.cosine_topk(q, emb, k=5)
+    nbrs = similarity.blas_cosine_topk(q, emb, k=5)
     labeled = nbrs.join(
         emb.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("nbr_label")),
         "cand_id",
@@ -1511,6 +1518,107 @@ def q67_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.join(truth, "query_id")
         .groupBy("pred_label", "true_label")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def q68_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers above their nation's average
+    balance) — expressed as its decorrelated form: per-nation averages are
+    a tiny agg broadcast back onto the fact. Catalyst performs exactly
+    this rewrite for a correlated scalar subquery; stating it directly
+    keeps the plan obvious: one partial agg (25 rows) + one broadcast
+    hash join, no shuffle of customer."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.max("c_acctbal"), 2).alias("top_balance"),
+        )
+    )
+
+
+#: fixed pivot columns — deterministic output schema in both engines.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q69_hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: hour-of-day × event_type count matrix. The value list is
+    fixed (EVENT_TYPES) so the schema is static — an open-ended pivot
+    would need a driver-side distinct pass first (a collect) and a
+    data-dependent schema, both wrong at scale. Spark compiles this to
+    one hash agg with `count(CASE WHEN ...)` per column — identical to
+    the oracle's FILTER clauses; single shuffle on the 24-row key."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(F.hour("ts").alias("hour"), "event_type")
+    return (
+        ev.groupBy("hour")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def q70_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows beyond row_number: ntile deciles + percent_rank
+    over order totals, profiled per decile. One global window (orderBy
+    without partitionBy) — fine here because the windowed relation is the
+    pre-aggregated orders table; at 100 TB you'd decile per partition key
+    or use approx quantiles instead (q54 covers exact percentiles)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    ranked = t["orders"].select(
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+    )
+
+
+def q71_nation_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregates: per nation the supplier with the max balance
+    (`max_by`) and min balance (`min_by`) — one hash agg, no window, no
+    self-join. Ties are impossible on this corpus's unique balances;
+    where they aren't, max_by is non-deterministic and the window top-k
+    (q09) is the right tool."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .groupBy("s_nationkey")
+        .agg(
+            F.expr("max_by(s_name, s_acctbal)").alias("richest_supplier"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.expr("min_by(s_name, s_acctbal)").alias("poorest_supplier"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket over l_extendedprice — the
+    scan-once profiling primitive (10 equal bins over [900, 105000),
+    under/overflow land in buckets 0/11). Pure arithmetic binning keyed
+    on ≤12 groups: partial aggs reduce each partition to a dozen rows,
+    the shuffle is bytes. (Spark's width_bucket matches DuckDB's.)"""
+    t = load_tables(spark, sf_dir)
+    binned = t["lineitem"].select(
+        F.width_bucket(F.col("l_extendedprice"), F.lit(900.0), F.lit(105000.0), F.lit(10))
+        .alias("bucket"),
+        "l_extendedprice",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
 
 
@@ -1582,6 +1690,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_stratified_sample": q65_stratified_sample,
     "q66_event_funnel": q66_event_funnel,
     "q67_knn_classify": q67_knn_classify,
+    "q68_above_nation_avg": q68_above_nation_avg,
+    "q69_hourly_type_pivot": q69_hourly_type_pivot,
+    "q70_order_value_deciles": q70_order_value_deciles,
+    "q71_nation_top_supplier": q71_nation_top_supplier,
+    "q72_price_histogram": q72_price_histogram,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
