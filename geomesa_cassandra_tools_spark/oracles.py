@@ -1087,6 +1087,63 @@ SELECT bucket, count(*) AS n,
 FROM b GROUP BY bucket
 """
 
+ORACLES["q73_daily_orders_gapfill"] = """
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt,
+         sum(o_totalprice) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+       coalesce(daily.cnt, 0) AS n_orders,
+       round(coalesce(daily.rev, 0.0), 2) AS revenue
+FROM cal LEFT JOIN daily USING (day)
+"""
+
+ORACLES["q74_week_over_week_users"] = """
+WITH w1 AS (
+  SELECT user_id, count(*) AS n_w1 FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  GROUP BY user_id
+),
+w2 AS (
+  SELECT user_id, count(*) AS n_w2 FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+  GROUP BY user_id
+)
+SELECT coalesce(w1.user_id, w2.user_id) AS user_id,
+       coalesce(n_w1, 0) AS n_w1, coalesce(n_w2, 0) AS n_w2,
+       CASE WHEN n_w1 IS NULL THEN 'new'
+            WHEN n_w2 IS NULL THEN 'churned'
+            ELSE 'retained' END AS status
+FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+"""
+
+ORACLES["q75_embedding_quantization"] = """
+WITH flat AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+scales AS (
+  SELECT dim, max(abs(x)) AS scale FROM flat GROUP BY dim
+),
+q AS (
+  SELECT f.dim, f.x, s.scale,
+         least(greatest(round(f.x * 127.0 / s.scale), -127.0), 127.0) AS qv
+  FROM flat f JOIN scales s USING (dim)
+)
+SELECT dim, round(max(scale), 6) AS scale,
+       round(avg(abs(x - qv * scale / 127.0)), 6) AS avg_abs_err,
+       round(max(abs(x - qv * scale / 127.0)), 6) AS max_abs_err
+FROM q GROUP BY dim
+"""
+
 ORACLES["q62_decontaminate_train"] = f"""
 WITH {_SHINGLES_CTE},
 eval_sh AS (

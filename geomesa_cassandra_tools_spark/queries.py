@@ -1622,6 +1622,107 @@ def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_daily_orders_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series (the hypertable-rollup staple): a generated
+    calendar LEFT JOIN daily order aggregates, missing days emitted as
+    zeros. The calendar is `explode(sequence(date, date, 1 day))` — 90
+    rows built in-plan, broadcast side of the join; no data-dependent
+    driver collect. At 100 TB the fact side partial-aggregates to one row
+    per day before the join touches it."""
+    t = load_tables(spark, sf_dir)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    # day emitted as an ISO string: pandas renders engine DATE types
+    # differently (datetime64 vs date objects), strings hash identically.
+    return cal.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+    )
+
+
+def q74_week_over_week_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: per-user activity in week 1 vs week 2 of
+    the events corpus, users present in either side kept (churned / new /
+    retained). Both sides pre-aggregate to one row per user before the
+    full outer join — at scale the join input is |users|, not |events|."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+
+    def week(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            ev.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id")
+            .agg(F.count("*").alias(alias))
+        )
+
+    w1 = week("2024-01-01", "2024-01-08", "n_w1")
+    w2 = week("2024-01-08", "2024-01-15", "n_w2")
+    joined = w1.join(w2, "user_id", "full_outer")
+    return joined.select(
+        "user_id",
+        F.coalesce("n_w1", F.lit(0)).alias("n_w1"),
+        F.coalesce("n_w2", F.lit(0)).alias("n_w2"),
+        F.when(F.col("n_w1").isNull(), "new")
+        .when(F.col("n_w2").isNull(), "churned")
+        .otherwise("retained")
+        .alias("status"),
+    )
+
+
+def q75_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the vector-
+    compression step of a 100 TB ANN pipeline (4× smaller than float32,
+    16× than float64). Pass 1: per-dimension max-abs scale (64 rows).
+    Pass 2: quantize `round(x·127/scale)` clamped to [-127,127], dequant,
+    and profile reconstruction error per dimension. Both passes are
+    posexplode → partial agg keyed on the 64-value dim — shuffles carry
+    dims, not vectors; the scales re-join broadcast."""
+    t = load_tables(spark, sf_dir)
+    flat = t["embeddings"].select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    scales = flat.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    q = (
+        flat.join(F.broadcast(scales), "dim")
+        .withColumn(
+            "qv",
+            F.least(
+                F.greatest(F.round(F.col("x") * 127.0 / F.col("scale")), F.lit(-127.0)),
+                F.lit(127.0),
+            ),
+        )
+        .withColumn("err", F.abs(F.col("x") - F.col("qv") * F.col("scale") / 127.0))
+    )
+    return q.groupBy("dim").agg(
+        F.round(F.max("scale"), 6).alias("scale"),
+        F.round(F.avg("err"), 6).alias("avg_abs_err"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1695,6 +1796,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_order_value_deciles": q70_order_value_deciles,
     "q71_nation_top_supplier": q71_nation_top_supplier,
     "q72_price_histogram": q72_price_histogram,
+    "q73_daily_orders_gapfill": q73_daily_orders_gapfill,
+    "q74_week_over_week_users": q74_week_over_week_users,
+    "q75_embedding_quantization": q75_embedding_quantization,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
