@@ -69,6 +69,26 @@ def compact_parquet(
     return files_before, files_after
 
 
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str, granularity: str = "day"
+) -> None:
+    """Hive-partitioned layout by time bucket (`partitionBy` on a derived
+    date column) — the coarse time binning GeoMesa's z3 applies INSIDE its
+    key, externalized as directories. Queries filtering on the partition
+    column scan only matching directories (PartitionFilters in the plan,
+    asserted in tests/test_plans.py) — at 100 TB this is the difference
+    between listing a day and listing a decade. Within each partition,
+    finer layout (z2/z3 sort, `geo.write_z_ordered`) still applies."""
+    part = F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("part_day")
+    (
+        df.withColumn("part_day", part)
+        .repartition("part_day")
+        .write.mode("overwrite")
+        .partitionBy("part_day")
+        .parquet(path)
+    )
+
+
 def remove_schema(
     spark: SparkSession,
     catalog: GeoCatalog,

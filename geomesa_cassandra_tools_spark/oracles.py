@@ -1144,6 +1144,19 @@ SELECT dim, round(max(scale), 6) AS scale,
 FROM q GROUP BY dim
 """
 
+ORACLES["q76_stream_session_expiry"] = """
+WITH u AS (
+  SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT user_id, n_events, FALSE AS closed FROM u
+UNION ALL
+SELECT u.user_id, u.n_events, TRUE AS closed
+FROM u, mx
+WHERE u.last_ts + INTERVAL 2 HOUR < mx.m - INTERVAL 30 SECOND
+"""
+
 ORACLES["q62_decontaminate_train"] = f"""
 WITH {_SHINGLES_CTE},
 eval_sh AS (

@@ -1723,6 +1723,25 @@ def q75_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session expiry on a stream (`stateful_session_close`,
+    EventTimeTimeout): per-user counts with a 2 h idle gap; a user whose
+    timer the final watermark has passed emits a closed-session row and
+    drops its state. The single-file AvailableNow drain makes this fully
+    differential: all data lands in one update batch (per-user totals),
+    then the trailing no-data batch advances the watermark to
+    max(ts) − 30 s and fires every timer below it — so `closed` rows are
+    exactly the users idle ≥ gap before corpus end, which the oracle
+    states in plain SQL. On a multi-batch stream only the rows-only check
+    would hold (mid-stream closes re-open fresh sessions)."""
+    ev = stream_events(spark, sf_dir)
+    out = stream_win.stateful_session_close(
+        ev, gap_ms=7_200_000, watermark="30 seconds"
+    )
+    name = stream_win.run_availablenow_update(out, "session_expiry")
+    return spark.table(name).select("user_id", "n_events", "closed")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1799,6 +1818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_daily_orders_gapfill": q73_daily_orders_gapfill,
     "q74_week_over_week_users": q74_week_over_week_users,
     "q75_embedding_quantization": q75_embedding_quantization,
+    "q76_stream_session_expiry": q76_stream_session_expiry,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

@@ -447,6 +447,25 @@ def test_z2_bit_interleave_roundtrip(lon, lat, res):
     assert 0 <= z < 1 << (2 * res)
 
 
+# ------------------------------------------------------------- similarity
+
+
+def test_blas_topk_equals_brute_force(spark):
+    """blas_cosine_topk's candidates→exact-rerank must be bit-identical to
+    the brute-force cosine_topk (the rerank recomputes cos with the same
+    sequential JVM fold; BLAS only proposes candidates)."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 16)
+    brute = similarity.cosine_topk(q, emb, k=5).collect()
+    blas = similarity.blas_cosine_topk(q, emb, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    b = {key(r): (r["cand_id"], r["cos"]) for r in brute}
+    s = {key(r): (r["cand_id"], r["cos"]) for r in blas}
+    assert b == s
+
+
 # --------------------------------------------------------------- skew salting
 
 def test_salted_join_equals_plain_join(spark):

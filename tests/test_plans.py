@@ -134,3 +134,24 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdb.bl")
         spark.sql("DROP TABLE IF EXISTS bdb.bo")
         spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned time layout: a filter on the partition column must
+    appear as PartitionFilters on the scan (directory pruning — the list
+    cost at 100 TB), and the pruned read must equal the plain filter."""
+    from geomesa_cassandra_tools_spark.operators.maintenance import (
+        write_date_partitioned,
+    )
+
+    ev = load_tables(spark, SF)["events"]
+    path = str(tmp_path / "events_by_day")
+    write_date_partitioned(ev, path, "ts", granularity="day")
+
+    part = spark.read.parquet(path)
+    day = "2024-01-05"
+    pruned = part.where(F.col("part_day") == F.lit(day).cast("date"))
+    plan = inspect.explain_str(pruned)
+    assert "PartitionFilters" in plan and "part_day" in plan
+    expected = ev.where(F.col("ts").cast("date") == F.lit(day).cast("date")).count()
+    assert pruned.count() == expected
