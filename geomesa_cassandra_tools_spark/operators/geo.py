@@ -331,6 +331,52 @@ def spacetime_filter(
     return df.where(_ranges_cover_bound_once(z, ranges)).where(exact)
 
 
+def cell_of(coord: Column, lo: float, hi: float, res: int) -> Column:
+    """Public column form of the per-dimension cell index (same clamped
+    scale as `_cell_index`) — building block for in-plan cell covers."""
+    return _scale(coord, lo, hi, res)
+
+
+def z2_of_cells(x: Column, y: Column, res: int = DEFAULT_RES) -> Column:
+    """z2 id from per-dimension cell indices already computed in-plan."""
+    return _interleave_bits(x, y, res)
+
+
+def ring_contains_point(ring: Column, lon: Column, lat: Column) -> Column:
+    """Ray-cast point-in-polygon where the polygon is a PER-ROW
+    `array<struct<lon,lat>>` (open ring, first vertex NOT repeated) — the
+    join-shaped variant of `st_contains_polygon` (whose ring is a fixed
+    driver-side literal). Edges are the ring zipped with its rotation;
+    crossings counted with `filter`+`size`, parity = inside. All array
+    expressions — no UDF, no explode; the per-row cost is O(vertices).
+    Horizontal edges (y1 == y2) never satisfy the spans test, and the
+    division they'd break on is unreachable under SQL's false-AND-anything
+    short circuit in every engine that evaluates doubles (inf/NaN compare
+    false), but supply rings without horizontal edges when bit-exact
+    cross-engine parity matters."""
+    rotated = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    edges = F.zip_with(
+        ring,
+        rotated,
+        lambda p, q: F.struct(
+            p["lon"].alias("x1"), p["lat"].alias("y1"),
+            q["lon"].alias("x2"), q["lat"].alias("y2"),
+        ),
+    )
+    crossing = F.size(
+        F.filter(
+            edges,
+            lambda e: ((e["y1"] > lat) != (e["y2"] > lat))
+            & (
+                lon
+                < e["x1"]
+                + (lat - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
+            ),
+        )
+    )
+    return crossing % 2 == 1
+
+
 def st_contains_bbox(
     lon: Column, lat: Column, lon_min: float, lon_max: float, lat_min: float, lat_max: float
 ) -> Column:

@@ -1157,6 +1157,51 @@ FROM u, mx
 WHERE u.last_ts + INTERVAL 2 HOUR < mx.m - INTERVAL 30 SECOND
 """
 
+# q77: the oracle states the naive points x polygons containment test
+# (ray casting unrolled as a 7-edge group-by). Geometry is built with the
+# same +/* arithmetic as the Spark side (UNIT_7GON literals, no trig), so
+# vertices are bit-identical doubles.
+ORACLES["q77_spatial_join"] = """
+WITH polys AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 13007) % 36000) / 100.0 - 180.0 AS cx,
+         ((s_suppkey * 20011) % 18000) / 100.0 - 90.0 AS cy,
+         2.0 + (s_suppkey % 7) * 0.5 AS r
+  FROM supplier WHERE s_suppkey % 5 = 0
+),
+unit(k, ux, uy) AS (
+  VALUES (1, 1.0, 0.1), (2, 0.55, 0.85), (3, -0.35, 0.95), (4, -0.95, 0.35),
+         (5, -0.9, -0.45), (6, -0.25, -0.9), (7, 0.6, -0.75)
+),
+verts AS (
+  SELECT s_suppkey, k, cx + r * ux AS vx, cy + r * uy AS vy FROM polys, unit
+),
+edges AS (
+  SELECT a.s_suppkey, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM verts a JOIN verts b
+    ON a.s_suppkey = b.s_suppkey AND b.k = (a.k % 7) + 1
+),
+pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((c_custkey * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+),
+crossings AS (
+  SELECT p.c_custkey, e.s_suppkey,
+         sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                   AND p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1)
+                                       / (e.y2 - e.y1)
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p, edges e
+  GROUP BY p.c_custkey, e.s_suppkey
+)
+SELECT s_suppkey, count(*) AS n_customers_inside,
+       min(c_custkey) AS first_customer
+FROM crossings WHERE n_cross % 2 = 1
+GROUP BY s_suppkey
+"""
+
 ORACLES["q62_decontaminate_train"] = f"""
 WITH {_SHINGLES_CTE},
 eval_sh AS (

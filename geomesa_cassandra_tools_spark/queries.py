@@ -1742,6 +1742,83 @@ def q76_stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events", "closed")
 
 
+#: unit 7-gon (no horizontal edges, no trig at query time — cos/sin libm
+#: results differ across engines by ulps; fixed literals don't). Scaled by
+#: each polygon's radius and translated to its center with +/* only, so
+#: Spark and the SQL oracle build bit-identical vertices.
+UNIT_7GON: tuple[tuple[float, float], ...] = (
+    (1.0, 0.1), (0.55, 0.85), (-0.35, 0.95), (-0.95, 0.35),
+    (-0.9, -0.45), (-0.25, -0.9), (0.6, -0.75),
+)
+
+
+def q77_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial JOIN without a cross join: which customers fall inside each
+    supplier's service polygon. The GeoMesa-z2 join pattern at 100 TB:
+
+    1. each polygon enumerates the z2 cells its bbox covers — IN-PLAN
+       (`sequence` over per-dimension cell ranges, interleave arithmetic),
+       a few cells per polygon, exploded;
+    2. each point computes its single z2 cell;
+    3. candidates = equi-join on the cell id (a keyed shuffle, AQE-
+       splittable — never points × polygons);
+    4. exact refine: per-row ray casting over the polygon's vertex array
+       (`ring_contains_point` — filter/size array expressions, no UDF).
+
+    Polygons are deterministic heptagons (UNIT_7GON scaled/translated by
+    arithmetic only) so the DuckDB oracle — which states the naive
+    points × polygons filter — builds bit-identical geometry."""
+    t = load_tables(spark, sf_dir)
+    res = 6
+    # every 5th supplier gets a polygon — keeps the oracle's deliberate
+    # points × polygons cross join tractable; the engine path's cost is
+    # O(candidates) regardless.
+    polys = t["supplier"].where(F.col("s_suppkey") % 5 == 0).select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13007 % 36000) / 100.0 - 180.0).alias("cx"),
+        ((F.col("s_suppkey") * 20011 % 18000) / 100.0 - 90.0).alias("cy"),
+        (2.0 + (F.col("s_suppkey") % 7) * 0.5).alias("r"),
+    )
+    ring = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.col("r") * F.lit(ux)).alias("lon"),
+                (F.col("cy") + F.col("r") * F.lit(uy)).alias("lat"),
+            )
+            for ux, uy in UNIT_7GON
+        ]
+    )
+    x0 = geo.cell_of(F.col("cx") - F.col("r"), -180.0, 180.0, res)
+    x1 = geo.cell_of(F.col("cx") + F.col("r"), -180.0, 180.0, res)
+    y0 = geo.cell_of(F.col("cy") - F.col("r"), -90.0, 90.0, res)
+    y1 = geo.cell_of(F.col("cy") + F.col("r"), -90.0, 90.0, res)
+    cover = F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda x: F.transform(
+                F.sequence(y0, y1), lambda y: geo.z2_of_cells(x, y, res)
+            ),
+        )
+    )
+    poly_cells = polys.select(
+        "s_suppkey", ring.alias("ring"), F.explode(cover).alias("cell")
+    )
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    pts = pts.withColumn("cell", geo.z2(F.col("lon"), F.col("lat"), res))
+    hits = (
+        pts.join(poly_cells, "cell")
+        .where(geo.ring_contains_point(F.col("ring"), F.col("lon"), F.col("lat")))
+    )
+    return hits.groupBy("s_suppkey").agg(
+        F.count("*").alias("n_customers_inside"),
+        F.min("c_custkey").alias("first_customer"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1819,6 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_week_over_week_users": q74_week_over_week_users,
     "q75_embedding_quantization": q75_embedding_quantization,
     "q76_stream_session_expiry": q76_stream_session_expiry,
+    "q77_spatial_join": q77_spatial_join,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

@@ -566,3 +566,27 @@ def test_ring_bbox_envelope(spark):
     df = spark.createDataFrame([("POLYGON ((-5 0, 0 0, 0 5, -5 0))",)], ["wkt"])
     b = df.select(geo.ring_bbox(geo.parse_wkt_ring(F.col("wkt"))).alias("b")).first().b
     assert (b.min_lon, b.min_lat, b.max_lon, b.max_lat) == (-5.0, 0.0, 0.0, 5.0)
+
+
+# ------------------------------------------------------------- UDTF surface
+
+
+def test_python_udtf_expands_rows(spark):
+    """Python UDTF (Spark 4) — the table-function corner of the UDF
+    surface (SURVEY.md §2.2; scalar pandas / grouped-agg / grouped-map /
+    mapInPandas are exercised by q28-q31/q48/q50). UDTFs run row-at-a-time
+    in Python, so they stay OUT of the registered query surface — the
+    engine's hot paths are JVM expressions; this pins the escape hatch's
+    contract only."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    rows = Tokenize(lit("scan filter agg")).collect()
+    assert [(r["tok"], r["pos"]) for r in rows] == [
+        ("scan", 0), ("filter", 1), ("agg", 2),
+    ]
