@@ -1225,3 +1225,89 @@ SELECT lang, count(*) AS train_docs,
          AS contamination_rate
 FROM flagged GROUP BY lang
 """
+
+ORACLES["q79_price_qty_regression"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q80_stream_view_click_join"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS sec
+  FROM events
+),
+v AS (SELECT event_id AS view_id, user_id, sec FROM e WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, sec FROM e WHERE event_type = 'click')
+SELECT v.view_id, c.click_id, c.sec - v.sec AS gap_sec
+FROM v JOIN c ON v.user_id = c.user_id
+             AND c.sec BETWEEN v.sec AND v.sec + 600
+"""
+
+ORACLES["q81_stream_dedup_watermark"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+ORACLES["q82_weekly_revenue_frame"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-07-01'
+  GROUP BY 1, 4
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+       round(cents / 100.0, 2) AS revenue,
+       CAST(floor((2 * sum(cents) OVER fr + count(*) OVER fr)
+                  / (2 * count(*) OVER fr)) AS BIGINT) / 100.0 AS avg7
+FROM daily
+WINDOW fr AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q83_fuzzy_name_match"] = """
+WITH garbled AS (
+  SELECT DISTINCT regexp_replace(n_name, '[AEIOUaeiou]', '', 'g') AS garbled
+  FROM nation
+),
+clean AS (SELECT DISTINCT n_name AS candidate FROM nation),
+scored AS (
+  SELECT garbled, candidate, levenshtein(garbled, candidate) AS dist,
+         row_number() OVER (PARTITION BY garbled
+                            ORDER BY levenshtein(garbled, candidate), candidate)
+           AS rn
+  FROM garbled CROSS JOIN clean
+)
+SELECT garbled, candidate AS best_match, dist FROM scored WHERE rn = 1
+"""
+
+ORACLES["q84_hourly_pivot_unpivot"] = """
+WITH hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+types AS (SELECT unnest(['view', 'click', 'purchase']) AS event_type),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT hours.hour, types.event_type, coalesce(counts.n, 0) AS n_events
+FROM hours CROSS JOIN types
+LEFT JOIN counts USING (hour, event_type)
+"""
+
+ORACLES["q85_bitmap_reach"] = """
+SELECT event_type,
+       bit_or(1::BIGINT << CAST(user_id % 60 AS INT)) AS bitmap,
+       count(*) AS n_events,
+       CAST(bit_count(bit_or(1::BIGINT << CAST(user_id % 60 AS INT))) AS BIGINT)
+         AS n_buckets
+FROM events GROUP BY event_type
+"""

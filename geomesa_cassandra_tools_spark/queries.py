@@ -1853,6 +1853,202 @@ def q78_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (`regr_slope`/`regr_intercept`/`regr_r2`,
+    `corr`) of extendedprice ~ quantity per return flag — single-pass
+    moment accumulation, partial+final mergeable like any hash agg, so the
+    shuffle carries one moment tuple per group at any scale. Both engines
+    implement the SQL-standard population-moment definitions, so values
+    match to rounding."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q80_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks attributed to a prior view by the
+    same user within 10 minutes, BOTH sides watermarked with an explicit
+    event-time range condition — exactly what lets Spark expire join state
+    (a side's buffered rows can be dropped once the other side's watermark
+    passes the range bound), so state stays bounded on unbounded streams.
+    Emits (view_id, click_id, gap_sec) pairs; inner-join results stream out
+    eagerly, so the AvailableNow drain is deterministic and fully
+    oracle-checkable against the equivalent batch interval join."""
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 10 minutes"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+            "gap_sec"
+        ),
+    )
+    name = stream_win.run_appendmode(joined, "view_click_join")
+    return spark.table(name)
+
+
+def q81_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (`dropDuplicatesWithinWatermark`): first event per (user_id,
+    event_type) key is emitted, later duplicates inside the watermark
+    horizon are dropped, and key state is evicted once the watermark
+    passes — the streaming twin of exact dedup (q13) that never
+    accumulates unbounded key state. Only the key columns are emitted so
+    the drained result is order-independent."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = stream_win.run_appendmode(deduped, "stream_dedup")
+    return spark.table(name)
+
+
+def q82_weekly_revenue_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per-day revenue with a trailing
+    7-day moving average, frame bound by VALUE (day number), not row count
+    — missing days shrink the frame instead of silently widening it the
+    way a ROWS frame would. Daily pre-aggregation happens before the
+    window, so the sort ranks ~180 rows regardless of fact-table size;
+    money averaged via integer cents (half-up) to keep both engines'
+    rounding identical."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .withColumn("day_no", F.datediff("day", F.lit("1995-01-01")))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        (
+            F.floor(
+                (2 * F.sum("cents").over(w) + F.count("*").over(w))
+                / (2 * F.count("*").over(w))
+            )
+            / 100.0
+        ).alias("avg7"),
+    )
+
+
+def q83_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution via edit distance: vowel-stripped nation
+    names matched back to the clean registry by minimum `levenshtein`,
+    deterministic tie-break on (distance, name). The dirty side joins a
+    BROADCAST of the clean dimension (candidate generation is a cross
+    product against a small dim, never fact×fact); at 100 TB the dirty
+    side stays partition-parallel and each task scores against the
+    broadcast copy."""
+    n = load_tables(spark, sf_dir)["nation"]
+    garbled = n.select(
+        F.regexp_replace("n_name", "[AEIOUaeiou]", "").alias("garbled")
+    ).distinct()
+    clean = n.select(F.col("n_name").alias("candidate")).distinct()
+    scored = garbled.join(F.broadcast(clean)).withColumn(
+        "dist", F.levenshtein("garbled", "candidate")
+    )
+    w = Window.partitionBy("garbled").orderBy("dist", "candidate")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("garbled", F.col("candidate").alias("best_match"), "dist")
+    )
+
+
+def q84_hourly_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: per-hour event counts widened to one
+    column per type (static value list → static schema, q69's contract),
+    zero-filled, then melted back to long form with `DataFrame.unpivot`.
+    The oracle reconstructs the same long form relationally (hour×type
+    scaffold LEFT JOIN counts), so the wide↔long transforms are
+    differentially checked; pivot's agg is partial+final, unpivot is a
+    narrow per-row expansion — no extra shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    types = ["view", "click", "purchase"]
+    wide = (
+        ev.where(F.col("event_type").isin(types))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return (
+        wide.unpivot(["hour"], types, "event_type", "n_events")
+        .withColumn("hour", F.col("hour").cast("timestamp_ntz"))
+    )
+
+
+def q85_bitmap_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct estimation with bitwise aggregates: users hash
+    to 60 buckets, one bit each; `bit_or` folds per-type bitmaps (8 bytes
+    of state per group regardless of row count — the cheapest mergeable
+    "reach" sketch there is) and `bit_count` reads off occupancy. The
+    bitmap itself is emitted so the oracle checks the exact aggregate
+    state, not just the cardinality."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # F.shiftleft takes only a literal shift width; the SQL form shifts by a
+    # per-row column.
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_or(mask).alias("bitmap"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "bitmap",
+            F.bit_count("bitmap").cast("long").alias("n_buckets"),
+            "n_events",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1932,6 +2128,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_stream_session_expiry": q76_stream_session_expiry,
     "q77_spatial_join": q77_spatial_join,
     "q78_approx_percentiles": q78_approx_percentiles,
+    "q79_price_qty_regression": q79_price_qty_regression,
+    "q80_stream_view_click_join": q80_stream_view_click_join,
+    "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
+    "q82_weekly_revenue_frame": q82_weekly_revenue_frame,
+    "q83_fuzzy_name_match": q83_fuzzy_name_match,
+    "q84_hourly_pivot_unpivot": q84_hourly_pivot_unpivot,
+    "q85_bitmap_reach": q85_bitmap_reach,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
