@@ -1311,3 +1311,89 @@ SELECT event_type,
          AS n_buckets
 FROM events GROUP BY event_type
 """
+
+ORACLES["q86_nearest_hub_assignment"] = """
+WITH hubs AS (
+  SELECT * FROM (VALUES (0, -120.0, 40.0), (1, -60.0, -20.0), (2, 0.0, 50.0),
+                        (3, 30.0, -10.0), (4, 60.0, 20.0), (5, 100.0, 35.0),
+                        (6, 140.0, -25.0), (7, 170.0, 60.0))
+         AS t(hub_id, h_lon, h_lat)
+),
+pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+),
+scored AS (
+  SELECT c_custkey, hub_id,
+         (lon - h_lon) * (lon - h_lon) + (lat - h_lat) * (lat - h_lat) AS dist2,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY (lon - h_lon) * (lon - h_lon) + (lat - h_lat) * (lat - h_lat),
+                    hub_id) AS rn
+  FROM pts CROSS JOIN hubs
+)
+SELECT hub_id, count(*) AS n_customers, min(c_custkey) AS first_cust
+FROM scored WHERE rn = 1 GROUP BY hub_id
+"""
+
+ORACLES["q87_daily_value_interpolation"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_no
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 3
+),
+observed AS (SELECT day_no, cents FROM daily WHERE day_no % 3 = 0),
+cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+j AS (
+  SELECT cal.day, date_diff('day', DATE '2024-01-01', cal.day) AS day_no, cents
+  FROM cal LEFT JOIN observed ON observed.day_no = date_diff('day', DATE '2024-01-01', cal.day)
+),
+anch AS (
+  SELECT day, day_no, cents,
+         last_value(cents IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN cents IS NOT NULL THEN day_no END IGNORE NULLS)
+           OVER wp AS prev_no,
+         first_value(cents IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN cents IS NOT NULL THEN day_no END IGNORE NULLS)
+           OVER wn AS next_no
+  FROM j
+  WINDOW wp AS (ORDER BY day_no ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY day_no ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       (cents IS NOT NULL) AS observed,
+       round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                  WHEN prev_no IS NULL THEN CAST(next_v AS DOUBLE)
+                  WHEN next_no IS NULL THEN CAST(prev_v AS DOUBLE)
+                  ELSE prev_v + (next_v - prev_v) * (day_no - prev_no)
+                       / (next_no - prev_no)
+             END / 100.0, 2) AS daily_value
+FROM anch
+"""
+
+ORACLES["q88_event_sequence_pattern"] = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, length(seq) AS seq_len,
+       regexp_matches(seq, 'v.*c.*p') AS converted, seq
+FROM seqs
+"""
+
+ORACLES["q89_lateral_topk_per_nation"] = """
+SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""

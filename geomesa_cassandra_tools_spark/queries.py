@@ -2049,6 +2049,153 @@ def q85_bitmap_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed hub points for q86's nearest-neighbor assignment — literal
+#: coordinates only (+/* arithmetic, no trig) so both engines compute
+#: bit-identical distances (see BENCH.md geo notes).
+HUBS: tuple[tuple[int, float, float], ...] = (
+    (0, -120.0, 40.0),
+    (1, -60.0, -20.0),
+    (2, 0.0, 50.0),
+    (3, 30.0, -10.0),
+    (4, 60.0, 20.0),
+    (5, 100.0, 35.0),
+    (6, 140.0, -25.0),
+    (7, 170.0, 60.0),
+)
+
+
+def q86_nearest_hub_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor assignment (the k-means assignment step): every
+    customer point is assigned to its closest of 8 fixed hubs by squared
+    planar distance — argmin folded as `min(struct(dist, hub_id))`, a
+    partial+final hash agg (8-candidate scoring happens map-side against
+    a broadcast literal table; no window sort, no shuffle of the scored
+    cross product). Pure +/* distance keeps both engines bit-identical;
+    tie-break on hub_id is encoded in the struct ordering."""
+    c = load_tables(spark, sf_dir)["customer"]
+    hubs = spark.createDataFrame(list(HUBS), "hub_id int, h_lon double, h_lat double")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    d_lon = F.col("lon") - F.col("h_lon")
+    d_lat = F.col("lat") - F.col("h_lat")
+    best = (
+        pts.join(F.broadcast(hubs))
+        .withColumn("dist2", d_lon * d_lon + d_lat * d_lat)
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("dist2", "hub_id")).alias("best"))
+        .select("c_custkey", F.col("best.hub_id").alias("hub_id"))
+    )
+    return (
+        best.groupBy("hub_id")
+        .agg(F.count("*").alias("n_customers"), F.min("c_custkey").alias("first_cust"))
+    )
+
+
+def q87_daily_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over a gap-filled calendar: daily
+    purchase totals observed only every third day; missing days get
+    prev + (next-prev)·(t-t₀)/(t₁-t₀) from the nearest observations via
+    IGNORE-NULLS running `last`/`first` windows (edges hold the nearest
+    value). Totals carried as integer cents so the anchor values are
+    exact in both engines. The unbounded windows order ~30 calendar rows
+    after pre-aggregation — window input is O(days), not O(events)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .withColumn("day_no", F.datediff("day", F.lit("2024-01-01")))
+    )
+    observed = daily.where(F.col("day_no") % 3 == 0)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("day")
+    ).withColumn("day_no", F.datediff("day", F.lit("2024-01-01")))
+    j = cal.join(observed.select("day_no", "cents"), "day_no", "left")
+    w_prev = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day_no").rowsBetween(0, Window.unboundedFollowing)
+    obs_no = F.when(F.col("cents").isNotNull(), F.col("day_no"))
+    prev_v = F.last("cents", ignorenulls=True).over(w_prev)
+    prev_no = F.last(obs_no, ignorenulls=True).over(w_prev)
+    next_v = F.first("cents", ignorenulls=True).over(w_next)
+    next_no = F.first(obs_no, ignorenulls=True).over(w_next)
+    lerp = prev_v + (next_v - prev_v) * (F.col("day_no") - prev_no) / (
+        next_no - prev_no
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(prev_no.isNull(), next_v.cast("double"))
+        .when(next_no.isNull(), prev_v.cast("double"))
+        .otherwise(lerp)
+    )
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.round(interp / 100.0, 2).alias("daily_value"),
+    )
+
+
+def q88_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern per user: the event-type
+    initials are assembled in strict (ts, event_id) order into one string
+    per user — `array_sort` over collected (ts, event_id, initial) structs
+    makes the ordering explicit and engine-independent — then matched
+    against the regex `v.*c.*p` (a view eventually followed by a click
+    then a purchase). Per-user sequences are short (bounded by per-key
+    activity), so collect_list state stays small; the shuffle is one
+    row per user."""
+    ev = load_tables(spark, sf_dir)["events"]
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("e")), lambda x: x["i"])
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("converted"),
+        "seq",
+    )
+
+
+def q89_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface LATERAL correlated subquery: top-2 customers by balance
+    per nation, written as `nation, LATERAL (... ORDER BY ... LIMIT 2)`.
+    Catalyst decorrelates this into the same windowed top-k physical plan
+    as q09 — the test is that the SQL surface accepts the standard lateral
+    form and produces identical semantics to the explicit rewrite in the
+    oracle."""
+    from geomesa_cassandra_tools_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2135,6 +2282,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_fuzzy_name_match": q83_fuzzy_name_match,
     "q84_hourly_pivot_unpivot": q84_hourly_pivot_unpivot,
     "q85_bitmap_reach": q85_bitmap_reach,
+    "q86_nearest_hub_assignment": q86_nearest_hub_assignment,
+    "q87_daily_value_interpolation": q87_daily_value_interpolation,
+    "q88_event_sequence_pattern": q88_event_sequence_pattern,
+    "q89_lateral_topk_per_nation": q89_lateral_topk_per_nation,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
