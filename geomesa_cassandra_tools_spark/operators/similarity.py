@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geomesa_cassandra_tools_spark.functions.vectors import as_double, cosine, dot
-from geomesa_cassandra_tools_spark.operators.relational import top_k_per_group
+from geomesa_cassandra_tools_spark.operators.relational import (
+    ensure_parallelism,
+    top_k_per_group,
+)
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
@@ -61,6 +64,54 @@ def hyperplane_signature(vec, hyperplanes: list[list[float]]):
     return sig
 
 
+def blas_hyperplane_signatures(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """`hyperplane_signature` computed by BLAS matmul (`mapInPandas`)
+    instead of per-row interpreted folds — the corpus side of LSH is the
+    hot path (every row × every plane), and a matmul is ~100× the
+    expression evaluator.
+
+    Bit-identical to the JVM fold by the candidates→verify argument
+    (see `blas_cosine_topk`): a signature bit only differs if the two
+    summation orders disagree on the SIGN of the dot product, which
+    requires |dot| below float-sum noise — any |dot| < 1e-6 is therefore
+    recomputed with the exact left-to-right sequential sum the JVM fold
+    uses, so borderline rows get the identical sign."""
+    import numpy as np
+    import pandas as pd
+
+    pl = np.array(planes, dtype=np.float64)  # nbits × dim
+    weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = mat @ pl.T  # n × nbits
+            for r, b in zip(*np.where(np.abs(dots) < 1e-6)):
+                acc = 0.0
+                for x, h in zip(mat[r], pl[b]):
+                    acc = acc + float(x) * float(h)
+                dots[r, b] = acc
+            sig = ((dots >= 0) @ weights).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "sig": sig,
+                }
+            )
+
+    return df.mapInPandas(
+        compute, f"{id_col} bigint, {vec_col} array<double>, sig bigint"
+    )
+
+
 def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed LCG; no RNG state)."""
     planes, state = [], seed
@@ -100,8 +151,11 @@ def lsh_cosine_topk(
             *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
         )
         q = q.withColumn("sig", F.explode(probes))
-    c = _prep(corpus, id_col, vec_col, "cand_id", "cv").withColumn(
-        "sig", hyperplane_signature(F.col("cv"), planes)
+    c = blas_hyperplane_signatures(
+        ensure_parallelism(_prep(corpus, id_col, vec_col, "cand_id", "cv")),
+        planes,
+        "cand_id",
+        "cv",
     )
     pairs = (
         F.broadcast(q)
