@@ -1397,3 +1397,50 @@ FROM nation n, LATERAL (
   ORDER BY c_acctbal DESC, c_custkey LIMIT 2
 ) t
 """
+
+ORACLES["q90_salted_hot_key_agg"] = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q91_returned_order_multiset"] = """
+WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+both_keys AS (
+  SELECT l_orderkey, count(*) AS n_both
+  FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM a) GROUP BY l_orderkey
+),
+r_only AS (
+  SELECT l_orderkey, count(*) AS n_r_only
+  FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM a) GROUP BY l_orderkey
+)
+SELECT coalesce(both_keys.l_orderkey, r_only.l_orderkey) AS l_orderkey,
+       coalesce(n_both, 0) AS n_both, coalesce(n_r_only, 0) AS n_r_only
+FROM both_keys FULL OUTER JOIN r_only USING (l_orderkey)
+"""
+
+ORACLES["q92_price_distribution_analytics"] = """
+SELECT o_orderpriority, o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(cume_dist() OVER w, 6) AS cdf,
+       round(first_value(o_totalprice) OVER f, 2) AS cheapest,
+       round(last_value(o_totalprice) OVER f, 2) AS priciest,
+       round(nth_value(o_totalprice, 2) OVER f, 2) AS second_cheapest
+FROM orders WHERE o_custkey % 25 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       f AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLES["q93_recursive_tree_depth"] = """
+WITH RECURSIVE tree(k, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION ALL
+  SELECT c.c_custkey, t.depth + 1
+  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+  WHERE c.c_custkey > 1 AND c.c_custkey < 1024
+)
+SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
+FROM tree GROUP BY depth
+"""

@@ -2196,6 +2196,90 @@ def q89_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: rows first combine
+    under (key, salt) — spreading a hot key over 8 reducers — then the 8
+    partials combine per key. For algebraic aggregates the rewrite is
+    exact; this query keys on event_type (5 hot keys ≪ 32 slots, the
+    classic straggler shape). The salt is a deterministic xxhash64 so
+    reruns are stable (relational.salted_join is the join-side twin)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    salt = (F.xxhash64("event_id") % 8).alias("salt")
+    partial = (
+        ev.select("event_type", salt, F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("c") / 100.0, 2).alias("total_value"))
+    )
+
+
+def q91_returned_order_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set algebra (`intersectAll` / `exceptAll`):
+    order keys shipping as both return-flag R and A lines, with line-count
+    multiplicity retained (bag semantics — q36 is the set-semantics twin).
+    Both operators hash-shuffle on the full row and compare multiplicities
+    per partition — same scale shape as a group-by count."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    r = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = l.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    both = r.intersectAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n_both"))
+    r_only = r.exceptAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n_r_only"))
+    return both.join(r_only, "l_orderkey", "full").na.fill(
+        0, ["n_both", "n_r_only"]
+    )
+
+
+def q92_price_distribution_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery per order-priority: `cume_dist` (empirical
+    CDF position), `first_value`/`last_value`/`nth_value` over the full
+    partition frame. Order key (price, orderkey) is unique so every
+    function is tie-deterministic; partitions sort once and all five
+    functions share that sort."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.where(F.col("o_custkey") % 25 == 0)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.cume_dist().over(w), 6).alias("cdf"),
+            F.round(F.first_value("o_totalprice").over(full), 2).alias("cheapest"),
+            F.round(F.last_value("o_totalprice").over(full), 2).alias("priciest"),
+            F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_cheapest"),
+        )
+    )
+
+
+def q93_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (`WITH RECURSIVE`, Spark 4): walk the implicit binary
+    tree parent(k) = k DIV 2 over customer keys < 1024 and count nodes per
+    depth — the iterative transitive-closure shape (org charts, BOM
+    explosions, graph reachability) executed as repeated self-joins until
+    fixpoint. The engine twin of the pointer-jumping connected-components
+    loop in q58, expressed declaratively."""
+    from geomesa_cassandra_tools_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(k, depth) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.k
+          WHERE c.c_custkey > 1 AND c.c_custkey < 1024
+        )
+        SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2286,6 +2370,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_daily_value_interpolation": q87_daily_value_interpolation,
     "q88_event_sequence_pattern": q88_event_sequence_pattern,
     "q89_lateral_topk_per_nation": q89_lateral_topk_per_nation,
+    "q90_salted_hot_key_agg": q90_salted_hot_key_agg,
+    "q91_returned_order_multiset": q91_returned_order_multiset,
+    "q92_price_distribution_analytics": q92_price_distribution_analytics,
+    "q93_recursive_tree_depth": q93_recursive_tree_depth,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
