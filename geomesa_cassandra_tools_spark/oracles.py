@@ -1444,3 +1444,36 @@ WITH RECURSIVE tree(k, depth) AS (
 SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
 FROM tree GROUP BY depth
 """
+
+ORACLES["q94_bigram_lm_score"] = """
+WITH tl AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+rows_ AS (
+  SELECT doc_id, lang, l[i] AS ctx, l[i] || ' ' || l[i + 1] AS big
+  FROM (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i FROM tl WHERE len(l) >= 2)
+),
+big_counts AS (SELECT big, count(*) AS c_big FROM rows_ GROUP BY big),
+ctx_counts AS (SELECT ctx, count(*) AS c_ctx FROM rows_ GROUP BY ctx),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(l) AS tok FROM tl))
+SELECT doc_id, lang, count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c_big = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare_bigrams,
+       round(avg((c_big + 1) / (c_ctx + v)), 6) AS avg_prob
+FROM rows_ JOIN big_counts USING (big) JOIN ctx_counts USING (ctx)
+CROSS JOIN vocab
+WHERE doc_id % 5 = 0
+GROUP BY doc_id, lang
+"""
+
+ORACLES["q96_union_schema_evolution"] = """
+WITH u AS (
+  SELECT user_id, event_type, round(value, 2) AS value FROM events
+  WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT user_id, event_type, CAST(hour(ts) AS INT) AS hour FROM events
+  WHERE event_id % 2 = 1
+)
+SELECT event_type, count(*) AS n_rows,
+       count(value) AS n_with_value, count(hour) AS n_with_hour,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM u GROUP BY event_type
+"""

@@ -2280,6 +2280,116 @@ def q93_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q94_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring (the LM-based quality filter
+    of an LLM data pipeline): corpus bigram/context counts with add-one
+    smoothing give every token a probability P(w|prev) = (c_big+1)/(c_ctx+V);
+    each doc reports its mean token probability and its rare-bigram (count
+    = 1, i.e. seen only in itself) rate. Scores stay pure rational
+    arithmetic — no ln() — so both engines compute identical doubles
+    (cross-engine libm ulps can differ; see BENCH.md geo notes). Plan:
+    one explode of the bind-once bigram array feeds two count aggs
+    (bigram, context) that join back on their natural keys; the vocab
+    scalar is a broadcast. All shuffles are keyed on uniform text keys —
+    the 100 TB shape of every shingle-family query."""
+    t = load_tables(spark, sf_dir)
+    bigrams = F.element_at(
+        F.transform(
+            F.array(F.split(F.col("text"), " ")),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("ctx"),
+                    F.concat_ws(
+                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                    ).alias("big"),
+                ),
+            ),
+        ),
+        1,
+    )
+    docs = relational.ensure_parallelism(
+        t["documents"].select("doc_id", "lang", "text"), by=["doc_id"]
+    )
+    rows = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    ).select("doc_id", "lang", F.col("bg.ctx").alias("ctx"), F.col("bg.big").alias("big"))
+    big_counts = rows.groupBy("big").agg(F.count("*").alias("c_big"))
+    ctx_counts = rows.groupBy("ctx").agg(F.count("*").alias("c_ctx"))
+    vocab = t["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        rows.join(big_counts, "big")
+        .join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            ((F.col("c_big") + 1) / (F.col("c_ctx") + F.col("v"))).alias("p"),
+            (F.col("c_big") == 1).cast("int").alias("rare"),
+        )
+    )
+    return (
+        scored.where(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("rare").alias("rare_bigrams"),
+            F.round(F.avg("p"), 6).alias("avg_prob"),
+        )
+    )
+
+
+def q95_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches re-aggregated across partitions:
+    per-(type, day) HLL sketches (`hll_sketch_agg`, Apache DataSketches)
+    are UNIONED per type (`hll_union_agg`) — the pre-aggregate-then-merge
+    pattern that makes distinct counts cheap over arbitrary slices of
+    100 TB (daily sketch parquet ≪ raw events; any date range is a union
+    of sketches, never a rescan). Rows-only check like q43: DuckDB's HLL
+    is a different sketch, so there is no cross-engine twin; the unit
+    suite asserts estimate-vs-exact tolerance instead."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_daily_sketches"),
+        )
+    )
+
+
+def q96_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (`unionByName(allowMissingColumns=True)`):
+    an old extract (user_id, event_type, value) and a new extract
+    (user_id, event_type, hour) align by COLUMN NAME with nulls for each
+    side's missing column — the batch analog of a source whose schema
+    widened mid-corpus (the permissive-mode cousin of sources/files.py).
+    Positional union would silently mis-bind; the by-name form is the
+    only safe union at 100 TB where files span schema versions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    old = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", F.hour("ts").alias("hour")
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.count("hour").alias("n_with_hour"),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+            "sum_value"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2374,10 +2484,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_returned_order_multiset": q91_returned_order_multiset,
     "q92_price_distribution_analytics": q92_price_distribution_analytics,
     "q93_recursive_tree_depth": q93_recursive_tree_depth,
+    "q94_bigram_lm_score": q94_bigram_lm_score,
+    "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
+    "q96_union_schema_evolution": q96_union_schema_evolution,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
 #: q43's HLL++ and q78's Greenwald-Khanna sketches have no DuckDB twin.
 NO_ORACLE: frozenset[str] = frozenset(
-    {"q43_approx_distinct_reach", "q78_approx_percentiles"}
+    {
+        "q43_approx_distinct_reach",
+        "q78_approx_percentiles",
+        "q95_hll_sketch_rollup",
+    }
 )

@@ -590,3 +590,31 @@ def test_python_udtf_expands_rows(spark):
     assert [(r["tok"], r["pos"]) for r in rows] == [
         ("scan", 0), ("filter", 1), ("agg", 2),
     ]
+
+
+# ------------------------------------------------------- sketch tolerance
+
+
+def test_hll_sketch_rollup_estimate_tolerance(spark):
+    """q95 has no DuckDB twin (different HLL implementation) — pin the
+    merged-sketch estimate to the exact distinct count instead. lgk=12
+    keeps relative error ~1.6%, so 5% is a stable bound."""
+    from geomesa_cassandra_tools_spark.queries import QUERIES
+    from geomesa_cassandra_tools_spark.sources.tables import load_tables
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q95_hll_sketch_rollup"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_tables(spark, sf)["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05
