@@ -1477,3 +1477,56 @@ SELECT event_type, count(*) AS n_rows,
        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
 FROM u GROUP BY event_type
 """
+
+ORACLES["q97_user_trajectory_length"] = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (event_id * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+),
+legs AS (
+  SELECT user_id,
+         sqrt((lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+              + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)) AS leg
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(leg) AS n_legs,
+       round(sum(leg), 4) AS path_len,
+       round(max(leg), 4) AS longest_leg
+FROM legs GROUP BY user_id
+"""
+
+ORACLES["q98_column_profile"] = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderdate),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+"""

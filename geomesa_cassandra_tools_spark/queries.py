@@ -2390,6 +2390,76 @@ def q96_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_user_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory analytics over a moving-object stream: each event is a
+    point (deterministic pseudo-coords), per-user legs come from a
+    lag-window over (ts, event_id) order, and path length sums the planar
+    leg distances. `sqrt` is IEEE-exact in both engines (unlike trig —
+    BENCH.md geo notes), so the only cross-engine noise is double-sum
+    order, absorbed by the 4dp edge rounding. Scale: one shuffle keyed on
+    user_id; the window sorts within partitions only — the standard
+    GPS-track / AIS pipeline shape."""
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d_lon = F.col("lon") - F.lag("lon").over(w)
+    d_lat = F.col("lat") - F.lag("lat").over(w)
+    legs = pts.select(
+        "user_id", F.sqrt(d_lon * d_lon + d_lat * d_lat).alias("leg")
+    )
+    return legs.groupBy("user_id").agg(
+        F.count("leg").alias("n_legs"),
+        F.round(F.sum("leg"), 4).alias("path_len"),
+        F.round(F.max("leg"), 4).alias("longest_leg"),
+    )
+
+
+def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler: one scan computes null count,
+    distinct count, and min/max for every profiled column, pivoted to a
+    row per column with `stack`. This is the stats-collection pass a
+    catalog runs before CBO; one pass + one tiny stack beats per-column
+    scans N×. Doubles are excluded so min/max stringification is
+    engine-independent; timestamps format through an explicit pattern."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    aggs += [
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("o_orderdate_nulls"),
+        F.countDistinct("o_orderdate").alias("o_orderdate_distinct"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate_min"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate_max"
+        ),
+    ]
+    wide = o.agg(*aggs)
+    all_cols = cols + ["o_orderdate"]
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in all_cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(all_cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2487,6 +2557,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_bigram_lm_score": q94_bigram_lm_score,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
     "q96_union_schema_evolution": q96_union_schema_evolution,
+    "q97_user_trajectory_length": q97_user_trajectory_length,
+    "q98_column_profile": q98_column_profile,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
