@@ -94,6 +94,9 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q23_ttl_surviving_events", # single-row broadcast of max(ts)
         "q27_ivf_topk",             # corpus × 4 broadcast centroids
         "q59_tfidf_top_terms",      # single-row broadcast of count(*) as N
+        "q83_fuzzy_name_match",     # dirty names × broadcast clean dim (candidate gen)
+        "q86_nearest_hub_assignment",  # points × 8 broadcast hub centroids
+        "q94_bigram_lm_score",      # single-row broadcast of vocab size V
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
