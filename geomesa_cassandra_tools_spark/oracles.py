@@ -1530,3 +1530,90 @@ SELECT 'o_orderdate',
        strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
 FROM orders
 """
+
+ORACLES["q99_scd2_event_state"] = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id FROM flagged
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changed
+"""
+
+ORACLES["q100_token_cooccurrence"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents)
+  WHERE length(tok) >= 3
+),
+df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pair_count
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, pair_count,
+       round(nd.n_docs * pair_count / (fa.df * fb.df), 6) AS lift
+FROM pairs
+JOIN df fa ON fa.tok = pairs.tok_a
+JOIN df fb ON fb.tok = pairs.tok_b
+CROSS JOIN nd
+WHERE pair_count >= 5
+"""
+
+ORACLES["q101_event_markov_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_state, next_type AS to_state,
+         count(*) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_state, to_state, n_trans,
+       round(n_trans / sum(n_trans) OVER (PARTITION BY from_state), 6) AS p
+FROM pairs
+"""
+
+ORACLES["q102_copurchase_triangles"] = """
+WITH month AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+),
+lines AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN month m ON l.l_orderkey = m.o_orderkey
+),
+edges AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lines x JOIN lines y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ne AS (SELECT count(*) AS n_edges FROM edges),
+nn AS (SELECT count(*) AS n_nodes FROM
+       (SELECT a AS v FROM edges UNION SELECT b FROM edges))
+SELECT n_triangles, n_edges, n_nodes FROM tri, ne, nn
+"""

@@ -2460,6 +2460,154 @@ def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build: collapse each user's event stream into
+    contiguous validity intervals of their event_type — keep rows where
+    the type changed vs the lag, close each interval with the lead's
+    start. This is the standard dimension-history builder (and the batch
+    twin of CDC compaction). One shuffle keyed on user_id; both windows
+    share the same (user_id, ts, event_id) sort so Spark evaluates them
+    in a single Window exchange. Timestamps leave as ISO strings (open
+    intervals stay NULL) per the cross-engine date-rendering rule."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+    )
+
+
+def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with lift (the log-free core of PMI): distinct
+    (doc, token) pairs self-joined within a document, pair counts scaled
+    by doc frequencies — lift = n_docs·c(a,b)/(c(a)·c(b)). The pair join
+    is keyed on doc_id (co-partitioned with the explode, no second
+    shuffle); at corpus scale the vocabulary must be capped (top-K by
+    document frequency) before pairing — this synthetic vocab is 30
+    tokens, so the cap is a no-op and omitted. Lift is one double divide
+    of exact integers → 6dp rounding is engine-stable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.repartition("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+        )
+        .where(F.length("tok") >= 3)
+        .distinct()
+    )
+    toks.cache()
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    out = (
+        pairs.join(F.broadcast(df.withColumnRenamed("tok", "tok_a")
+                               .withColumnRenamed("df", "df_a")), "tok_a")
+        .join(F.broadcast(df.withColumnRenamed("tok", "tok_b")
+                          .withColumnRenamed("df", "df_b")), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("pair_count") >= 5)
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_count",
+            F.round(
+                F.col("n_docs") * F.col("pair_count") / (F.col("df_a") * F.col("df_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def q101_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lead-window pairs (state, next_state) counted, normalized to
+    probabilities by the from-state total. The classic clickstream /
+    process-mining operator. One shuffle on user_id for the window, one
+    tiny agg on the (from, to) pairs (event_type cardinality is small, so
+    the agg is map-side-partial dominated); probability is one divide of
+    exact counts → 6dp stable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_state"),
+            F.col("next_type").alias("to_state"),
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wtot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wtot), 6).alias("p"),
+    )
+
+
+def q102_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle count over the supplier co-purchase graph (one
+    order-month slice): edges are distinct supplier pairs sharing an
+    order, triangles counted by the canonical a<b<c two-join expansion.
+    The month predicate pushes to the orders scan, bounding the edge set
+    before any shuffle; the edge frame is cached because the triangle
+    expansion reads it three times. At 100 TB the same shape runs
+    per-time-slice (the predicate IS the partition filter) with the
+    wedge join salted on high-degree hubs."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    month = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey")
+    lines = li.join(month, li.l_orderkey == month.o_orderkey).select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        lines.alias("x")
+        .join(lines.alias("y"), "l_orderkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    edges.cache()
+    wedge = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                F.col("e2.b").alias("c"))
+    )
+    e3 = edges.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedge.join(
+        e3, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb"))
+    )
+    n_nodes = edges.select(F.col("a").alias("v")).union(
+        edges.select(F.col("b").alias("v"))
+    ).distinct()
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(n_nodes.agg(F.count("*").alias("n_nodes")))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2559,6 +2707,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_union_schema_evolution": q96_union_schema_evolution,
     "q97_user_trajectory_length": q97_user_trajectory_length,
     "q98_column_profile": q98_column_profile,
+    "q99_scd2_event_state": q99_scd2_event_state,
+    "q100_token_cooccurrence": q100_token_cooccurrence,
+    "q101_event_markov_transitions": q101_event_markov_transitions,
+    "q102_copurchase_triangles": q102_copurchase_triangles,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
