@@ -200,7 +200,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM flagged
 GROUP BY user_id
 """,
@@ -296,7 +296,7 @@ vocab AS (
   FROM (SELECT DISTINCT tok FROM tk)
 )
 SELECT doc_id,
-       sum((tid + 1) * pos) % {FINGERPRINT_MOD} AS fingerprint
+       CAST(sum((tid + 1) * pos) % {FINGERPRINT_MOD} AS BIGINT) AS fingerprint
 FROM tk JOIN vocab USING (tok)
 GROUP BY doc_id
 """,
@@ -621,7 +621,7 @@ WITH ch AS (
   SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS j, text FROM documents
 )
 SELECT doc_id,
-       sum(unicode(ch.text[j]) * pw.p) % {FINGERPRINT_MOD} AS rolling_hash
+       CAST(sum(unicode(ch.text[j]) * pw.p) % {FINGERPRINT_MOD} AS BIGINT) AS rolling_hash
 FROM ch
 JOIN (VALUES {", ".join(f"({i}, {p})" for i, p in rolling_hash_powers(1024))}) AS pw(i, p)
   ON pw.i = ch.j - 1
@@ -648,8 +648,8 @@ WITH d AS (
          len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(ws) AS sum_ws_tokens,
-       sum(bpe) AS sum_bpe_tokens, sum(punct) AS sum_punct
+SELECT source, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens, CAST(sum(punct) AS BIGINT) AS sum_punct
 FROM d GROUP BY source
 """,
 }
@@ -1616,4 +1616,86 @@ ne AS (SELECT count(*) AS n_edges FROM edges),
 nn AS (SELECT count(*) AS n_nodes FROM
        (SELECT a AS v FROM edges UNION SELECT b FROM edges))
 SELECT n_triangles, n_edges, n_nodes FROM tri, ne, nn
+"""
+
+ORACLES["q103_nation_pagerank"] = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+),
+ew AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS frac FROM edges
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT count(*) AS n FROM nation),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+c1 AS (SELECT ew.dst, sum(r0.rank * ew.frac) AS c
+       FROM ew JOIN r0 ON r0.node = ew.src GROUP BY ew.dst),
+r1 AS (SELECT node, 0.15 / nn.n + 0.85 * coalesce(c, 0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node),
+c2 AS (SELECT ew.dst, sum(r1.rank * ew.frac) AS c
+       FROM ew JOIN r1 ON r1.node = ew.src GROUP BY ew.dst),
+r2 AS (SELECT node, 0.15 / nn.n + 0.85 * coalesce(c, 0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node),
+c3 AS (SELECT ew.dst, sum(r2.rank * ew.frac) AS c
+       FROM ew JOIN r2 ON r2.node = ew.src GROUP BY ew.dst),
+r3 AS (SELECT node, 0.15 / nn.n + 0.85 * coalesce(c, 0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = node)
+SELECT n_name, round(rank, 6) AS pagerank
+FROM r3 JOIN nation ON n_nationkey = node
+"""
+
+ORACLES["q104_variant_props"] = """
+WITH shred AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(k) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k,
+       max(k) AS max_k
+FROM shred GROUP BY event_type
+"""
+
+ORACLES["q105_modal_event_type"] = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n_events
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n_events DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, n_events
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["q106_winsorized_price_stats"] = """
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+),
+j AS (
+  SELECT o.o_orderpriority, o.o_totalprice, pct.p05, pct.p95,
+         greatest(pct.p05, least(pct.p95, o.o_totalprice)) AS clipped,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN pct USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(floor((2 * sum(cents) + count(*)) / (2 * count(*))) AS BIGINT)
+         / 100.0 AS mean_raw,
+       round(sum(clipped) / count(*), 4) AS mean_winsor,
+       round(min(p05), 2) AS p05,
+       round(min(p95), 2) AS p95
+FROM j GROUP BY o_orderpriority
 """

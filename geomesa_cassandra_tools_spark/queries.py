@@ -2608,6 +2608,136 @@ def q102_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 iterations) over the trade graph customer-nation
+    → supplier-nation, edge weight = lineitem count. The iterative-algorithm
+    surface: the driver loop re-plans a join+agg per iteration, exactly how
+    GraphX/Pregel-style jobs are phrased over DataFrames. The heavy work is
+    the one-time edge build (orderkey shuffle); each iteration then joins a
+    |V|-row rank frame against a ≤|V|² edge frame — both broadcast-small
+    here, and at web scale the same loop runs as shuffle joins keyed on dst
+    with the rank frame checkpointed per iteration to cut lineage. The
+    out-weight normalization stays exact (integer/integer divide); 6dp edge
+    rounding absorbs cross-engine sum-order ulps."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
+    )
+    ew.cache()
+    nation = t["nation"]
+    n = nation.count()  # 25-row dim; the one deliberate driver scalar
+    d = 0.85
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    rank = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(3):
+        contrib = (
+            ew.join(
+                F.broadcast(rank.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("c"))
+        )
+        rank = (
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - d) / n)
+                    + d * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    names = nation.select(F.col("n_nationkey").alias("node"), "n_name")
+    return rank.join(F.broadcast(names), "node").select(
+        "n_name", F.round("rank", 6).alias("pagerank")
+    )
+
+
+def q104_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): event props parse once
+    into the binary variant encoding, fields shred out with a typed path
+    (`variant_get`) — the open-schema ingestion pattern that replaces
+    per-field `get_json_object` re-parsing (one parse, N typed reads).
+    The mean uses the exact integer-cents… here integer-sum divide (one
+    double op) so no float summation crosses the engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q105_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total tie order (highest count, then
+    lexicographically first type): count-then-rank — the deterministic
+    version of `mode()`, whose tie choice is engine/partition dependent
+    and therefore never hash-comparable. Two shuffles ((user,type) agg,
+    then user window); the window input is already one row per (user,
+    type) so state is tiny."""
+    ev = load_tables(spark, sf_dir)["events"]
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n_events")
+    )
+
+
+def q106_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: exact p05/p95 per priority class, values
+    clipped into [p05, p95], then re-averaged — the outlier-robust stat a
+    data-quality pipeline runs next to the raw mean. Percentiles compute
+    in one grouped pass, broadcast back onto the fact scan (tiny dim —
+    no second wide shuffle). Raw mean uses exact integer-cents half-up
+    division (cross-engine round() differs on .xx5 — q37); the clipped
+    mean sums interpolated doubles, so it rounds at 4dp where sum-order
+    noise (~1e-7 relative) cannot reach."""
+    o = load_tables(spark, sf_dir)["orders"]
+    pct = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    j = o.join(F.broadcast(pct), "o_orderpriority")
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("o_totalprice")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.floor(
+                (2 * F.sum(cents) + F.count(F.lit(1))) / (2 * F.count(F.lit(1)))
+            ).cast("bigint")
+            / 100.0
+        ).alias("mean_raw"),
+        F.round(F.sum(clipped) / F.count(F.lit(1)), 4).alias("mean_winsor"),
+        F.round(F.min("p05"), 2).alias("p05"),
+        F.round(F.min("p95"), 2).alias("p95"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2711,6 +2841,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_token_cooccurrence": q100_token_cooccurrence,
     "q101_event_markov_transitions": q101_event_markov_transitions,
     "q102_copurchase_triangles": q102_copurchase_triangles,
+    "q103_nation_pagerank": q103_nation_pagerank,
+    "q104_variant_props": q104_variant_props,
+    "q105_modal_event_type": q105_modal_event_type,
+    "q106_winsorized_price_stats": q106_winsorized_price_stats,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

@@ -57,6 +57,18 @@ def assert_matches_oracle(spark, query_fn, oracle_sql: str, sf_dir: str, name: s
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    # int-on-one-side / float-on-the-other skew (e.g. DuckDB HUGEINT sums
+    # rendering as float64) would survive the lenient float canon below but
+    # can flip a stricter stringified hash — fail it here.
+    for c in oracle_pdf.columns:
+        s_int = str(spark_pdf[c].dtype).startswith("int")
+        o_int = str(oracle_pdf[c].dtype).startswith("int")
+        s_float = str(spark_pdf[c].dtype).startswith("float")
+        o_float = str(oracle_pdf[c].dtype).startswith("float")
+        assert not (s_int and o_float) and not (s_float and o_int), (
+            f"{name}.{c}: dtype skew spark={spark_pdf[c].dtype} "
+            f"oracle={oracle_pdf[c].dtype} — cast the oracle side"
+        )
     s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
     if s_rows != o_rows:
         diffs = [
