@@ -1699,3 +1699,86 @@ SELECT o_orderpriority,
        round(min(p95), 2) AS p95
 FROM j GROUP BY o_orderpriority
 """
+
+ORACLES["q107_rolling_weekly_users"] = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+spine AS (SELECT DISTINCT d AS day FROM daily),
+scattered AS (
+  SELECT s.day, dl.user_id
+  FROM (
+    SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+             ::DATE AS day,
+           user_id
+    FROM daily
+  ) dl
+  JOIN spine s USING (day)
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM scattered GROUP BY day),
+dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM daily GROUP BY d)
+SELECT strftime(wau.day, '%Y-%m-%d') AS day, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM wau JOIN dau USING (day)
+"""
+
+ORACLES["q108_fk_integrity_audit"] = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_check,
+       (SELECT count(*) FROM lineitem) AS n_checked,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+ORACLES["q109_timed_view_purchase_funnel"] = """
+WITH marked AS (
+  SELECT ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_purchase_ts
+  FROM events
+),
+views AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN next_purchase_ts IS NOT NULL
+               AND next_purchase_ts <= ts + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS converted
+  FROM marked WHERE event_type = 'view'
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(*) AS n_views,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS cvr
+FROM views GROUP BY day
+"""
+
+ORACLES["q110_nation_revenue_share"] = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       rev_cents / 100.0 AS revenue,
+       round(rev_cents / sum(rev_cents) OVER (PARTITION BY r_name), 6)
+         AS region_share
+FROM per_nation
+"""

@@ -2738,6 +2738,155 @@ def q106_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_rolling_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (the DAU/WAU board metric). COUNT
+    DISTINCT cannot live in a window frame, so each (day, user) fact
+    *scatters* into the 7 report days it contributes to (sequence +
+    explode) and a plain distinct-agg lands per report day — an
+    equi-shuffle on the day key instead of the naive spine×facts range
+    join (which would be a broadcast nested loop scanning every fact 7×
+    without an index). Report days clip to the observed spine so the
+    trailing horizon doesn't invent days with partial windows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    daily.cache()
+    spine = daily.select(F.col("d").alias("day")).distinct()
+    scattered = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    ).join(spine, "day", "left_semi")
+    wau = scattered.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = daily.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        wau.join(dau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: anti-join violation counts for each
+    declared FK edge, one result row per check — the data-quality gate a
+    pipeline runs before publishing a snapshot. Anti joins broadcast the
+    key-only dim side; each check is an independent scan so the three
+    union branches parallelize as separate stages."""
+    t = load_tables(spark, sf_dir)
+    checks = [
+        (
+            "lineitem.l_orderkey -> orders",
+            t["lineitem"].select(F.col("l_orderkey").alias("k")),
+            t["orders"].select(F.col("o_orderkey").alias("k")),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            t["orders"].select(F.col("o_custkey").alias("k")),
+            t["customer"].select(F.col("c_custkey").alias("k")),
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            t["customer"].select(F.col("c_nationkey").alias("k")),
+            t["nation"].select(F.col("n_nationkey").alias("k")),
+        ),
+    ]
+    frames = []
+    for name, fact, dim in checks:
+        viol = fact.join(dim, "k", "left_anti")
+        frames.append(
+            fact.agg(F.count("*").alias("n_checked")).crossJoin(
+                viol.agg(F.count("*").alias("n_violations"))
+            ).select(F.lit(name).alias("fk_check"), "n_checked", "n_violations")
+        )
+    return relational.union_all(frames)
+
+
+def q109_timed_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: a view converts iff the same user
+    purchases within 1 hour. The forward-looking "next purchase at or
+    after me" is a min-over-forward-frame window (conditional min, rows
+    1 FOLLOWING → unbounded) — one shuffle on user_id, no self-join, no
+    state blowup; this is the scalable phrasing of event-to-event
+    attribution. Conversion rate is one divide of exact counts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = (
+        ev.withColumn("next_purchase_ts", next_purchase)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.to_date("ts").alias("day"),
+            (
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.col("next_purchase_ts")
+                    <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+                )
+            ).cast("int").alias("converted"),
+        )
+    )
+    return views.groupBy("day").agg(
+        F.count("*").alias("n_views"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("cvr"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_views",
+        "n_converted",
+        "cvr",
+    )
+
+
+def q110_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order revenue
+    — grouped cents-exact sums, then a partition-window total for the
+    denominator (no second aggregation pass, no self-join). Money stays
+    integer cents until the single share divide (q37 rule), so the only
+    float op is one division of exact longs → 6dp stable."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    reg = t["region"].select("r_regionkey", "r_name")
+    o = t["orders"].select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_nation = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wreg = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("rev_cents") / F.sum("rev_cents").over(wreg), 6
+        ).alias("region_share"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2845,6 +2994,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_variant_props": q104_variant_props,
     "q105_modal_event_type": q105_modal_event_type,
     "q106_winsorized_price_stats": q106_winsorized_price_stats,
+    "q107_rolling_weekly_users": q107_rolling_weekly_users,
+    "q108_fk_integrity_audit": q108_fk_integrity_audit,
+    "q109_timed_view_purchase_funnel": q109_timed_view_purchase_funnel,
+    "q110_nation_revenue_share": q110_nation_revenue_share,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

@@ -58,3 +58,17 @@ def read_json_records(
         .option("multiLine", str(multiline).lower())
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — the second columnar interchange format warehouses hand
+    us besides parquet. Spark's native vectorized ORC reader supports the
+    same predicate pushdown / column pruning / partition discovery as
+    parquet, so downstream operators are format-agnostic; schema comes
+    from the ORC footer (self-describing, unlike text formats)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write (zlib default codec) — round-trip partner of `read_orc`."""
+    df.write.mode(mode).orc(path)

@@ -527,6 +527,29 @@ def test_read_json_records_schema_declared(spark, tmp_path):
     assert {(r["name"], r["port"]) for r in df.collect()} == {("n1", 22), ("n2", 2222)}
 
 
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC source: write/read round trip preserves schema + values, and
+    the vectorized ORC scan takes filter pushdown like parquet (the
+    format-agnostic contract sources/files.py promises)."""
+    from geomesa_cassandra_tools_spark.sources import files
+
+    path = str(tmp_path / "orc_tbl")
+    src = spark.range(100).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS STRING) AS label"
+    )
+    files.write_orc(src, path)
+    back = files.read_orc(spark, path)
+    # nullability is not round-tripped (ORC footers carry no not-null bit)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
+    assert back.count() == 100
+    filtered = back.where(F.col("grp") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "grp" in plan
+    assert filtered.count() == 14  # ids 3,10,...,94
+
+
 # ------------------------------------------------------- WKT ring parsing
 
 
@@ -590,6 +613,28 @@ def test_python_udtf_expands_rows(spark):
     assert [(r["tok"], r["pos"]) for r in rows] == [
         ("scan", 0), ("filter", 1), ("agg", 2),
     ]
+
+
+def test_map_in_arrow_batches(spark):
+    """mapInArrow — the zero-copy sibling of mapInPandas: the UDF sees raw
+    Arrow RecordBatches (no pandas conversion), the right surface when the
+    Python side is itself Arrow-native (tokenizers, Lance/Vortex readers,
+    DataFusion). Pins batch-shape semantics: schema maps 1:1 and row order
+    within a partition is preserved."""
+    import pyarrow as pa
+
+    def double_vals(batches):
+        for batch in batches:
+            arr = batch.column(0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.compute.multiply(arr, 2)], names=["doubled"]
+            )
+
+    df = spark.range(1000).repartition(4)
+    out = df.mapInArrow(double_vals, "doubled bigint")
+    assert sorted(r.doubled for r in out.collect()) == sorted(
+        2 * i for i in range(1000)
+    )
 
 
 # ------------------------------------------------------- sketch tolerance
