@@ -1782,3 +1782,73 @@ SELECT r_name, n_name,
          AS region_share
 FROM per_nation
 """
+
+ORACLES["q111_weighted_sample_stats"] = """
+WITH marked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN ((o_orderkey % 1000003) * 1103515245 + 12345) % 10000
+              < least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000,
+                      10000)
+              THEN 1 ELSE 0 END AS s
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_total,
+       CAST(sum(s) AS BIGINT) AS n_sampled,
+       CAST(sum(s * cents) AS BIGINT) / 100.0 AS sampled_value,
+       round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS sample_rate
+FROM marked GROUP BY o_orderpriority
+"""
+
+ORACLES["q112_acctbal_zscore"] = """
+WITH scored AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         (c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+           / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS z
+  FROM customer
+)
+SELECT c_custkey, n_name,
+       round(c_acctbal, 2) AS acctbal,
+       round(z, 4) AS zscore
+FROM scored JOIN nation ON c_nationkey = n_nationkey
+WHERE abs(z) > 1.5
+"""
+
+ORACLES["q113_retention_cohorts"] = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', cohort_wk, wk) // 7 AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY cohort_wk, week_offset
+"""
+
+ORACLES["q114_session_paths"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessioned GROUP BY user_id, sess_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path HAVING count(*) >= 5
+"""

@@ -2887,6 +2887,118 @@ def q110_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: an order is
+    kept iff its LCG hash bucket (q61's constants, 10k buckets) falls
+    under its price-proportional inclusion threshold — reproducible
+    value-weighted sampling with zero coordination (no sort, no
+    reservoir, no global state), the way a pipeline downsamples 100 TB
+    to a value-biased audit slice. The threshold is exact integer cents
+    DIV, so membership is bit-identical across engines. One conditional
+    agg computes sampled vs population per priority class."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = (
+        (F.col("o_orderkey") % 1_000_003) * 1_103_515_245 + 12_345
+    ) % 10_000
+    thresh = F.least(F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div 5000"
+    ), F.lit(10_000))
+    sampled = (bucket < thresh).cast("int")
+    return o.select(
+        "o_orderpriority", sampled.alias("s"), cents.alias("cents")
+    ).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.sum("s").alias("n_sampled"),
+        (F.sum(F.col("s") * F.col("cents")) / 100.0).alias("sampled_value"),
+        F.round(
+            F.sum("s").cast("double") / F.count("*"), 6
+        ).alias("sample_rate"),
+    )
+
+
+def q112_acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling step of a
+    training pipeline) via window mean/stddev per nation — one shuffle
+    keyed on the group, no separate stats pass + re-join. Output keeps
+    only |z| > 1.5 outliers (uniform-ish data caps |z| at √3≈1.73) so the result is the audit slice, not a copy
+    of the input. 4dp rounding absorbs the cross-engine variance
+    algorithm difference (~1e-12 relative)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    w = Window.partitionBy("c_nationkey")
+    mu = F.avg("c_acctbal").over(w)
+    sd = F.stddev_samp("c_acctbal").over(w)
+    z = (F.col("c_acctbal") - mu) / sd
+    nat = t["nation"].select("n_nationkey", "n_name")
+    return (
+        cust.withColumn("z", z)
+        .where(F.abs(F.col("z")) > 1.5)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("z", 4).alias("zscore"),
+        )
+    )
+
+
+def q113_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users cohorted by first-seen week,
+    activity counted per (cohort_week, weeks_since) cell — the standard
+    retention triangle. Two shuffles: min-per-user (cohort assignment,
+    re-joined onto the activity facts by user) and the cell aggregation.
+    Week offsets stay exact integer day arithmetic DIV 7."""
+    ev = load_tables(spark, sf_dir)["events"]
+    weekly = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cells = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr("div(datediff(wk, cohort_wk), 7)").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+    )
+
+
+def q114_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys: gap-sessionize (30 min), serialize each
+    session's ordered event types with listagg WITHIN GROUP (ordered,
+    deterministic — raw collect_list order is partition luck), count
+    identical paths. The path-mining shape behind funnel discovery.
+    Both shuffles key on user_id (window, then (user, session) agg
+    co-partitions); the final path count is a tiny agg."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.expr(
+            "listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2998,6 +3110,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_fk_integrity_audit": q108_fk_integrity_audit,
     "q109_timed_view_purchase_funnel": q109_timed_view_purchase_funnel,
     "q110_nation_revenue_share": q110_nation_revenue_share,
+    "q111_weighted_sample_stats": q111_weighted_sample_stats,
+    "q112_acctbal_zscore": q112_acctbal_zscore,
+    "q113_retention_cohorts": q113_retention_cohorts,
+    "q114_session_paths": q114_session_paths,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
