@@ -1852,3 +1852,56 @@ paths AS (
 SELECT path, count(*) AS n_sessions
 FROM paths GROUP BY path HAVING count(*) >= 5
 """
+
+ORACLES["q115_latest_event_per_user"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) - 1 AS n_superseded
+  FROM events
+)
+SELECT user_id, event_type AS last_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(n_superseded AS BIGINT) AS n_superseded
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["q116_table_checksum_shards"] = """
+WITH digests AS (
+  SELECT o_orderkey % 16 AS shard,
+         (o_orderkey * 2654435761
+          + o_custkey * 40503
+          + ascii(o_orderstatus) * 97
+          + CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+         ) % 1000000007 AS h
+  FROM orders
+)
+SELECT shard, CAST(bit_xor(h) AS BIGINT) AS checksum, count(*) AS n_rows
+FROM digests GROUP BY shard
+"""
+
+ORACLES["q117_cosine_similarity_histogram"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+),
+pairs AS (
+  SELECT round(
+           list_sum(list_transform(range(1, len(q.e) + 1),
+                                   i -> q.e[i] * c.e[i]))
+             / (q.nrm * c.nrm), 6) AS cos
+  FROM n q JOIN n c ON c.vec_id = q.vec_id + 97
+),
+binned AS (
+  SELECT CAST(least(greatest(floor((cos + 1.0) / 0.1), 0), 19) AS INT)
+           AS bin,
+         cos
+  FROM pairs
+)
+SELECT bin, count(*) AS n_pairs, round(avg(cos), 6) AS mean_cos
+FROM binned GROUP BY bin
+"""

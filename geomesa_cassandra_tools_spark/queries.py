@@ -2999,6 +2999,99 @@ def q114_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: reduce an append-only event log to the
+    newest record per key (row_number DESC = 1) plus the count it
+    supersedes — the upsert-materialization every snapshot publisher
+    runs. One shuffle on the key; at scale this is the natural
+    pre-bucketed layout (bucketBy user_id) so compaction is shuffle-free.
+    The deterministic tiebreak is (ts, event_id) — never rely on file
+    order for "latest"."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_superseded",
+            F.count("*").over(Window.partitionBy("user_id")) - 1,
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_superseded",
+        )
+    )
+
+
+def q116_table_checksum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table checksum: a per-shard XOR fold of a
+    deterministic per-row integer digest — the merkle-leaf primitive
+    behind replica comparison/repair (the reference's operational world:
+    compare table contents across rings without moving rows). XOR is
+    commutative, so the fold is partition-order independent and
+    map-side-combinable; 16 shards keyed by orderkey let two sides
+    localize a divergence to a shard before row-level diff. The digest is
+    pure int64 arithmetic (LCG mixing, ascii/prefix codes for enums) —
+    identical in any engine, no string-format dependence."""
+    o = load_tables(spark, sf_dir)["orders"]
+    digest = (
+        (
+            F.col("o_orderkey") * F.lit(2654435761)
+            + F.col("o_custkey") * F.lit(40503)
+            + F.ascii("o_orderstatus") * F.lit(97)
+            + F.substring("o_orderpriority", 1, 1).cast("bigint")
+        )
+        % F.lit(1_000_000_007)
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % 16).alias("shard"),
+            digest.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.expr("bit_xor(h)").alias("checksum"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q117_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-distribution profile: cosine over a deterministic
+    fixed-offset pair sample (id, id+97), folded into 20 equal-width
+    bins on [-1, 1] — the corpus-health histogram a dedup pipeline reads
+    before choosing thresholds (where does the near-dup mass start?).
+    The pair join is a self equi-join on a computed key (no quadratic
+    blowup: |pairs| = |corpus|); cosine is rounded to 6dp BEFORE binning
+    so bin membership can't flip on an ulp."""
+    from geomesa_cassandra_tools_spark.functions import vectors as V
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    b = emb.select(
+        (F.col("vec_id") - 97).alias("qid"), F.col("e").alias("ce"),
+        F.col("vec_id").alias("cid"),
+    )
+    pairs = a.join(b, "qid")
+    cosr = F.round(V.cosine(F.col("qe"), F.col("ce")), 6)
+    binned = pairs.select(
+        F.least(
+            F.greatest(F.floor((cosr + 1.0) / 0.1), F.lit(0)), F.lit(19)
+        ).cast("int").alias("bin"),
+        cosr.alias("cos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3114,6 +3207,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_acctbal_zscore": q112_acctbal_zscore,
     "q113_retention_cohorts": q113_retention_cohorts,
     "q114_session_paths": q114_session_paths,
+    "q115_latest_event_per_user": q115_latest_event_per_user,
+    "q116_table_checksum_shards": q116_table_checksum_shards,
+    "q117_cosine_similarity_histogram": q117_cosine_similarity_histogram,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
