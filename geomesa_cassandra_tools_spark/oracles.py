@@ -1905,3 +1905,47 @@ binned AS (
 SELECT bin, count(*) AS n_pairs, round(avg(cos), 6) AS mean_cos
 FROM binned GROUP BY bin
 """
+
+ORACLES["q118_stream_static_enrichment"] = """
+SELECT date_trunc('day', ts) AS win_start, n_name,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+ORACLES["q119_nearest_view_to_purchase"] = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view
+  FROM events
+),
+p AS (
+  -- elapsed-seconds floor over exact integer micros; date_diff would
+  -- count boundary CROSSINGS and disagree with Spark's timestampdiff
+  -- on fractional-second timestamps
+  SELECT *,
+         (epoch_us(ts) - epoch_us(prev_view)) // 1000000 AS back_gap,
+         (epoch_us(next_view) - epoch_us(ts)) // 1000000 AS fwd_gap,
+         (next_view IS NULL
+          OR (prev_view IS NOT NULL
+              AND (epoch_us(ts) - epoch_us(prev_view)) // 1000000
+                  <= (epoch_us(next_view) - epoch_us(ts)) // 1000000))
+           AS use_prev
+  FROM marked
+  WHERE event_type = 'purchase'
+    AND (prev_view IS NOT NULL OR next_view IS NOT NULL)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN use_prev THEN 'backward' ELSE 'forward' END AS direction,
+       CAST(CASE WHEN use_prev THEN back_gap ELSE fwd_gap END AS BIGINT)
+         AS gap_sec
+FROM p
+"""

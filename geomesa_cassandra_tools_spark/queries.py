@@ -3092,6 +3092,72 @@ def q117_cosine_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q118_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins a
+    static dimension (user → nation via customer) BEFORE the watermarked
+    daily window agg — the canonical streaming-ETL shape (dimension
+    lookup per micro-batch, no state for the join side; only the window
+    agg is stateful). The static side re-resolves per micro-batch, which
+    at scale is exactly how slowly-refreshing dims piggyback on a
+    running query. Oracle = the batch equivalent of the same plan, per
+    the unified-API contract (q32's pattern)."""
+    t = load_tables(spark, sf_dir)
+    ev = stream_events(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    dim = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("user_id", "n_name")
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = stream_win.tumbling_counts(
+        enriched, width="1 day", watermark="2 hours", group_extra=("n_name",)
+    )
+    name = stream_win.run_availablenow(agg, "static_enrich")
+    return spark.table(name).withColumn(
+        "win_start", F.col("win_start").cast("timestamp_ntz")
+    )
+
+
+def q119_nearest_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (both directions): each purchase pairs with the
+    CLOSEST view by the same user, backward or forward — the sensor/
+    trade-alignment semantics plain backward as-of (q21/q52) can't
+    express. One window pass builds both candidates (conditional max
+    over preceding, conditional min over following) — no self-join, no
+    range explosion; ties break to the earlier (backward) side.
+    Timestamp deltas stay integer seconds."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    p = (
+        ev.withColumn("prev_view", prev_view)
+        .withColumn("next_view", next_view)
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("prev_view").isNotNull() | F.col("next_view").isNotNull())
+    )
+    back = F.expr("timestampdiff(SECOND, prev_view, ts)")
+    fwd = F.expr("timestampdiff(SECOND, ts, next_view)")
+    use_prev = F.col("next_view").isNull() | (
+        F.col("prev_view").isNotNull() & (back <= fwd)
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(use_prev, F.lit("backward")).otherwise(F.lit("forward")).alias(
+            "direction"
+        ),
+        F.when(use_prev, back).otherwise(fwd).cast("bigint").alias("gap_sec"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3210,6 +3276,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_latest_event_per_user": q115_latest_event_per_user,
     "q116_table_checksum_shards": q116_table_checksum_shards,
     "q117_cosine_similarity_histogram": q117_cosine_similarity_histogram,
+    "q118_stream_static_enrichment": q118_stream_static_enrichment,
+    "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
