@@ -1949,3 +1949,36 @@ SELECT event_id, user_id,
          AS gap_sec
 FROM p
 """
+
+ORACLES["q120_nation_summary_jsonl"] = """
+WITH per AS (
+  SELECT n_name,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name AS nation,
+       to_json(struct_pack(nation := n_name,
+                           n_orders := n_orders,
+                           total_cents := total_cents))::VARCHAR AS record_json
+FROM per
+"""
+
+ORACLES["q121_digit_token_stats"] = """
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(regexp_extract_all(text, '[0-9]+'),
+                         x -> length(x) <= 9)) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_digits,
+       CAST(sum(n_tokens) AS BIGINT) AS total_digit_tokens
+FROM per_doc GROUP BY source
+"""

@@ -3158,6 +3158,68 @@ def q119_nearest_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q120_nation_summary_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-surface: aggregate → typed struct → canonical JSON line
+    (`to_json`), the hand-off format for downstream non-SQL consumers
+    (feature stores, queues). Fields are ints/strings only — float
+    stringification is engine-specific, so a JSON export contract that
+    must be reproducible pins floats to ints (cents) first. Compact
+    separators match across engines (verified), making even the
+    serialized bytes hash-comparable."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    per = (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+    return per.select(
+        F.col("n_name").alias("nation"),
+        F.to_json(
+            F.struct(
+                F.col("n_name").alias("nation"),
+                F.col("n_orders"),
+                F.col("total_cents"),
+            )
+        ).alias("record_json"),
+    )
+
+
+def q121_digit_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all surface: pull every integer literal out of the
+    document text in one vectorized pass (no explode-then-filter of all
+    tokens), then profile them per source. The all-matches extractor is
+    the log-mining workhorse (sizes, latencies, ids embedded in text).
+    Tokens are capped at 9 digits before the bigint cast so overflow
+    cannot differ across engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    nums = docs.select(
+        "source",
+        F.filter(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]+")),
+            lambda x: F.length(x) <= 9,
+        ).alias("toks"),
+    )
+    per_doc = nums.select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") > 0).cast("int").alias("has_digits"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("has_digits").alias("n_docs_with_digits"),
+        F.sum("n_tokens").alias("total_digit_tokens"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3278,6 +3340,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_cosine_similarity_histogram": q117_cosine_similarity_histogram,
     "q118_stream_static_enrichment": q118_stream_static_enrichment,
     "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
+    "q120_nation_summary_jsonl": q120_nation_summary_jsonl,
+    "q121_digit_token_stats": q121_digit_token_stats,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):

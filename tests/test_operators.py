@@ -663,3 +663,41 @@ def test_hll_sketch_rollup_estimate_tolerance(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.05
+
+
+# ------------------------------------------------------ empty-input edges
+
+
+def test_dedup_operators_on_empty_input(spark):
+    """Empty partitions are routine at 100 TB (a filter can zero out a
+    whole date range) — dedup/minhash/cc must degrade to empty results,
+    not throw."""
+    from pyspark.sql import functions as F
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sh = dedup.shingle_sets(empty_docs)
+    assert sh.count() == 0
+    assert dedup.exact_dedup(empty_docs, ["text"]).count() == 0
+    empty_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.connected_components(empty_pairs).count() == 0
+
+
+def test_geo_filters_on_empty_input(spark):
+    empty = spark.createDataFrame([], "lon double, lat double")
+    out = geo.bbox_filter(
+        empty, "lon", "lat", lon_min=0.0, lon_max=1.0, lat_min=0.0, lat_max=1.0
+    )
+    assert out.count() == 0
+
+
+def test_joins_asof_on_empty_sides(spark):
+    from geomesa_cassandra_tools_spark.operators import joins
+
+    left = spark.createDataFrame([], "k bigint, ts bigint, pid string")
+    right = spark.createDataFrame([(1, 100, "v1")], "k bigint, ts bigint, vid string")
+    out = joins.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["vid"]
+    )
+    assert out.count() == 0
