@@ -701,3 +701,55 @@ def test_joins_asof_on_empty_sides(spark):
         left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["vid"]
     )
     assert out.count() == 0
+
+
+# --------------------------------------------- token-ring connector (DSv2)
+
+
+def _ring_fixture(tmp_path, n=40):
+    p = tmp_path / "ring.jsonl"
+    with open(p, "w") as fh:
+        for i in range(n):
+            fh.write(json.dumps({"pk": f"k{i}", "col": f"c{i % 3}", "val": i}) + "\n")
+    return str(p)
+
+
+def test_tokenring_source_full_scan_partitions(spark, tmp_path):
+    """Full-table read through the Python Data Source: every row comes
+    back exactly once, split across one task per token range."""
+    from geomesa_cassandra_tools_spark.sources import ring
+
+    path = _ring_fixture(tmp_path)
+    df = ring.read_ring(spark, path, ranges=4)
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 40
+    assert {r["pk"] for r in rows} == {f"k{i}" for i in range(40)}
+    # ranges partition the ring: no row appears in two partitions
+    sizes = df.rdd.glom().map(len).collect()
+    assert sum(sizes) == 40
+
+
+def test_tokenring_pushdown_prunes_to_owning_range(spark, tmp_path):
+    """EqualTo(pk) reaches the connector and prunes the scan to the one
+    token range owning that key — observable both in the result and in
+    the planned partition count (reader-level contract)."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+    from geomesa_cassandra_tools_spark.sources import ring
+
+    path = _ring_fixture(tmp_path)
+    df = ring.read_ring(spark, path, ranges=8).where(F.col("pk") == "k7")
+    got = df.collect()
+    assert len(got) == 1 and got[0]["val"] == 7
+    # fresh relation per query (read_ring contract): a full scan after the
+    # filtered one must see every row again
+    assert ring.read_ring(spark, path, ranges=8).count() == 40
+
+    schema = StructType.fromDDL("pk string, col string, val bigint")
+    rdr = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    leftover = list(rdr.pushFilters([EqualTo(("pk",), "k7")]))
+    assert leftover == []
+    parts = rdr.partitions()
+    assert len(parts) == 1
+    assert parts[0].lo <= ring.token_of("k7") < parts[0].hi
