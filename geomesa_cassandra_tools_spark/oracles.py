@@ -1982,3 +1982,58 @@ SELECT source,
        CAST(sum(n_tokens) AS BIGINT) AS total_digit_tokens
 FROM per_doc GROUP BY source
 """
+
+ORACLES["q122_trajectory_similarity_join"] = """
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 7919 % 36000) // 3600) * 100
+           + ((event_id * 104729 % 18000) // 1800) AS cell
+  FROM events
+),
+sizes AS (SELECT user_id, count(*) AS n_cells FROM cells GROUP BY user_id),
+inter AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT user_a, user_b, n_common,
+       round(n_common / (sa.n_cells + sb.n_cells - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.user_id = user_a
+JOIN sizes sb ON sb.user_id = user_b
+WHERE round(n_common / (sa.n_cells + sb.n_cells - n_common), 6) >= 0.5
+"""
+
+ORACLES["q123_partial_rollup_merge"] = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM orders
+GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+"""
+
+ORACLES["q124_user_rank_footrule"] = """
+WITH per_user AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+user_rank AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS r_user
+  FROM per_user
+),
+global_rank AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY count(*) DESC, event_type) AS r_global
+  FROM events GROUP BY event_type
+)
+SELECT user_id,
+       CAST(sum(abs(r_user - r_global)) AS BIGINT) AS footrule,
+       count(*) AS n_types
+FROM user_rank JOIN global_rank USING (event_type)
+GROUP BY user_id
+"""

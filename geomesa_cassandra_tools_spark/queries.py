@@ -3220,6 +3220,124 @@ def q121_digit_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity join (REPOSE-style, relationalized — see
+    PAPERS.md): each user's movement becomes the SET of grid cells
+    visited (coarse z-cell of the q97 pseudo-track), candidate pairs
+    come from an inverted cell→users index (only users sharing a cell
+    ever meet — never the all-pairs product), and similarity is exact
+    cell-set Jaccard with a 0.5 threshold. |∩| arrives from the
+    candidate join itself; |∪| = |A|+|B|−|∩| needs only per-user set
+    sizes — no array materialization. This is the scalable shape for
+    "find objects that move alike": index, co-group, verify."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.select(
+        "user_id",
+        (
+            (F.col("event_id") * 7919 % 36000).cast("bigint") / 3600
+        ).cast("bigint").alias("cx"),
+        (
+            (F.col("event_id") * 104729 % 18000).cast("bigint") / 1800
+        ).cast("bigint").alias("cy"),
+    ).select(
+        "user_id", (F.col("cx") * 100 + F.col("cy")).alias("cell")
+    ).distinct()
+    cells.cache()
+    sizes = cells.groupBy("user_id").agg(F.count("*").alias("n_cells"))
+    inter = (
+        cells.alias("a")
+        .join(cells.alias("b"), "cell")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def q123_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: per-day PARTIAL aggregates (count,
+    cents-sum — the algebraic state an hourly job persists) merged into
+    the monthly rollup by re-aggregation. The merge is exactly the
+    map-side-combine algebra Spark runs internally; materializing it as
+    data proves the pipeline can maintain rollups incrementally instead
+    of rescanning history. The oracle computes the month DIRECTLY from
+    rows — equality is the IVM correctness statement."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("pc"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("ps"),
+    )
+    monthly = daily.groupBy(
+        F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_orderpriority",
+    ).agg(
+        F.sum("pc").alias("n_orders"),
+        (F.sum("ps") / 100.0).alias("revenue"),
+    )
+    return monthly
+
+
+def q124_user_rank_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-similarity analytics (top-k rankings joins, PAPERS.md):
+    each user ranks event types by activity; the Spearman footrule
+    distance Σ|rank_user − rank_global| scores how far each user's
+    behavior deviates from the corpus-wide ranking. Ranks are integers
+    (dense row_number over (count DESC, type) — total order, no
+    tie-luck), so the distance is exact; the global ranking is a 5-row
+    broadcast. Output: per-user footrule + how many types they share
+    with the global top set."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    wu = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    user_rank = per_user.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("r_user")
+    )
+    global_rank = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "event_type"))
+            .alias("r_global"),
+        )
+    )
+    return (
+        user_rank.join(F.broadcast(global_rank), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.abs(F.col("r_user") - F.col("r_global"))).alias("footrule"),
+            F.count("*").alias("n_types"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3342,6 +3460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q120_nation_summary_jsonl": q120_nation_summary_jsonl,
     "q121_digit_token_stats": q121_digit_token_stats,
+    "q122_trajectory_similarity_join": q122_trajectory_similarity_join,
+    "q123_partial_rollup_merge": q123_partial_rollup_merge,
+    "q124_user_rank_footrule": q124_user_rank_footrule,
 }
 
 #: Queries with no SQL oracle (the driver records rows-only checks):
