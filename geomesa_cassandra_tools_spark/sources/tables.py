@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -98,6 +98,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # Watermarks reject TIMESTAMP_NTZ; with the session pinned to UTC
+        # above, this cast maps each naive timestamp to the same wall-clock
+        # instant, so windows/oracles see identical values.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
