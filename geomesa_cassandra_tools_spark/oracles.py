@@ -57,12 +57,18 @@ _SHINGLES_CTE = """
   sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM shx)
 """
 
-_VOCAB_CTE = """
-  vocab AS (
-    SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
-    FROM (SELECT DISTINCT shingle FROM sh)
-  ),
-  sid AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle))
+def _hashed_tid_sql(col: str) -> str:
+    """Mirror of operators/dedup.py::hashed_tid: top 60 bits of md5 (15 hex
+    chars, parsed by a left fold) reduced mod MINHASH_PRIME."""
+    return (
+        f"list_reduce(list_transform(string_split_regex(substr(md5({col}), 1, 15), ''),"
+        f" x -> strpos('0123456789abcdef', x) - 1), (a, b) -> a * 16 + b)"
+        f" % {MINHASH_PRIME}"
+    )
+
+
+_VOCAB_CTE = f"""
+  sid AS (SELECT doc_id, {_hashed_tid_sql('shingle')} AS tid FROM sh)
 """
 
 
@@ -290,14 +296,10 @@ WITH tk AS (
          unnest(string_split(text, ' ')) AS tok,
          unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
   FROM documents
-),
-vocab AS (
-  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tid
-  FROM (SELECT DISTINCT tok FROM tk)
 )
 SELECT doc_id,
-       CAST(sum((tid + 1) * pos) % {FINGERPRINT_MOD} AS BIGINT) AS fingerprint
-FROM tk JOIN vocab USING (tok)
+       CAST(sum(({_hashed_tid_sql('tok')} + 1) * pos) % {FINGERPRINT_MOD} AS BIGINT) AS fingerprint
+FROM tk
 GROUP BY doc_id
 """,
     "q19_cosine_topk": """

@@ -274,23 +274,20 @@ def q14_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (16 hashes) — deterministic modular
-    arithmetic over sorted-rank shingle ids (oracle-exact; xxhash64 swap at
-    scale, see operators/dedup.py)."""
+    arithmetic over per-row md5 shingle ids (operators/dedup.py::hashed_tid;
+    no vocabulary build, no global sort — the 100 TB default path)."""
     t = load_tables(spark, sf_dir)
-    # cached: consumed by both the vocabulary build and the signature agg
-    sh = dedup.shingle_sets(t["documents"]).cache()
-    vocab = dedup.shingle_vocabulary(sh)
-    return dedup.minhash_signatures(sh, vocab, k=16)
+    sh = dedup.shingle_sets(t["documents"])
+    return dedup.minhash_signatures(sh, k=16)
 
 
 def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: 8 bands × 2 rows candidate generation, exact
     Jaccard verification of candidates only."""
     t = load_tables(spark, sf_dir)
-    # cached: vocabulary + signatures + exact-Jaccard verify all branch here
+    # cached: signatures + exact-Jaccard verify both branch here
     sh = dedup.shingle_sets(t["documents"]).cache()
-    vocab = dedup.shingle_vocabulary(sh)
-    sigs = dedup.minhash_signatures(sh, vocab, k=16).cache()
+    sigs = dedup.minhash_signatures(sh, k=16).cache()
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     return dedup.jaccard_pairs(sh, candidates=cands).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -300,9 +297,8 @@ def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash over shingle hashes (majority-vote bits)."""
     t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"]).cache()
-    vocab = dedup.shingle_vocabulary(sh)
-    return dedup.simhash(sh, vocab, bits=16)
+    sh = dedup.shingle_sets(t["documents"])
+    return dedup.simhash(sh, bits=16)
 
 
 # ------------------------------------------------------------ text analysis
@@ -336,19 +332,17 @@ def q17_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial fingerprint per doc over token-id stream.
 
-    sum((tid+1)*(pos+1)) mod P — at 100 TB keep the running mod per term
-    (here total-then-mod is exact in int64 for corpus-sized docs)."""
+    sum((tid+1)*(pos+1)) mod P with tid = per-row md5 token id
+    (operators/dedup.py::hashed_tid) — a pure scan + per-doc partial agg:
+    no vocabulary, no join, no global sort. At 100 TB keep the running mod
+    per term (here total-then-mod is exact in int64 for corpus-sized
+    docs)."""
     t = load_tables(spark, sf_dir)
     toks = relational.ensure_parallelism(
         t["documents"].select("doc_id", "text"), by=["doc_id"]
     ).select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"))
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("bigint") - 1)
-    )
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.select("doc_id", "pos", dedup.hashed_tid(F.col("tok")).alias("tid"))
         .groupBy("doc_id")
         .agg(
             (
@@ -1174,8 +1168,7 @@ def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are evidence, clusters are the decision."""
     t = load_tables(spark, sf_dir)
     sh = dedup.shingle_sets(t["documents"]).cache()
-    vocab = dedup.shingle_vocabulary(sh)
-    sigs = dedup.minhash_signatures(sh, vocab, k=16)
+    sigs = dedup.minhash_signatures(sh, k=16)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     pairs = dedup.jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= 0.1)
     comp = dedup.connected_components(pairs)

@@ -320,6 +320,58 @@ def test_dedup_idempotent(spark):
     assert sorted(r["k"] for r in twice.collect()) == ["a", "b"]
 
 
+def test_hashed_tid_matches_python_md5(spark):
+    import hashlib
+
+    rows = spark.createDataFrame([("alpha beta g",), ("x",), ("",)], "s string")
+    got = {
+        r["s"]: r["tid"]
+        for r in rows.select("s", dedup.hashed_tid(F.col("s")).alias("tid")).collect()
+    }
+    for s, tid in got.items():
+        want = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dedup.MINHASH_PRIME
+        assert tid == want, (s, tid, want)
+
+
+def test_hashed_and_rank_vocab_pipelines_find_same_verified_pairs(spark, sf_smoke):
+    """Pipeline equivalence of the two vocabulary paths: signatures differ
+    (different tids) but the END result — LSH candidates that survive exact
+    Jaccard verification — must agree on real near-dups. Exact Jaccard is
+    vocab-independent, so any disagreement would be a candidate-recall
+    artifact; on the test corpus both paths must surface the identical
+    verified pair set."""
+    from geomesa_cassandra_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sh = dedup.shingle_sets(docs).cache()
+
+    def verified(vocab):
+        sigs = dedup.minhash_signatures(sh, vocab, k=16)
+        cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+        pairs = dedup.jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= 0.3)
+        return {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+    hashed = verified(None)
+    ranked = verified(dedup.shingle_vocabulary(sh))
+    sh.unpersist()
+    assert hashed == ranked
+    assert hashed, "expected at least one verified near-dup pair in the corpus"
+
+
+def test_hashed_minhash_plan_has_no_global_sort(spark, sf_smoke):
+    """The default dedup path must contain no unpartitioned window/sort:
+    no Exchange SinglePartition anywhere in the physical plan."""
+    from geomesa_cassandra_tools_spark.plans.inspect import explain_str
+    from geomesa_cassandra_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sigs = dedup.minhash_signatures(dedup.shingle_sets(docs), k=16)
+    plan = explain_str(sigs, "formatted")
+    # (the doc_id-partitioned lead window from shingle_sets is fine; what
+    # must never appear is a single-partition exchange — the global sort)
+    assert "SinglePartition" not in plan, plan
+
+
 # ------------------------------------------------- property-based (driver)
 
 from hypothesis import given, settings
