@@ -110,3 +110,72 @@ def union_all(frames: Sequence[DataFrame]) -> DataFrame:
 def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
     """Projection + distinct (list_sfts shape, /root/reference/geomesa.py:39-43)."""
     return df.select(*cols).distinct()
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact dense global row-number over ``order_by`` WITHOUT a
+    single-partition sort — the scalable total-ordering pattern:
+
+    1. ``repartitionByRange`` on the order key (sampled range boundaries,
+       the same exchange a distributed sort uses),
+    2. one tiny counting pass → cumulative partition offsets (≤ #partitions
+       longs on the driver),
+    3. per-partition ``row_number`` (window partitioned by the range
+       partition id — a balanced hash exchange, never SinglePartition)
+       plus the partition's offset.
+
+    The repartitioned frame is materialized once (``localCheckpoint``) so
+    the counting pass and the rank pass see identical range boundaries; on
+    a cluster use ``checkpoint`` on reliable storage instead. Returns
+    (frame + rank_col, total_rows) — callers get n for free from the
+    offsets, e.g. for percent_rank/ntile arithmetic.
+
+    ``order_by`` must be a deterministic total order (include a tiebreaker
+    key) or ranks within ties are partition-placement-dependent.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_by]
+    rp = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in rp.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = rp.withColumn(
+        rank_col,
+        (F.row_number().over(w) + mapping[F.col("__pid")]).cast("bigint"),
+    ).drop("__pid")
+    return ranked, acc
+
+
+def ntile_from_rank(rank: Column, n: int, buckets: int) -> Column:
+    """Exact ``ntile(buckets)`` computed from a global row number and the
+    total row count — SQL ntile semantics: the first n mod buckets tiles
+    get one extra row. Lets ntile ride on ``global_rank`` instead of a
+    single-partition window."""
+    base, rem = divmod(n, buckets)
+    threshold = rem * (base + 1)
+    first = F.floor((rank - 1) / (base + 1)) + 1
+    if base == 0:
+        return first.cast("int")
+    rest = F.lit(rem) + F.floor((rank - 1 - threshold) / base) + 1
+    return F.when(rank <= threshold, first).otherwise(rest).cast("int")

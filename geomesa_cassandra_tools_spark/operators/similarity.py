@@ -208,7 +208,17 @@ def blas_cosine_topk(
     import pandas as pd
 
     q_prep = _prep(queries, id_col, vec_col, "query_id", "qv")
-    q_rows = q_prep.collect()
+    # PRECONDITION: the query side must be driver-sized (a kNN probe set,
+    # never the corpus). Enforced, not assumed — a caller passing the
+    # corpus as queries gets an immediate error instead of a driver OOM.
+    max_queries = 65536
+    q_rows = q_prep.limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"blas_cosine_topk: query side exceeds {max_queries} rows; "
+            "it must be a bounded probe set — swap sides or use "
+            "cosine_pairs_above/lsh_cosine_topk for corpus-vs-corpus work"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -253,57 +263,144 @@ def cosine_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All (a, b) pairs with cosine >= threshold — embedding-based near-dup
-    detection, the vector twin of text MinHash dedup.
+    detection, the vector twin of text MinHash dedup. EXACT (recall 1.0)
+    and fully distributed: the corpus is never collected to the driver.
 
-    Block nested-loop with BLAS scoring: the reference side is a broadcast
-    numpy matrix, each partition multiplies its Arrow batch against it
-    (`mapInPandas`) and emits only above-threshold pairs — a 64-dim dot
-    through a matrix multiply is ~100× the throughput of per-row expression
-    evaluation (higher-order fns are interpreted, not codegen'd). The
-    broadcast side bounds n: at 100 TB generate candidates with
-    `lsh_cosine_topk`'s hyperplane buckets or `ivf_topk`'s partitions and
-    keep this as the verify-within-candidates stage — the same
-    candidates→verify shape as MinHash-LSH (operators/dedup.py).
+    Shape: a metric block join with triangle-inequality pruning.
+
+    1. **Assign** every vector to its nearest of ``n_blocks`` deterministic
+       seed centroids (the first ``n_blocks`` corpus vectors, unit-
+       normalized) — one BLAS `mapInPandas` pass over the scan.
+    2. **Prune block pairs**: for unit vectors x in block i, y in block j,
+       cos(x, y) = x̂·ŷ ≤ ĉi·ĉj + ri + rj + ri·rj where r is the block's
+       max distance to its centroid — so block pairs whose bound falls
+       below the threshold provably contain no qualifying pair and are
+       dropped before any row is crossed. Only O(n_blocks) aggregated
+       values (the radii) ever reach the driver.
+    3. **Verify** surviving block pairs with cogrouped BLAS
+       (`applyInPandas`): each (i, j) group multiplies block i against
+       block j and emits only above-threshold pairs.
+
+    Why not hyperplane LSH for stage 2: banded LSH recall is < 1 by
+    construction, and a threshold join's qualifying pairs concentrate AT
+    the threshold — the exact contract would silently break. The bound
+    above is exact; on clusterable corpora (the near-dup use case) most of
+    the O(B²) block grid prunes away, and in the worst case the operator
+    degrades to a distributed block nested-loop, which is the exact
+    lower bound anyway. At 100 TB raise ``n_blocks`` ~ √(corpus/5e5) so
+    blocks stay executor-sized, and persist the assignment instead of
+    recomputing it per consumer.
 
     Float note: BLAS summation order differs from a sequential fold by ~1
-    ulp; emitted `cos` is stable to well past 6 decimals but not bit-exact
-    vs a scalar-fold engine.
+    ulp; any entry within 1e-9 of the threshold is recomputed with the
+    exact left-to-right sequential fold, so boundary decisions match a
+    scalar-fold engine bit-for-bit.
     """
     import numpy as np
     import pandas as pd
 
-    from geomesa_cassandra_tools_spark.operators.relational import ensure_parallelism
-
     spark = corpus.sparkSession
     prep = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    ref = prep.collect()
-    ids = np.array([r["id"] for r in ref], dtype=np.int64)
-    mat = np.array([r["v"] for r in ref], dtype=np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
 
-    def score(batches):
-        ids_all, m_all, n_all = bc.value
+    # Seed centroids: first n_blocks vectors by id — a bounded top-m probe
+    # (n_blocks rows), NOT a corpus collect.
+    seed_rows = prep.orderBy("id").limit(n_blocks).collect()
+    cmat = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
+    bc_cent = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        cent = bc_cent.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            bids = pdf["id"].to_numpy(dtype=np.int64)
-            block = np.array(list(pdf["v"]), dtype=np.float64)
-            bn = np.sqrt((block * block).sum(axis=1))
-            sims = (block @ m_all.T) / np.outer(bn, n_all)
-            mask = (sims >= threshold) & (bids[:, None] < ids_all[None, :])
-            ai, bi = np.nonzero(mask)
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            unit_dots = (mat / nrm[:, None]) @ cent.T
+            best = unit_dots.max(axis=1)
             yield pd.DataFrame(
-                {"vec_a": bids[ai], "vec_b": ids_all[bi], "cos": sims[ai, bi]}
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "v": pdf["v"],
+                    "nrm": nrm,
+                    "cid": unit_dots.argmax(axis=1).astype(np.int32),
+                    "rad": np.sqrt(np.maximum(0.0, 2.0 - 2.0 * best)),
+                }
             )
 
-    # one python worker per ~512-row block: enough blocks to spread across
-    # executors, few enough that worker spin-up doesn't dominate small n.
-    blocks = max(1, min(spark.sparkContext.defaultParallelism, len(ids) // 512))
-    return ensure_parallelism(prep, min_parts=blocks).mapInPandas(
-        score, "vec_a bigint, vec_b bigint, cos double"
+    def make_assigned() -> DataFrame:
+        # Fresh plan per consumer: cogrouped applyInPandas rejects two sides
+        # sharing attribute ids (self-join ambiguity), and at scale the
+        # assignment would be persisted once anyway instead of re-derived.
+        return ensure_parallelism(prep).mapInPandas(
+            assign, "id bigint, v array<double>, nrm double, cid int, rad double"
+        )
+
+    # Block radii: n_blocks aggregated doubles — the only other driver data.
+    radii = {
+        r["cid"]: r["r"]
+        for r in make_assigned().groupBy("cid").agg(F.max("rad").alias("r")).collect()
+    }
+    cdots = cmat @ cmat.T
+    eps = 1e-9
+    pair_rows = [
+        (int(i), int(j))
+        for i in radii
+        for j in radii
+        if i <= j
+        and cdots[i, j] + radii[i] + radii[j] + radii[i] * radii[j] + eps >= threshold
+    ]
+    def make_side(pair_col: str) -> DataFrame:
+        rows = make_assigned()
+        pairs = spark.createDataFrame(pair_rows, "ci int, cj int")
+        return rows.join(F.broadcast(pairs), rows["cid"] == pairs[pair_col]).select(
+            "ci", "cj", "id", "v", "nrm"
+        )
+
+    left = make_side("ci")
+    right = make_side("cj")
+
+    def seq_cos(a, b, na, nb):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc / (na * nb)
+
+    def verify(key, lpdf, rpdf):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        lids = lpdf["id"].to_numpy(dtype=np.int64)
+        rids = rpdf["id"].to_numpy(dtype=np.int64)
+        lmat = np.array(list(lpdf["v"]), dtype=np.float64)
+        rmat = np.array(list(rpdf["v"]), dtype=np.float64)
+        sims = (lmat @ rmat.T) / np.outer(
+            lpdf["nrm"].to_numpy(), rpdf["nrm"].to_numpy()
+        )
+        for a, b in zip(*np.where(np.abs(sims - threshold) < 1e-9)):
+            sims[a, b] = seq_cos(lmat[a], rmat[b], lpdf["nrm"].iat[a], rpdf["nrm"].iat[b])
+        if key[0] == key[1]:
+            mask = (sims >= threshold) & (lids[:, None] < rids[None, :])
+        else:
+            mask = sims >= threshold
+        ai, bi = np.nonzero(mask)
+        va, vb = lids[ai], rids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos": sims[ai, bi],
+            }
+        )
+
+    return (
+        left.groupBy("ci", "cj")
+        .cogroup(right.groupBy("ci", "cj"))
+        .applyInPandas(verify, "vec_a bigint, vec_b bigint, cos double")
     )
 
 

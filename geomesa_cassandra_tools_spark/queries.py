@@ -814,26 +814,35 @@ def q40_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q41_rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin–Karp rolling hash over each document's character stream:
-    sum(char_code * B^pos) mod P. The modpow table is a tiny broadcast dim
-    (functions/text.py::rolling_hash_powers — shared verbatim with the
-    oracle's VALUES list); per-term products stay < 2^63, the final mod is
-    exact. At 100 TB this is a pure scan + one broadcast join + per-doc
-    partial agg — no wide shuffle beyond the doc_id combine."""
+    sum(char_code * B^pos) mod P, positions capped at 1024 (the shared
+    modpow table length — functions/text.py::rolling_hash_powers, verbatim
+    in the oracle's VALUES list).
+
+    Computed per document inside an Arrow-batched ``mapInPandas``: O(doc)
+    work with NO row blowup — the previous character-level posexplode
+    multiplied the corpus ~70× before re-aggregating, which is exactly the
+    intermediate that explodes at 100 TB. One scan, one narrow map, no
+    shuffle at all (doc_id is already unique per row)."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
-    powers = spark.createDataFrame(T.rolling_hash_powers(1024), "pos int, pw bigint")
-    chars = (
-        relational.ensure_parallelism(t["documents"].select("doc_id", "text"), by=["doc_id"])
-        .select("doc_id", F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch"))
-        .where(F.col("ch") != "")
+    pw = np.array([p for _, p in T.rolling_hash_powers(1024)], dtype=np.int64)
+    mod = T.FINGERPRINT_MOD
+
+    def rolling(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf["text"]):
+                n = min(len(txt), len(pw))
+                codes = np.fromiter(map(ord, txt[:n]), dtype=np.int64, count=n)
+                out[i] = int((codes * pw[:n]).sum() % mod)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rolling_hash": out})
+
+    docs = relational.ensure_parallelism(
+        t["documents"].select("doc_id", "text").where(F.length("text") > 0)
     )
-    return (
-        chars.join(F.broadcast(powers), "pos")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum(F.ascii(F.col("ch")).cast("bigint") * F.col("pw")) % T.FINGERPRINT_MOD)
-            .alias("rolling_hash")
-        )
-    )
+    return docs.mapInPandas(rolling, "doc_id bigint, rolling_hash bigint")
 
 
 def q42_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,17 +1572,23 @@ def q69_hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q70_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking windows beyond row_number: ntile deciles + percent_rank
-    over order totals, profiled per decile. One global window (orderBy
-    without partitionBy) — fine here because the windowed relation is the
-    pre-aggregated orders table; at 100 TB you'd decile per partition key
-    or use approx quantiles instead (q54 covers exact percentiles)."""
+    """Ranking windows beyond row_number: exact ntile deciles +
+    percent_rank over order totals, profiled per decile — computed from
+    ``global_rank`` (range-partition + partition offsets, the distributed
+    total-ordering pattern) instead of an unpartitioned window, so no
+    single task ever sorts the whole table. percent_rank = (rank-1)/(n-1)
+    and ntile ride on the same rank for free; semantics are identical to
+    the SQL window forms because (o_totalprice, o_orderkey) is a total
+    order."""
     t = load_tables(spark, sf_dir)
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    ranked = t["orders"].select(
+    ranked, n = relational.global_rank(
+        t["orders"].select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    ranked = ranked.select(
         "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
+        relational.ntile_from_rank(F.col("rank"), n, 10).alias("decile"),
+        ((F.col("rank") - 1) / max(n - 1, 1)).alias("pr"),
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_orders"),
@@ -2414,43 +2429,39 @@ def q97_user_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profiler: one scan computes null count,
-    distinct count, and min/max for every profiled column, pivoted to a
-    row per column with `stack`. This is the stats-collection pass a
-    catalog runs before CBO; one pass + one tiny stack beats per-column
-    scans N×. Doubles are excluded so min/max stringification is
-    engine-independent; timestamps format through an explicit pattern."""
+    """ANALYZE-style column profiler: null count, EXACT distinct count, and
+    min/max per profiled column, one output row per column.
+
+    Plan shape: one per-column aggregate per profiled column, unioned.
+    Fusing several exact countDistincts into a single agg makes Catalyst
+    Expand-multiply the scan by (n_distincts + 1) — at 100 TB that is a 5×
+    read amplification. Per-column passes instead prune the parquet scan to
+    exactly one column each (total bytes touched = one full-width scan) and
+    each single-distinct agg plans as an ordinary two-phase partial
+    aggregation with NO Expand. A profiler that tolerates error should use
+    approx_count_distinct and fuse everything into one pass; this one's
+    contract is exact."""
     o = load_tables(spark, sf_dir)["orders"]
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
-            F.countDistinct(c).alias(f"{c}_distinct"),
-            F.min(c).cast("string").alias(f"{c}_min"),
-            F.max(c).cast("string").alias(f"{c}_max"),
-        ]
-    aggs += [
-        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("o_orderdate_nulls"),
-        F.countDistinct("o_orderdate").alias("o_orderdate_distinct"),
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-            "o_orderdate_min"
-        ),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
-            "o_orderdate_max"
-        ),
-    ]
-    wide = o.agg(*aggs)
-    all_cols = cols + ["o_orderdate"]
-    stack_args = ", ".join(
-        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in all_cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(all_cols)}, {stack_args}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value)"
-        )
-    )
+
+    def profile(c: str, value_fmt) -> DataFrame:
+        return o.select(c).agg(
+            F.lit(c).alias("column_name"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            value_fmt(F.min(c)).alias("min_value"),
+            value_fmt(F.max(c)).alias("max_value"),
+        ).select("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
+
+    as_str = lambda col: col.cast("string")
+    as_date = lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    parts = [
+        profile(c, as_str)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ] + [profile("o_orderdate", as_date)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def q99_scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -518,6 +518,30 @@ def test_blas_topk_equals_brute_force(spark):
     assert b == s
 
 
+def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
+    """The block-pair bound must prune: two tight antipodal clusters can
+    never produce a cross-cluster pair above a positive threshold, so the
+    verify stage must see no cross-cluster (mixed-parity id) pair — while
+    within-cluster pairs (cos ~ 1) are all found."""
+    import random
+
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(8)]
+    rows = []
+    for i in range(40):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [sign * (x + rnd.uniform(-0.01, 0.01)) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.cosine_pairs_above(df, 0.5, n_blocks=4).collect()
+    assert out, "expected within-cluster pairs"
+    for r in out:
+        assert r["vec_a"] % 2 == r["vec_b"] % 2, r
+    # every same-parity pair qualifies: 2 * C(20,2) = 380
+    assert len(out) == 380, len(out)
+
+
 # --------------------------------------------------------------- skew salting
 
 def test_salted_join_equals_plain_join(spark):
