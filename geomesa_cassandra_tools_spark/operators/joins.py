@@ -39,15 +39,24 @@ def asof_join(
     ordering column beforehand).
     """
     on = list(on)
-    side = F.lit(1)
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", side)
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    # ROW ATOMICITY: right columns travel as ONE struct so the window's
+    # last(ignorenulls) can never stitch values from different right rows
+    # (per-column fill would, whenever a right column holds NULLs), and so
+    # matched-ness probes the struct itself — a matched row whose right
+    # columns are all legitimately NULL still survives an inner join.
+    from pyspark.sql import types as T
+
+    rstruct_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__rvals", F.lit(None).cast(rstruct_type))
+    )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rvals"),
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
@@ -61,16 +70,13 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
-    out = filled.where(F.col("__side") == 1).drop("__ts", "__side")
+    filled = unioned.withColumn("__rvals", F.last(F.col("__rvals"), ignorenulls=True).over(w))
+    out = filled.where(F.col("__side") == 1)
     if how == "inner":
-        probe = f"{right_cols[0]}{suffix}"
-        out = out.where(F.col(probe).isNotNull())
-    return out
+        out = out.where(F.col("__rvals").isNotNull())
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("__rvals").getField(c))
+    return out.drop("__ts", "__side", "__rvals")
 
 
 def range_join(

@@ -47,6 +47,83 @@ def ttl_expire(df: DataFrame, ts_col: str, ttl_seconds: int, now_ts) -> DataFram
     return df.where(F.col(ts_col) >= cutoff)
 
 
+#: Per-table maintenance properties — the engine's row-store analog of
+#: `ALTER TABLE … WITH default_time_to_live / gc_grace_seconds`. Kept as a
+#: (tiny, always-broadcastable) DataFrame so maintenance jobs can join it.
+PROPERTIES_SCHEMA = "keyspace string, table string, property string, value bigint"
+
+GC_GRACE_PROPERTY = "gc_grace_seconds"
+TTL_PROPERTY = "default_time_to_live"
+
+
+def set_table_property(
+    spark: SparkSession,
+    props: DataFrame | None,
+    keyspace: str,
+    table: str,
+    prop: str,
+    value: int,
+) -> DataFrame:
+    """Upsert one `(keyspace, table, property) → value` row — the analog of
+    one `ALTER TABLE … WITH <property> = <value>` statement
+    (/root/reference/geomesa_cassandra.py:273-275, :288-290). Immutable
+    frame in, immutable frame out; the caller persists."""
+    row = spark.createDataFrame([(keyspace, table, prop, int(value))], PROPERTIES_SCHEMA)
+    if props is None:
+        return row
+    kept = props.where(
+        ~(
+            (F.col("keyspace") == keyspace)
+            & (F.col("table") == table)
+            & (F.col("property") == prop)
+        )
+    )
+    return kept.unionByName(row)
+
+
+def set_schema_gc_grace(
+    spark: SparkSession,
+    catalog: GeoCatalog,
+    props: DataFrame | None,
+    keyspace: str,
+    cat_name: str,
+    sft: str,
+    gc_grace_seconds: int,
+) -> tuple[DataFrame, DataFrame]:
+    """`change_gc_grace_seconds` (/root/reference/geomesa_cassandra.py:276-286):
+    resolve the SFT's physical tables from the catalog, then set the
+    retention property on each. The reference loops `ALTER TABLE` per table
+    over the wire; here each becomes a property upsert plus an audit row.
+    Returns (updated properties frame, audit frame)."""
+    run = MaintenanceRun(spark)
+    tables = [r["table"] for r in catalog.find_schema_tables(keyspace, cat_name, sft).collect()]
+    run._log(0, "", "identify_schema_tables", f"found={len(tables)}")
+    for t in tables:
+        props = set_table_property(spark, props, keyspace, t, GC_GRACE_PROPERTY, gc_grace_seconds)
+        run._log(1, t, "set_gc_grace_seconds", str(gc_grace_seconds))
+    if props is None:
+        props = spark.createDataFrame([], PROPERTIES_SCHEMA)
+    return props, run.audit_df()
+
+
+def vacuum_tombstones(
+    df: DataFrame, deleted_ts_col: str, gc_grace_seconds: int, now_ts
+) -> DataFrame:
+    """The job that HONORS gc_grace: Cassandra keeps tombstones for
+    gc_grace_seconds (so lagging replicas can repair) and purges them at the
+    next compaction after the grace expires. The platform analog is
+    soft-delete + vacuum: rows carry a nullable ``deleted_ts`` column;
+    readers filter `deleted_ts IS NULL`; this vacuum pass physically drops
+    rows whose tombstone is older than the grace cutoff and KEEPS both live
+    rows and recent tombstones (still within their repair window).
+
+    The predicate is a pure column expression — partition-prunable when the
+    table is date-partitioned on the tombstone column, so at 100 TB the
+    vacuum rewrites only partitions old enough to contain eligible rows."""
+    cutoff = F.lit(now_ts) - F.make_interval(secs=F.lit(gc_grace_seconds))
+    return df.where(F.col(deleted_ts_col).isNull() | (F.col(deleted_ts_col) >= cutoff))
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> tuple[int, int]:

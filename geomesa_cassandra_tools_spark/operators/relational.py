@@ -8,6 +8,7 @@ gates, and scatter-gather union flatten.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 from typing import Sequence
 
@@ -15,10 +16,63 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: (session id, input-file tuple) → estimated scan partition count, so the
+#: per-query floor never repeats the file stat pass for the same scan.
+_SCAN_PARTS_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate the frame's scan parallelism WITHOUT converting the plan to
+    an RDD (``df.rdd.getNumPartitions()`` forces a full logical→RDD
+    translation per call — measurable on the query-construction hot path).
+
+    Local file scans: ceil(total bytes / spark.sql.files.maxPartitionBytes),
+    the same arithmetic FilePartition planning uses (modulo small-file
+    coalescing — an over-estimate never triggers a spurious repartition of a
+    big scan, which is the failure mode that matters). Non-local or fileless
+    plans (in-memory test frames): the file count, so a thousand-split remote
+    dataset is already "parallel enough" and a literal frame estimates 1."""
+    try:
+        files = tuple(df.inputFiles())
+    except Exception:
+        return 1
+    if not files:
+        return 1
+    key = (id(df.sparkSession), files)
+    cached = _SCAN_PARTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            if path.startswith("//"):  # file:///p → ///p → /p
+                path = path[2:]
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                total = -1
+                break
+        else:
+            total = -1  # remote store — can't stat cheaply from the driver
+            break
+    if total < 0:
+        est = len(files)
+    else:
+        try:
+            raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+            max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        except Exception:
+            max_bytes = 128 * 1024 * 1024
+        est = max(1, -(-total // max_bytes))
+    _SCAN_PARTS_CACHE[key] = est
+    return est
+
+
 def ensure_parallelism(
     df: DataFrame, min_parts: int | None = None, by: Sequence[str] | None = None
 ) -> DataFrame:
-    """Repartition IF the frame has fewer partitions than the cluster has
+    """Repartition IF the frame's scan is narrower than the cluster has
     slots. Small single-file scans otherwise serialize every
     expression-heavy downstream op onto one core; at real scale (thousands
     of input splits) this is a no-op, so it's safe to leave in the path.
@@ -28,7 +82,7 @@ def ensure_parallelism(
     reuse the partitioning (sort only, no second shuffle of the much larger
     post-explode frame)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _estimated_scan_partitions(df) < target:
         if by:
             return df.repartition(target, *[F.col(c) for c in by])
         return df.repartition(target)
@@ -117,6 +171,7 @@ def global_rank(
     order_by: Sequence[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, int]:
     """Exact dense global row-number over ``order_by`` WITHOUT a
     single-partition sort — the scalable total-ordering pattern:
@@ -129,9 +184,13 @@ def global_rank(
        partition id — a balanced hash exchange, never SinglePartition)
        plus the partition's offset.
 
-    The repartitioned frame is materialized once (``localCheckpoint``) so
-    the counting pass and the rank pass see identical range boundaries; on
-    a cluster use ``checkpoint`` on reliable storage instead. Returns
+    The repartitioned frame is materialized once so the counting pass and
+    the rank pass see identical range boundaries. ``reliable=False``
+    (default, right for local mode) uses ``localCheckpoint`` — blocks live
+    on executor local storage, so an executor loss mid-job fails the query;
+    on a real cluster pass ``reliable=True`` to write the cut to the
+    configured reliable checkpoint dir (``sc.setCheckpointDir`` to
+    HDFS/object storage first) and survive executor churn. Returns
     (frame + rank_col, total_rows) — callers get n for free from the
     offsets, e.g. for percent_rank/ntile arithmetic.
 
@@ -145,8 +204,8 @@ def global_rank(
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    rp = rp.checkpoint(eager=True) if reliable else rp.localCheckpoint(eager=True)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in rp.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

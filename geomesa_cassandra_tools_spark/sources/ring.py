@@ -74,18 +74,28 @@ class TokenRingReader(DataSourceReader):
         self._pk_equals = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("pk",):
+                # claimed filters are a CONJUNCTION: Spark never re-checks
+                # them post-scan, so every claimed EqualTo must hold on
+                # every emitted row. Claiming several distinct values is
+                # fine — their AND is unsatisfiable and partitions()
+                # plans zero scans.
                 self._pk_equals.append(str(f.value))
             else:
                 yield f  # unsupported → Spark evaluates it after the scan
 
     def partitions(self) -> Sequence[InputPartition]:
+        distinct = set(self._pk_equals)
+        if len(distinct) > 1:
+            # pk='a' AND pk='b' — contradictory conjunction, no row can
+            # satisfy it; plan no scan tasks at all
+            return []
         width = RING_SIZE // self.ranges
         bounds = [
             (i * width, RING_SIZE if i == self.ranges - 1 else (i + 1) * width)
             for i in range(self.ranges)
         ]
-        if self._pk_equals:
-            owned = {min(token_of(v) // width, self.ranges - 1) for v in self._pk_equals}
+        if distinct:
+            owned = {min(token_of(v) // width, self.ranges - 1) for v in distinct}
             bounds = [b for i, b in enumerate(bounds) if i in owned]
         return [RangeScan(lo, hi, self.path) for lo, hi in bounds]
 
@@ -103,8 +113,9 @@ class TokenRingReader(DataSourceReader):
                         continue
                     rec = json.loads(line)
                     # a CLAIMED filter must be fully applied here — Spark
-                    # will not re-check it after the scan
-                    if self._pk_equals and str(rec["pk"]) not in self._pk_equals:
+                    # will not re-check it after the scan; claims are ANDed,
+                    # so the row must match EVERY claimed equality
+                    if any(str(rec["pk"]) != v for v in self._pk_equals):
                         continue
                     tok = token_of(str(rec["pk"]))
                     if partition.lo <= tok < partition.hi:

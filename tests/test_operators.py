@@ -103,6 +103,42 @@ def test_ttl_expire(spark):
     assert out.count() == 2  # Jan 8 and Jan 10 survive a 3-day TTL
 
 
+def test_set_schema_gc_grace_sets_property_per_table(spark):
+    """change_gc_grace_seconds analog (/root/reference/geomesa_cassandra.py:
+    276-290): every physical table of the SFT gets the retention property,
+    an existing value is overwritten (upsert, not append), and the audit
+    has one set row per table."""
+    cat = GeoCatalog.from_rows(spark, [("ks", "cat", "roads", "cat_roads_z2\ncat_roads_id")])
+    props = maintenance.set_table_property(
+        spark, None, "ks", "cat_roads_z2", maintenance.GC_GRACE_PROPERTY, 864000
+    )
+    props, audit = maintenance.set_schema_gc_grace(spark, cat, props, "ks", "cat", "roads", 1200)
+    got = {r["table"]: r["value"] for r in props.collect()}
+    assert got == {"cat_roads_z2": 1200, "cat_roads_id": 1200}  # old 864000 overwritten
+    acts = [r for r in audit.collect() if r["action"] == "set_gc_grace_seconds"]
+    assert len(acts) == 2 and all(r["detail"] == "1200" and r["ok"] for r in acts)
+    # mixed properties coexist: a TTL row on the same table is untouched
+    props = maintenance.set_table_property(
+        spark, props, "ks", "cat_roads_z2", maintenance.TTL_PROPERTY, 3600
+    )
+    assert props.count() == 3
+
+
+def test_vacuum_tombstones_honors_gc_grace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None),                      # live row
+            (2, "2024-01-09 00:00:00"),     # recent tombstone (within grace)
+            (3, "2024-01-01 00:00:00"),     # expired tombstone → purged
+        ],
+        "id int, deleted_ts string",
+    ).select("id", F.col("deleted_ts").cast("timestamp_ntz").alias("deleted_ts"))
+    out = maintenance.vacuum_tombstones(
+        df, "deleted_ts", gc_grace_seconds=3 * 86400, now_ts="2024-01-10 00:00:00"
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path):
     path = str(tmp_path / "frag")
     spark.range(1000).repartition(16).write.parquet(path)
@@ -197,6 +233,40 @@ def test_asof_join_inner_drops_unmatched(spark):
         right_cols=["vid"], how="inner",
     ).collect()
     assert [(r["pid"], r["vid_right"]) for r in out] == [("p1", "v1")]
+
+
+def test_asof_join_null_right_columns_stay_row_atomic(spark):
+    """Right columns must come from ONE right row even when some are NULL:
+    per-column last(ignorenulls) would stitch vid from ts=90 with extra
+    from ts=95. The matched row's values are (NULL, 'x95')."""
+    left = spark.createDataFrame([(1, 100, "p1")], "user_id int, ts int, pid string")
+    right = spark.createDataFrame(
+        [(1, 90, "v90", None), (1, 95, None, "x95")],
+        "user_id int, ts int, vid string, extra string",
+    )
+    out = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["vid", "extra"], how="inner",
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["vid_right"], out[0]["extra_right"]) == (None, "x95")
+
+
+def test_asof_join_inner_keeps_match_with_all_null_right_cols(spark):
+    """Inner-mode matched-ness probes the packed struct, not right_cols[0]:
+    a genuinely matched right row whose payload columns are all NULL must
+    survive, while a left row with no match at all is dropped."""
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (2, 100, "p2")], "user_id int, ts int, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, None, None)], "user_id int, ts int, vid string, extra string"
+    )
+    out = joins.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["vid", "extra"], how="inner",
+    ).collect()
+    assert [(r["pid"], r["vid_right"], r["extra_right"]) for r in out] == [("p1", None, None)]
 
 
 def test_range_join_bucketed_equals_unbucketed(spark):
@@ -829,3 +899,31 @@ def test_tokenring_pushdown_prunes_to_owning_range(spark, tmp_path):
     parts = rdr.partitions()
     assert len(parts) == 1
     assert parts[0].lo <= ring.token_of("k7") < parts[0].hi
+
+
+def test_tokenring_conjunctive_equalto_is_and_not_or(spark, tmp_path):
+    """Claimed filters are a CONJUNCTION per the DataSource contract (Spark
+    never re-checks them post-scan): two distinct pushed EqualTo(pk) values
+    are unsatisfiable together → zero partitions, zero rows — NOT the union
+    of both keys' rows."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+    from geomesa_cassandra_tools_spark.sources import ring
+
+    path = _ring_fixture(tmp_path)
+    schema = StructType.fromDDL("pk string, col string, val bigint")
+    rdr = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    leftover = list(rdr.pushFilters([EqualTo(("pk",), "k7"), EqualTo(("pk",), "k9")]))
+    assert leftover == []  # both claimed — and applied as an AND
+    assert list(rdr.partitions()) == []
+    # duplicate pushes of the SAME value stay satisfiable: one owning range
+    rdr2 = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    list(rdr2.pushFilters([EqualTo(("pk",), "k7"), EqualTo(("pk",), "k7")]))
+    parts = rdr2.partitions()
+    assert len(parts) == 1
+    assert [r[0] for p in parts for r in rdr2.read(p)] == ["k7"]
+    # end-to-end: the planner accepts an empty partition list
+    df = ring.read_ring(spark, path, ranges=8).where(
+        (F.col("pk") == "k7") & (F.col("pk") == "k9")
+    )
+    assert df.count() == 0
