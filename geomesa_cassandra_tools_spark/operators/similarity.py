@@ -124,6 +124,29 @@ def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]
     return planes
 
 
+def corpus_hyperplane_signatures(
+    corpus: DataFrame,
+    dim: int,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The corpus side of hyperplane LSH as a standalone frame
+    ``(cand_id, cv, sig)`` — mirroring ``minhash_signatures``' shape so
+    callers compute the (expensive, full-scan) BLAS signature pass ONCE,
+    persist it, and share it across every probe variant (plain, multiprobe,
+    different k). This is the production shape: signatures are a
+    materialized index table, not a per-query derivation."""
+    planes = random_hyperplanes(dim, nbits, seed)
+    return blas_hyperplane_signatures(
+        ensure_parallelism(_prep(corpus, id_col, vec_col, "cand_id", "cv")),
+        planes,
+        "cand_id",
+        "cv",
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -133,6 +156,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     equals the query's. Equi-join on the signature → hash join, ~n/2^nbits
@@ -140,7 +164,12 @@ def lsh_cosine_topk(
     ``multiprobe=m`` additionally probes the m buckets at Hamming distance 1
     on the lowest bits (query side explodes to m+1 probe signatures — the
     join stays equi, candidates grow ~(m+1)×, recall rises accordingly).
-    This is the 100 TB path where brute force is off the table."""
+    This is the 100 TB path where brute force is off the table.
+
+    ``corpus_sigs`` (from ``corpus_hyperplane_signatures`` with the same
+    dim/nbits/seed, usually persisted) skips the corpus BLAS pass entirely —
+    pass it whenever more than one probe variant runs over the same corpus.
+    """
     planes = random_hyperplanes(dim, nbits)
     q = _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
         "sig", hyperplane_signature(F.col("qv"), planes)
@@ -151,11 +180,10 @@ def lsh_cosine_topk(
             *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
         )
         q = q.withColumn("sig", F.explode(probes))
-    c = blas_hyperplane_signatures(
-        ensure_parallelism(_prep(corpus, id_col, vec_col, "cand_id", "cv")),
-        planes,
-        "cand_id",
-        "cv",
+    c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else corpus_hyperplane_signatures(corpus, dim, nbits, id_col, vec_col)
     )
     pairs = (
         F.broadcast(q)
@@ -303,11 +331,20 @@ def cosine_pairs_above(
     import pandas as pd
 
     spark = corpus.sparkSession
-    prep = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    # Zero-norm vectors have no defined cosine: left in, they'd turn the
+    # unit-dot assignment into NaNs that poison cid/rad and silently fail
+    # every threshold comparison downstream. Excluded up front (a zero
+    # embedding can never be part of a cosine>=t pair anyway).
+    prep = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).where(dot(F.col("v"), F.col("v")) > 0)
 
     # Seed centroids: first n_blocks vectors by id — a bounded top-m probe
     # (n_blocks rows), NOT a corpus collect.
     seed_rows = prep.orderBy("id").limit(n_blocks).collect()
+    if not seed_rows:
+        # empty (or all-zero) corpus — nothing can pair
+        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cos double")
     cmat = np.array([r["v"] for r in seed_rows], dtype=np.float64)
     cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
     bc_cent = spark.sparkContext.broadcast(cmat)
