@@ -2039,3 +2039,69 @@ SELECT user_id,
 FROM user_rank JOIN global_rank USING (event_type)
 GROUP BY user_id
 """
+
+ORACLES["q125_sequence_packing"] = """
+WITH toks AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+),
+packed AS (
+  SELECT lang, ntok,
+         sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT lang,
+       CAST(floor((cum - ntok) / 2048.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS tokens,
+       round(sum(ntok) / 2048.0, 4) AS utilization
+FROM packed
+GROUP BY lang, CAST(floor((cum - ntok) / 2048.0) AS BIGINT)
+"""
+
+_MATCHES_16 = " + ".join(
+    f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+ORACLES["q126_minhash_accuracy"] = f"""
+WITH {_SHINGLES_CTE}, {_VOCAB_CTE},
+  sigs AS (
+    SELECT doc_id,
+           {_minhash_select(16)}
+    FROM sid GROUP BY doc_id
+  ),
+  bands AS (
+    {_bands_union(8, 2)}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  pair_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  jac AS (
+    SELECT doc_a, doc_b, inter / (za.sz + zb.sz - inter) AS jaccard
+    FROM pair_inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+  ),
+  m AS (
+    SELECT j.jaccard, CAST({{m16}} AS BIGINT) AS sig_matches
+    FROM jac j
+    JOIN sigs x ON x.doc_id = j.doc_a
+    JOIN sigs y ON y.doc_id = j.doc_b
+  )
+SELECT sig_matches,
+       count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard,
+       round(avg(abs(sig_matches / 16.0 - jaccard)), 6) AS mean_abs_err
+FROM m
+GROUP BY sig_matches
+""".replace("{m16}", _MATCHES_16)

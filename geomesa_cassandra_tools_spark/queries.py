@@ -3397,6 +3397,80 @@ def q124_user_rank_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: documents stream in
+    deterministic (lang, doc_id) order into fixed 2048-token context
+    windows; a document belongs to the window its FIRST token lands in
+    (``floor(start_offset / budget)``) — the standard distributed
+    approximation of stateful first-fit packing (one window cumsum; exact
+    greedy packing needs sequential per-shard state). Output: per
+    (lang, seq_id) document count, token total, and budget utilization
+    (can exceed 1.0 when a document spans a window boundary — the packer
+    downstream truncates or overflows, both need this report).
+
+    Scale shape: the cumsum windows on the shard key — here ``lang`` for
+    oracle determinism; at 100 TB the shard key is the input split id, so
+    every split packs independently and the window never concentrates the
+    corpus (packing across splits is neither needed nor desirable for
+    training)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    budget = 2048
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("ntok").over(w)).withColumn(
+        "seq_id", F.floor((F.col("cum") - F.col("ntok")) / F.lit(float(budget)))
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("tokens"),
+        F.round(F.sum("ntok") / F.lit(float(budget)), 4).alias("utilization"),
+    )
+
+
+def q126_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    signature agreement count (of 16 hashes) against the exact Jaccard of
+    the shingle sets — E[matches/16] = J, so this is the calibration gate
+    to run before trusting a band/row configuration on a new corpus at
+    scale (where only the sketch, never exact Jaccard, is affordable on
+    the full corpus — the audit runs on a sample). Grouped by agreement
+    count: pair count, mean exact Jaccard, mean absolute estimation error.
+    Same bucketed-join shapes as q16; the only additions are two
+    broadcast-joinable signature lookups."""
+    t = load_tables(spark, sf_dir)
+    sh = _cache(dedup.shingle_sets(t["documents"]))
+    sigs = _cache(dedup.minhash_signatures(sh, k=16))
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    exact = dedup.jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b", "jaccard")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    paired = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("jaccard", matches.cast("bigint").alias("sig_matches"))
+    )
+    return paired.groupBy("sig_matches").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        F.round(
+            F.avg(F.abs(F.col("sig_matches") / F.lit(16.0) - F.col("jaccard"))), 6
+        ).alias("mean_abs_err"),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3516,6 +3590,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_digit_token_stats": q121_digit_token_stats,
     "q123_partial_rollup_merge": q123_partial_rollup_merge,
     "q124_user_rank_footrule": q124_user_rank_footrule,
+    "q125_sequence_packing": q125_sequence_packing,
+    "q126_minhash_accuracy": q126_minhash_accuracy,
     # -- already driver-verified (r01/r02 green rows), numeric order
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
