@@ -112,6 +112,27 @@ def test_no_accidental_cross_joins_anywhere(spark):
             )
 
 
+def test_q57_reuses_q26_persisted_signatures(spark):
+    """The shared-signature contract: after q26 materializes the corpus
+    hyperplane signature index, q57's plan must read it from storage
+    (InMemoryTableScan) instead of planning a second corpus BLAS pass
+    (mapInPandas over the embeddings scan)."""
+    from geomesa_cassandra_tools_spark import queries as Q
+
+    Q.release_shared_caches()
+    try:
+        # q26 computes + persists; materialize it
+        QUERIES["q26_lsh_cosine_topk"](spark, SF).count()
+        plan57 = inspect.explain_str(QUERIES["q57_lsh_multiprobe_topk"](spark, SF))
+        # (the InMemoryRelation node prints its provenance plan, so the
+        # MapInPandas text still APPEARS inside it — the scan node is what
+        # proves the signatures come from storage, not a recompute)
+        assert "InMemoryTableScan" in plan57, "q57 must reuse the persisted index"
+    finally:
+        Q.release_shared_caches()
+        Q.release_query_caches()
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketing — the co-located-join layout for repeated big joins at
     scale: both sides bucketed+sorted on the join key produce a
