@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 #: Tiny deterministic stopword list for quality scoring.
 STOPWORDS = ("the", "a", "of", "and", "to")
 
-FINGERPRINT_MOD = 1_000_003
+#: Fingerprint modulus: the Mersenne prime 2^31-1. A ~1e6 space would
+#: pigeonhole billions of documents' fingerprints into a million identities
+#: at corpus scale; 2^31-1 keeps every product/sum on the fingerprint paths
+#: inside int64 (docs are ≤ ~1e4 tokens; longer corpora should fold the
+#: running mod per term, as `doc_fingerprint`'s aggregate variant does).
+FINGERPRINT_MOD = 2_147_483_647
 
 #: Rabin–Karp base for character rolling hashes.
 ROLLING_BASE = 257

@@ -623,7 +623,7 @@ WITH ch AS (
   SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS j, text FROM documents
 )
 SELECT doc_id,
-       CAST(sum(unicode(ch.text[j]) * pw.p) % {FINGERPRINT_MOD} AS BIGINT) AS rolling_hash
+       CAST(sum(CAST(unicode(ch.text[j]) AS BIGINT) * pw.p) % {FINGERPRINT_MOD} AS BIGINT) AS rolling_hash
 FROM ch
 JOIN (VALUES {", ".join(f"({i}, {p})" for i, p in rolling_hash_powers(1024))}) AS pw(i, p)
   ON pw.i = ch.j - 1

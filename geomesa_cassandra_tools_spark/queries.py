@@ -3510,6 +3510,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_doc_fingerprints": q18_doc_fingerprints,
     "q25_simhash_docs": q25_simhash_docs,
     "q58_neardup_clusters": q58_neardup_clusters,
+    "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
     "q52_purchase_asof_left": q52_purchase_asof_left,
     "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
@@ -3554,9 +3555,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_above_nation_avg": q68_above_nation_avg,
     "q69_hourly_type_pivot": q69_hourly_type_pivot,
     "q71_nation_top_supplier": q71_nation_top_supplier,
-    "q72_price_histogram": q72_price_histogram,
     # ---- end of the 50-entry verification window ----
     # -- never-driver-checked backlog continues (next round's window)
+    "q72_price_histogram": q72_price_histogram,
     "q73_daily_orders_gapfill": q73_daily_orders_gapfill,
     "q74_week_over_week_users": q74_week_over_week_users,
     "q75_embedding_quantization": q75_embedding_quantization,
@@ -3606,7 +3607,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     "q34_catalog_missing_tables": q34_catalog_missing_tables,
     "q35_parse_compactions": q35_parse_compactions,
-    "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
     "q51_wkt_roundtrip_bbox": q51_wkt_roundtrip_bbox,
     "q53_sql_grouping_sets": q53_sql_grouping_sets,
     "q54_price_percentiles": q54_price_percentiles,
