@@ -612,6 +612,34 @@ def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
     assert len(out) == 380, len(out)
 
 
+def test_cosine_pairs_zero_norm_and_empty_corpus(spark):
+    """Zero-norm vectors have no cosine: they must be excluded before the
+    centroid assignment (left in, their NaN unit-dots poison cid/rad and
+    every threshold compare); an empty/all-zero corpus short-circuits to
+    an empty result with the contract schema."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero vector — excluded, never NaN
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.cosine_pairs_above(df, 0.9, n_blocks=2).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(0, 1)]
+    assert all(r["cos"] == r["cos"] for r in out)  # no NaNs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    res = similarity.cosine_pairs_above(empty, 0.5, n_blocks=2)
+    assert res.columns == ["vec_a", "vec_b", "cos"]
+    assert res.count() == 0
+
+    all_zero = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity.cosine_pairs_above(all_zero, 0.5, n_blocks=2).count() == 0
+
+
 # --------------------------------------------------------------- skew salting
 
 def test_salted_join_equals_plain_join(spark):
