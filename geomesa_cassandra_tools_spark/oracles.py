@@ -2105,3 +2105,70 @@ SELECT sig_matches,
 FROM m
 GROUP BY sig_matches
 """.replace("{m16}", _MATCHES_16)
+
+# Marker lists mirror queries.LANG_MARKERS (also hardcoded in q40's oracle).
+_Q127_HITS = {
+    "de": ("customer", "hash", "join"),
+    "en": ("order", "window", "group"),
+    "es": ("agg", "merge", "vector"),
+    "fr": ("scan", "data", "batch"),
+    "zh": ("small", "value", "the"),
+}
+_Q127_MAXHIT = "greatest(" + ", ".join(
+    "list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN ("
+    + ", ".join(f"'{w}'" for w in words)
+    + ") THEN 1 ELSE 0 END))"
+    for _, words in sorted(_Q127_HITS.items())
+) + ")"
+
+ORACLES["q127_filter_funnel"] = f"""
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS ntok,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS distr,
+         list_sum(list_transform(string_split(text, ' '),
+                  t -> CASE WHEN t IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END))
+           / len(string_split(text, ' ')) AS stopr,
+         {_Q127_MAXHIT} AS maxhit
+  FROM documents
+),
+f AS (
+  SELECT (ntok >= 20) AS f1, (distr >= 0.4) AS f2,
+         (stopr <= 0.5) AS f3, (maxhit > 0) AS f4
+  FROM d
+),
+agg AS (
+  SELECT count(*) AS c0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS c4
+  FROM f
+)
+SELECT '0_total' AS stage, CAST(c0 AS BIGINT) AS surviving, round(c0 / c0, 4) AS pct FROM agg
+UNION ALL SELECT '1_min_length', CAST(c1 AS BIGINT), round(c1 / c0, 4) FROM agg
+UNION ALL SELECT '2_distinct_ratio', CAST(c2 AS BIGINT), round(c2 / c0, 4) FROM agg
+UNION ALL SELECT '3_stopword_cap', CAST(c3 AS BIGINT), round(c3 / c0, 4) FROM agg
+UNION ALL SELECT '4_lang_identified', CAST(c4 AS BIGINT), round(c4 / c0, 4) FROM agg
+"""
+
+ORACLES["q128_token_kl_divergence"] = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT lang, tok FROM toks WHERE len(tok) >= 1),
+lt AS (SELECT lang, tok, count(*) AS n_lt FROM t2 GROUP BY lang, tok),
+lang_tot AS (SELECT lang, sum(n_lt) AS n_l FROM lt GROUP BY lang),
+corp AS (SELECT tok, sum(n_lt) AS n_t FROM lt GROUP BY tok),
+n AS (SELECT sum(n_lt) AS n FROM lt)
+SELECT lt.lang,
+       CAST(min(n_l) AS BIGINT) AS lang_tokens,
+       count(*) AS vocab_size,
+       round(sum((n_lt / n_l) * ln((n_lt / n_l) / (n_t / n.n))), 6) AS kl_vs_corpus
+FROM lt
+JOIN corp USING (tok)
+JOIN lang_tot USING (lang)
+CROSS JOIN n
+GROUP BY lt.lang
+"""

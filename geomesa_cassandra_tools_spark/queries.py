@@ -3471,6 +3471,76 @@ def q126_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter yield funnel: the report every pretraining pipeline
+    keeps — how many documents survive each cascading filter stage (length
+    floor → lexical-diversity floor → stopword cap → language identified),
+    with the fraction of the original corpus remaining. One scan computes
+    every per-doc flag as JVM column expressions; one aggregate row holds
+    all cascade counts (flags are cheap; re-scanning per stage is not —
+    at 100 TB this report costs exactly one pass), then `stack` unpivots
+    to (stage, surviving, pct) rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    txt = F.col("text")
+    flagged = docs.select(
+        (T.token_count(txt) >= 20).alias("f1"),
+        (T.distinct_token_ratio(txt) >= 0.4).alias("f2"),
+        (T.stopword_ratio(txt) <= 0.5).alias("f3"),
+        (T.lang_id_heuristic(txt, LANG_MARKERS) != "und").alias("f4"),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("f1").cast("int")).alias("c1"),
+        F.sum((F.col("f1") & F.col("f2")).cast("int")).alias("c2"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("int")).alias("c3"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")).cast("int")).alias("c4"),
+    )
+    stages = (
+        "'0_total', c0, '1_min_length', c1, '2_distinct_ratio', c2,"
+        " '3_stopword_cap', c3, '4_lang_identified', c4"
+    )
+    return agg.select(
+        F.expr(f"stack(5, {stages}) as (stage, surviving)"),
+        F.col("c0").alias("__total"),
+    ).select(
+        "stage",
+        F.col("surviving").cast("bigint").alias("surviving"),
+        F.round(F.col("surviving") / F.col("__total"), 4).alias("pct"),
+    )
+
+
+def q128_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus slices: KL(lang ‖ corpus) over the
+    token unigram distributions — the standard check that a data mixture's
+    slices haven't drifted from the blend (re-run per ingestion wave; a
+    jump flags a source gone rogue). Both distributions come from ONE
+    token scan: per-(lang, tok) counts roll up to per-lang and corpus
+    totals; every probability is an exact-integer ratio and the join to
+    corpus frequencies is broadcast (vocabulary-sized). KL support is
+    valid by construction (every lang token is a corpus token)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).where(F.length("tok") >= 1)
+    lt = _cache(toks.groupBy("lang", "tok").agg(F.count("*").alias("n_lt")))
+    lang_tot = lt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+    corp = lt.groupBy("tok").agg(F.sum("n_lt").alias("n_t"))
+    n = lt.agg(F.sum("n_lt").alias("n")).select("n")
+    joined = (
+        lt.join(F.broadcast(corp), "tok")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (F.col("n_lt") / F.col("n_l")) * F.log(
+        (F.col("n_lt") / F.col("n_l")) / (F.col("n_t") / F.col("n"))
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n_lt").cast("bigint").alias("lang_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.round(F.sum(term), 6).alias("kl_vs_corpus"),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3593,6 +3663,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_user_rank_footrule": q124_user_rank_footrule,
     "q125_sequence_packing": q125_sequence_packing,
     "q126_minhash_accuracy": q126_minhash_accuracy,
+    "q127_filter_funnel": q127_filter_funnel,
+    "q128_token_kl_divergence": q128_token_kl_divergence,
     # -- already driver-verified (r01/r02 green rows), numeric order
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -442,6 +442,44 @@ def test_hashed_minhash_plan_has_no_global_sort(spark, sf_smoke):
     assert "SinglePartition" not in plan, plan
 
 
+def test_lsh_match_against_index_finds_delta_near_dup(spark):
+    """Incremental dedup: a delta batch matched against a persisted corpus
+    signature index finds the near-copy it contains, produces no candidate
+    for an unrelated doc, and agrees with what the batch path would find."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "red orange yellow green blue indigo violet ultra"),
+        ],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta iota"),  # near-copy of 1
+            (102, "completely different words appear here only now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index_sigs = dedup.minhash_signatures(dedup.shingle_sets(corpus), k=16)
+    new_sigs = dedup.minhash_signatures(dedup.shingle_sets(delta), k=16)
+    got = {
+        (r["new_doc"], r["index_doc"])
+        for r in dedup.lsh_match_against_index(new_sigs, index_sigs, bands=8, rows=2).collect()
+    }
+    assert (101, 1) in got
+    assert not any(nd == 102 for nd, _ in got)
+    # equivalence with the batch path on the unioned corpus, restricted to
+    # (delta, corpus) pairs
+    both = dedup.minhash_signatures(dedup.shingle_sets(corpus.union(delta)), k=16)
+    batch = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]))
+        for r in dedup.lsh_candidate_pairs(both, bands=8, rows=2).collect()
+        if max(r["doc_a"], r["doc_b"]) > 100 and min(r["doc_a"], r["doc_b"]) <= 100
+    }
+    assert got == batch
+
+
 # ------------------------------------------------- property-based (driver)
 
 from hypothesis import given, settings

@@ -98,6 +98,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q86_nearest_hub_assignment",  # points × 8 broadcast hub centroids
         "q94_bigram_lm_score",      # single-row broadcast of vocab size V
         "q100_token_cooccurrence",  # single-row broadcast of corpus size N
+        "q128_token_kl_divergence",  # single-row broadcast of corpus token total N
         "q102_copurchase_triangles",  # 1-row agg × 1-row agg result stitch
         "q108_fk_integrity_audit",  # 1-row checked × 1-row violations stitch
     }
