@@ -501,6 +501,65 @@ def st_dwithin_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column, km: fl
     return haversine_km(lon1, lat1, lon2, lat2) <= km
 
 
+def dwithin_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id: str,
+    right_id: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Distance-bounded point-point JOIN — "every (l, r) within R km" — as
+    a grid-cell cover-and-refine, never a cross join.
+
+    Cover: both sides bucket into cells of δlat = R/110 degrees (1° of
+    latitude is ≥ 110.57 km everywhere) and δlon = R/(111.32·cos(max_abs_lat))
+    degrees (1° of longitude is ≥ 111.32·cos(|lat|) km, monotone in |lat|),
+    so any pair within R km differs by < 1 cell in each axis; the left side
+    probes its 3×3 cell neighborhood (explode ×9), making the physical join
+    a hash equi-join on (cx, cy). A right point lives in exactly one cell,
+    so no pair is produced twice. Refine: exact haversine ≤ R.
+
+    Rows with |lat| > max_abs_lat are excluded — the δlon bound is only
+    sound below that latitude (cells degenerate toward the poles); a
+    production deployment adds polar-cap buckets. Returns
+    (left_id, right_id, km).
+
+    At 100 TB: shuffle is keyed on the cell — spatially co-located points
+    hash together, AQE splits hot cells, and the 9× probe fan-out applies
+    to the (smaller) probe side only."""
+    import math
+
+    dlat = radius_km / 110.0
+    dlon = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
+
+    def prep(df: DataFrame, idc: str, pre: str) -> DataFrame:
+        bounded = df.where(F.abs(F.col(lat_col)) <= max_abs_lat)
+        return bounded.select(
+            F.col(idc),
+            F.col(lon_col).alias(f"{pre}lon"),
+            F.col(lat_col).alias(f"{pre}lat"),
+            F.floor(F.col(lon_col) / dlon).alias("cx"),
+            F.floor(F.col(lat_col) / dlat).alias("cy"),
+        )
+
+    l9 = (
+        prep(left, left_id, "l")
+        .withColumn("cx", F.explode(F.array(F.col("cx") - 1, F.col("cx"), F.col("cx") + 1)))
+        .withColumn("cy", F.explode(F.array(F.col("cy") - 1, F.col("cy"), F.col("cy") + 1)))
+    )
+    r1 = prep(right, right_id, "r")
+    km = haversine_km(F.col("llon"), F.col("llat"), F.col("rlon"), F.col("rlat"))
+    return (
+        l9.join(r1, ["cx", "cy"])
+        .withColumn("km", km)
+        .where(F.col("km") <= radius_km)
+        .select(left_id, right_id, "km")
+    )
+
+
 def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     r = 6371.0088
     dlat = F.radians(lat2 - lat1)

@@ -2172,3 +2172,34 @@ JOIN lang_tot USING (lang)
 CROSS JOIN n
 GROUP BY lt.lang
 """
+
+ORACLES["q129_spatial_dwithin_join"] = """
+WITH s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (s_suppkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lat
+  FROM customer
+),
+pairs AS (
+  SELECT s.s_suppkey, c.c_custkey,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(c.lat - s.lat) / 2), 2)
+           + cos(radians(s.lat)) * cos(radians(c.lat))
+             * pow(sin(radians(c.lon - s.lon) / 2), 2)
+         )) AS km
+  FROM s, c
+  WHERE abs(s.lat) <= 60 AND abs(c.lat) <= 60
+)
+SELECT s_suppkey,
+       count(*) AS n_customers_within,
+       round(min(km), 3) AS min_km
+FROM pairs
+WHERE km <= 150.0
+GROUP BY s_suppkey
+"""

@@ -3541,6 +3541,36 @@ def q128_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded spatial JOIN (suppliers × customers within 150 km):
+    grid-cell cover-and-refine (`geo.dwithin_join`) — cells sized so any
+    qualifying pair shares a 3×3 neighborhood, hash equi-join on the cell,
+    exact haversine refine. The oracle is the deliberately brute-force
+    all-pairs filter, so the candidate cover's recall is what the hash
+    gate checks. Pseudo-coordinates derive from keys exactly as q39/q122
+    (the corpus tables carry no lon/lat)."""
+    t = load_tables(spark, sf_dir)
+
+    def pts(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            key,
+            ((F.col(key) * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col(key) * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+
+    pairs = geo.dwithin_join(
+        pts(t["supplier"], "s_suppkey"),
+        pts(t["customer"], "c_custkey"),
+        150.0,
+        "s_suppkey",
+        "c_custkey",
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count("*").alias("n_customers_within"),
+        F.round(F.min("km"), 3).alias("min_km"),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3665,6 +3695,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_minhash_accuracy": q126_minhash_accuracy,
     "q127_filter_funnel": q127_filter_funnel,
     "q128_token_kl_divergence": q128_token_kl_divergence,
+    "q129_spatial_dwithin_join": q129_spatial_dwithin_join,
     # -- already driver-verified (r01/r02 green rows), numeric order
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

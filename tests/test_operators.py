@@ -650,6 +650,40 @@ def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
     assert len(out) == 380, len(out)
 
 
+def test_dwithin_join_equals_brute_force(spark):
+    """Cell-cover recall: the grid dwithin join must return EXACTLY the
+    brute-force haversine pairs, including pairs straddling cell borders —
+    random clustered points + a radius chosen so many pairs sit near cell
+    boundaries."""
+    import random
+
+    rnd = random.Random(11)
+    lrows = [
+        (i, rnd.uniform(-30, 30) + rnd.choice([0.0, 120.0]), rnd.uniform(-59, 59))
+        for i in range(120)
+    ]
+    rrows = [
+        (i, rnd.uniform(-30, 30) + rnd.choice([0.0, 120.0]), rnd.uniform(-65, 65))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(lrows, "l_id bigint, lon double, lat double")
+    right = spark.createDataFrame(rrows, "r_id bigint, lon double, lat double")
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in geo.dwithin_join(left, right, 400.0, "l_id", "r_id").collect()
+    }
+    brute = {
+        (r["l_id"], r["r_id"])
+        for r in left.select("l_id", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+        .where(F.abs(F.col("qlat")) <= 60)
+        .crossJoin(right.where(F.abs(F.col("lat")) <= 60))
+        .where(geo.st_dwithin_km(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat"), 400.0))
+        .collect()
+    }
+    assert got == brute
+    assert got, "expected at least one qualifying pair"
+
+
 def test_cosine_pairs_zero_norm_and_empty_corpus(spark):
     """Zero-norm vectors have no cosine: they must be excluded before the
     centroid assignment (left in, their NaN unit-dots poison cid/rad and
