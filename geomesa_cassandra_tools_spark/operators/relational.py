@@ -166,6 +166,54 @@ def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
     return df.select(*cols).distinct()
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the reconciliation primitive
+    behind CDC backfills, replica anti-entropy (the engine form of the
+    reference's repair stage) and data-migration sign-off: one full-outer
+    hash join on the key, change classified per row as
+    ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any compare column differs — NULL-safe
+    equality, so NULL→value and value→NULL count as changes) or
+    ``unchanged``. Returns key columns + ``change_type``.
+
+    At 100 TB both sides shuffle once on the key (or zero times if both
+    snapshots are bucketed on it — the layout `test_bucketed_tables_*`
+    pins); the classification itself is a codegen'd projection."""
+    key_cols = list(key_cols)
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
+    in_old = reduce(
+        lambda a, b: a | b, [F.col(f"o.{k}").isNotNull() for k in key_cols]
+    )
+    in_new = reduce(
+        lambda a, b: a | b, [F.col(f"n.{k}").isNotNull() for k in key_cols]
+    )
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols],
+    )
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    return joined.select(*keys, change.alias("change_type"))
+
+
 def global_rank(
     df: DataFrame,
     order_by: Sequence[str],

@@ -2203,3 +2203,27 @@ FROM pairs
 WHERE km <= 150.0
 GROUP BY s_suppkey
 """
+
+ORACLES["q130_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+d AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, count(*) AS n_keys FROM d GROUP BY change_type
+"""

@@ -3571,6 +3571,28 @@ def q129_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (CDC backfill / migration sign-off / the
+    engine form of the reference's repair stage): keyed full-outer diff of
+    two deterministic versions of `orders` — v1 drops keys ≡0 (mod 97),
+    v2 drops keys ≡0 (mod 89) and bumps totalprice on keys ≡0 (mod 13) —
+    classified per key as added/removed/changed/unchanged
+    (`relational.snapshot_diff`), rolled up to counts."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = base.where(F.col("o_orderkey") % 97 != 0)
+    new = base.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = relational.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("n_keys"))
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3696,6 +3718,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_filter_funnel": q127_filter_funnel,
     "q128_token_kl_divergence": q128_token_kl_divergence,
     "q129_spatial_dwithin_join": q129_spatial_dwithin_join,
+    "q130_snapshot_diff": q130_snapshot_diff,
     # -- already driver-verified (r01/r02 green rows), numeric order
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

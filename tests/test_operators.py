@@ -650,6 +650,37 @@ def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
     assert len(out) == 380, len(out)
 
 
+def test_snapshot_diff_classifies_all_change_types(spark):
+    """added/removed/changed/unchanged, with NULL-safe comparisons:
+    NULL→value and value→NULL are 'changed', NULL→NULL is 'unchanged'."""
+    from geomesa_cassandra_tools_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, None, "D")],
+        "k int, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 31.0, "C"), (4, 40.0, "D"), (5, 50.0, "E")],
+        "k int, price double, status string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["price", "status"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "unchanged",  # NULL == NULL under null-safe equality
+        3: "changed",
+        4: "changed",    # NULL -> value is a change
+        5: "added",
+    }
+    got_rm = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(new, old, ["k"], ["price", "status"]).collect()
+    }
+    assert got_rm[5] == "removed"
+
+
 def test_dwithin_join_equals_brute_force(spark):
     """Cell-cover recall: the grid dwithin join must return EXACTLY the
     brute-force haversine pairs, including pairs straddling cell borders —
