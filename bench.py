@@ -49,23 +49,26 @@ def main() -> None:
     # Per-query MIN over N full passes (default 3): a single pass's numbers
     # carry 30-40% box noise (GC, page cache, JIT) that reads as phantom
     # regressions; the minimum is the stable statistic BENCH.md tracks.
+    from geomesa_cassandra_tools_spark.queries import (
+        release_query_caches,
+        release_shared_caches,
+    )
+
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in sorted(QUERIES.items()):
+            # release the PREVIOUS query's caches OUTSIDE the timed region —
+            # otherwise the registry wrapper charges query N's unpersist
+            # round-trips to query N+1's wall clock
+            release_query_caches()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    # the registry wrapper releases per-query caches as the run advances;
-    # drop the shared signature index + any tail caches before reporting
-    from geomesa_cassandra_tools_spark.queries import (
-        release_query_caches,
-        release_shared_caches,
-    )
-
+    # drop the shared signature index + the final query's caches
     release_query_caches()
     release_shared_caches()
 

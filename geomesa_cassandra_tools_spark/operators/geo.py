@@ -515,12 +515,17 @@ def dwithin_join(
     a grid-cell cover-and-refine, never a cross join.
 
     Cover: both sides bucket into cells of δlat = R/110 degrees (1° of
-    latitude is ≥ 110.57 km everywhere) and δlon = R/(111.32·cos(max_abs_lat))
-    degrees (1° of longitude is ≥ 111.32·cos(|lat|) km, monotone in |lat|),
-    so any pair within R km differs by < 1 cell in each axis; the left side
-    probes its 3×3 cell neighborhood (explode ×9), making the physical join
-    a hash equi-join on (cx, cy). A right point lives in exactly one cell,
-    so no pair is produced twice. Refine: exact haversine ≤ R.
+    latitude is ≥ 110.57 km everywhere) and, for longitude, into
+    N = floor(360/δ′) EQUAL cells where δ′ = R/(111.32·cos(max_abs_lat))
+    (1° of longitude is ≥ 111.32·cos(|lat|) km below max_abs_lat) — equal
+    widths ≥ δ′, so any pair within R km differs by < 1 cell per axis and
+    the longitude cells wrap MOD N at the antimeridian (a pair straddling
+    lon ±180 lands in circularly-adjacent cells and is still found). The
+    left side probes its 3×3 neighborhood (lon neighbors mod N,
+    `array_distinct` so tiny N never emits a duplicate probe → no
+    duplicate pairs), making the physical join a hash equi-join on
+    (cx, cy). A right point lives in exactly one cell. Refine: exact
+    haversine ≤ R.
 
     Rows with |lat| > max_abs_lat are excluded — the δlon bound is only
     sound below that latitude (cells degenerate toward the poles); a
@@ -533,21 +538,33 @@ def dwithin_join(
     import math
 
     dlat = radius_km / 110.0
-    dlon = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
+    dlon_min = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
+    n_lon = max(1, int(360.0 // dlon_min))
+    dlon = 360.0 / n_lon
 
     def prep(df: DataFrame, idc: str, pre: str) -> DataFrame:
         bounded = df.where(F.abs(F.col(lat_col)) <= max_abs_lat)
+        cx = F.least(
+            F.floor((F.col(lon_col) + 180.0) / dlon), F.lit(n_lon - 1)
+        )  # lon=+180 exactly folds into the last cell
         return bounded.select(
             F.col(idc),
             F.col(lon_col).alias(f"{pre}lon"),
             F.col(lat_col).alias(f"{pre}lat"),
-            F.floor(F.col(lon_col) / dlon).alias("cx"),
+            cx.alias("cx"),
             F.floor(F.col(lat_col) / dlat).alias("cy"),
         )
 
+    lon_probes = F.array_distinct(
+        F.array(
+            F.pmod(F.col("cx") - 1, F.lit(n_lon)),
+            F.col("cx"),
+            F.pmod(F.col("cx") + 1, F.lit(n_lon)),
+        )
+    )
     l9 = (
         prep(left, left_id, "l")
-        .withColumn("cx", F.explode(F.array(F.col("cx") - 1, F.col("cx"), F.col("cx") + 1)))
+        .withColumn("cx", F.explode(lon_probes))
         .withColumn("cy", F.explode(F.array(F.col("cy") - 1, F.col("cy"), F.col("cy") + 1)))
     )
     r1 = prep(right, right_id, "r")

@@ -16,9 +16,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-#: (session id, input-file tuple) → estimated scan partition count, so the
-#: per-query floor never repeats the file stat pass for the same scan.
-_SCAN_PARTS_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+#: (session, input-file tuple) → estimated scan partition count, so the
+#: per-query floor never repeats the file stat pass for the same scan. The
+#: session OBJECT is part of the value and identity-checked on lookup: a
+#: bare id() key could collide when CPython recycles a stopped session's
+#: address (and holding the reference pins the address, making the check
+#: sound).
+_SCAN_PARTS_CACHE: dict[tuple[int, tuple[str, ...]], tuple[object, int]] = {}
+
+_SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_byte_conf(raw: str, default: int = 128 * 1024 * 1024) -> int:
+    """Parse Spark byte-size conf strings: plain bytes ('134217728'), a
+    trailing 'b' ('134217728b'), or unit suffixes ('128m', '1g', '512k',
+    optionally with 'b' as in '128mb'). Digit-stripping would read '128m'
+    as 128 BYTES and silently break every threshold derived from it."""
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _SIZE_SUFFIXES:
+        mult = _SIZE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int:
@@ -38,10 +62,11 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
         return 1
     if not files:
         return 1
-    key = (id(df.sparkSession), files)
+    spark = df.sparkSession
+    key = (id(spark), files)
     cached = _SCAN_PARTS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     total = 0
     for uri in files:
         if uri.startswith("file:"):
@@ -60,12 +85,13 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
         est = len(files)
     else:
         try:
-            raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
-            max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+            max_bytes = _parse_byte_conf(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            )
         except Exception:
             max_bytes = 128 * 1024 * 1024
         est = max(1, -(-total // max_bytes))
-    _SCAN_PARTS_CACHE[key] = est
+    _SCAN_PARTS_CACHE[key] = (spark, est)
     return est
 
 
@@ -179,7 +205,9 @@ def snapshot_diff(
     ``added`` (key only in new), ``removed`` (key only in old),
     ``changed`` (key in both, any compare column differs — NULL-safe
     equality, so NULL→value and value→NULL count as changes) or
-    ``unchanged``. Returns key columns + ``change_type``.
+    ``unchanged``. Returns key columns + ``change_type``. ``key_cols``
+    must be non-NULL (a key, not a payload): NULL keys would null-safe
+    match each other and misclassify — pre-filter or surrogate them.
 
     At 100 TB both sides shuffle once on the key (or zero times if both
     snapshots are bucketed on it — the layout `test_bucketed_tables_*`

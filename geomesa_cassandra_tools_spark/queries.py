@@ -51,7 +51,10 @@ from geomesa_cassandra_tools_spark.streaming import windows as stream_win
 #   only by ``release_shared_caches()``.
 
 _QUERY_CACHES: list[DataFrame] = []
-_SHARED_SIGS: dict[tuple[int, str], DataFrame] = {}
+#: value holds (session, frame): the session object is identity-checked on
+#: lookup so a recycled id() of a stopped session can never hand out a
+#: frame bound to a dead session (the stored reference pins the address).
+_SHARED_SIGS: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _cache(df: DataFrame) -> DataFrame:
@@ -68,7 +71,7 @@ def release_query_caches() -> None:
 
 def release_shared_caches() -> None:
     while _SHARED_SIGS:
-        _SHARED_SIGS.popitem()[1].unpersist()
+        _SHARED_SIGS.popitem()[1][1].unpersist()
 
 
 def _embedding_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,11 +80,12 @@ def _embedding_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant — the corpus BLAS pass is the dominant cost of q26/q57 and is
     identical between them."""
     key = (id(spark), sf_dir)
-    sigs = _SHARED_SIGS.get(key)
-    if sigs is None:
-        emb = load_tables(spark, sf_dir)["embeddings"]
-        sigs = similarity.corpus_hyperplane_signatures(emb, dim=64, nbits=8).persist()
-        _SHARED_SIGS[key] = sigs
+    entry = _SHARED_SIGS.get(key)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sigs = similarity.corpus_hyperplane_signatures(emb, dim=64, nbits=8).persist()
+    _SHARED_SIGS[key] = (spark, sigs)
     return sigs
 
 

@@ -87,8 +87,11 @@ class TokenRingReader(DataSourceReader):
         distinct = set(self._pk_equals)
         if len(distinct) > 1:
             # pk='a' AND pk='b' — contradictory conjunction, no row can
-            # satisfy it; plan no scan tasks at all
-            return []
+            # satisfy it. NOT an empty list: pyspark's scan planner
+            # substitutes [None] for zero partitions and read(None) would
+            # crash — plan one degenerate empty-range scan instead; the
+            # ANDed filter in read() keeps the row count at zero either way.
+            return [RangeScan(0, 0, self.path)]
         width = RING_SIZE // self.ranges
         bounds = [
             (i * width, RING_SIZE if i == self.ranges - 1 else (i + 1) * width)

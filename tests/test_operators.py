@@ -650,6 +650,21 @@ def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
     assert len(out) == 380, len(out)
 
 
+def test_parse_byte_conf_handles_unit_suffixes():
+    """Spark byte confs come as '134217728', '134217728b', '128m', '1g'…
+    — digit-stripping would read '128m' as 128 BYTES and silently break
+    every threshold derived from it."""
+    from geomesa_cassandra_tools_spark.operators.relational import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512k") == 512 * 1024
+    assert _parse_byte_conf("junk") == 128 * 1024 * 1024
+
+
 def test_snapshot_diff_classifies_all_change_types(spark):
     """added/removed/changed/unchanged, with NULL-safe comparisons:
     NULL→value and value→NULL are 'changed', NULL→NULL is 'unchanged'."""
@@ -697,6 +712,10 @@ def test_dwithin_join_equals_brute_force(spark):
         (i, rnd.uniform(-30, 30) + rnd.choice([0.0, 120.0]), rnd.uniform(-65, 65))
         for i in range(120)
     ]
+    # antimeridian coverage: pairs straddling lon ±180 must be found (the
+    # lon cells wrap mod N); 179.9W vs 179.9E at the same lat is ~22 km
+    lrows += [(1000 + i, 179.9, 10.0 * i) for i in range(4)]
+    rrows += [(1000 + i, -179.9, 10.0 * i + 0.05) for i in range(4)]
     left = spark.createDataFrame(lrows, "l_id bigint, lon double, lat double")
     right = spark.createDataFrame(rrows, "r_id bigint, lon double, lat double")
     got = {
@@ -1046,7 +1065,12 @@ def test_tokenring_conjunctive_equalto_is_and_not_or(spark, tmp_path):
     rdr = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
     leftover = list(rdr.pushFilters([EqualTo(("pk",), "k7"), EqualTo(("pk",), "k9")]))
     assert leftover == []  # both claimed — and applied as an AND
-    assert list(rdr.partitions()) == []
+    # one degenerate empty-range partition (NOT an empty list — pyspark
+    # plans [None] for empty partition lists and read(None) would crash),
+    # and executing the scan yields zero rows
+    parts2 = list(rdr.partitions())
+    assert len(parts2) == 1 and parts2[0].lo == parts2[0].hi
+    assert list(rdr.read(parts2[0])) == []
     # duplicate pushes of the SAME value stay satisfiable: one owning range
     rdr2 = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
     list(rdr2.pushFilters([EqualTo(("pk",), "k7"), EqualTo(("pk",), "k7")]))
