@@ -514,21 +514,29 @@ def dwithin_join(
     """Distance-bounded point-point JOIN — "every (l, r) within R km" — as
     a grid-cell cover-and-refine, never a cross join.
 
-    Cover: both sides bucket into cells of δlat = R/110 degrees (1° of
-    latitude is ≥ 110.57 km everywhere) and, for longitude, into
-    N = floor(360/δ′) EQUAL cells where δ′ = R/(111.32·cos(max_abs_lat))
-    (1° of longitude is ≥ 111.32·cos(|lat|) km below max_abs_lat) — equal
-    widths ≥ δ′, so any pair within R km differs by < 1 cell per axis and
-    the longitude cells wrap MOD N at the antimeridian (a pair straddling
-    lon ±180 lands in circularly-adjacent cells and is still found). The
-    left side probes its 3×3 neighborhood (lon neighbors mod N,
+    Cover: the cell bounds come straight from the haversine identity the
+    refine stage uses — sin²(d/2Rₑ) = sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)
+    on the Rₑ = 6371.0088 km sphere — so cover and refine can never
+    disagree (an approximate km-per-degree constant here once dropped
+    boundary pairs the refine would have accepted):
+
+    - latitude: Δφ ≤ d/Rₑ exactly, so δlat = degrees(R/Rₑ) with a small
+      safety factor;
+    - longitude: cosφ₁·cosφ₂ ≥ cos²(max_abs_lat) inside the band, giving
+      Δλ ≤ 2·asin(sin(R/2Rₑ)/cos(max_abs_lat)) exactly. Cells are
+      N = floor(360/δλ) EQUAL widths ≥ δλ and wrap MOD N at the
+      antimeridian (a pair straddling lon ±180 lands in circularly-
+      adjacent cells and is still found).
+
+    Any pair within R km therefore differs by < 1 cell per axis; the left
+    side probes its 3×3 neighborhood (lon neighbors mod N,
     `array_distinct` so tiny N never emits a duplicate probe → no
     duplicate pairs), making the physical join a hash equi-join on
     (cx, cy). A right point lives in exactly one cell. Refine: exact
     haversine ≤ R.
 
-    Rows with |lat| > max_abs_lat are excluded — the δlon bound is only
-    sound below that latitude (cells degenerate toward the poles); a
+    Rows with |lat| > max_abs_lat are excluded — the Δλ bound needs
+    cos(max_abs_lat) > sin(R/2Rₑ) (cells degenerate toward the poles); a
     production deployment adds polar-cap buckets. Returns
     (left_id, right_id, km).
 
@@ -537,9 +545,19 @@ def dwithin_join(
     to the (smaller) probe side only."""
     import math
 
-    dlat = radius_km / 110.0
-    dlon_min = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
-    n_lon = max(1, int(360.0 // dlon_min))
+    r_e = 6371.0088  # same sphere radius as haversine_km
+    margin = 1.0 + 1e-9
+    dlat = math.degrees(radius_km / r_e) * margin
+    sin_half = math.sin(radius_km / (2.0 * r_e))
+    cos_band = math.cos(math.radians(max_abs_lat))
+    if sin_half * margin >= cos_band:
+        # radius spans any longitude inside the band — one lon cell
+        n_lon = 1
+    else:
+        dlon_min = math.degrees(2.0 * math.asin(sin_half / cos_band)) * margin
+        n_lon = max(1, int(360.0 // dlon_min))
+        while n_lon > 1 and 360.0 / n_lon < dlon_min:
+            n_lon -= 1
     dlon = 360.0 / n_lon
 
     def prep(df: DataFrame, idc: str, pre: str) -> DataFrame:
@@ -594,8 +612,13 @@ def write_z_ordered(df: DataFrame, path: str, lon_col: str, lat_col: str,
     reference's z2 side-tables. `repartitionByRange(z2)` + in-partition sort
     gives each parquet file a tight z2 min/max, which is what makes
     `bbox_filter`'s range predicates skip row groups at read time."""
+    from geomesa_cassandra_tools_spark.operators.relational import (
+        _estimated_scan_partitions,
+    )
+
     out = df.withColumn("z2", z2(F.col(lon_col), F.col(lat_col), res))
-    parts = num_files or max(out.rdd.getNumPartitions(), 1)
+    # derive the default file count WITHOUT a full logical→RDD conversion
+    parts = num_files or max(_estimated_scan_partitions(df), 1)
     (
         out.repartitionByRange(parts, F.col("z2"))
         .sortWithinPartitions("z2")

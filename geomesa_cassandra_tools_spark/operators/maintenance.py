@@ -132,6 +132,14 @@ def compact_parquet(
     ~target-sized files. Returns (files_before, files_after)."""
     df = spark.read.parquet(path)
     files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    if files_before == 0:
+        # hive-partitioned (part_day=…/ subdirs) or empty table: rewriting
+        # it flat would silently DESTROY the partition layout — compaction
+        # of a partitioned table is a per-partition job
+        raise ValueError(
+            f"compact_parquet: no top-level parquet files under {path!r} — "
+            "partitioned tables must be compacted per partition directory"
+        )
     total_bytes = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)

@@ -67,6 +67,10 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     cached = _SCAN_PARTS_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
+    if len(_SCAN_PARTS_CACHE) >= 512:
+        # bound the cache (and the sessions it pins): distinct scans per
+        # process are few; a workload churning temp dirs must not leak
+        _SCAN_PARTS_CACHE.clear()
     total = 0
     for uri in files:
         if uri.startswith("file:"):
@@ -131,7 +135,18 @@ def salted_join(
     for the ones it can't — aggregations after the join keyed on the hot key,
     or sort-merge partitions a single key overflows. Deterministic salt
     (xxhash64 of the row, not rand()) keeps results reproducible.
+
+    Only ``inner`` and ``left`` are supported: the right side is replicated
+    ``salt`` times, so right/full outer would emit one null-padded row per
+    UNMATCHED salted copy (up to salt-1 spurious rows per right key) —
+    refused rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "replicated right side makes right/full outer emit spurious "
+            "null-padded rows per unmatched salted copy"
+        )
     on = list(on)
     lcols = left.columns
     lsalted = left.withColumn(

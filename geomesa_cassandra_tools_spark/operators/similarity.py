@@ -247,6 +247,12 @@ def blas_cosine_topk(
             "it must be a bounded probe set — swap sides or use "
             "cosine_pairs_above/lsh_cosine_topk for corpus-vs-corpus work"
         )
+    if not q_rows:
+        # an empty probe set has an empty answer — numpy's axis math on a
+        # zero-row matrix would raise instead
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))

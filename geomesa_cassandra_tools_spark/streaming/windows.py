@@ -131,6 +131,12 @@ def stateful_session_close(
 
     out_schema = f"{key} bigint, n_events bigint, closed boolean"
     state_schema = "n bigint"
+    # applyInPandasWithState hands TIMESTAMP columns to pandas as NAIVE
+    # session-timezone wall clocks, while setTimeoutTimestamp wants epoch
+    # millis — localize with the session zone captured at plan time, or a
+    # non-UTC session would arm every timer off by the zone offset (late
+    # close, or an in-the-past timestamp Spark rejects outright).
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def update(k, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -146,6 +152,8 @@ def stateful_session_close(
             newest = m if newest is None else max(newest, m)
         state.update((n,))
         if newest is not None:
+            if newest.tzinfo is None:
+                newest = newest.tz_localize(session_tz)
             state.setTimeoutTimestamp(int(newest.timestamp() * 1000) + gap_ms)
         yield pd.DataFrame({key: [k[0]], "n_events": [n], "closed": [False]})
 
@@ -189,7 +197,14 @@ def _drain(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(timeout_sec)
+    # awaitTermination returns False on timeout with the query STILL
+    # RUNNING — returning the sink name then would hand the caller a
+    # nondeterministic partial table and leak the query. Fail loudly.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish within {timeout_sec}s"
+        )
     return name
 
 

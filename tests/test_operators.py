@@ -716,6 +716,11 @@ def test_dwithin_join_equals_brute_force(spark):
     # lon cells wrap mod N); 179.9W vs 179.9E at the same lat is ~22 km
     lrows += [(1000 + i, 179.9, 10.0 * i) for i in range(4)]
     rrows += [(1000 + i, -179.9, 10.0 * i + 0.05) for i in range(4)]
+    # band-edge bound tightness: at lat 60 the max qualifying lon gap for
+    # R=400 km exceeds what an equatorial-constant cell width would cover —
+    # pairs right at the spherical bound must still be found
+    lrows += [(2000 + i, 0.37 * i, 59.99) for i in range(30)]
+    rrows += [(2000 + i, 0.37 * i + 7.18, 59.99) for i in range(30)]
     left = spark.createDataFrame(lrows, "l_id bigint, lon double, lat double")
     right = spark.createDataFrame(rrows, "r_id bigint, lon double, lat double")
     got = {
