@@ -64,7 +64,10 @@ class GeoCatalog:
         return (
             self._scoped(keyspace, catalog)
             .where(F.col("sft") == sft)
-            .select(F.explode(F.split(F.col("value"), "\n")).alias("table"))
+            # \r?\n: CRLF-terminated catalog values must not leave a
+            # trailing \r on the name (the reference's .strip() removes
+            # all whitespace; F.trim strips spaces only)
+            .select(F.explode(F.split(F.col("value"), "\r?\n")).alias("table"))
             .select(F.lower(F.trim(F.col("table"))).alias("table"))
             .where(F.col("table").startswith(catalog.lower()))
             .distinct()
@@ -75,9 +78,14 @@ class GeoCatalog:
     ) -> DataFrame:
         """Schema tables with no physical counterpart — the reference's
         N-concurrent-DESCRIBE existence probe collapsed into ONE left-anti
-        join (no per-table fan-out, no barrier)."""
+        join (no per-table fan-out, no barrier). The ``existing`` side is
+        normalized (lower/trim) to match `find_schema_tables`' output, so a
+        case-preserved DESCRIBE listing never reports a present table as
+        missing."""
         return self.find_schema_tables(keyspace, catalog, sft).join(
-            existing.select(F.col("table")), on="table", how="left_anti"
+            existing.select(F.lower(F.trim(F.col("table"))).alias("table")),
+            on="table",
+            how="left_anti",
         )
 
     def tables_exist(
@@ -88,13 +96,16 @@ class GeoCatalog:
 
     def remove_sft(self, keyspace: str, catalog: str, sft: str) -> "GeoCatalog":
         """DELETE FROM catalog WHERE sft=… as an immutable filter; the
-        caller persists (overwrite or Delta DELETE)."""
+        caller persists (overwrite or Delta DELETE). NULL-safe equality:
+        under plain ``==``, a row with a NULL key column makes the negated
+        conjunction NULL and ``where`` would silently DELETE that
+        unrelated row — SQL DELETE semantics keep it."""
         return GeoCatalog(
             self.df.where(
                 ~(
-                    (F.col("keyspace") == keyspace)
-                    & (F.col("catalog") == catalog)
-                    & (F.col("sft") == sft)
+                    F.col("keyspace").eqNullSafe(keyspace)
+                    & F.col("catalog").eqNullSafe(catalog)
+                    & F.col("sft").eqNullSafe(sft)
                 )
             )
         )
@@ -103,20 +114,21 @@ class GeoCatalog:
 def nodes_registry(spark: SparkSession, path: str) -> DataFrame:
     """Load a remotes.json-shaped node registry
     (/root/reference/remotes.json.example:1-14) as a broadcastable dim table
-    ``(name, host, port, user)``."""
-    raw = spark.read.option("multiLine", "true").json(path)
-    cols = raw.columns
-    stacked = raw.select(
-        F.expr(
-            "stack({n}, {args}) as (name, node)".format(
-                n=len(cols),
-                args=", ".join(f"'{c}', `{c}`" for c in cols),
-            )
-        )
+    ``(name, host, port, user)``.
+
+    Parsed as ``map<string, struct>`` via ``from_json`` rather than
+    schema-inferred columns + ``stack``: node names are data, not
+    identifiers (a quote/backtick in a name would corrupt a generated
+    stack() expression), and per-node key differences (one node with a
+    password, one key-based) must not make the struct types collide —
+    extra keys are ignored, missing ones come back NULL."""
+    raw = spark.read.text(path, wholetext=True)
+    node_map = F.from_json(
+        F.col("value"), "map<string, struct<host:string, port:int, user:string>>"
     )
-    return stacked.select(
+    return raw.select(F.explode(node_map).alias("name", "node")).select(
         "name",
         F.col("node.host").alias("host"),
-        F.col("node.port").cast("int").alias("port"),
+        F.col("node.port").alias("port"),
         F.col("node.user").alias("user"),
     )

@@ -18,10 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: nodetool compactionstats row — mirrors the named-group pattern at
-#: /root/reference/node.py:111 (id, type, keyspace, table, ...).
+#: nodetool compactionstats row — the named-group shape of
+#: /root/reference/node.py:111 (id, type, keyspace, table, ...). The id
+#: group accepts any hex-ish identifier of ≥8 chars, either case (the
+#: reference's strict-lowercase-UUID assumption drops uppercase and
+#: legacy ids; its own broader [0-9a-zA-Z-_]+ would instead swallow the
+#: column-header line as a data row — ≥8 hex-ish chars threads both).
 COMPACTION_PATTERN = (
-    r"^\s*(?P<id>[0-9a-f-]{36})\s+(?P<type>\w+)\s+(?P<keyspace>\S+)\s+(?P<table>\S+)"
+    r"^\s*(?P<id>[0-9a-fA-F-]{8,})\s+(?P<type>\w+)\s+(?P<keyspace>\S+)\s+(?P<table>\S+)"
 )
 _COMPACTION_GROUPS = ("id", "type", "keyspace", "table")
 
@@ -30,8 +34,12 @@ _COMPACTION_GROUPS = ("id", "type", "keyspace", "table")
 SNAPSHOT_PATTERN = r"^\s*(?P<name>\S+)\s+(?P<keyspace>\S+)\s+(?P<table>\S+)"
 _SNAPSHOT_GROUPS = ("name", "keyspace", "table")
 
-#: node-health probe — all three flags true, /root/reference/node.py:50-53.
-UP_PATTERN = r"Gossip active\s*:\s*true[\s\S]*Native Transport active\s*:\s*true"
+#: node-health probe — ALL THREE flags true (Gossip, Thrift, Native
+#: Transport), /root/reference/node.py:48-53; a node with Thrift down is
+#: NOT up.
+UP_PATTERN = (
+    r"Gossip[\s\S]*?true[\s\S]*?Thrift[\s\S]*?true[\s\S]*?Transport[\s\S]*?true"
+)
 
 
 def _extract(lines: DataFrame, line_col: str, pattern: str, groups: tuple[str, ...]) -> DataFrame:

@@ -1,9 +1,15 @@
-"""Vector math over `array<float>` embedding columns — pure Column
-expressions (`zip_with`/`aggregate`), JVM-side, no UDFs.
+"""Vector math over embedding columns — pure Column expressions
+(`zip_with`/`aggregate`), JVM-side, no UDFs.
 
-Float arrays are cast to double before any arithmetic so Spark and the SQL
-oracle fold in the same precision; `aggregate` is a sequential left fold, so
-summation order is the array order on every engine.
+CONTRACT: ``dot``/``norm``/``cosine``/``euclidean`` expect
+``array<double>`` inputs — cast float arrays ONCE at ingestion with
+``as_double`` (every operator in this package does, via its `_prep`).
+The helpers deliberately do NOT re-cast: higher-order functions evaluate
+interpreted per element, and wrapping each call in another `transform`
+layer measurably slows the scoring hot paths (+60% on brute-force top-k)
+while a float32 fold would silently drift from the double-precision SQL
+oracle. `aggregate` is a sequential left fold, so summation order is the
+array order on every engine.
 """
 
 from __future__ import annotations

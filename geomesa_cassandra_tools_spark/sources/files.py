@@ -39,6 +39,16 @@ def read_csv(
     Spark refuses plans that reference ONLY the corrupt column (column
     pruning would skip the parse that fills it) — `.cache()` the frame
     before corrupt-rows-only audits, per Spark's documented contract."""
+    if permissive_column is not None:
+        # the corrupt column must EXIST in the schema or PERMISSIVE mode
+        # silently nulls malformed rows and the raw line is lost — append
+        # it here so callers get the documented behavior without knowing
+        # that Spark contract detail
+        if isinstance(schema, StructType):
+            if permissive_column not in {f.name for f in schema.fields}:
+                schema = schema.add(permissive_column, "string")
+        elif permissive_column not in schema:
+            schema = f"{schema}, {permissive_column} string"
     reader = spark.read.schema(schema).option("header", str(header).lower())
     if permissive_column is not None:
         reader = reader.option("mode", "PERMISSIVE").option(

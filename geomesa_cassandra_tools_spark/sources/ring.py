@@ -62,6 +62,14 @@ class RangeScan(InputPartition):
 
 class TokenRingReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
+        if "pk" not in {f.name for f in schema.fields}:
+            # the ring partitions BY pk's token — without it no row can be
+            # placed in a range; fail at planning, not with a KeyError on
+            # the first record of a running scan task
+            raise ValueError(
+                "tokenring source requires a 'pk' column in the schema "
+                f"(got: {[f.name for f in schema.fields]})"
+            )
         self.schema = schema
         self.path = options.get("path")
         self.ranges = int(options.get("ranges", "4"))

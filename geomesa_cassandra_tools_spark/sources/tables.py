@@ -42,11 +42,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: (session id, sf_dir, table) → DataFrame plan. DataFrames are immutable
-#: lazy plans, so reuse is safe; rebuilding one costs a file listing + a
-#: parquet footer read on the driver — pure constant overhead when every
-#: query call re-resolves its tables.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: (session id, sf_dir, table) → (session, DataFrame plan). DataFrames are
+#: immutable lazy plans, so reuse is safe; rebuilding one costs a file
+#: listing + a parquet footer read on the driver — pure constant overhead
+#: when every query call re-resolves its tables. The session OBJECT is part
+#: of the value and identity-checked on lookup (a recycled id() of a
+#: stopped session must never return a plan bound to it); the cache is
+#: bounded so cycling sessions can't grow it without limit.
+_PLAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,10 +57,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     key = (id(spark), sf_dir, name)
     cached = _PLAN_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    if len(_PLAN_CACHE) >= 512:
+        _PLAN_CACHE.clear()
     df = _build_table(spark, sf_dir, name)
-    _PLAN_CACHE[key] = df
+    _PLAN_CACHE[key] = (spark, df)
     return df
 
 

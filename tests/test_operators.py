@@ -155,6 +155,7 @@ pending tasks: 2
    59f80a30-member-of-noise
    8d9c6a70-0a1e-11ee-9c58-7b3a4d2e9f10 Compaction geomesa cat_roads_z2 12 100 bytes 12.00%
    9e0d7b81-1b2f-11ee-9c58-7b3a4d2e9f10 Compaction geomesa cat_roads_id 99 100 bytes 99.00%
+   E3B0C442-98FC-11EE-9C58-7B3A4D2E9F10 Compaction geomesa cat_roads_up 1 100 bytes 1.00%
 """
 
 NODETOOL_SNAPSHOTS = """\
@@ -170,11 +171,13 @@ def test_parse_compactions_drops_noise(spark):
         [(l,) for l in NODETOOL_COMPACTIONS.splitlines()], "value string"
     )
     out = parsing.parse_compactions(lines).collect()
+    # uppercase-hex ids parse too (reference node.py:111 accepts them);
+    # noise, the pending-tasks line and the column header are all dropped
     assert {(r["keyspace"], r["table"]) for r in out} == {
         ("geomesa", "cat_roads_z2"),
         ("geomesa", "cat_roads_id"),
+        ("geomesa", "cat_roads_up"),
     }
-    assert all(len(r["id"]) == 36 for r in out)
 
 
 def test_parse_snapshots(spark):
@@ -189,15 +192,18 @@ def test_parse_snapshots(spark):
 
 
 def test_is_up_predicate(spark):
+    """ALL THREE flags must be true (reference node.py:48-53): a node with
+    Thrift down is not up."""
     df = spark.createDataFrame(
         [
-            ("Gossip active : true\nThrift : x\nNative Transport active : true",),
-            ("Gossip active : false\nNative Transport active : true",),
+            ("Gossip active : true\nThrift active : true\nNative Transport active : true",),
+            ("Gossip active : true\nThrift active : false\nNative Transport active : true",),
+            ("Gossip active : false\nThrift active : true\nNative Transport active : true",),
         ],
         "info string",
     )
     got = [r[0] for r in df.select(parsing.is_up(F.col("info"))).collect()]
-    assert got == [True, False]
+    assert got == [True, False, False]
 
 
 def test_cqlsh_data_rows(spark):
@@ -801,7 +807,7 @@ def test_read_text_lines_feeds_parsers(spark, tmp_path):
     p.write_text(NODETOOL_COMPACTIONS)
     lines = files.read_text_lines(spark, str(p))
     out = parsing.parse_compactions(lines)
-    assert out.count() == 2
+    assert out.count() == 3
 
 
 def test_read_csv_permissive_captures_corrupt_rows(spark, tmp_path):
