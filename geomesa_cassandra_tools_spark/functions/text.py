@@ -85,6 +85,38 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
+def bigram_array(text: Column, payload=None) -> Column:
+    """Bind-once adjacent-bigram array over whitespace tokens; empty array
+    when < 2 tokens (``sequence(1, size-1)`` would otherwise DESCEND to
+    [1, 0] for one-token docs and ``element_at(tk, 0)`` is always an
+    invalid-index error — the same Spark trap ``shingles`` guards).
+
+    The token array is bound ONCE as a lambda variable: referencing
+    ``F.split(...)`` inside the per-index lambda would re-inline the full
+    split into every element_at — 2·(n−1) splits of the whole text per
+    doc. ``payload(tk, i)`` customizes what each position emits (default:
+    the space-joined bigram string)."""
+    if payload is None:
+        payload = lambda tk, i: F.concat_ws(  # noqa: E731
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+        )
+
+    def indices(tk):
+        # the guard sits on the INDEX array so the per-position payload
+        # (and its element_at calls) is never evaluated for short docs
+        return F.when(
+            F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+
+    return F.element_at(
+        F.transform(
+            F.array(tokens(text)),
+            lambda tk: F.transform(indices(tk), lambda i: payload(tk, i)),
+        ),
+        1,
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, 1]: favors mid-length docs with
     diverse vocabulary and moderate stopword density."""

@@ -338,7 +338,8 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 SELECT p.event_id AS purchase_id, p.user_id AS user_id,
        p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """,
     "q22_geo_bbox": """
@@ -754,7 +755,8 @@ ORACLES["q52_purchase_asof_left"] = """
 SELECT p.event_id AS purchase_id, p.user_id AS user_id,
        p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
@@ -937,7 +939,7 @@ FROM p GROUP BY source
 ORACLES["q65_stratified_sample"] = f"""
 WITH d AS (
   SELECT doc_id, lang,
-         ((doc_id * 1103515245 + 12345) % 2147483647) AS h,
+         (((doc_id % 1000003) * 1103515245 + 12345) % 2147483647) AS h,
          (least(len(string_split(text, ' ')) / 100.0, 1.0)
           + len(list_distinct(string_split(text, ' ')))
             / len(string_split(text, ' '))

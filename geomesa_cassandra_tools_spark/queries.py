@@ -37,8 +37,8 @@ from geomesa_cassandra_tools_spark.streaming import windows as stream_win
 # --------------------------------------------------------- cache hygiene
 #
 # Several queries cache an intermediate (shingle sets, edge lists, …) that
-# is consumed 2-3 times WITHIN the query. The bench and the driver run all
-# 124 queries in one session, so un-released caches would accumulate in
+# is consumed 2-3 times WITHIN the query. The bench and the driver run the
+# whole registry in one session, so un-released caches would accumulate in
 # executor storage for the session lifetime. Two tiers:
 #
 # - per-query caches (``_cache``): tracked, and released when the NEXT
@@ -452,7 +452,15 @@ def q21_purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    # deterministic tie-break: asof_join's pick among equal right
+    # timestamps is shuffle-order dependent (operators/joins.py contract:
+    # make right_ts unique per group) — keep the max event_id per
+    # (user, ts) so duplicate-timestamp views can never flip the result
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
     out = joins.asof_join(
         purchases,
         views,
@@ -1121,7 +1129,12 @@ def q52_purchase_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    # same deterministic (user, ts) tie-break as q21
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
     out = joins.asof_join(
         purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
         right_cols=["event_id", "ts"], how="left",
@@ -1457,25 +1470,11 @@ def q64_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~token-count×, but both aggs combine map-side and the doc_id key is
     uniform — no skew, AQE-splittable."""
     t = load_tables(spark, sf_dir)
-    # bind the token array ONCE as a lambda variable (same trick as
-    # geo._ranges_cover_bound_once): referencing F.split(...) inside the
-    # per-index lambda would re-inline the full split into every
-    # element_at — 2·(n−1) splits of the whole text per doc.
-    bigrams = F.element_at(
-        F.transform(
-            F.array(F.split(F.col("text"), " ")),
-            lambda tk: F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
-                ),
-            ),
-        ),
-        1,
-    )
-    docs = t["documents"].select(
-        "doc_id", "source", F.explode(bigrams).alias("bigram")
-    )
+    # shared bind-once builder (functions/text.py::bigram_array) — guards
+    # the <2-token descending-sequence trap and binds the split once
+    docs = relational.ensure_parallelism(
+        t["documents"].select("doc_id", "source", "text"), by=["doc_id"]
+    ).select("doc_id", "source", F.explode(T.bigram_array(F.col("text"))).alias("bigram"))
     per_bigram = docs.groupBy("doc_id", "source", "bigram").agg(
         F.count("*").alias("cnt")
     )
@@ -1498,7 +1497,12 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-dependent). One shuffle keyed on lang (5 strata here;
     salt-or-split applies if a stratum dominates at scale)."""
     t = load_tables(spark, sf_dir)
-    h = ((F.col("doc_id") * 1_103_515_245 + 12_345) % 2_147_483_647).alias("h")
+    # reduce doc_id mod P FIRST (as q61/q111 do): the raw product would
+    # leave int64 once doc_id ≳ 8.4e9 — an ANSI overflow abort at corpus
+    # scale, in both engines' checked arithmetic
+    h = (
+        ((F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345) % 2_147_483_647
+    ).alias("h")
     docs = t["documents"].select(
         "doc_id", "lang", h, T.quality_score(F.col("text")).alias("q")
     )
@@ -1526,13 +1530,13 @@ def q66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
     ).where(F.col("view_ts").isNotNull())
     c = (
-        ev.join(F.broadcast(v), "user_id")
+        ev.join(v, "user_id")
         .where((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
     )
     p = (
-        ev.join(F.broadcast(c), "user_id")
+        ev.join(c, "user_id")
         .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
@@ -2271,7 +2275,9 @@ def q90_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic straggler shape). The salt is a deterministic xxhash64 so
     reruns are stable (relational.salted_join is the join-side twin)."""
     ev = load_tables(spark, sf_dir)["events"]
-    salt = (F.xxhash64("event_id") % 8).alias("salt")
+    # pmod, not %: Spark's % keeps the sign of the (full-range signed)
+    # hash, which would scatter over 15 slots (-7..7), not the 8 claimed
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("salt")
     partial = (
         ev.select("event_type", salt, F.round(F.col("value") * 100).cast("long").alias("cents"))
         .groupBy("event_type", "salt")
@@ -2360,20 +2366,12 @@ def q94_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar is a broadcast. All shuffles are keyed on uniform text keys —
     the 100 TB shape of every shingle-family query."""
     t = load_tables(spark, sf_dir)
-    bigrams = F.element_at(
-        F.transform(
-            F.array(F.split(F.col("text"), " ")),
-            lambda tk: F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.struct(
-                    F.element_at(tk, i).alias("ctx"),
-                    F.concat_ws(
-                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
-                    ).alias("big"),
-                ),
-            ),
+    bigrams = T.bigram_array(
+        F.col("text"),
+        payload=lambda tk, i: F.struct(
+            F.element_at(tk, i).alias("ctx"),
+            F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)).alias("big"),
         ),
-        1,
     )
     docs = relational.ensure_parallelism(
         t["documents"].select("doc_id", "lang", "text"), by=["doc_id"]
@@ -3173,7 +3171,11 @@ def q118_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     dim = cust.join(
         F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("user_id", "n_name")
-    enriched = ev.join(F.broadcast(dim), "user_id")
+    # no broadcast hint on the customer-cardinality dim: a forced hint
+    # bypasses the size check and collects every customer to the driver
+    # at scale; Spark picks broadcast for stream-static joins when the
+    # static side actually fits
+    enriched = ev.join(dim, "user_id")
     agg = stream_win.tumbling_counts(
         enriched, width="1 day", watermark="2 hours", group_extra=("n_name",)
     )
@@ -3319,9 +3321,12 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("na"))
     sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("nb"))
+    # size lookups are user-cardinality — no broadcast hint (it would
+    # force a driver collect of every user at scale); AQE broadcasts at
+    # runtime when a side fits
     return (
-        inter.join(F.broadcast(sa), "user_a")
-        .join(F.broadcast(sb), "user_b")
+        inter.join(sa, "user_a")
+        .join(sb, "user_b")
         .select(
             "user_a",
             "user_b",
@@ -3523,7 +3528,9 @@ def q128_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus frequencies is broadcast (vocabulary-sized). KL support is
     valid by construction (every lang token is a corpus token)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
+    toks = relational.ensure_parallelism(
+        docs.select("lang", "text"), by=["lang"]
+    ).select(
         "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
     ).where(F.length("tok") >= 1)
     lt = _cache(toks.groupBy("lang", "tok").agg(F.count("*").alias("n_lt")))
@@ -3622,8 +3629,10 @@ def _with_cache_release(
 # verified round (MINHASH_PRIME bump → q15/q16/q18/q25/q58; asof struct
 # rewrite → q52/q119, q21 below; shared LSH signatures → q26/q57) and then
 # (b) the backlog of queries that have never had a driver-green row, in
-# numeric order (CORRECTNESS_r01+r02 covered 50 of 124; this round's window
-# reaches through q72, next round's rotation covers the remaining 33).
+# numeric order (CORRECTNESS_r01+r02 covered 50 queries; this round's
+# window reaches through q71 — the end-of-window marker below is
+# authoritative — and the next rotation covers the rest, including the
+# new q125+).
 # After the window: first the rest of the never-checked backlog, then the
 # already-verified remainder. bench.py sorts by name, so benchmark output
 # is unaffected by this ordering.

@@ -656,6 +656,28 @@ def test_cosine_pairs_block_pruning_drops_far_blocks(spark):
     assert len(out) == 380, len(out)
 
 
+def test_bigram_array_short_docs_yield_empty(spark):
+    """<2-token docs must produce an EMPTY bigram array — the naive
+    sequence(1, size-1) DESCENDS to [1, 0] for one-token docs and
+    element_at(tk, 0) is an invalid-index error under ANSI mode."""
+    from geomesa_cassandra_tools_spark.functions.text import bigram_array
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("single",), ("",)], "text string"
+    )
+    got = [r["b"] for r in df.select(bigram_array(F.col("text")).alias("b")).collect()]
+    assert got == [["alpha beta", "beta gamma"], [], []]
+    # struct payloads go through the same guard
+    payload = lambda tk, i: F.struct(  # noqa: E731
+        F.element_at(tk, i).alias("ctx"),
+        F.element_at(tk, i + 1).alias("nxt"),
+    )
+    got2 = [
+        r["b"] for r in df.select(bigram_array(F.col("text"), payload).alias("b")).collect()
+    ]
+    assert [len(x) for x in got2] == [2, 0, 0]
+
+
 def test_parse_byte_conf_handles_unit_suffixes():
     """Spark byte confs come as '134217728', '134217728b', '128m', '1g'…
     — digit-stripping would read '128m' as 128 BYTES and silently break
