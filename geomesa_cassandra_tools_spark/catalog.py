@@ -123,12 +123,25 @@ def nodes_registry(spark: SparkSession, path: str) -> DataFrame:
     password, one key-based) must not make the struct types collide —
     extra keys are ignored, missing ones come back NULL."""
     raw = spark.read.text(path, wholetext=True)
+    # port parsed as STRING then cast: a registry hand-edited to "port": "22"
+    # (quoted) must not silently become NULL the way an int-typed from_json
+    # field would; the cast accepts both JSON numbers and numeric strings
     node_map = F.from_json(
-        F.col("value"), "map<string, struct<host:string, port:int, user:string>>"
+        F.col("value"), "map<string, struct<host:string, port:string, user:string>>"
     )
+    # a registry that parses to NULL (malformed JSON, or a top-level array)
+    # is misconfiguration — fail loudly instead of yielding zero rows; the
+    # file is one wholetext row, so this eager probe is a bounded metadata
+    # read, not a data scan
+    bad = raw.where(node_map.isNull() & F.col("value").isNotNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"nodes registry at {path!r} is not a JSON object of "
+            "name -> {host, port, user} records"
+        )
     return raw.select(F.explode(node_map).alias("name", "node")).select(
         "name",
         F.col("node.host").alias("host"),
-        F.col("node.port").alias("port"),
+        F.col("node.port").cast("int").alias("port"),
         F.col("node.user").alias("user"),
     )

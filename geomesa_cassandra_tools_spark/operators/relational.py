@@ -63,7 +63,16 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     if not files:
         return 1
     spark = df.sparkSession
-    key = (id(spark), files)
+    try:
+        max_bytes = _parse_byte_conf(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        )
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    # the resolved maxPartitionBytes is part of the key: a session that
+    # retunes the conf mid-run must not be served estimates computed under
+    # the old split size
+    key = (id(spark), max_bytes, files)
     cached = _SCAN_PARTS_CACHE.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
@@ -88,12 +97,6 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     if total < 0:
         est = len(files)
     else:
-        try:
-            max_bytes = _parse_byte_conf(
-                str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-            )
-        except Exception:
-            max_bytes = 128 * 1024 * 1024
         est = max(1, -(-total // max_bytes))
     _SCAN_PARTS_CACHE[key] = (spark, est)
     return est
@@ -110,7 +113,12 @@ def ensure_parallelism(
     With ``by`` set, partitions by hash of those columns instead of round-
     robin — downstream windows/aggregations keyed on the same columns then
     reuse the partitioning (sort only, no second shuffle of the much larger
-    post-explode frame)."""
+    post-explode frame).
+
+    Intended for SCAN-ROOTED frames: the estimate reflects the file scan
+    only, so a frame already repartitioned upstream may be judged "narrow"
+    and re-shuffled redundantly (correct, but a wasted exchange) — call it
+    where the frame comes straight off a source read."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if _estimated_scan_partitions(df) < target:
         if by:

@@ -15,7 +15,7 @@ explicit schemas to skip the inference scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -44,11 +44,20 @@ def read_csv(
         # silently nulls malformed rows and the raw line is lost — append
         # it here so callers get the documented behavior without knowing
         # that Spark contract detail
-        if isinstance(schema, StructType):
-            if permissive_column not in {f.name for f in schema.fields}:
-                schema = schema.add(permissive_column, "string")
-        elif permissive_column not in schema:
-            schema = f"{schema}, {permissive_column} string"
+        # normalize DDL strings to a StructType so the corrupt-column check
+        # compares parsed field NAMES (a substring test would false-positive
+        # on columns that merely contain the corrupt-column name), and build
+        # a NEW StructType rather than StructType.add() — add() mutates the
+        # caller's schema object in place, corrupting later reuse of it
+        parsed = (
+            schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+        )
+        if permissive_column not in {f.name for f in parsed.fields}:
+            schema = StructType(
+                list(parsed.fields) + [StructField(permissive_column, StringType())]
+            )
+        else:
+            schema = parsed
     reader = spark.read.schema(schema).option("header", str(header).lower())
     if permissive_column is not None:
         reader = reader.option("mode", "PERMISSIVE").option(

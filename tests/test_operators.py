@@ -434,6 +434,36 @@ def test_hashed_and_rank_vocab_pipelines_find_same_verified_pairs(spark, sf_smok
     assert hashed, "expected at least one verified near-dup pair in the corpus"
 
 
+def test_jaccard_max_df_drops_universal_shingle_from_pairing(spark):
+    """A stop-shingle shared by every doc otherwise contributes C(n,2) pairs
+    — `max_df` must keep the pairing linear in true near-dup candidates.
+    Here docs 1/2 are real near-dups; docs 3/4/5 share ONLY the universal
+    shingle, so with the cap they must produce no pair at all, and the
+    surviving pair's jaccard becomes the documented lower bound (capped
+    shingle excluded from the intersection, set sizes still exact)."""
+    univ = "the same stop phrase"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{univ} alpha beta gamma delta"),
+            (2, f"{univ} alpha beta gamma zeta"),
+            (3, f"{univ} one two three four"),
+            (4, f"{univ} cinq six sept huit"),
+            (5, f"{univ} neun zehn elf zwolf"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = dedup.shingle_sets(docs, n=4).cache()
+    uncapped = dedup.jaccard_pairs(sh)
+    assert uncapped.count() == 10  # every pair shares the universal 4-gram
+    capped = dedup.jaccard_pairs(sh, max_df=2).collect()
+    sh.unpersist()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+    (pair,) = capped
+    # doc sizes stay exact (5 shingles each); intersection counts only the
+    # uncapped shared shingles (3 of 4), so jaccard is the lower bound 3/7
+    assert pair["union_sz"] == 7 and pair["inter"] == 3
+
+
 def test_hashed_minhash_plan_has_no_global_sort(spark, sf_smoke):
     """The default dedup path must contain no unpartitioned window/sort:
     no Exchange SinglePartition anywhere in the physical plan."""

@@ -49,6 +49,40 @@ def test_equality_predicate_pushes_to_catalog_scan(spark, tmp_path):
     assert "EqualTo(sft,roads)" in pushed
 
 
+def test_jaccard_candidates_restrict_below_shingle_self_join(spark):
+    """The LSH→verify contract: when candidates are given, the shingle
+    pairing join itself must be candidate-restricted (b-side equi-joined on
+    doc_b), NOT filtered after the pair aggregation — Catalyst cannot push a
+    join below an aggregate, so the post-agg shape pays full exact-Jaccard
+    cost and the LSH stage buys no work reduction (the 100 TB scale-killer
+    VERDICT r3 flagged)."""
+    import re
+
+    from geomesa_cassandra_tools_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q w e r t")],
+        "doc_id bigint, text string",
+    )
+    sh = dedup.shingle_sets(docs)
+    cands = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    plan = (
+        dedup.jaccard_pairs(sh, candidates=cands)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the pairing join's condition carries BOTH the shingle equality and the
+    # b-side doc_b equality — proof the restriction sits below the groupBy
+    assert re.search(
+        r"Join Inner, \(\(?shingle#\d+ = shingle#\d+\)? AND \(?doc_id#\d+L? = doc_b#\d+L?\)?\)",
+        plan,
+    ) or re.search(
+        r"Join Inner, \(\(?doc_id#\d+L? = doc_b#\d+L?\)? AND \(?shingle#\d+ = shingle#\d+\)?\)",
+        plan,
+    ), plan
+
+
 def test_jvm_only_paths_have_no_python_udf(spark):
     for name in (
         "q01_pricing_summary",
