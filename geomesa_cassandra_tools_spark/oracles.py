@@ -2229,3 +2229,16 @@ d AS (
 )
 SELECT change_type, count(*) AS n_keys FROM d GROUP BY change_type
 """
+
+ORACLES["q131_zordered_bbox_scan"] = """
+WITH pts AS (
+  SELECT event_type, value,
+         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM pts
+WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 20.0 AND lat <= 60.0
+GROUP BY event_type
+"""

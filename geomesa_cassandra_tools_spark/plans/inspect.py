@@ -29,6 +29,39 @@ def assert_no_python_udf(df: DataFrame) -> None:
             raise AssertionError(f"Python UDF in hot path:\n{plan}")
 
 
+def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Executed-plan metrics of every parquet scan node — the ground truth
+    for storage-pruning claims (`numOutputRows` is what the reader actually
+    decoded AFTER pushed-filter row-group/record skipping; a "pushed" filter
+    that still decodes every row is pruning in name only). Materializes the
+    frame (collect) to finalize the AQE plan, then unwraps query stages."""
+    df.collect()
+
+    out: list[dict[str, int]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            walk(node.plan())
+            return
+        if "Scan" in name and "parquet" in name.lower():
+            vals: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # type: ignore[attr-defined]
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans, read from the EXECUTED plan —
     under AQE the pre-execution plan is provisional and carries no `*(n)`

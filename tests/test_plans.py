@@ -118,6 +118,22 @@ def test_z2_range_predicate_is_pushable_on_stored_column(spark, tmp_path):
     assert "GreaterThanOrEqual(z2" in pushed or "Or(And(" in pushed
 
 
+def test_q131_zordered_layout_scan_prunes_storage(spark):
+    """The stored-z2 contract (VERDICT r3 #4): q131 reads the z-ordered
+    layout, the bbox cover must reach the parquet reader as range
+    predicates, and the reader must DECODE strictly fewer rows than the
+    layout holds (min/max skipping on the clustered column) — the property
+    q22/q63's computed-z variants structurally cannot have."""
+    from geomesa_cassandra_tools_spark import queries as Q
+
+    df = QUERIES["q131_zordered_bbox_scan"](spark, SF)
+    pushed = inspect.pushed_filters(df)
+    assert "GreaterThanOrEqual(z2" in pushed, pushed
+    total = spark.read.parquet(Q._z_ordered_events_path(spark, SF)).count()
+    decoded = sum(m.get("numOutputRows", 0) for m in inspect.scan_metrics(df))
+    assert 0 < decoded < total, (decoded, total)
+
+
 def test_no_accidental_cross_joins_anywhere(spark):
     """Sweep every batch query plan: cartesian products are never OK;
     broadcast nested loops only where a broadcast-small-side scan is the
