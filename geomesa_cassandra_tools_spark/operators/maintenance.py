@@ -181,19 +181,41 @@ def remove_schema(
     cat_name: str,
     sft: str,
     table_paths: dict[str, str],
+    fmt: str = "parquet",
 ) -> tuple[GeoCatalog, DataFrame]:
     """The full removal pipeline: resolve the SFT's physical tables from the
-    catalog, verify existence (anti-join, not N probes), truncate each
-    (overwrite with empty), compact, and delete the catalog row. Stages that
-    are pure Cassandra ops in the reference (flush/repair/cleanup/stop
-    compactions) have no analytics content here (SURVEY.md §7.5) — they are
-    recorded as no-op audit rows so the pipeline shape is preserved.
+    catalog, verify existence (anti-join, not N probes), truncate each,
+    compact/vacuum, and delete the catalog row. Stages that are pure
+    Cassandra ops in the reference (flush/repair/cleanup/stop compactions)
+    have no analytics content here (SURVEY.md §7.5) — they are recorded as
+    no-op audit rows so the pipeline shape is preserved.
+
+    ``fmt``:
+
+    - ``"parquet"`` (default): plain directories — truncate is overwrite-
+      with-empty + rmtree/rename. Correct SINGLE-WRITER semantics only: a
+      concurrent reader listing the directory mid-rewrite sees a torn
+      table.
+    - ``"manifest"``: ``table_paths`` point at manifest tables
+      (operators/transactional.py) — truncate is ONE atomic manifest
+      commit (the analog of the reference's single-statement TRUNCATE) and
+      the compact stage becomes a vacuum of the unreferenced data files.
+      Concurrent readers keep their pinned snapshot throughout.
     """
+    if fmt not in ("parquet", "manifest"):
+        raise ValueError(f"unknown fmt {fmt!r}: expected 'parquet' or 'manifest'")
+    from geomesa_cassandra_tools_spark.operators import transactional
+
     run = MaintenanceRun(spark)
     tables = [r["table"] for r in catalog.find_schema_tables(keyspace, cat_name, sft).collect()]
     run._log(0, "", "identify_schema_tables", f"found={len(tables)}")
 
-    missing = [t for t in tables if t not in table_paths]
+    missing = [
+        t
+        for t in tables
+        if t not in table_paths
+        or (fmt == "manifest" and transactional.current_version(table_paths[t]) < 0)
+    ]
     if missing:
         run._log(1, ",".join(missing), "tables_exist", "missing", ok=False)
         raise ValueError(f"tables do not exist: {missing}")
@@ -203,16 +225,23 @@ def remove_schema(
         path = table_paths[t]
         run._log(2, t, "flush", "no-op on parquet")
         run._log(3, t, "stop_compactions", "no-op on parquet")
-        df = spark.read.parquet(path)
-        empty = spark.createDataFrame([], df.schema)
-        tmp = path.rstrip("/") + ".trunc_tmp"
-        empty.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        run._log(4, t, "truncate", "overwrote with empty frame")
-        run._log(5, t, "clear_snapshots", "no-op on parquet")
-        before, after = compact_parquet(spark, path)
-        run._log(6, t, "compact", f"files {before}->{after}")
+        if fmt == "manifest":
+            v = transactional.truncate_table(path)
+            run._log(4, t, "truncate", f"atomic manifest commit v{v}")
+            run._log(5, t, "clear_snapshots", "superseded snapshots held for vacuum")
+            removed = transactional.vacuum(path)
+            run._log(6, t, "compact", f"vacuum removed {removed} data files")
+        else:
+            df = spark.read.parquet(path)
+            empty = spark.createDataFrame([], df.schema)
+            tmp = path.rstrip("/") + ".trunc_tmp"
+            empty.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            run._log(4, t, "truncate", "overwrote with empty frame")
+            run._log(5, t, "clear_snapshots", "no-op on parquet")
+            before, after = compact_parquet(spark, path)
+            run._log(6, t, "compact", f"files {before}->{after}")
 
     new_catalog = catalog.remove_sft(keyspace, cat_name, sft)
     run._log(7, "", "remove_sft_from_catalog", sft)

@@ -14,10 +14,14 @@ JSON-lines "sstable" fixtures:
 - ``TokenRingReader.partitions()``: one ``InputPartition`` per token
   range — this is what gives Spark its parallelism and is exactly the
   planning contract a Cassandra/DynamoDB/HBase connector implements.
-- ``TokenRingReader.pushFilters()``: accepts ``EqualTo(pk, v)`` and
-  prunes the partition list to the single range owning ``token(v)`` —
-  connector-side predicate pushdown; all other filters are returned to
-  Spark to evaluate post-scan.
+- ``TokenRingReader.pushFilters()``: accepts ``EqualTo(pk, v)`` /
+  ``In(pk, vs)`` (pruning the partition list to the ranges owning the
+  claimed keys' tokens — the point-lookup and multi-get paths a real
+  user hits first) and range predicates on the connector-computed
+  ``token`` column (``token(pk)`` — subsetting partitions to the ranges
+  intersecting the claimed interval, the Cassandra full-ring-walk
+  idiom ``WHERE token(pk) > ? AND token(pk) <= ?``); all other filters
+  are returned to Spark to evaluate post-scan.
 
 The token function is the q61 LCG over a stable string fold (pure
 integer arithmetic — reproducible anywhere, unlike Murmur3 across
@@ -38,7 +42,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -73,45 +82,100 @@ class TokenRingReader(DataSourceReader):
         self.schema = schema
         self.path = options.get("path")
         self.ranges = int(options.get("ranges", "4"))
-        self._pk_equals: list[str] = []
+        self._has_token = "token" in {f.name for f in schema.fields}
+        #: each claimed pk predicate contributes an allowed-value SET;
+        #: claims are a conjunction, so the effective set is their
+        #: intersection (EqualTo → singleton, In → its value tuple)
+        self._pk_sets: list[set[str]] = []
+        #: claimed token-range bounds, folded to one [lo, hi) interval
+        self._token_bounds: list[tuple[str, int]] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         # one reader instance can serve several queries planned off the
         # same loaded DataFrame — pushed state must reset per planning
         # pass or a filter from one query leaks into the next
-        self._pk_equals = []
+        self._pk_sets = []
+        self._token_bounds = []
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("pk",):
-                # claimed filters are a CONJUNCTION: Spark never re-checks
-                # them post-scan, so every claimed EqualTo must hold on
-                # every emitted row. Claiming several distinct values is
-                # fine — their AND is unsatisfiable and partitions()
-                # plans zero scans.
-                self._pk_equals.append(str(f.value))
+            # claimed filters are a CONJUNCTION: Spark never re-checks
+            # them post-scan, so every claim must hold on every emitted
+            # row (read() re-applies them exactly). A None value is left
+            # to Spark — SQL null comparison semantics are not ours to
+            # reimplement in the connector.
+            if isinstance(f, EqualTo) and f.attribute == ("pk",) and f.value is not None:
+                self._pk_sets.append({str(f.value)})
+            elif (
+                isinstance(f, In)
+                and f.attribute == ("pk",)
+                and all(v is not None for v in f.value)
+            ):
+                self._pk_sets.append({str(v) for v in f.value})
+            elif (
+                self._has_token
+                and isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                )
+                and f.attribute == ("token",)
+                and isinstance(f.value, int)
+            ):
+                self._token_bounds.append((type(f).__name__, f.value))
             else:
                 yield f  # unsupported → Spark evaluates it after the scan
 
+    def _token_interval(self) -> tuple[int, int]:
+        """Fold every claimed token bound into one half-open [lo, hi) —
+        the conjunction of range predicates IS interval intersection."""
+        lo, hi = 0, RING_SIZE
+        for op, v in self._token_bounds:
+            if op == "GreaterThan":
+                lo = max(lo, v + 1)
+            elif op == "GreaterThanOrEqual":
+                lo = max(lo, v)
+            elif op == "LessThan":
+                hi = min(hi, v)
+            else:  # LessThanOrEqual
+                hi = min(hi, v + 1)
+        return lo, hi
+
+    def _allowed_pks(self) -> set[str] | None:
+        """Intersection of claimed pk sets, or None when nothing claimed."""
+        if not self._pk_sets:
+            return None
+        allowed = set(self._pk_sets[0])
+        for s in self._pk_sets[1:]:
+            allowed &= s
+        return allowed
+
     def partitions(self) -> Sequence[InputPartition]:
-        distinct = set(self._pk_equals)
-        if len(distinct) > 1:
-            # pk='a' AND pk='b' — contradictory conjunction, no row can
-            # satisfy it. NOT an empty list: pyspark's scan planner
-            # substitutes [None] for zero partitions and read(None) would
-            # crash — plan one degenerate empty-range scan instead; the
-            # ANDed filter in read() keeps the row count at zero either way.
+        allowed = self._allowed_pks()
+        t_lo, t_hi = self._token_interval()
+        if (allowed is not None and not allowed) or t_lo >= t_hi:
+            # contradictory conjunction (pk='a' AND pk='b', or an empty
+            # token interval) — no row can satisfy it. NOT an empty list:
+            # pyspark's scan planner substitutes [None] for zero partitions
+            # and read(None) would crash — plan one degenerate empty-range
+            # scan instead; read()'s re-applied claims keep the count at 0.
             return [RangeScan(0, 0, self.path)]
         width = RING_SIZE // self.ranges
         bounds = [
             (i * width, RING_SIZE if i == self.ranges - 1 else (i + 1) * width)
             for i in range(self.ranges)
         ]
-        if distinct:
-            owned = {min(token_of(v) // width, self.ranges - 1) for v in distinct}
+        if allowed is not None:
+            owned = {min(token_of(v) // width, self.ranges - 1) for v in allowed}
             bounds = [b for i, b in enumerate(bounds) if i in owned]
+        # token-range subsetting: keep only ranges intersecting the claimed
+        # interval (a range is [lo, hi) — disjoint iff hi <= t_lo or
+        # lo >= t_hi); exactness is restored per-row in read()
+        bounds = [(lo, hi) for lo, hi in bounds if hi > t_lo and lo < t_hi]
+        if not bounds:
+            return [RangeScan(0, 0, self.path)]
         return [RangeScan(lo, hi, self.path) for lo, hi in bounds]
 
     def read(self, partition: RangeScan):
         fields = [f.name for f in self.schema.fields]
+        allowed = self._allowed_pks()
+        t_lo, t_hi = self._token_interval()
         paths = (
             [os.path.join(partition.path, p) for p in sorted(os.listdir(partition.path))]
             if os.path.isdir(partition.path)
@@ -124,13 +188,19 @@ class TokenRingReader(DataSourceReader):
                         continue
                     rec = json.loads(line)
                     # a CLAIMED filter must be fully applied here — Spark
-                    # will not re-check it after the scan; claims are ANDed,
-                    # so the row must match EVERY claimed equality
-                    if any(str(rec["pk"]) != v for v in self._pk_equals):
+                    # will not re-check it after the scan; claims are ANDed
+                    if allowed is not None and str(rec["pk"]) not in allowed:
                         continue
                     tok = token_of(str(rec["pk"]))
+                    if not (t_lo <= tok < t_hi):
+                        continue
                     if partition.lo <= tok < partition.hi:
-                        yield tuple(rec.get(f) for f in fields)
+                        # `token` is CONNECTOR-COMPUTED (token(pk), the
+                        # Cassandra virtual-column idiom) — never read from
+                        # the record, so fixtures can't desynchronize it
+                        yield tuple(
+                            tok if f == "token" else rec.get(f) for f in fields
+                        )
 
 
 class TokenRingDataSource(DataSource):

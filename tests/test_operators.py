@@ -6,6 +6,7 @@ and the multimodal plumbing contract (SURVEY.md §5 items 3–4)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import Row
@@ -86,6 +87,99 @@ def test_remove_schema_pipeline(spark, tmp_path):
     assert {"identify_schema_tables", "tables_exist", "truncate", "compact",
             "remove_sft_from_catalog"} <= acts
     assert audit.where(~F.col("ok")).count() == 0
+
+
+def test_remove_schema_manifest_parity_with_parquet_path(spark, tmp_path):
+    """The transactional variant must land in the SAME end state as the
+    overwrite path on the same fixture — empty tables, same schema, same
+    catalog — with the audit recording the atomic commits."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+
+    def fixture(root, fmt):
+        cat = GeoCatalog.from_rows(
+            spark, [("ks", "cat", "roads", "cat_roads_z2\ncat_roads_id")]
+        )
+        paths = {}
+        for t in ("cat_roads_z2", "cat_roads_id"):
+            path = str(root / fmt / t)
+            if fmt == "manifest":
+                transactional.init_table(spark.range(100), path)
+            else:
+                spark.range(100).write.parquet(path)
+            paths[t] = path
+        return cat, paths
+
+    cat_p, paths_p = fixture(tmp_path, "parquet")
+    new_p, audit_p = maintenance.remove_schema(
+        spark, cat_p, "ks", "cat", "roads", paths_p, fmt="parquet"
+    )
+    cat_m, paths_m = fixture(tmp_path, "manifest")
+    new_m, audit_m = maintenance.remove_schema(
+        spark, cat_m, "ks", "cat", "roads", paths_m, fmt="manifest"
+    )
+    assert new_p.df.count() == new_m.df.count() == 0
+    for path in paths_p.values():
+        assert spark.read.parquet(path).count() == 0
+    for path in paths_m.values():
+        t = transactional.read_table(spark, path)
+        assert t.count() == 0 and t.schema == spark.range(1).schema
+        # vacuum reclaimed the truncated snapshot's data files
+        assert os.listdir(os.path.join(path, "data")) == []
+    assert {r["action"] for r in audit_p.collect()} == {
+        r["action"] for r in audit_m.collect()
+    }
+    assert audit_m.where(
+        F.col("detail").startswith("atomic manifest commit")
+    ).count() == 2
+    with pytest.raises(ValueError, match="do not exist"):
+        # a manifest path with no committed manifest is a missing table
+        maintenance.remove_schema(
+            spark, cat_m, "ks", "cat", "roads",
+            {t: str(tmp_path / "nowhere" / t) for t in paths_m}, fmt="manifest",
+        )
+
+
+def test_transactional_delete_rewrites_only_hit_files(spark, tmp_path):
+    """DELETE's file-level surgery: only files containing matching rows are
+    rewritten; the rest carry over by reference — the property that makes a
+    targeted delete O(hit files), not O(table), at 100 TB. NULL-condition
+    rows survive (SQL DELETE semantics), and a reader pinned to the old
+    snapshot is unaffected until its own re-resolve."""
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    path = str(tmp_path / "t")
+    # two files with disjoint id ranges: deletes in one must not touch the other
+    df = spark.createDataFrame(
+        [(i, None if i == 5 else i % 3) for i in range(10)], "id bigint, grp bigint"
+    ).repartitionByRange(2, "id")
+    tx.init_table(df, path)
+    before = tx.read_table(spark, path)  # pinned snapshot
+    stats = tx.delete_where(spark, path, (F.col("id") < 5) & (F.col("grp") == 0))
+    assert stats["files_rewritten"] == 1 and stats["files_carried"] >= 1
+    got = {r["id"] for r in tx.read_table(spark, path).collect()}
+    # ids 0,3 deleted (grp=0, id<5); id 5 has NULL grp → survives
+    assert got == {1, 2, 4, 5, 6, 7, 8, 9}
+    assert {r["id"] for r in before.collect()} == set(range(10))  # old snapshot intact
+    # vacuum drops the superseded file; the surviving table is unchanged
+    removed = tx.vacuum(path)
+    assert removed >= 1
+    assert {r["id"] for r in tx.read_table(spark, path).collect()} == got
+    # no-match delete is a metadata-only commit
+    stats2 = tx.delete_where(spark, path, F.col("id") > 100)
+    assert stats2["files_rewritten"] == 0 and stats2["files_carried"] >= 1
+
+
+def test_transactional_commit_conflict_raises(spark, tmp_path):
+    """Two writers racing to the same version: the second commit must fail
+    loudly (optimistic concurrency), never silently replace the first."""
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(5), path)
+    v = tx.current_version(path)
+    tx._commit(path, v + 1, [], "{}")
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        tx._commit(path, v + 1, [], "{}")
 
 
 def test_remove_schema_missing_table_raises(spark, tmp_path):
@@ -1112,6 +1206,94 @@ def test_tokenring_pushdown_prunes_to_owning_range(spark, tmp_path):
     parts = rdr.partitions()
     assert len(parts) == 1
     assert parts[0].lo <= ring.token_of("k7") < parts[0].hi
+
+
+def test_tokenring_in_pushdown_prunes_to_owning_ranges(spark, tmp_path):
+    """In(pk, vs) — the multi-get path — reaches the connector and prunes
+    the scan to the union of the claimed keys' owning ranges; an In
+    intersected with a disjoint EqualTo is unsatisfiable (degenerate
+    partition, zero rows)."""
+    from pyspark.sql.datasource import EqualTo, In
+    from pyspark.sql.types import StructType
+    from geomesa_cassandra_tools_spark.sources import ring
+
+    path = _ring_fixture(tmp_path)
+    # end-to-end: isin through the planner
+    df = ring.read_ring(spark, path, ranges=8).where(F.col("pk").isin("k3", "k17"))
+    assert sorted(r["val"] for r in df.collect()) == [3, 17]
+
+    schema = StructType.fromDDL("pk string, col string, val bigint")
+    rdr = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    leftover = list(rdr.pushFilters([In(("pk",), ("k3", "k17"))]))
+    assert leftover == []
+    parts = rdr.partitions()
+    width = ring.RING_SIZE // 8
+    owning = {min(ring.token_of(k) // width, 7) for k in ("k3", "k17")}
+    assert len(parts) == len(owning)
+    for k in ("k3", "k17"):
+        tok = ring.token_of(k)
+        assert any(p.lo <= tok < p.hi for p in parts), k
+    # In ∧ disjoint EqualTo → empty intersection → degenerate scan
+    rdr2 = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    list(rdr2.pushFilters([In(("pk",), ("k3", "k17")), EqualTo(("pk",), "k9")]))
+    parts2 = list(rdr2.partitions())
+    assert len(parts2) == 1 and parts2[0].lo == parts2[0].hi
+    assert list(rdr2.read(parts2[0])) == []
+    # In ∧ overlapping EqualTo narrows to the single shared key
+    rdr3 = ring.TokenRingReader(schema, {"path": path, "ranges": "8"})
+    list(rdr3.pushFilters([In(("pk",), ("k3", "k17")), EqualTo(("pk",), "k3")]))
+    got = [r for p in rdr3.partitions() for r in rdr3.read(p)]
+    assert [r[0] for r in got] == ["k3"]
+
+
+def test_tokenring_token_range_pushdown_subsets_partitions(spark, tmp_path):
+    """Range predicates on the connector-computed token column — the
+    Cassandra full-ring-walk idiom (WHERE token(pk) > ? AND token(pk) <= ?)
+    — subset the planned partitions to the ranges intersecting the claimed
+    interval, and the scan result equals the post-hoc filter."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from pyspark.sql.types import StructType
+    from geomesa_cassandra_tools_spark.sources import ring
+
+    path = _ring_fixture(tmp_path)
+    ddl = "pk string, col string, val bigint, token bigint"
+    width = ring.RING_SIZE // 8
+    t_lo, t_hi = 2 * width, 5 * width  # spans ranges 2, 3, 4 of 8
+
+    # reader-level contract: planned partitions are exactly the 3
+    # intersecting ranges, and both claims are consumed
+    rdr = ring.TokenRingReader(
+        StructType.fromDDL(ddl), {"path": path, "ranges": "8"}
+    )
+    leftover = list(
+        rdr.pushFilters(
+            [GreaterThanOrEqual(("token",), t_lo), LessThan(("token",), t_hi)]
+        )
+    )
+    assert leftover == []
+    parts = rdr.partitions()
+    assert [(p.lo, p.hi) for p in parts] == [
+        (2 * width, 3 * width), (3 * width, 4 * width), (4 * width, 5 * width)
+    ]
+    rows = [r for p in parts for r in rdr.read(p)]
+    expect = {f"k{i}" for i in range(40) if t_lo <= ring.token_of(f"k{i}") < t_hi}
+    assert {r[0] for r in rows} == expect and expect
+    # every emitted token is connector-computed and in-interval
+    assert all(t_lo <= r[3] < t_hi and r[3] == ring.token_of(r[0]) for r in rows)
+
+    # end-to-end through the planner, against the full-scan oracle
+    def load():
+        ring.register(spark)
+        return (
+            spark.read.format("tokenring")
+            .option("path", path).option("ranges", "8").option("ddl", ddl)
+            .load()
+        )
+
+    got = load().where((F.col("token") >= t_lo) & (F.col("token") < t_hi))
+    assert {r["pk"] for r in got.collect()} == expect
+    # an empty claimed interval plans the degenerate scan and returns 0 rows
+    assert load().where((F.col("token") >= t_hi) & (F.col("token") < t_lo)).count() == 0
 
 
 def test_tokenring_conjunctive_equalto_is_and_not_or(spark, tmp_path):
