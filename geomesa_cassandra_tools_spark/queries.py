@@ -31,6 +31,7 @@ from geomesa_cassandra_tools_spark.operators import (
     relational,
     similarity,
 )
+from geomesa_cassandra_tools_spark.sources import fixtures
 from geomesa_cassandra_tools_spark.sources.tables import load_tables, stream_events
 from geomesa_cassandra_tools_spark.streaming import windows as stream_win
 
@@ -730,28 +731,12 @@ def q34_catalog_missing_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q35_parse_compactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text→struct ingestion of nodetool-shaped output (the reference's
-    splitlines→regex→dict path, /root/reference/node.py:110-114): synth
-    compactionstats lines (UUID from md5, noise headers mixed in), parsed
-    with regexp_extract — non-matching lines silently dropped, then
-    aggregated per (keyspace, table)."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"]
-    m = F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8"))
-    uid = F.concat_ws(
-        "-",
-        F.substring(m, 1, 8), F.substring(m, 9, 4), F.substring(m, 13, 4),
-        F.substring(m, 17, 4), F.substring(m, 21, 12),
-    )
-    data_lines = ev.select(
-        F.concat(
-            F.lit("   "), uid, F.lit(" "), F.col("event_type"),
-            F.lit(" ks"), (F.col("user_id") % 3).cast("string"),
-            F.lit(" t"), (F.col("user_id") % 5).cast("string"),
-            F.lit(" 1024 bytes 4096 total"),
-        ).alias("value")
-    )
-    noise = ev.limit(50).select(F.lit("pending tasks: 7").alias("value"))
-    parsed = parsing.parse_compactions(relational.union_all([data_lines, noise]))
+    splitlines→regex→dict path, /root/reference/node.py:110-114):
+    compactionstats lines (UUID data rows with noise headers mixed in, from
+    the stored ``sources.fixtures.compaction_lines`` artifact), parsed with
+    regexp_extract — non-matching lines silently dropped, then aggregated
+    per (keyspace, table)."""
+    parsed = parsing.parse_compactions(fixtures.compaction_lines(spark, sf_dir))
     return parsed.groupBy("keyspace", "table").agg(
         F.count("*").alias("n_compactions"),
         F.countDistinct("id").alias("n_ids"),
@@ -3293,8 +3278,11 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
     ever meet — never the all-pairs product), and similarity is exact
     cell-set Jaccard with a 0.5 threshold. |∩| arrives from the
     candidate join itself; |∪| = |A|+|B|−|∩| needs only per-user set
-    sizes — no array materialization. This is the scalable shape for
-    "find objects that move alike": index, co-group, verify."""
+    sizes, carried ON each index row by a window count (one shuffle on
+    user_id, shared with nothing downstream) so the verify step needs no
+    size-lookup joins at all — the pair aggregation reads na/nb off its
+    own input rows. This is the scalable shape for "find objects that
+    move alike": index, co-group, verify."""
     ev = load_tables(spark, sf_dir)["events"]
     cells = ev.select(
         "user_id",
@@ -3306,9 +3294,10 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
         ).cast("bigint").alias("cy"),
     ).select(
         "user_id", (F.col("cx") * 100 + F.col("cy")).alias("cell")
-    ).distinct()
+    ).distinct().withColumn(
+        "n_cells", F.count("*").over(Window.partitionBy("user_id"))
+    )
     _cache(cells)
-    sizes = cells.groupBy("user_id").agg(F.count("*").alias("n_cells"))
     inter = (
         cells.alias("a")
         .join(cells.alias("b"), "cell")
@@ -3317,28 +3306,22 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("a.user_id").alias("user_a"),
             F.col("b.user_id").alias("user_b"),
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("na"))
-    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("nb"))
-    # size lookups are user-cardinality — no broadcast hint (it would
-    # force a driver collect of every user at scale); AQE broadcasts at
-    # runtime when a side fits
-    return (
-        inter.join(sa, "user_a")
-        .join(sb, "user_b")
-        .select(
-            "user_a",
-            "user_b",
-            "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("na") + F.col("nb") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("n_common"),
+            # constant per group — max is just the cheapest passthrough
+            F.max(F.col("a.n_cells")).alias("na"),
+            F.max(F.col("b.n_cells")).alias("nb"),
         )
-        .where(F.col("jaccard") >= 0.5)
     )
+    return inter.select(
+        "user_a",
+        "user_b",
+        "n_common",
+        F.round(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.5)
 
 
 def q123_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
