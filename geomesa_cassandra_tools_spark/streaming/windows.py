@@ -14,6 +14,10 @@ memory sink for deterministic end-to-end tests.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +170,19 @@ def stateful_session_close(
 _RUN_SEQ = [0]
 
 
+def _checkpoint_root() -> str:
+    """Checkpoint base for drains: a RAM-backed dir when the host has one
+    (state-store deltas + offset/commit WALs are many small synchronous
+    writes — pure harness overhead for a bounded drain), else the system
+    temp dir. On a real cluster streaming checkpoints MUST be durable
+    shared storage (HDFS/S3) — callers there pass their own location via
+    ``spark.sql.streaming.checkpointLocation`` instead."""
+    for root in ("/dev/shm", tempfile.gettempdir()):
+        if os.path.isdir(root) and os.access(root, os.W_OK):
+            return os.path.join(root, f"spark_graft_ckpt_{os.getuid()}")
+    return tempfile.gettempdir()
+
+
 def _drain(
     stream_df: DataFrame,
     query_name: str,
@@ -184,6 +201,7 @@ def _drain(
     _RUN_SEQ[0] += 1
     name = f"{query_name}_{_RUN_SEQ[0]}"
     spark = stream_df.sparkSession
+    ckpt = os.path.join(_checkpoint_root(), f"{name}_{os.getpid()}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         if state_partitions is not None:
@@ -192,6 +210,7 @@ def _drain(
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -202,9 +221,14 @@ def _drain(
     # nondeterministic partial table and leak the query. Fail loudly.
     if not q.awaitTermination(timeout_sec):
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
         raise TimeoutError(
             f"streaming drain {name!r} did not finish within {timeout_sec}s"
         )
+    # the memory-sink drain is ephemeral — nothing will ever resume this
+    # checkpoint, so reclaim it (it may live in RAM) instead of leaking one
+    # dir per drain across a long session
+    shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 
