@@ -27,10 +27,27 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Size shuffle parallelism to the DATA, not the core count — the same
+    # rule that picks hundreds of partitions per 100 GB on a cluster picks
+    # a handful at sf0.1: partitions ≈ corpus_bytes / 64 MB, floored at 8
+    # (every stage still exercises real multi-partition paths) and capped
+    # at 2×cores (beyond that, extra reduce tasks are pure scheduler
+    # overhead on one box). Over-partitioning tiny shuffles was worth
+    # ~20% of total wall time at sf0.1.
+    data_bytes = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    data_bytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    shuffle_parts = max(16, min(2 * int(cpus), -(-data_bytes // (64 << 20))))
+
     spark = get_spark(
         app_name="geomesa-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -2242,3 +2242,37 @@ FROM pts
 WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 20.0 AND lat <= 60.0
 GROUP BY event_type
 """
+
+ORACLES["q132_incremental_lsh_dedup"] = f"""
+WITH {_SHINGLES_CTE}, {_VOCAB_CTE},
+  sigs AS (
+    SELECT doc_id,
+           {_minhash_select(16)}
+    FROM sid GROUP BY doc_id
+  ),
+  bands AS (
+    {_bands_union(8, 2)}
+  ),
+  cand AS (
+    SELECT DISTINCT least(n.doc_id, i.doc_id) AS doc_a,
+                    greatest(n.doc_id, i.doc_id) AS doc_b
+    FROM bands n
+    JOIN bands i ON n.band = i.band AND n.sig = i.sig
+                AND n.doc_id % 10 = 0 AND i.doc_id % 10 != 0
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  pair_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  )
+SELECT doc_a, doc_b,
+       round(inter / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM pair_inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE inter / (za.sz + zb.sz - inter) >= 0.1
+"""
+

@@ -2532,32 +2532,45 @@ def q99_scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token co-occurrence with lift (the log-free core of PMI): distinct
-    (doc, token) pairs self-joined within a document, pair counts scaled
-    by doc frequencies — lift = n_docs·c(a,b)/(c(a)·c(b)). The pair join
-    is keyed on doc_id (co-partitioned with the explode, no second
-    shuffle); at corpus scale the vocabulary must be capped (top-K by
-    document frequency) before pairing — this synthetic vocab is 30
-    tokens, so the cap is a no-op and omitted. Lift is one double divide
-    of exact integers → 6dp rounding is engine-stable."""
+    """Token co-occurrence with lift (the log-free core of PMI): each doc's
+    distinct token SET (one groupBy on doc_id) expands to its ordered pairs
+    with array higher-order functions — per-row JVM codegen, no self-join,
+    no second pass over the corpus — then pair counts scale by doc
+    frequencies: lift = n_docs·c(a,b)/(c(a)·c(b)). The df aggregation reads
+    the same cached per-doc sets. At corpus scale the vocabulary must be
+    capped (top-K by document frequency) before pairing — this synthetic
+    vocab is 30 tokens, so the cap is a no-op and omitted; the per-row
+    expansion is |set|² bounded by that cap, which is what makes it safe.
+    Lift is one double divide of exact integers → 6dp rounding is
+    engine-stable."""
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = (
-        docs.repartition("doc_id")
-        .select(
+    tok_sets = (
+        docs.select(
             "doc_id",
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
         )
         .where(F.length("tok") >= 3)
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
     )
-    _cache(toks)
+    _cache(tok_sets)
     n_docs = docs.select(F.count("*").alias("n_docs"))
-    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    df = (
+        tok_sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
     pairs = (
-        toks.alias("a")
-        .join(toks.alias("b"), "doc_id")
-        .where(F.col("a.tok") < F.col("b.tok"))
-        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        tok_sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(toks, (x, i) ->"
+                    " transform(slice(toks, i + 2, size(toks)),"
+                    " y -> struct(x AS tok_a, y AS tok_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("pair_count"))
     )
     out = (
@@ -3646,6 +3659,36 @@ def q131_zordered_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup end-to-end: a DELTA batch (doc_id % 10 == 0 — the
+    newly-arrived documents) matched against the signature INDEX of the
+    already-ingested corpus (the other 90%) via
+    `dedup.lsh_match_against_index`, then exact-Jaccard verified (>= 0.1).
+    This is the production shape for continuously-ingested corpora: only
+    the delta is freshly shingled+hashed against a stored band index —
+    never all-pairs over the full corpus per batch. Candidates are
+    canonicalized (least/greatest) before the verify join, per the
+    operator's contract; `jaccard_pairs` then restricts the shingle join
+    to candidate pairs BELOW the pairing, so verify work is linear in
+    candidates. Batch-equivalence with the all-pairs run is unit-tested in
+    tests/test_operators.py; this query makes the incremental path itself
+    driver-certifiable against an independent SQL oracle."""
+    t = load_tables(spark, sf_dir)
+    sh = _cache(dedup.shingle_sets(t["documents"]))
+    sigs = dedup.minhash_signatures(sh, k=16)
+    delta = sigs.where(F.col("doc_id") % 10 == 0)
+    index = sigs.where(F.col("doc_id") % 10 != 0)
+    cands = dedup.lsh_match_against_index(delta, index, bands=8, rows=2)
+    pairs = cands.select(
+        F.least("new_doc", "index_doc").alias("doc_a"),
+        F.greatest("new_doc", "index_doc").alias("doc_b"),
+    ).distinct()
+    verified = dedup.jaccard_pairs(sh, candidates=pairs)
+    return verified.where(F.col("jaccard") >= 0.1).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3721,18 +3764,21 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     # -- new this round
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
+    "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     # -- sentinels: implementation changed this round, or family reps
     "q14_near_dup_pairs": q14_near_dup_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_near_dups": q16_lsh_near_dups,
     "q58_neardup_clusters": q58_neardup_clusters,
-    "q22_geo_bbox": q22_geo_bbox,
     "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
     "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
     "q63_z3_spacetime": q63_z3_spacetime,
     # ---- end of the 50-entry verification window ----
     # -- already driver-verified (r01-r03 green rows), numeric order
+    # (q22 displaced from the sentinel block by q132 — r03-certified,
+    # implementation and values unchanged since)
     "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q22_geo_bbox": q22_geo_bbox,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
     "q05_customers_without_orders": q05_customers_without_orders,
