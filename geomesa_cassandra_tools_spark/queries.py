@@ -736,7 +736,9 @@ def q35_parse_compactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored ``sources.fixtures.compaction_lines`` artifact), parsed with
     regexp_extract — non-matching lines silently dropped, then aggregated
     per (keyspace, table)."""
-    parsed = parsing.parse_compactions(fixtures.compaction_lines(spark, sf_dir))
+    parsed = parsing.parse_compactions(
+        relational.ensure_parallelism(fixtures.compaction_lines(spark, sf_dir))
+    )
     return parsed.groupBy("keyspace", "table").agg(
         F.count("*").alias("n_compactions"),
         F.countDistinct("id").alias("n_ids"),
@@ -855,7 +857,7 @@ def q40_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pred = T.lang_id_heuristic(F.col("text"), LANG_MARKERS)
     return (
-        t["documents"]
+        relational.ensure_parallelism(t["documents"].select("lang", "text"))
         .select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n_docs"))
@@ -3484,8 +3486,12 @@ def q127_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-doc flag as JVM column expressions; one aggregate row holds
     all cascade counts (flags are cheap; re-scanning per stage is not —
     at 100 TB this report costs exactly one pass), then `stack` unpivots
-    to (stage, surviving, pct) rows."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    to (stage, surviving, pct) rows. The scan is widened first: the corpus
+    arrives as one file split locally, and four tokenizing flag
+    expressions on a single core would serialize the whole pass."""
+    docs = relational.ensure_parallelism(
+        load_tables(spark, sf_dir)["documents"].select("text")
+    )
     txt = F.col("text")
     flagged = docs.select(
         (T.token_count(txt) >= 20).alias("f1"),
