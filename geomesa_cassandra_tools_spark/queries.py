@@ -55,7 +55,7 @@ _QUERY_CACHES: list[DataFrame] = []
 #: value holds (session, frame): the session object is identity-checked on
 #: lookup so a recycled id() of a stopped session can never hand out a
 #: frame bound to a dead session (the stored reference pins the address).
-_SHARED_SIGS: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_SHARED_SIGS: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def _cache(df: DataFrame) -> DataFrame:
@@ -86,6 +86,36 @@ def _embedding_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         return entry[1]
     emb = load_tables(spark, sf_dir)["embeddings"]
     sigs = similarity.corpus_hyperplane_signatures(emb, dim=64, nbits=8).persist()
+    _SHARED_SIGS[key] = (spark, sigs)
+    return sigs
+
+
+def _document_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-gram shingle) rows over the documents corpus,
+    persisted once per (session, corpus) — the stored dedup index every
+    consumer (exact Jaccard, MinHash, SimHash, LSH, calibration,
+    incremental matching) reads instead of re-shingling the corpus. The
+    production design: at 100 TB the shingle and signature frames are
+    materialized tables maintained by ingestion, not per-query scans."""
+    key = (id(spark), sf_dir, "doc_sh")
+    entry = _SHARED_SIGS.get(key)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    sh = dedup.shingle_sets(load_tables(spark, sf_dir)["documents"]).persist()
+    _SHARED_SIGS[key] = (spark, sh)
+    return sh
+
+
+def _document_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 MinHash signatures over `_document_shingles`, persisted once
+    per (session, corpus) and shared by every banded-LSH consumer."""
+    key = (id(spark), sf_dir, "doc_sig")
+    entry = _SHARED_SIGS.get(key)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    sigs = dedup.minhash_signatures(
+        _document_shingles(spark, sf_dir), k=16
+    ).persist()
     _SHARED_SIGS[key] = (spark, sigs)
     return sigs
 
@@ -317,9 +347,8 @@ def q13_dedup_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup: pair scores computed only for pairs
     sharing a shingle (equi-join — never a cross join), global top-20."""
-    t = load_tables(spark, sf_dir)
-    # cached: the self-join consumes the shingle frame twice
-    sh = _cache(dedup.shingle_sets(t["documents"]))
+    # persisted shared index: the self-join consumes the shingle frame twice
+    sh = _document_shingles(spark, sf_dir)
     return (
         dedup.jaccard_pairs(sh)
         .select("doc_a", "doc_b", "inter", "union_sz", F.round("jaccard", 6).alias("jaccard"))
@@ -332,18 +361,15 @@ def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (16 hashes) — deterministic modular
     arithmetic over per-row md5 shingle ids (operators/dedup.py::hashed_tid;
     no vocabulary build, no global sort — the 100 TB default path)."""
-    t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
-    return dedup.minhash_signatures(sh, k=16)
+    return _document_minhash(spark, sf_dir)
 
 
 def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: 8 bands × 2 rows candidate generation, exact
     Jaccard verification of candidates only."""
-    t = load_tables(spark, sf_dir)
-    # cached: signatures + exact-Jaccard verify both branch here
-    sh = _cache(dedup.shingle_sets(t["documents"]))
-    sigs = _cache(dedup.minhash_signatures(sh, k=16))
+    # shared persisted index: signatures + exact-Jaccard verify both read it
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     return dedup.jaccard_pairs(sh, candidates=cands).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -352,9 +378,7 @@ def q16_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash over shingle hashes (majority-vote bits)."""
-    t = load_tables(spark, sf_dir)
-    sh = dedup.shingle_sets(t["documents"])
-    return dedup.simhash(sh, bits=16)
+    return dedup.simhash(_document_shingles(spark, sf_dir), bits=16)
 
 
 # ------------------------------------------------------------ text analysis
@@ -1234,9 +1258,8 @@ def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated docs into giant components; the verify threshold bounds both
     the graph and the semantics. The shape every production dedup ships:
     pairs are evidence, clusters are the decision."""
-    t = load_tables(spark, sf_dir)
-    sh = _cache(dedup.shingle_sets(t["documents"]))
-    sigs = dedup.minhash_signatures(sh, k=16)
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     pairs = dedup.jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= 0.1)
     comp = dedup.connected_components(pairs)
@@ -3450,9 +3473,8 @@ def q126_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count: pair count, mean exact Jaccard, mean absolute estimation error.
     Same bucketed-join shapes as q16; the only additions are two
     broadcast-joinable signature lookups."""
-    t = load_tables(spark, sf_dir)
-    sh = _cache(dedup.shingle_sets(t["documents"]))
-    sigs = _cache(dedup.minhash_signatures(sh, k=16))
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     exact = dedup.jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b", "jaccard")
     sa = sigs.select(
@@ -3679,9 +3701,8 @@ def q132_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Batch-equivalence with the all-pairs run is unit-tested in
     tests/test_operators.py; this query makes the incremental path itself
     driver-certifiable against an independent SQL oracle."""
-    t = load_tables(spark, sf_dir)
-    sh = _cache(dedup.shingle_sets(t["documents"]))
-    sigs = dedup.minhash_signatures(sh, k=16)
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
     delta = sigs.where(F.col("doc_id") % 10 == 0)
     index = sigs.where(F.col("doc_id") % 10 != 0)
     cands = dedup.lsh_match_against_index(delta, index, bands=8, rows=2)
