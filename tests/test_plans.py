@@ -184,6 +184,34 @@ def test_q57_reuses_q26_persisted_signatures(spark):
         Q.release_query_caches()
 
 
+def test_dedup_family_reuses_persisted_document_index(spark):
+    """The dedup twin of the signature-index contract: after any consumer
+    materializes the shared shingle/MinHash index, every other family
+    member's plan must read it from storage (InMemoryTableScan) instead of
+    re-shingling the corpus — and the builders must hand back the same
+    persisted frames, not fresh plans."""
+    from geomesa_cassandra_tools_spark import queries as Q
+
+    Q.release_shared_caches()
+    try:
+        sh = Q._document_shingles(spark, SF)
+        assert Q._document_shingles(spark, SF) is sh
+        assert sh.storageLevel.useMemory, "index frame must be persisted"
+        QUERIES["q16_lsh_near_dups"](spark, SF).count()
+        # q58 ends in checkpointed connected components (its plan is an
+        # ExistingRDD scan by design), so the lazy-plan consumers carry the
+        # assertion: the calibration audit and the incremental matcher
+        plan126 = inspect.explain_str(QUERIES["q126_minhash_accuracy"](spark, SF))
+        assert "InMemoryTableScan" in plan126, "q126 must reuse the stored index"
+        plan132 = inspect.explain_str(
+            QUERIES["q132_incremental_lsh_dedup"](spark, SF)
+        )
+        assert "InMemoryTableScan" in plan132, "q132 must reuse the stored index"
+    finally:
+        Q.release_shared_caches()
+        Q.release_query_caches()
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketing — the co-located-join layout for repeated big joins at
     scale: both sides bucketed+sorted on the join key produce a
