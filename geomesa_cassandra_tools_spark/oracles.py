@@ -815,16 +815,15 @@ ORACLES["q59_tfidf_top_terms"] = """
 WITH terms AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
 ),
-tf AS (
-  SELECT doc_id, lang, term, count(*) AS tf
-  FROM terms WHERE term <> '' GROUP BY doc_id, lang, term
+lt AS (
+  SELECT lang, term, count(*) AS total_tf
+  FROM terms WHERE term <> '' GROUP BY lang, term
 ),
-idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY term),
 nd AS (SELECT count(*) AS n_docs FROM documents),
 by_lang AS (
-  SELECT lang, term, round(sum(tf * ln(n_docs / df)), 4) AS score
-  FROM tf JOIN idf USING (term) CROSS JOIN nd
-  GROUP BY lang, term
+  SELECT lang, term, round(total_tf * ln(n_docs / df), 4) AS score
+  FROM lt JOIN idf USING (term) CROSS JOIN nd
 )
 SELECT lang, term, score, rank FROM (
   SELECT lang, term, score,

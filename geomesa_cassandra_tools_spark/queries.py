@@ -1272,31 +1272,40 @@ def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q59_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the corpus: tf = in-doc term count, idf = ln(N/df),
-    ranked top-5 terms per language by corpus-wide summed score. Ranking
-    keys on the ROUNDED score (4dp) with the term as tiebreak — unrounded
-    doubles differ across engines in the last ulp, rounded ones don't.
-    At 100 TB: explode shuffles on (doc_id is already the partition key),
-    the (term) df-aggregation is the one wide shuffle, and N arrives via a
-    broadcast of a 1-row agg — no driver collect, no global sort."""
+    ranked top-5 terms per language by corpus-wide summed score. idf is
+    constant per term, so Σ_doc tf·idf = idf·Σ_doc tf — the score needs
+    only (lang, term) totals and per-term df, never a (doc, lang, term)
+    aggregation: the doc-granular shuffle (the widest frame in the naive
+    plan) disappears, and Σtf is an exact integer so the one surviving
+    multiply is engine-stable. Ranking keys on the ROUNDED score (4dp)
+    with the term as tiebreak — unrounded doubles differ across engines
+    in the last ulp, rounded ones don't. At 100 TB: two aggregations over
+    the exploded terms (lang,term / term), a term-keyed join AQE
+    broadcasts when vocab is small, and N via a broadcast 1-row agg — no
+    driver collect, no global sort."""
     t = load_tables(spark, sf_dir)
     docs = relational.ensure_parallelism(
-        t["documents"].select("doc_id", "lang", "text"), by=["doc_id"]
+        t["documents"].select("doc_id", "lang", "text")
     )
     terms = docs.select(
         "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
     ).where(F.col("term") != "")
-    # cached: both the per-term df aggregate and the scoring join consume
-    # tf; without it Spark re-tokenizes the corpus for each branch
-    tf = _cache(terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf")))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # cached: the (lang,term) totals and the per-term df aggregate both
+    # consume terms; without it Spark re-tokenizes the corpus per branch
+    terms = _cache(terms)
+    lt = terms.groupBy("lang", "term").agg(F.count("*").alias("total_tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(df_, "term")
+    by_lang = (
+        lt.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
-    )
-    by_lang = scored.groupBy("lang", "term").agg(
-        F.round(F.sum("tfidf"), 4).alias("score")
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("total_tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term"))
     return (
