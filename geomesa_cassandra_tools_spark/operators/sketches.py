@@ -1,0 +1,79 @@
+"""Frequency sketches: count-min over a token stream.
+
+Completes the engine's mergeable-sketch family (HLL distinct counting —
+q43/q95; Greenwald-Khanna percentiles — q78) with the heavy-hitters
+sketch: a depth×width counter table whose size is FIXED regardless of
+stream cardinality. At 100 TB the exact per-token groupBy this module's
+tests compare against needs a shuffle proportional to the vocabulary;
+the sketch needs depth×width integers per partition (map-side combined),
+and sketches from different corpus slices merge by cell-wise addition —
+the same algebra that makes it a streaming/rollup citizen.
+
+Hashing reuses the dedup family's portable primitives
+(`hashed_tid` md5 fold + `minhash_params` LCG pairwise hashes), so a SQL
+oracle can reproduce every cell exactly — estimates here are
+deterministic, not probabilistic-per-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.operators.dedup import (
+    MINHASH_PRIME,
+    hashed_tid,
+    minhash_params,
+)
+
+#: Seed decorrelated from the MinHash family (seed=42) so sharing a corpus
+#: with dedup queries never correlates sketch collisions with signatures.
+CMS_SEED = 7
+
+
+def _buckets(tid: Column, depth: int, width: int) -> list[Column]:
+    """One bucket index per hash row: ((a·tid + b) mod P) mod width."""
+    return [
+        ((F.lit(a) * tid + F.lit(b)) % MINHASH_PRIME % width).cast("int")
+        for (a, b) in minhash_params(depth, seed=CMS_SEED)
+    ]
+
+
+def count_min_table(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build the count-min counter table for a stream of items: one row per
+    non-empty (hash row j, bucket) cell, ``cnt`` = how many items hashed
+    there. depth×width cells total — constant space; map-side partial
+    aggregation means each scan partition contributes at most depth×width
+    rows to the shuffle no matter how many items it holds. Tables from
+    different slices merge by summing cnt per (j, bucket)."""
+    tid = hashed_tid(F.col(item_col))
+    cells = items.select(
+        F.posexplode(F.array(*_buckets(tid, depth, width))).alias("j", "bucket")
+    )
+    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    cms: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: est = min over the
+    depth rows of the item's cell counts — the classic one-sided bound
+    (est >= true count, overshoot only from collisions). ``candidates``
+    must be distinct items; the join touches depth rows per candidate
+    against the fixed-size table (broadcastable at any corpus scale)."""
+    tid = hashed_tid(F.col(item_col))
+    probes = candidates.select(
+        item_col,
+        F.posexplode(F.array(*_buckets(tid, depth, width))).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

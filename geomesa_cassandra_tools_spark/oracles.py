@@ -90,6 +90,21 @@ def _bands_union(bands: int = 8, rows: int = 2) -> str:
     return "\n    UNION ALL\n    ".join(parts)
 
 
+def _cms_cells_sql(depth: int = 4, width: int = 512) -> str:
+    """Per-occurrence (j, bucket) rows mirroring operators/sketches.py
+    (`_buckets`: ((a*tid + b) % P) % width, params from
+    minhash_params(depth, seed=7))."""
+    parts = []
+    for j, (a, b) in enumerate(minhash_params(depth, seed=7)):
+        parts.append(
+            f"SELECT token, {j} AS j,"
+            f" CAST((({a} * tid + {b}) % {MINHASH_PRIME}) % {width} AS INT) AS bucket"
+            " FROM tid"
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+
 def _simhash_sql(bits: int = 16) -> str:
     (a, b) = minhash_params(1)[0]
     votes = ",\n           ".join(
@@ -2273,5 +2288,38 @@ FROM pair_inter
 JOIN sizes za ON za.doc_id = doc_a
 JOIN sizes zb ON zb.doc_id = doc_b
 WHERE inter / (za.sz + zb.sz - inter) >= 0.1
+"""
+
+
+ORACLES["q133_cms_heavy_hitters"] = f"""
+WITH t AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+tid AS (SELECT token, {_hashed_tid_sql('token')} AS tid FROM t),
+cells AS (
+    {_cms_cells_sql(4, 512)}
+),
+cms AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+exact AS (SELECT token, count(*) AS exact_n FROM t GROUP BY token),
+top AS (
+  SELECT token, exact_n, rank FROM (
+    SELECT token, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, token) AS rank
+    FROM exact
+  ) WHERE rank <= 15
+),
+probes AS (
+  SELECT DISTINCT c.token, c.j, c.bucket
+  FROM cells c JOIN top USING (token)
+),
+est AS (
+  SELECT p.token, min(c.cnt) AS cms_est
+  FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.token
+)
+SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount, rank
+FROM top JOIN est USING (token)
 """
 

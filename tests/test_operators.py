@@ -1327,3 +1327,47 @@ def test_tokenring_conjunctive_equalto_is_and_not_or(spark, tmp_path):
         (F.col("pk") == "k7") & (F.col("pk") == "k9")
     )
     assert df.count() == 0
+
+
+# ------------------------------------------------------------------ sketches
+
+
+def test_cms_estimate_upper_bounds_every_exact_count(spark):
+    """Count-min's one-sided contract: est >= exact for EVERY item, and
+    with width far above cardinality (no collisions) est == exact."""
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    rows = [(f"tok{i % 7}",) for i in range(100)] + [("rare",)]
+    items = spark.createDataFrame(rows, "token string")
+    exact = {r["token"]: r["n"] for r in items.groupBy("token").agg(
+        F.count("*").alias("n")).collect()}
+
+    # tight width -> collisions possible, bound must still hold
+    cms = sketches.count_min_table(items, "token", depth=4, width=4)
+    est = sketches.cms_estimate(items.distinct(), cms, "token", depth=4, width=4)
+    for r in est.collect():
+        assert r["cms_est"] >= exact[r["token"]]
+
+    # wide sketch -> 8 distinct tokens cannot collide in all 4 rows
+    cms_w = sketches.count_min_table(items, "token", depth=4, width=4096)
+    est_w = sketches.cms_estimate(items.distinct(), cms_w, "token", depth=4, width=4096)
+    assert {r["token"]: r["cms_est"] for r in est_w.collect()} == exact
+
+
+def test_cms_tables_merge_cellwise(spark):
+    """Mergeability — the property that makes the sketch a rollup/stream
+    citizen: sketch(A ∪ B) == cellwise-sum(sketch(A), sketch(B))."""
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"t{i % 5}",) for i in range(40)], "token string")
+    b = spark.createDataFrame([(f"t{i % 9}",) for i in range(33)], "token string")
+    whole = sketches.count_min_table(a.unionAll(b), "token", depth=4, width=64)
+    merged = (
+        sketches.count_min_table(a, "token", depth=4, width=64)
+        .unionAll(sketches.count_min_table(b, "token", depth=4, width=64))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert got == want
