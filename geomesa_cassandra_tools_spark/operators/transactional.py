@@ -69,16 +69,33 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit(path: str, version: int, files: list[str], schema_ddl: str) -> None:
+def _commit(
+    path: str,
+    version: int,
+    files: list[str],
+    schema_ddl: str,
+    txns: dict[str, int] | None = None,
+) -> None:
     """Atomically publish snapshot ``version``. ``os.link`` (not rename:
     rename silently REPLACES an existing target on POSIX) fails with
     FileExistsError if another writer committed the same version first —
-    the optimistic-concurrency conflict, surfaced loudly."""
+    the optimistic-concurrency conflict, surfaced loudly. ``txns`` is the
+    idempotent-writer watermark map (app -> highest applied transaction
+    id, the Delta txnAppId/txnVersion pattern); every commit carries it
+    forward so maintenance commits never forget an append's watermark."""
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": sorted(files), "schema": schema_ddl}, fh)
+        json.dump(
+            {
+                "version": version,
+                "files": sorted(files),
+                "schema": schema_ddl,
+                "txns": txns or {},
+            },
+            fh,
+        )
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -116,10 +133,44 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
 def init_table(df: DataFrame, path: str) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
     frame. Returns the committed version."""
-    version = current_version(path) + 1
+    prior = current_version(path)
+    txns = _read_manifest(path, prior).get("txns", {}) if prior >= 0 else {}
+    version = prior + 1
     files = _stage_files(df, path)
-    _commit(path, version, files, df.schema.json())
+    _commit(path, version, files, df.schema.json(), txns)
     return version
+
+
+def append_batch(
+    df: DataFrame,
+    path: str,
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+) -> int | None:
+    """Transactional APPEND with idempotent-writer semantics: stage new
+    immutable files, carry every existing file by reference, and commit —
+    recording (txn_app -> txn_id) in the manifest. A REPLAY of an already-
+    applied transaction (txn_id <= the recorded watermark for txn_app) is
+    a no-op returning None: exactly the Delta txnAppId/txnVersion contract
+    that makes foreachBatch sinks exactly-once under Structured Streaming
+    retries (the checkpoint replays a batch, the table refuses the
+    duplicate). Concurrent-commit conflicts raise; the streaming retry
+    re-reads the new current version and re-applies idempotently."""
+    version = current_version(path)
+    if version < 0:
+        txns = {txn_app: txn_id} if txn_app is not None else {}
+        files = _stage_files(df, path)
+        _commit(path, 0, files, df.schema.json(), txns)
+        return 0
+    man = _read_manifest(path, version)
+    txns = dict(man.get("txns", {}))
+    if txn_app is not None and txn_id is not None and txns.get(txn_app, -1) >= txn_id:
+        return None
+    if txn_app is not None:
+        txns[txn_app] = txn_id
+    files = man["files"] + _stage_files(df, path)
+    _commit(path, version + 1, files, man["schema"], txns)
+    return version + 1
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -153,7 +204,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
         raise ValueError(f"no committed manifest under {path!r}")
     man = _read_manifest(path, version)
     if not man["files"]:
-        _commit(path, version + 1, [], man["schema"])
+        _commit(path, version + 1, [], man["schema"], man.get("txns", {}))
         return {"version": version + 1, "files_rewritten": 0, "files_carried": 0}
     abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
     df = spark.read.parquet(*abs_files)
@@ -167,7 +218,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     )
     hit_names = {os.path.basename(r["f"]) for r in hits}
     if not hit_names:
-        _commit(path, version + 1, man["files"], man["schema"])
+        _commit(path, version + 1, man["files"], man["schema"], man.get("txns", {}))
         return {
             "version": version + 1,
             "files_rewritten": 0,
@@ -178,7 +229,9 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
         *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
     ).where(~F.coalesce(cond, F.lit(False)))
     new_files = _stage_files(survivors, path)
-    _commit(path, version + 1, carried + new_files, man["schema"])
+    _commit(
+        path, version + 1, carried + new_files, man["schema"], man.get("txns", {})
+    )
     return {
         "version": version + 1,
         "files_rewritten": len(hit_names),
@@ -194,7 +247,7 @@ def truncate_table(path: str) -> int:
     if version < 0:
         raise ValueError(f"no committed manifest under {path!r}")
     man = _read_manifest(path, version)
-    _commit(path, version + 1, [], man["schema"])
+    _commit(path, version + 1, [], man["schema"], man.get("txns", {}))
     return version + 1
 
 

@@ -1,0 +1,68 @@
+"""Streaming sinks beyond the memory-sink test harness: exactly-once
+append into a manifest-committed transactional table.
+
+Structured Streaming's delivery contract is at-least-once per micro-batch
+at the sink boundary — after a crash the checkpoint REPLAYS the last
+unacknowledged batch. File/Kafka sinks dedup internally; arbitrary sinks
+get `foreachBatch(batch_df, batch_id)` and must make the write idempotent
+themselves. This module wires that to `operators/transactional.py`: each
+batch commits through ``append_batch(txn_app=query, txn_id=batch_id)``,
+so a replayed batch id is refused by the manifest watermark and the table
+observes every batch EXACTLY once — the same txnAppId/txnVersion design
+Delta ships for this exact problem.
+
+At 100 TB this is the streaming-ingestion landing path: micro-batches
+append immutable files with an atomic metadata commit, maintenance
+(DELETE/VACUUM) interleaves safely under the same optimistic-concurrency
+manifest, and readers stay snapshot-isolated throughout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from geomesa_cassandra_tools_spark.operators import transactional
+from geomesa_cassandra_tools_spark.streaming.windows import _checkpoint_root
+
+
+def stream_to_manifest(
+    stream_df: DataFrame,
+    table_path: str,
+    query_name: str,
+    checkpoint: str | None = None,
+    timeout_sec: int = 120,
+) -> int:
+    """Drain a bounded stream (Trigger.AvailableNow) into the manifest
+    table at ``table_path`` exactly once, and return how many micro-batch
+    COMMITS were applied (replayed/empty batches excluded by the
+    watermark). ``checkpoint`` defaults to a deterministic per-(query,
+    table) location so a RESTART of the same drain resumes the same
+    checkpoint — paired with the manifest watermark, reprocessing after a
+    mid-drain crash cannot double-append."""
+    if checkpoint is None:
+        checkpoint = os.path.join(
+            _checkpoint_root(), f"manifest_{query_name}_{abs(hash(table_path))}"
+        )
+    applied = [0]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        committed = transactional.append_batch(
+            batch_df, table_path, txn_app=query_name, txn_id=batch_id
+        )
+        if committed is not None:
+            applied[0] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"manifest drain {query_name!r} did not finish within {timeout_sec}s"
+        )
+    return applied[0]

@@ -150,3 +150,46 @@ def test_foreachbatch_sink_writes_each_microbatch(spark, tmp_path):
     q.awaitTermination(120)
     assert len(seen) == 2
     assert spark.read.parquet(out_dir).count() == 2
+
+
+def test_stream_to_manifest_exactly_once(spark, tmp_path):
+    """The exactly-once ingestion contract end to end: a stream drains into
+    a manifest table; a second drain over the SAME checkpoint (the crash-
+    replay shape) applies nothing; a direct replay of an already-applied
+    batch id is refused by the manifest watermark; NEW data appends and
+    interleaved maintenance preserves the watermark."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "b")])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    applied = sinks.stream_to_manifest(stream, table, "ingest", checkpoint=ckpt)
+    assert applied >= 1
+    assert transactional.read_table(spark, table).count() == 2
+
+    # replayed drain over the same checkpoint: no new batches, no new rows
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream2, table, "ingest", checkpoint=ckpt) == 0
+    assert transactional.read_table(spark, table).count() == 2
+
+    # direct duplicate of an applied batch id -> watermark refuses it
+    batch = spark.read.parquet(src)
+    assert transactional.append_batch(batch, table, txn_app="ingest", txn_id=0) is None
+    assert transactional.read_table(spark, table).count() == 2
+
+    # new data arrives; the resumed checkpoint applies exactly the delta
+    _write_batch(spark, src, [("2024-01-01 12:00:00", "c")])
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream3, table, "ingest", checkpoint=ckpt) == 1
+    assert transactional.read_table(spark, table).count() == 3
+
+    # maintenance interleaves under the same manifest: delete one key,
+    # then a replay of ANY applied batch id still refuses (txns carried)
+    transactional.delete_where(spark, table, F.col("k") == "a")
+    assert transactional.read_table(spark, table).count() == 2
+    assert transactional.append_batch(batch, table, txn_app="ingest", txn_id=1) is None
