@@ -29,11 +29,12 @@ def main() -> None:
 
     # Size shuffle parallelism to the DATA, not the core count — the same
     # rule that picks hundreds of partitions per 100 GB on a cluster picks
-    # a handful at sf0.1: partitions ≈ corpus_bytes / 64 MB, floored at 8
-    # (every stage still exercises real multi-partition paths) and capped
-    # at 2×cores (beyond that, extra reduce tasks are pure scheduler
-    # overhead on one box). Over-partitioning tiny shuffles was worth
-    # ~20% of total wall time at sf0.1.
+    # a handful at sf0.1: partitions ≈ corpus_bytes / 64 MB, floored at 16
+    # (every stage still exercises real multi-partition paths; measured
+    # best of {8,16,32} at sf0.1) and capped at 2×cores (beyond that,
+    # extra reduce tasks are pure scheduler overhead on one box; the cap
+    # binds the floor too on small-core boxes). Over-partitioning tiny
+    # shuffles was worth ~20% of total wall time at sf0.1.
     data_bytes = 0
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
@@ -42,7 +43,7 @@ def main() -> None:
                     data_bytes += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-    shuffle_parts = max(16, min(2 * int(cpus), -(-data_bytes // (64 << 20))))
+    shuffle_parts = min(2 * int(cpus), max(16, -(-data_bytes // (64 << 20))))
 
     spark = get_spark(
         app_name="geomesa-spark-bench",

@@ -229,7 +229,9 @@ def remove_schema(
             v = transactional.truncate_table(path)
             run._log(4, t, "truncate", f"atomic manifest commit v{v}")
             run._log(5, t, "clear_snapshots", "superseded snapshots held for vacuum")
-            removed = transactional.vacuum(path)
+            # the removal pipeline is a single-writer admin operation —
+            # no concurrent appender can exist, so in-flight grace is off
+            removed = transactional.vacuum(path, grace_seconds=0)
             run._log(6, t, "compact", f"vacuum removed {removed} data files")
         else:
             df = spark.read.parquet(path)

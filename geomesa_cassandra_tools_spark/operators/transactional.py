@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -141,6 +142,15 @@ def init_table(df: DataFrame, path: str) -> int:
     return version
 
 
+def _schema_sig(schema_json: str) -> list[tuple]:
+    """(name, type) per field — nullability and metadata excluded, so a
+    batch whose optimizer inferred tighter nullability still appends."""
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(schema_json)["fields"]
+    ]
+
+
 def append_batch(
     df: DataFrame,
     path: str,
@@ -156,6 +166,10 @@ def append_batch(
     retries (the checkpoint replays a batch, the table refuses the
     duplicate). Concurrent-commit conflicts raise; the streaming retry
     re-reads the new current version and re-applies idempotently."""
+    if (txn_app is None) != (txn_id is None):
+        # a half-specified transaction would either skip the replay check
+        # or poison the watermark map with None — refuse loudly
+        raise ValueError("txn_app and txn_id must be provided together")
     version = current_version(path)
     if version < 0:
         txns = {txn_app: txn_id} if txn_app is not None else {}
@@ -163,8 +177,13 @@ def append_batch(
         _commit(path, 0, files, df.schema.json(), txns)
         return 0
     man = _read_manifest(path, version)
+    if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
+        raise ValueError(
+            f"append schema does not match table schema at {path!r}; "
+            "align the frame's columns/types before appending"
+        )
     txns = dict(man.get("txns", {}))
-    if txn_app is not None and txn_id is not None and txns.get(txn_app, -1) >= txn_id:
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
         return None
     if txn_app is not None:
         txns[txn_app] = txn_id
@@ -251,14 +270,18 @@ def truncate_table(path: str) -> int:
     return version + 1
 
 
-def vacuum(path: str, keep_versions: int = 1) -> int:
+def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
     """Physically remove data files unreferenced by the ``keep_versions``
     most recent manifests, and the superseded manifests themselves.
     Returns the number of data files removed. The retention window is the
     snapshot-isolation grace period (same role as gc_grace_seconds for
     tombstones): a reader pinned to a retained snapshot stays consistent;
     vacuuming with keep_versions=1 assumes no reader predates the current
-    commit."""
+    commit. ``grace_seconds`` additionally protects IN-FLIGHT commits:
+    `_stage_files` renames new files into data/ BEFORE the manifest link,
+    so an unreferenced file younger than the grace may belong to a commit
+    about to land — deleting it would corrupt that writer's table. Pass 0
+    only when no concurrent writer can exist."""
     version = current_version(path)
     if version < 0:
         return 0
@@ -271,11 +294,19 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
             continue
     removed = 0
     data = _data_dir(path)
+    now = time.time()
     if os.path.isdir(data):
         for f in os.listdir(data):
-            if f not in live:
-                os.unlink(os.path.join(data, f))
-                removed += 1
+            if f in live:
+                continue
+            full = os.path.join(data, f)
+            try:
+                if grace_seconds > 0 and now - os.path.getmtime(full) < grace_seconds:
+                    continue  # possibly staged by an in-flight commit
+                os.unlink(full)
+            except FileNotFoundError:
+                continue
+            removed += 1
     mdir = _manifest_dir(path)
     for f in os.listdir(mdir):
         m = _MANIFEST_RE.match(f)

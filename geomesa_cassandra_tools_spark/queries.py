@@ -3661,6 +3661,8 @@ def _z_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"gcts_z2_events_{safe}_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+
         pts = load_tables(spark, sf_dir)["events"].select(
             "event_id",
             "event_type",
@@ -3670,8 +3672,17 @@ def _z_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
         )
         # res=6 matches the read-side cover resolution (see q22's note);
         # 16 files gives each file a tight disjoint z2 span at test scale —
-        # at 100 TB this is the ingest job's output partitioning knob
-        geo.write_z_ordered(pts, path, "lon", "lat", res=6, num_files=16)
+        # at 100 TB this is the ingest job's output partitioning knob.
+        # Built in a pid-unique staging dir, published by one atomic rename
+        # (last-writer-wins; the content is deterministic) — two processes
+        # racing here must never overwrite each other's in-progress files.
+        staging = f"{path}.tmp-{os.getpid()}"
+        geo.write_z_ordered(pts, staging, "lon", "lat", res=6, num_files=16)
+        shutil.rmtree(path, ignore_errors=True)  # torn leftover from a crash
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     _Z_LAYOUTS[sf_dir] = path
     return path
 

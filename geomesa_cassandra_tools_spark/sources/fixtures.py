@@ -31,8 +31,15 @@ _FIXTURE_ROOT = os.path.join(
 )
 
 
-def _fixture_path(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+def _fixture_path(sf_dir: str, name: str, source_table: str) -> str:
+    """Keyed by corpus path AND the source table's (size, mtime) — a
+    regenerated corpus at the same path must rebuild, never serve stale
+    lines (same contract as queries._z_ordered_events_path)."""
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    stat = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{stat}".encode()
+    ).hexdigest()[:12]
     return os.path.join(_FIXTURE_ROOT, tag, name)
 
 
@@ -55,7 +62,7 @@ def compaction_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event id, keyspace/table from user_id residues) plus 50 noise
     header lines that the parser must drop.  Built and stored once; every
     subsequent call is a plain parquet scan."""
-    path = _fixture_path(sf_dir, "compaction_lines.parquet")
+    path = _fixture_path(sf_dir, "compaction_lines.parquet", "events")
     if not os.path.isdir(path):
         ev = load_table(spark, sf_dir, "events")
         m = F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8"))

@@ -19,6 +19,7 @@ manifest, and readers stay snapshot-isolated throughout.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -42,8 +43,13 @@ def stream_to_manifest(
     checkpoint — paired with the manifest watermark, reprocessing after a
     mid-drain crash cannot double-append."""
     if checkpoint is None:
+        # md5, NOT Python hash(): string hashing is salted per process, and
+        # a restart that derives a different checkpoint dir would replay
+        # the whole source under fresh batch ids — the watermark would then
+        # refuse batches that bundle genuinely new rows (silent data loss)
+        tag = hashlib.md5(os.path.abspath(table_path).encode()).hexdigest()[:12]
         checkpoint = os.path.join(
-            _checkpoint_root(), f"manifest_{query_name}_{abs(hash(table_path))}"
+            _checkpoint_root(), f"manifest_{query_name}_{tag}"
         )
     applied = [0]
 

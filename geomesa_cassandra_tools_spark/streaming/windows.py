@@ -219,16 +219,17 @@ def _drain(
     # awaitTermination returns False on timeout with the query STILL
     # RUNNING — returning the sink name then would hand the caller a
     # nondeterministic partial table and leak the query. Fail loudly.
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
+    # The memory-sink drain is ephemeral — nothing ever resumes this
+    # checkpoint, so reclaim it (it may live in RAM) on EVERY exit path,
+    # including a failing query raising StreamingQueryException.
+    try:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name!r} did not finish within {timeout_sec}s"
+            )
+    finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-        raise TimeoutError(
-            f"streaming drain {name!r} did not finish within {timeout_sec}s"
-        )
-    # the memory-sink drain is ephemeral — nothing will ever resume this
-    # checkpoint, so reclaim it (it may live in RAM) instead of leaking one
-    # dir per drain across a long session
-    shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 

@@ -161,7 +161,7 @@ def test_transactional_delete_rewrites_only_hit_files(spark, tmp_path):
     assert got == {1, 2, 4, 5, 6, 7, 8, 9}
     assert {r["id"] for r in before.collect()} == set(range(10))  # old snapshot intact
     # vacuum drops the superseded file; the surviving table is unchanged
-    removed = tx.vacuum(path)
+    removed = tx.vacuum(path, grace_seconds=0)  # single-writer test
     assert removed >= 1
     assert {r["id"] for r in tx.read_table(spark, path).collect()} == got
     # no-match delete is a metadata-only commit
