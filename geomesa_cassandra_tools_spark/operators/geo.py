@@ -625,3 +625,37 @@ def write_z_ordered(df: DataFrame, path: str, lon_col: str, lat_col: str,
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_z3_ordered(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    epoch_col: Column,
+    t_lo: int,
+    t_hi: int,
+    res: int = Z3_RES,
+    num_files: int | None = None,
+) -> None:
+    """Write a table clustered by z3 — the engine's replacement for the
+    reference's `{catalog}_{sft}_z3` space-TIME side-tables
+    (/root/reference/geomesa.py:52). Same mechanics as `write_z_ordered`
+    with the time dimension interleaved: `repartitionByRange(z3)` +
+    in-partition sort give each file a tight z3 span, so
+    `spacetime_filter(z3_stored=True)`'s OR-of-BETWEENs skip row groups
+    on BOTH the spatial and temporal axes of the query box."""
+    from geomesa_cassandra_tools_spark.operators.relational import (
+        _estimated_scan_partitions,
+    )
+
+    out = df.withColumn(
+        "z3", z3(F.col(lon_col), F.col(lat_col), epoch_col, t_lo, t_hi, res)
+    )
+    parts = num_files or max(_estimated_scan_partitions(df), 1)
+    (
+        out.repartitionByRange(parts, F.col("z3"))
+        .sortWithinPartitions("z3")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

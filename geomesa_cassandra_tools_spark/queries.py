@@ -3687,6 +3687,47 @@ def _z_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _z3_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """z3 (space-time) twin of `_z_ordered_events_path`: the engine analog
+    of the reference's `{catalog}_{sft}_z3` index table, written once per
+    corpus and read by every space-time box query. Same (size, mtime)
+    keying and staging+atomic-rename publish."""
+    import os
+    import shutil
+    import tempfile
+
+    key = f"{sf_dir}|z3"
+    cached = _Z_LAYOUTS.get(key)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"gcts_z3_events_{safe}_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pts = load_tables(spark, sf_dir)["events"].select(
+            "event_id",
+            "event_type",
+            "value",
+            "ts",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        staging = f"{path}.tmp-{os.getpid()}"
+        geo.write_z3_ordered(
+            pts, staging, "lon", "lat",
+            geo.epoch_seconds(F.col("ts")), Z3_T_LO, Z3_T_HI,
+            res=4, num_files=16,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    _Z_LAYOUTS[key] = path
+    return path
+
+
 def q131_zordered_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE stored-layout query VERDICT r3 asked for: q22/q63 compute their
     z curve per-query (nothing pushes to the scan), which full-scans every
@@ -3772,6 +3813,32 @@ def q133_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_z3_stored_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q63's space-time box over the STORED z3 layout (closes the last
+    computed-vs-stored gap symmetrically with q131's z2 case): the z3
+    column is physical and z-clustered (`geo.write_z3_ordered`), so
+    `spacetime_filter(z3_stored=True)`'s OR-of-BETWEENs push into the
+    parquet reader and row-group min/max stats skip files on both the
+    spatial and temporal axes before any row decodes. Result equals the
+    plain bbox+interval filter over raw events (cover-and-refine; the
+    oracle proves it). Same box as q63: lon [-10,40], lat [20,60],
+    Jan 8-16."""
+    path = _z3_ordered_events_path(spark, sf_dir)
+    pts = spark.read.parquet(path)
+    t_min = Z3_T_LO + 7 * 86400
+    t_max = Z3_T_LO + 15 * 86400
+    hits = geo.spacetime_filter(
+        pts, "lon", "lat", geo.epoch_seconds(F.col("ts")),
+        lon_min=-10.0, lon_max=40.0, lat_min=20.0, lat_max=60.0,
+        t_min=t_min, t_max=t_max, t_lo=Z3_T_LO, t_hi=Z3_T_HI,
+        z3_col="z3", res=4, z3_stored=True,
+    )
+    return hits.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -3849,19 +3916,20 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
+    "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     # -- sentinels: implementation changed this round, or family reps
     "q14_near_dup_pairs": q14_near_dup_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_near_dups": q16_lsh_near_dups,
     "q58_neardup_clusters": q58_neardup_clusters,
     "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
-    "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
     # ---- end of the 50-entry verification window ----
     # -- already driver-verified (r01-r03 green rows), numeric order
-    # (q22 and q63 displaced from the sentinel block by q132/q133 —
+    # (q22/q63/q57 displaced from the sentinel block by q132/q133/q134 —
     # r03-certified, implementations and values unchanged since)
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q22_geo_bbox": q22_geo_bbox,
+    "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
     "q63_z3_spacetime": q63_z3_spacetime,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -134,6 +134,20 @@ def test_q131_zordered_layout_scan_prunes_storage(spark):
     assert 0 < decoded < total, (decoded, total)
 
 
+def test_q134_z3_stored_layout_scan_prunes_storage(spark):
+    """The stored-z3 twin: the space-time cover must reach the reader as
+    z3 range predicates and skip rows on the clustered column — the
+    property q63's computed-z3 variant structurally cannot have."""
+    from geomesa_cassandra_tools_spark import queries as Q
+
+    df = QUERIES["q134_z3_stored_spacetime_scan"](spark, SF)
+    pushed = inspect.pushed_filters(df)
+    assert "GreaterThanOrEqual(z3" in pushed, pushed
+    total = spark.read.parquet(Q._z3_ordered_events_path(spark, SF)).count()
+    decoded = sum(m.get("numOutputRows", 0) for m in inspect.scan_metrics(df))
+    assert 0 < decoded < total, (decoded, total)
+
+
 def test_no_accidental_cross_joins_anywhere(spark):
     """Sweep every batch query plan: cartesian products are never OK;
     broadcast nested loops only where a broadcast-small-side scan is the
