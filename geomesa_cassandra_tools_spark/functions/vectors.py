@@ -35,7 +35,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a crash) for zero-norm inputs: Spark 4's default ANSI mode
+    raises DIVIDE_BY_ZERO on double division, so an unguarded zero vector
+    would abort the whole job; NULL instead sorts last under any
+    ``cos DESC`` ranking and drops out of threshold filters — the same
+    "no defined cosine" semantics cosine_pairs_above enforces by
+    pre-filter."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def euclidean(a: Column, b: Column) -> Column:

@@ -140,6 +140,15 @@ def bbox_cell_ranges(
     zs = sorted(
         _interleave_int(x, y, res) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)
     )
+    return _merge_ranges(zs, max_ranges)
+
+
+def _merge_ranges(zs: list[int], max_ranges: int) -> list[tuple[int, int]]:
+    """Collapse a sorted cell list into contiguous [lo, hi] runs, then — if
+    over ``max_ranges`` — merge across the SMALLEST gaps first. Shared by
+    the z2 and z3 covers so the slack/predicate-size tradeoff (and any
+    future fix to it) stays identical on both paths. Merged slack is
+    filtered by the exact refine; results never change."""
     ranges: list[tuple[int, int]] = []
     for v in zs:
         if ranges and v == ranges[-1][1] + 1:
@@ -159,6 +168,17 @@ def bbox_cell_ranges(
                 merged.append(r)
         ranges = merged
     return ranges
+
+
+def _between_cover(z: Column, ranges: list[tuple[int, int]]) -> Column:
+    """OR-of-BETWEENs over a STORED z column — the pushable form (each
+    BETWEEN reaches the parquet reader as min/max-skippable range
+    predicates). Shared by the z2 and z3 stored paths."""
+    cover = None
+    for lo, hi in ranges:
+        term = z.between(lo, hi)
+        cover = term if cover is None else (cover | term)
+    return cover
 
 
 def bbox_filter(
@@ -203,11 +223,7 @@ def bbox_filter(
     if z2_col is not None:
         ranges = bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res)
         if ranges and z2_stored:
-            cover = None
-            for lo, hi in ranges:
-                term = F.col(z2_col).between(lo, hi)
-                cover = term if cover is None else (cover | term)
-            return df.where(cover).where(exact)
+            return df.where(_between_cover(F.col(z2_col), ranges)).where(exact)
         if ranges:
             cover = _ranges_cover_bound_once(F.col(z2_col), ranges)
             return df.where(cover).where(exact)
@@ -265,25 +281,7 @@ def spacetime_cell_ranges(
         for y in range(y0, y1 + 1)
         for t in range(t0, t1 + 1)
     )
-    ranges: list[tuple[int, int]] = []
-    for v in zs:
-        if ranges and v == ranges[-1][1] + 1:
-            ranges[-1] = (ranges[-1][0], v)
-        else:
-            ranges.append((v, v))
-    if len(ranges) > max_ranges:
-        gaps = sorted(
-            (ranges[i + 1][0] - ranges[i][1], i) for i in range(len(ranges) - 1)
-        )
-        merge_after = {i for _, i in gaps[: len(ranges) - max_ranges]}
-        merged: list[tuple[int, int]] = []
-        for i, r in enumerate(ranges):
-            if merged and (i - 1) in merge_after:
-                merged[-1] = (merged[-1][0], r[1])
-            else:
-                merged.append(r)
-        ranges = merged
-    return ranges
+    return _merge_ranges(zs, max_ranges)
 
 
 def spacetime_filter(
@@ -323,11 +321,7 @@ def spacetime_filter(
     if not ranges:
         return df.where(exact)
     if z3_stored:
-        cover = None
-        for lo, hi in ranges:
-            term = z.between(lo, hi)
-            cover = term if cover is None else (cover | term)
-        return df.where(cover).where(exact)
+        return df.where(_between_cover(z, ranges)).where(exact)
     return df.where(_ranges_cover_bound_once(z, ranges)).where(exact)
 
 
@@ -353,7 +347,10 @@ def ring_contains_point(ring: Column, lon: Column, lat: Column) -> Column:
     division they'd break on is unreachable under SQL's false-AND-anything
     short circuit in every engine that evaluates doubles (inf/NaN compare
     false), but supply rings without horizontal edges when bit-exact
-    cross-engine parity matters."""
+    cross-engine parity matters. Degenerate rings (< 3 vertices — the
+    malformed-WKT empty array included) contain nothing rather than
+    crashing: slice() with a negative length is a runtime error under
+    Spark 4 ANSI semantics, so the guard is load-bearing."""
     rotated = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
     edges = F.zip_with(
         ring,
@@ -374,7 +371,7 @@ def ring_contains_point(ring: Column, lon: Column, lat: Column) -> Column:
             ),
         )
     )
-    return crossing % 2 == 1
+    return F.when(F.size(ring) >= 3, crossing % 2 == 1).otherwise(F.lit(False))
 
 
 def st_contains_bbox(
@@ -437,7 +434,13 @@ def parse_wkt_ring(wkt: Column) -> Column:
     the duplicate is kept (callers that need the open ring slice it off).
     Malformed input yields an empty array (schema-on-read contract of
     functions/parsing.py)."""
-    coords = F.regexp_extract_all(wkt, F.lit(WKT_COORD_RE), 0)
+    # isolate the OUTER ring's text before extracting pairs: a POLYGON
+    # with holes carries interior rings whose coordinates must NOT leak
+    # into the result (they would corrupt area/containment silently) —
+    # the first '('-group up to the first ')' is the outer ring for both
+    # POLYGON ((...), (...)) and LINESTRING (...)
+    outer = F.regexp_extract(wkt, r"\(\s*\(?([^()]*)\)", 1)
+    coords = F.regexp_extract_all(outer, F.lit(WKT_COORD_RE), 0)
     return F.transform(
         coords,
         lambda c: F.struct(
@@ -452,14 +455,19 @@ def ring_area(ring: Column) -> Column:
     vertex repeats the first): |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| / 2 over the
     n−1 edges. `aggregate` over `zip_with`-style adjacent pairs, expressed
     with slice() so the whole thing is one codegen'd expression per row —
-    no explode, no shuffle, no UDF."""
+    no explode, no shuffle, no UDF. Degenerate rings (< 2 vertices — the
+    malformed-WKT empty array included) have zero area rather than
+    crashing: slice() with a negative length is a runtime error under
+    Spark 4 ANSI semantics, so the guard is load-bearing."""
     edges = F.zip_with(
         F.slice(ring, 1, F.size(ring) - 1),
         F.slice(ring, 2, F.size(ring) - 1),
         lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"],
     )
     total = F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
-    return F.abs(total) / F.lit(2.0)
+    return F.when(F.size(ring) >= 2, F.abs(total) / F.lit(2.0)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def ring_bbox(ring: Column) -> Column:

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 #: bare id() key could collide when CPython recycles a stopped session's
 #: address (and holding the reference pins the address, making the check
 #: sound).
-_SCAN_PARTS_CACHE: dict[tuple[int, tuple[str, ...]], tuple[object, int]] = {}
+#: key = (session id, resolved maxPartitionBytes, input files) — the conf
+#: component is load-bearing (a retuned split size must re-estimate).
+_SCAN_PARTS_CACHE: dict[tuple[int, int, tuple[str, ...]], tuple[object, int]] = {}
 
 _SIZE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 

@@ -15,6 +15,8 @@ scoring stays inside whole-stage codegen and scales with executors.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,6 +159,7 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     multiprobe: int = 0,
     corpus_sigs: DataFrame | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     equals the query's. Equi-join on the signature → hash join, ~n/2^nbits
@@ -169,8 +172,13 @@ def lsh_cosine_topk(
     ``corpus_sigs`` (from ``corpus_hyperplane_signatures`` with the same
     dim/nbits/seed, usually persisted) skips the corpus BLAS pass entirely —
     pass it whenever more than one probe variant runs over the same corpus.
+    ``seed`` MUST match the one the corpus signatures were built with: the
+    query side hashes with these planes, and a mismatched seed silently
+    degrades recall to chance (~n/2^nbits random buckets) — there is no
+    way to detect it from the data, so the parameter is explicit here
+    instead of hardcoded.
     """
-    planes = random_hyperplanes(dim, nbits)
+    planes = random_hyperplanes(dim, nbits, seed=seed)
     q = _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
         "sig", hyperplane_signature(F.col("qv"), planes)
     )
@@ -183,7 +191,9 @@ def lsh_cosine_topk(
     c = (
         corpus_sigs
         if corpus_sigs is not None
-        else corpus_hyperplane_signatures(corpus, dim, nbits, id_col, vec_col)
+        else corpus_hyperplane_signatures(
+            corpus, dim, nbits, id_col, vec_col, seed=seed
+        )
     )
     pairs = (
         F.broadcast(q)
@@ -217,9 +227,13 @@ def blas_cosine_topk(
 
     Stage 1 (approximate, fast): the query matrix is a numpy broadcast;
     each corpus partition multiplies its Arrow batch against it
-    (`mapInPandas`) and emits only the local top-(k·overfetch) candidate
-    ids per query — a matmul is ~100× per-row expression evaluation, and
-    the emitted candidate set is tiny (parts × k·overfetch per query).
+    (`mapInPandas`) and emits its local top-(k·overfetch) candidates per
+    query WITH their approximate sims; a per-query window then caps the
+    union of all batches to the global approximate top-(k·overfetch), so
+    the exact-join input is bounded by |Q|·k·overfetch no matter how many
+    Arrow batches the corpus splits into (a matmul is ~100× per-row
+    expression evaluation). Zero-norm rows on either side are scored
+    -inf, never NaN, so they cannot displace real candidates.
 
     Stage 2 (exact, small): candidates are re-scored with the sequential
     JVM fold (`cosine`) and window-ranked — so results are bit-identical
@@ -267,7 +281,12 @@ def blas_cosine_topk(
             cids = pdf["cand_id"].to_numpy(dtype=np.int64)
             block = np.array(list(pdf["cv"]), dtype=np.float64)
             bn = np.sqrt((block * block).sum(axis=1))
-            sims = (qm @ block.T) / np.outer(qn, bn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (qm @ block.T) / np.outer(qn, bn)
+            # zero-norm vectors (either side) have no defined cosine —
+            # -inf keeps them out of every top-k instead of NaN-poisoning
+            # the argpartition
+            sims[~np.isfinite(sims)] = -np.inf
             sims[:, :] = np.where(cids[None, :] == ids[:, None], -np.inf, sims)
             take = min(kk, sims.shape[1])
             top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
@@ -275,13 +294,27 @@ def blas_cosine_topk(
                 {
                     "query_id": np.repeat(ids, take),
                     "cand_id": cids[top].ravel(),
+                    "sim": np.take_along_axis(sims, top, axis=1).ravel(),
                 }
             )
 
     c_prep = _prep(corpus, id_col, vec_col, "cand_id", "cv")
-    cands = c_prep.mapInPandas(candidates, "query_id bigint, cand_id bigint")
+    cands = c_prep.mapInPandas(
+        candidates, "query_id bigint, cand_id bigint, sim double"
+    )
+    # global per-query cap: the union over batches is top-(k·overfetch)
+    # PER BATCH — unbounded in batch count — so reduce it to the global
+    # approximate top-(k·overfetch) before the exact join. Tie-break on
+    # cand_id matches the exact rerank's, so boundary ties keep the same
+    # candidates the final ranking would pick. No broadcast hint: the
+    # capped frame is |Q|·k·overfetch rows and AQE broadcasts it at
+    # runtime when it fits — forcing it would collect an unbounded
+    # pre-cap frame to the driver.
+    cands = top_k_per_group(
+        cands, ["query_id"], [F.col("sim").desc(), F.col("cand_id")], kk
+    ).drop("sim")
     scored = (
-        F.broadcast(cands)
+        cands
         .join(c_prep, "cand_id")
         .join(F.broadcast(q_prep), "query_id")
         .where(F.col("query_id") != F.col("cand_id"))
@@ -406,11 +439,19 @@ def cosine_pairs_above(
     left = make_side("ci")
     right = make_side("cj")
 
-    def seq_cos(a, b, na, nb):
-        acc = 0.0
+    def seq_cos(a, b):
+        # EVERY term sequential — dot AND both norms. The BLAS norms from
+        # the assign pass use pairwise summation, which can differ from a
+        # scalar engine's left fold by an ulp; dividing an exact dot by
+        # pairwise norms would re-introduce the boundary-flip this
+        # recompute exists to eliminate.
+        acc = na = nb = 0.0
         for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc / (na * nb)
+            x, y = float(x), float(y)
+            acc += x * y
+            na += x * x
+            nb += y * y
+        return acc / (math.sqrt(na) * math.sqrt(nb))
 
     def verify(key, lpdf, rpdf):
         if not len(lpdf) or not len(rpdf):
@@ -425,7 +466,7 @@ def cosine_pairs_above(
             lpdf["nrm"].to_numpy(), rpdf["nrm"].to_numpy()
         )
         for a, b in zip(*np.where(np.abs(sims - threshold) < 1e-9)):
-            sims[a, b] = seq_cos(lmat[a], rmat[b], lpdf["nrm"].iat[a], rpdf["nrm"].iat[b])
+            sims[a, b] = seq_cos(lmat[a], rmat[b])
         if key[0] == key[1]:
             mask = (sims >= threshold) & (lids[:, None] < rids[None, :])
         else:

@@ -1371,3 +1371,52 @@ def test_cms_tables_merge_cellwise(spark):
     got = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
     want = {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
     assert got == want
+
+
+# ----------------------------------------------- review-fix regressions (r4)
+
+
+def test_ring_ops_tolerate_malformed_wkt(spark):
+    """parse_wkt_ring's malformed-input contract (empty array) must flow
+    through area/containment as zero/false — not a Spark ANSI slice crash."""
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",), ("not wkt at all",)],
+        "wkt string",
+    )
+    ring = geo.parse_wkt_ring(F.col("wkt"))
+    out = df.select(
+        geo.ring_area(ring).alias("area"),
+        geo.ring_contains_point(ring, F.lit(5.0), F.lit(5.0)).alias("inside"),
+    ).collect()
+    assert out[0]["area"] == 100.0 and out[0]["inside"] is True
+    assert out[1]["area"] == 0.0 and out[1]["inside"] is False
+
+
+def test_parse_wkt_ring_ignores_polygon_holes(spark):
+    """Only the OUTER ring parses: interior-ring coordinates leaking in
+    would silently corrupt area and ray-cast containment."""
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))",)],
+        "wkt string",
+    )
+    ring = geo.parse_wkt_ring(F.col("wkt"))
+    row = df.select(
+        F.size(ring).alias("n"), geo.ring_area(ring).alias("area")
+    ).collect()[0]
+    assert row["n"] == 5 and row["area"] == 100.0
+
+
+def test_cosine_topk_survives_zero_norm_vectors(spark):
+    """A single zero embedding must not abort the job under Spark 4 ANSI
+    division — it scores NULL and drops to the bottom of every ranking."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") == 1)
+    got = similarity.cosine_topk(queries, corpus, k=2).collect()
+    ids = [r["cand_id"] for r in got]
+    assert 3 not in ids and len(ids) == 2
+
+    blas = similarity.blas_cosine_topk(queries, corpus, k=2)
+    assert [r["cand_id"] for r in blas.collect()] == ids
