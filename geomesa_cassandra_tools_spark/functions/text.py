@@ -77,12 +77,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     The guard matters: Spark's ``sequence(0, size-n)`` would produce a
     *descending* sequence when size < n instead of an empty one.
     """
-    toks = tokens(text)
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    def indices(tk):
+        return F.when(
+            F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+        ).otherwise(F.array().cast("array<int>"))
+
+    # token array bound ONCE as a lambda variable (same pattern as
+    # bigram_array below): inlining tokens(text) into the per-position
+    # lambda would re-split the whole text n times PER POSITION —
+    # quadratic in document length under interpreted HOF evaluation
+    return F.element_at(
+        F.transform(
+            F.array(tokens(text)),
+            lambda tk: F.transform(
+                indices(tk),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ),
+        1,
     )
-    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
 def bigram_array(text: Column, payload=None) -> Column:
@@ -154,12 +169,33 @@ def lang_id_heuristic(text: Column, marker_words: dict[str, tuple[str, ...]]) ->
     ``marker_words``: lang → tuple of high-frequency words for that lang.
     Built-in expressions only — at scale this is a scan with no shuffle.
     """
+    # LINEAR expression tree: hit counts land in one array and
+    # array_position(arr, array_max(arr)) picks the FIRST maximum — the
+    # same winner as the old iterate-and-compare chain (ties -> first
+    # lang in sorted order), whose nested when(...).otherwise(prev)
+    # doubled the tree per language (O(2^n_langs) plan nodes: fine for 5
+    # languages, catastrophic for a realistic 25-30-entry marker dict).
+    langs = sorted(marker_words.items())
     toks = tokens(text)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang, words in sorted(marker_words.items()):
-        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
-        improved = hits > best_hits
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(improved, hits).otherwise(best_hits)
-    return best_lang
+
+    def hit_count(words: tuple[str, ...]):
+        # closure (not a default arg): pyspark derives HOF lambda arity
+        # from the function signature, so an extra bound parameter would
+        # be mistaken for the element-index argument
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    packed = F.array(
+        *[
+            F.struct(
+                hit_count(words).alias("hits"),
+                F.lit(-i).alias("negi"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(langs)
+        ]
+    )
+    # struct max compares (hits, negi): highest hit count, ties to the
+    # LOWEST index — i.e. the first language in sorted order, exactly the
+    # old chain's winner
+    best = F.array_max(packed)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -66,14 +66,21 @@ def cms_estimate(
     depth rows of the item's cell counts — the classic one-sided bound
     (est >= true count, overshoot only from collisions). ``candidates``
     must be distinct items; the join touches depth rows per candidate
-    against the fixed-size table (broadcastable at any corpus scale)."""
+    against the fixed-size table (broadcastable at any corpus scale).
+
+    The counter table is SPARSE (only non-empty cells exist as rows), so
+    the probe join is LEFT and an unmatched cell counts 0 — an inner join
+    would silently DROP a never-seen candidate (all cells empty) and
+    over-estimate one whose cells are only partially occupied, breaking
+    the min-over-depth contract exactly for the items a caller most wants
+    to know about."""
     tid = hashed_tid(F.col(item_col))
     probes = candidates.select(
         item_col,
         F.posexplode(F.array(*_buckets(tid, depth, width))).alias("j", "bucket"),
     )
     return (
-        probes.join(F.broadcast(cms), ["j", "bucket"])
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

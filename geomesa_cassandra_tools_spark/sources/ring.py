@@ -173,6 +173,10 @@ class TokenRingReader(DataSourceReader):
         return [RangeScan(lo, hi, self.path) for lo, hi in bounds]
 
     def read(self, partition: RangeScan):
+        # the degenerate empty-range partition (unsatisfiable conjunction)
+        # is provably empty — return before listing/parsing anything
+        if partition.lo >= partition.hi:
+            return
         fields = [f.name for f in self.schema.fields]
         allowed = self._allowed_pks()
         t_lo, t_hi = self._token_interval()

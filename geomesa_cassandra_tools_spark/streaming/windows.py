@@ -153,6 +153,10 @@ def stateful_session_close(
         for pdf in pdfs:
             n += len(pdf)
             m = pd.to_datetime(pdf[ts_col]).max()
+            # an all-null timestamp batch yields NaT (which IS not-None and
+            # would crash .timestamp() below) — skip timer re-arm for it
+            if pd.isna(m):
+                continue
             newest = m if newest is None else max(newest, m)
         state.update((n,))
         if newest is not None:

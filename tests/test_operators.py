@@ -1420,3 +1420,25 @@ def test_cosine_topk_survives_zero_norm_vectors(spark):
 
     blas = similarity.blas_cosine_topk(queries, corpus, k=2)
     assert [r["cand_id"] for r in blas.collect()] == ids
+
+
+def test_cms_estimate_returns_zero_for_unseen_items(spark):
+    """The sparse counter table must not drop (or inflate) candidates whose
+    cells are empty: a never-seen item estimates exactly 0."""
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    cms = sketches.count_min_table(items, "token", depth=4, width=4096)
+    cand = spark.createDataFrame([("a",), ("never_seen",)], "token string")
+    got = {r["token"]: r["cms_est"] for r in
+           sketches.cms_estimate(cand, cms, "token", depth=4, width=4096).collect()}
+    assert got == {"a": 2, "never_seen": 0}
+
+
+def test_banded_signatures_rejects_kb_mismatch(spark):
+    from geomesa_cassandra_tools_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    sigs = dd.minhash_signatures(dd.shingle_sets(docs), k=4)
+    with pytest.raises(ValueError, match="bands\\*rows"):
+        dd.banded_signatures(sigs, bands=4, rows=2)
