@@ -820,8 +820,10 @@ GROUP BY o_orderpriority
 
 ORACLES["q50_segment_minmax_scale"] = """
 SELECT c_custkey, c_mktsegment,
-       round((c_acctbal - min(c_acctbal) OVER w) /
-             (max(c_acctbal) OVER w - min(c_acctbal) OVER w), 6) AS scaled_bal
+       CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.0
+            ELSE round((c_acctbal - min(c_acctbal) OVER w) /
+                       (max(c_acctbal) OVER w - min(c_acctbal) OVER w), 6)
+       END AS scaled_bal
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment)
 """
@@ -995,7 +997,7 @@ SELECT count(*) AS users_total,
        count(v.view_ts) AS reached_view,
        count(c.click_ts) AS reached_click,
        count(p.purchase_ts) AS reached_purchase,
-       round(CAST(count(p.purchase_ts) AS DOUBLE) / count(v.view_ts), 4)
+       round(CAST(count(p.purchase_ts) AS DOUBLE) / nullif(count(v.view_ts), 0), 4)
          AS view_to_purchase_rate
 FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
        LEFT JOIN p USING (user_id)
@@ -1888,7 +1890,7 @@ FROM ranked WHERE rn = 1
 ORACLES["q116_table_checksum_shards"] = """
 WITH digests AS (
   SELECT o_orderkey % 16 AS shard,
-         (o_orderkey * 2654435761
+         ((o_orderkey % 2147483648) * 2654435761
           + o_custkey * 40503
           + ascii(o_orderstatus) * 97
           + CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
