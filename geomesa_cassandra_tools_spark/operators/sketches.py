@@ -40,19 +40,32 @@ def _buckets(tid: Column, depth: int, width: int) -> list[Column]:
 
 
 def count_min_table(
-    items: DataFrame, item_col: str, depth: int = 4, width: int = 512
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the count-min counter table for a stream of items: one row per
     non-empty (hash row j, bucket) cell, ``cnt`` = how many items hashed
     there. depth×width cells total — constant space; map-side partial
     aggregation means each scan partition contributes at most depth×width
     rows to the shuffle no matter how many items it holds. Tables from
-    different slices merge by summing cnt per (j, bucket)."""
+    different slices merge by summing cnt per (j, bucket).
+
+    ``weight_col`` feeds PRE-AGGREGATED counts: pass (item, count) rows —
+    e.g. an exact per-item aggregate a pipeline already computed — and
+    each item hashes ONCE with its weight instead of once per occurrence.
+    The resulting table is identical to the per-occurrence build (the
+    cell sum telescopes), with the depth× row expansion paid per distinct
+    item rather than per row."""
     tid = hashed_tid(F.col(item_col))
+    w = F.col(weight_col) if weight_col is not None else F.lit(1)
     cells = items.select(
-        F.posexplode(F.array(*_buckets(tid, depth, width))).alias("j", "bucket")
+        w.alias("__w"),
+        F.posexplode(F.array(*_buckets(tid, depth, width))).alias("j", "bucket"),
     )
-    return cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    return cells.groupBy("j", "bucket").agg(F.sum("__w").alias("cnt"))
 
 
 def cms_estimate(

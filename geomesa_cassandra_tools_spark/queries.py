@@ -3821,13 +3821,17 @@ def q133_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = relational.ensure_parallelism(
         load_tables(spark, sf_dir)["documents"].select("text")
     )
-    toks = _cache(
-        docs.select(F.explode(T.tokens(F.col("text"))).alias("token")).where(
-            F.col("token") != ""
-        )
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
     )
-    cms = sketches.count_min_table(toks, "token", depth=4, width=512)
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    # one aggregation serves both sides: the exact counts ARE the weighted
+    # input to the sketch build (identical cells to the per-occurrence
+    # build — the sum telescopes), so the corpus tokenizes once and the
+    # depth-fold explode runs per distinct token, not per occurrence
+    exact = _cache(toks.groupBy("token").agg(F.count("*").alias("exact_n")))
+    cms = sketches.count_min_table(
+        exact, "token", depth=4, width=512, weight_col="exact_n"
+    )
     w = Window.orderBy(F.col("exact_n").desc(), "token")
     top = (
         exact.withColumn("rank", F.row_number().over(w))

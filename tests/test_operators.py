@@ -1442,3 +1442,22 @@ def test_banded_signatures_rejects_kb_mismatch(spark):
     sigs = dd.minhash_signatures(dd.shingle_sets(docs), k=4)
     with pytest.raises(ValueError, match="bands\\*rows"):
         dd.banded_signatures(sigs, bands=4, rows=2)
+
+
+def test_cms_weighted_build_equals_per_occurrence(spark):
+    """(item, count)-weighted build must produce the identical counter
+    table to hashing every occurrence — the telescoping-sum contract that
+    lets pipelines feed an aggregate they already computed."""
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    items = spark.createDataFrame(
+        [(f"t{i % 6}",) for i in range(50)], "token string"
+    )
+    per_occ = sketches.count_min_table(items, "token", depth=4, width=64)
+    agg = items.groupBy("token").agg(F.count("*").alias("n"))
+    weighted = sketches.count_min_table(
+        agg, "token", depth=4, width=64, weight_col="n"
+    )
+    a = {(r["j"], r["bucket"]): r["cnt"] for r in per_occ.collect()}
+    b = {(r["j"], r["bucket"]): r["cnt"] for r in weighted.collect()}
+    assert a == b
