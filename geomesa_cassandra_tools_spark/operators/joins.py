@@ -37,8 +37,18 @@ def asof_join(
     row order within (ts) wins — callers wanting total determinism should
     make ``right_ts`` unique per group (e.g. tie-break column folded into an
     ordering column beforehand).
+
+    ``how`` accepts exactly 'inner' or 'left' (validated — Spark join
+    strings like 'left_outer' would otherwise silently behave as 'left').
+    Right rows with a NULL ``right_ts`` are excluded up front: a NULL
+    timestamp can never satisfy right_ts <= left_ts, but Spark's
+    NULLS-FIRST ascending sort would otherwise make such a row an
+    "infinitely early" match for every left row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
     on = list(on)
+    right = right.where(F.col(right_ts).isNotNull())
     # ROW ATOMICITY: right columns travel as ONE struct so the window's
     # last(ignorenulls) can never stitch values from different right rows
     # (per-column fill would, whenever a right column holds NULLs), and so
@@ -106,14 +116,35 @@ def range_join(
         return left.alias("l").join(right.alias("r"), cond)
 
     lb = left.withColumn("__bucket", (F.col(left_point) / bucket_width).cast("bigint"))
+    # fan-out guard: one corrupt/open-ended interval (hi in the wrong unit,
+    # a sentinel far-future hi) would otherwise sequence() millions of
+    # bucket ids for a single row and OOM the executor — fail fast with
+    # the actual contract violation instead. 10k buckets per interval is
+    # far beyond any sane width choice (pick bucket_width near the typical
+    # interval length).
+    max_buckets = 10_000
+    b_lo = (F.col(right_lo) / bucket_width).cast("bigint")
+    b_hi = (F.col(right_hi) / bucket_width).cast("bigint")
     rb = right.withColumn(
+        "__span", (b_hi - b_lo + 1)
+    ).withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                (F.col(right_lo) / bucket_width).cast("bigint"),
-                (F.col(right_hi) / bucket_width).cast("bigint"),
+            F.when(
+                F.col("__span") <= max_buckets,
+                F.sequence(b_lo, b_hi),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "range_join: interval spans more than "
+                            f"{max_buckets} buckets (width={bucket_width}); "
+                            "check interval units or raise bucket_width"
+                        )
+                    )
+                )
             )
         ),
-    )
+    ).drop("__span")
     cond = cond & (F.col("l.__bucket") == F.col("r.__bucket"))
     return lb.alias("l").join(rb.alias("r"), cond).drop("__bucket")

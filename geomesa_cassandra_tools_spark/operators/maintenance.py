@@ -163,8 +163,16 @@ def write_date_partitioned(
     column scan only matching directories (PartitionFilters in the plan,
     asserted in tests/test_plans.py) — at 100 TB this is the difference
     between listing a day and listing a decade. Within each partition,
-    finer layout (z2/z3 sort, `geo.write_z_ordered`) still applies."""
-    part = F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("part_day")
+    finer layout (z2/z3 sort, `geo.write_z_ordered`) still applies.
+
+    Sub-day granularities keep the truncated TIMESTAMP as the partition
+    value — the previous unconditional cast-to-date silently collapsed
+    'hour'/'minute' to day partitioning (directories identical to 'day',
+    no error, no hourly pruning)."""
+    trunc = F.date_trunc(granularity, F.col(ts_col))
+    if granularity.lower() in ("day", "week", "month", "quarter", "year"):
+        trunc = trunc.cast("date")
+    part = trunc.alias("part_day")
     (
         df.withColumn("part_day", part)
         .repartition("part_day")
@@ -223,8 +231,9 @@ def remove_schema(
 
     for t in tables:
         path = table_paths[t]
-        run._log(2, t, "flush", "no-op on parquet")
-        run._log(3, t, "stop_compactions", "no-op on parquet")
+        storage = "manifest table" if fmt == "manifest" else "parquet"
+        run._log(2, t, "flush", f"no-op on {storage}")
+        run._log(3, t, "stop_compactions", f"no-op on {storage}")
         if fmt == "manifest":
             v = transactional.truncate_table(path)
             run._log(4, t, "truncate", f"atomic manifest commit v{v}")

@@ -70,13 +70,21 @@ def probe_dimensions(media: DataFrame) -> DataFrame:
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [
-                _decode_image_bytes(bytes(p) if p is not None else b"")
-                for p in pdf["payload"]
-            ]
             pdf = pdf.copy()
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
+            # decode ONLY image rows — other kinds keep whatever metadata
+            # they arrived with (clobbering a video's real width/height
+            # with payload-derived fakes corrupts rows for any consumer
+            # that doesn't post-filter kind == 'image')
+            is_img = (pdf["kind"] == "image").to_numpy()
+            widths = pdf["width"].to_numpy(dtype=object).copy()
+            heights = pdf["height"].to_numpy(dtype=object).copy()
+            for i, (flag, p) in enumerate(zip(is_img, pdf["payload"])):
+                if flag:
+                    w, h = _decode_image_bytes(bytes(p) if p is not None else b"")
+                    widths[i] = w
+                    heights[i] = h
+            pdf["width"] = widths
+            pdf["height"] = heights
             yield pdf
 
     return media.mapInPandas(probe, schema=media.schema)
@@ -84,7 +92,10 @@ def probe_dimensions(media: DataFrame) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: one output row per sampled
-    timestamp (decode stubbed; the explode/cadence logic is real)."""
+    timestamp (decode stubbed; the explode/cadence logic is real). A video
+    with NULL duration (unprobed media) still emits its t=0 frame —
+    sequence(0, NULL) is NULL and a plain explode would silently drop the
+    whole video from every downstream per-media summary."""
     return (
         media.where(F.col("kind") == "video")
         .withColumn(
@@ -92,7 +103,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(1)) - 1, F.lit(0)),
                     F.lit(every_ms),
                 )
             ),

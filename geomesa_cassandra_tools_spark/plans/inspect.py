@@ -34,7 +34,11 @@ def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
     for storage-pruning claims (`numOutputRows` is what the reader actually
     decoded AFTER pushed-filter row-group/record skipping; a "pushed" filter
     that still decodes every row is pruning in name only). Materializes the
-    frame (collect) to finalize the AQE plan, then unwraps query stages."""
+    frame via collect() — a WRAPPING action (count()) builds its own query
+    execution and leaves THIS frame's AQE plan provisional with zeroed
+    metrics, so collect is the only faithful trigger. Test-utility
+    contract: call it on SMALL frames only (aggregates/limits), never on a
+    corpus-sized or binary-payload frame."""
     df.collect()
 
     out: list[dict[str, int]] = []
@@ -63,10 +67,14 @@ def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of whole-stage-codegen spans, read from the EXECUTED plan —
-    under AQE the pre-execution plan is provisional and carries no `*(n)`
-    codegen markers, so this materializes the frame (noop sink) first."""
-    df.collect()  # finalize THIS frame's own query execution (a sink write
-    # would execute a copy and leave df's AQE plan provisional)
+    """Number of DISTINCT whole-stage-codegen spans, read from the EXECUTED
+    plan — under AQE the pre-execution plan is provisional and carries no
+    `*(n)` codegen markers, so this materializes the frame first. Every
+    operator inside a span prints the same `*(id)` prefix, so the span
+    count is the count of distinct ids, not of `*(` occurrences."""
+    import re
+
+    df.collect()  # finalize THIS frame's own query execution (a wrapping
+    # count()/sink write would execute a copy and leave it provisional)
     plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
-    return plan.count("*(")
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -89,7 +89,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos→micros truncation, but a file-source stream. The identical
     downstream plan then runs batch or streaming (Spark's unified API);
     at scale the source would be Kafka/files-on-arrival with the same
-    schema contract."""
+    schema contract.
+
+    SIDE EFFECT, by design: pins the SESSION timezone to UTC (and enables
+    legacy nanos reads) — the engine's stated contract is UTC everywhere
+    (session.py default), and watermark wall-clock math must match the
+    tz-naive oracle. A caller embedding this engine in a non-UTC session
+    should expect that session's timestamp semantics to become UTC from
+    the first stream_events call onward."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Watermarks require TIMESTAMP (with local timezone), not TIMESTAMP_NTZ —
     # pin the session to UTC so the instant-based window math collects to the

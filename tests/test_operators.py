@@ -463,7 +463,9 @@ def test_probe_dimensions_stub_is_deterministic(spark):
     out = multimodal.probe_dimensions(_media(spark))
     r0 = {r["media_id"]: (r["width"], r["height"]) for r in out.collect()}
     assert r0[0] == (64 + ord("a") % 64, 64 + ord("c") % 64)
-    assert r0[2] == (0, 0)  # empty payload
+    # non-image kinds keep their original metadata — the probe must not
+    # clobber a video/audio row with payload-derived fake dimensions
+    assert r0[1] == (None, None) and r0[2] == (None, None)
 
 
 def test_sample_frames_cadence(spark):
