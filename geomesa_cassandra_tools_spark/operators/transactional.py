@@ -108,6 +108,17 @@ def _commit(
         ) from None
     finally:
         os.unlink(tmp)
+    # fsync the DIRECTORY too: the link's content is durable (file fsync
+    # above) but the directory entry itself is not until the dir flushes —
+    # without this, a crash after an acknowledged commit can lose the
+    # manifest while e.g. a streaming checkpoint remembers the batch as
+    # done (a permanently dropped batch). Same reason Delta/Iceberg fsync
+    # their log directory after the atomic publish.
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -170,6 +181,11 @@ def append_batch(
         # a half-specified transaction would either skip the replay check
         # or poison the watermark map with None — refuse loudly
         raise ValueError("txn_app and txn_id must be provided together")
+    if df.isEmpty():
+        # an empty batch appends nothing: committing it would burn a
+        # version and store a zero-row file per source hiccup; skipping is
+        # replay-safe (a replayed empty batch is equally a no-op)
+        return None
     version = current_version(path)
     if version < 0:
         txns = {txn_app: txn_id} if txn_app is not None else {}
@@ -223,8 +239,8 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
         raise ValueError(f"no committed manifest under {path!r}")
     man = _read_manifest(path, version)
     if not man["files"]:
-        _commit(path, version + 1, [], man["schema"], man.get("txns", {}))
-        return {"version": version + 1, "files_rewritten": 0, "files_carried": 0}
+        # nothing to delete from — no state change, no version burned
+        return {"version": version, "files_rewritten": 0, "files_carried": 0}
     abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
     df = spark.read.parquet(*abs_files)
     # locate the files that actually hold matching rows — one scan, and the
@@ -237,9 +253,12 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     )
     hit_names = {os.path.basename(r["f"]) for r in hits}
     if not hit_names:
-        _commit(path, version + 1, man["files"], man["schema"], man.get("txns", {}))
+        # zero matching rows: the table is unchanged — returning the
+        # CURRENT version instead of committing an identical snapshot
+        # keeps periodic no-match maintenance from churning readers'
+        # pinned versions out of the retention window
         return {
-            "version": version + 1,
+            "version": version,
             "files_rewritten": 0,
             "files_carried": len(man["files"]),
         }
@@ -266,6 +285,8 @@ def truncate_table(path: str) -> int:
     if version < 0:
         raise ValueError(f"no committed manifest under {path!r}")
     man = _read_manifest(path, version)
+    if not man["files"]:
+        return version  # already empty — no version burned
     _commit(path, version + 1, [], man["schema"], man.get("txns", {}))
     return version + 1
 
@@ -308,8 +329,13 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
                 continue
             removed += 1
     mdir = _manifest_dir(path)
+    # only SUPERSEDED manifests (strictly older than the retention window)
+    # are removed — a manifest committed concurrently AFTER this vacuum's
+    # version snapshot is a live transaction, and deleting it would revert
+    # the table and orphan its data files (permanent loss)
+    oldest_kept = max(0, version - keep_versions + 1)
     for f in os.listdir(mdir):
         m = _MANIFEST_RE.match(f)
-        if m and int(m.group(1)) not in keep:
+        if m and int(m.group(1)) < oldest_kept:
             os.unlink(os.path.join(mdir, f))
     return removed

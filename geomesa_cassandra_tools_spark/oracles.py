@@ -2325,17 +2325,7 @@ SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount, rank
 FROM top JOIN est USING (token)
 """
 
-ORACLES["q134_z3_stored_spacetime_scan"] = """
-WITH pts AS (
-  SELECT event_type, value, ts,
-         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
-         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
-  FROM events
-)
-SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
-FROM pts
-WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 20.0 AND lat <= 60.0
-  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'
-GROUP BY event_type
-"""
+# q134 answers the SAME question as q63 over a different storage layout —
+# the oracle IS q63's by design (aliased, not copied, so they cannot drift)
+ORACLES["q134_z3_stored_spacetime_scan"] = ORACLES["q63_z3_spacetime"]
 

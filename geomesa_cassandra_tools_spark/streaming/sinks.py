@@ -19,13 +19,11 @@ manifest, and readers stay snapshot-isolated throughout.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame
 
 from geomesa_cassandra_tools_spark.operators import transactional
-from geomesa_cassandra_tools_spark.streaming.windows import _checkpoint_root
 
 
 def stream_to_manifest(

@@ -1463,3 +1463,43 @@ def test_cms_weighted_build_equals_per_occurrence(spark):
     a = {(r["j"], r["bucket"]): r["cnt"] for r in per_occ.collect()}
     b = {(r["j"], r["bucket"]): r["cnt"] for r in weighted.collect()}
     assert a == b
+
+
+def test_vacuum_never_deletes_newer_manifests(spark, tmp_path):
+    """TOCTOU guard: a manifest committed concurrently AFTER vacuum reads
+    its version snapshot is a live transaction and must survive."""
+    import json as _json
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(5).toDF("id"), path)          # v0
+    tx.append_batch(spark.range(5, 8).toDF("id"), path)     # v1
+    # simulate a concurrent writer publishing v2 between vacuum's
+    # version read and its manifest sweep
+    man1 = _json.load(open(f"{path}/_manifest/v1.json"))
+    man1["version"] = 2
+    with open(f"{path}/_manifest/v2.json", "w") as fh:
+        _json.dump(man1, fh)
+    import os as _os
+
+    # keep_versions=1 retains only the newest version's window; the sweep
+    # must still treat v2 (newest) as live and only remove STRICTLY older
+    tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert _os.path.exists(f"{path}/_manifest/v2.json")
+    assert not _os.path.exists(f"{path}/_manifest/v0.json")
+
+
+def test_noop_delete_and_truncate_burn_no_version(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    path = str(tmp_path / "t")
+    v0 = tx.init_table(spark.range(3).toDF("id"), path)
+    stats = tx.delete_where(spark, path, F.col("id") > 100)
+    assert stats["version"] == v0 and stats["files_rewritten"] == 0
+    assert tx.current_version(path) == v0
+    v1 = tx.truncate_table(path)
+    assert v1 == v0 + 1
+    assert tx.truncate_table(path) == v1  # already empty: no new version
+    # empty append is a no-op too
+    assert tx.append_batch(spark.range(0).toDF("id"), path) is None
+    assert tx.current_version(path) == v1
