@@ -698,6 +698,17 @@ WHERE {cond}
 """
 
 
+# q43 returns exact counts + an in-plan tolerance verdict on the HLL++
+# estimate; the oracle reproduces the exact side and asserts the verdict
+# is TRUE (rsd=0.02 sketch vs a 5% gate — deterministic sketch seed, so
+# this is a hard check, not a flaky one).
+ORACLES["q43_approx_distinct_reach"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
 ORACLES["q46_geo_polygon_contains"] = _polygon_sql()
 
 ORACLES["q47_stream_sliding_rates"] = """
@@ -1246,6 +1257,26 @@ SELECT lang, count(*) AS train_docs,
 FROM flagged GROUP BY lang
 """
 
+# q78: exact interpolated percentiles (quantile_cont == Spark percentile)
+# over integer cents, snapped at 1/100-cent units where the true value is
+# an integer (see the q78 docstring), plus TRUE tolerance verdicts on the
+# Greenwald-Khanna estimates.
+ORACLES["q78_approx_percentiles"] = """
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(round(quantile_cont(cents, 0.5) * 100) AS BIGINT) / 10000.0 AS p50,
+       CAST(round(quantile_cont(cents, 0.9) * 100) AS BIGINT) / 10000.0 AS p90,
+       CAST(round(quantile_cont(cents, 0.99) * 100) AS BIGINT) / 10000.0 AS p99,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok,
+       TRUE AS p99_ok,
+       count(*) AS n
+FROM c GROUP BY l_returnflag
+"""
+
 ORACLES["q79_price_qty_regression"] = """
 SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
@@ -1482,6 +1513,17 @@ FROM rows_ JOIN big_counts USING (big) JOIN ctx_counts USING (ctx)
 CROSS JOIN vocab
 WHERE doc_id % 5 = 0
 GROUP BY doc_id, lang
+"""
+
+# q95: the sketch union estimate is graded through a 5% tolerance verdict;
+# the oracle reproduces the exact distinct counts and the daily-sketch
+# group count (one sketch per (type, day)).
+ORACLES["q95_hll_sketch_rollup"] = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
 """
 
 ORACLES["q96_union_schema_evolution"] = """

@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geomesa_cassandra_tools_spark.functions import parsing
@@ -954,9 +954,13 @@ def q42_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_approx_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch reach vs exact distinct per event type. The
     approx path is THE 100 TB cardinality answer (mergeable sketch, no
-    distinct shuffle); exact sits beside it as the error reference. No SQL
-    oracle — DuckDB's approx_distinct uses a different sketch, so the
-    driver records the weaker rows-only check for this one."""
+    distinct shuffle); exact sits beside it as the error reference.
+    DuckDB's approx_distinct is a different sketch, so the cross-engine
+    contract is a BOUNDED-ERROR VERDICT computed in-plan: `approx_ok` is
+    true iff |approx − exact| ≤ 5%·exact (the sketch runs at rsd=0.02, so
+    the 5% gate has ≥2σ headroom). The oracle reproduces the exact counts
+    and asserts TRUE — a full hash check of the exact path plus a hard
+    tolerance gate on the sketch, replacing the old rows-only check."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -964,6 +968,16 @@ def q43_approx_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        # multiplicative form: no division, so an (impossible here) zero
+        # exact count cannot trip an ANSI divide abort
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("approx_ok"),
         )
     )
 
@@ -1944,26 +1958,53 @@ def q78_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch) per return flag — the single-pass, mergeable, bounded-memory
     quantile path for 100 TB where exact percentiles (q54) would need a
     per-group sort. Sketches merge associatively across partitions, so
-    the shuffle carries one sketch per group, not rows. Rows-only check:
-    DuckDB's approx_quantile is a different sketch (t-digest), so there is
-    no cross-engine twin — q54 is the exact-oracle companion."""
+    the shuffle carries one sketch per group, not rows. DuckDB's
+    approx_quantile is a different sketch (t-digest), so the cross-engine
+    contract is a BOUNDED-ERROR VERDICT: the query returns the EXACT
+    interpolated percentiles (which DuckDB reproduces via quantile_cont)
+    plus per-quantile `*_ok` booleans asserting the GK estimate is within
+    2% of exact. At accuracy=10000 the GK rank error is ≤ n/10000 ranks,
+    so 2% value tolerance has wide headroom at every tested SF.
+
+    Determinism note: percentiles run over INTEGER CENTS, and the
+    interpolated result is snapped via round(x*100) before converting
+    back to dollars. For p ∈ {.5,.9,.99} the interpolation position
+    (n−1)·p has an exact hundredths fraction, so the true value in
+    1/100-cent units is an INTEGER — both engines' doubles land within
+    ~1e-7 of it regardless of their (lo + f·(hi−lo)) vs ((1−f)·lo + f·hi)
+    evaluation order, and the snap erases the ulp divergence that a naive
+    round(x, 2) turns into .xx5 half-way coin flips."""
     t = load_tables(spark, sf_dir)
-    return (
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    agg = (
         t["lineitem"]
+        .select("l_returnflag", cents.alias("cents"))
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "pctiles"
-            ),
+            F.percentile_approx("cents", [0.5, 0.9, 0.99], 10000).alias("apx"),
+            F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("ex"),
             F.count("*").alias("n"),
         )
-        .select(
-            "l_returnflag",
-            F.round(F.col("pctiles")[0], 2).alias("p50"),
-            F.round(F.col("pctiles")[1], 2).alias("p90"),
-            F.round(F.col("pctiles")[2], 2).alias("p99"),
-            "n",
+    )
+
+    def dollars(i: int) -> Column:
+        return F.round(F.col("ex")[i] * 100).cast("bigint") / F.lit(10000.0)
+
+    def ok(i: int) -> Column:
+        return (
+            F.abs(F.col("apx")[i] - F.col("ex")[i])
+            <= F.lit(0.02) * F.abs(F.col("ex")[i])
         )
+
+    return agg.select(
+        "l_returnflag",
+        dollars(0).alias("p50"),
+        dollars(1).alias("p90"),
+        dollars(2).alias("p99"),
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p90_ok"),
+        ok(2).alias("p99_ok"),
+        "n",
     )
 
 
@@ -2457,20 +2498,35 @@ def q95_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are UNIONED per type (`hll_union_agg`) — the pre-aggregate-then-merge
     pattern that makes distinct counts cheap over arbitrary slices of
     100 TB (daily sketch parquet ≪ raw events; any date range is a union
-    of sketches, never a rescan). Rows-only check like q43: DuckDB's HLL
-    is a different sketch, so there is no cross-engine twin; the unit
-    suite asserts estimate-vs-exact tolerance instead."""
+    of sketches, never a rescan). DuckDB's HLL is a different sketch, so
+    like q43 the cross-engine contract is a BOUNDED-ERROR VERDICT:
+    exact distinct users per type plus `approx_ok` asserting the merged
+    union-of-daily-sketches estimate is within 5% (lgK=12 → rsd≈1.6%,
+    so ≥3σ headroom). The sketch build/union/estimate stays fully
+    exercised — only its OUTPUT is graded through the tolerance gate."""
     ev = load_tables(spark, sf_dir)["events"]
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
     )
-    return (
+    merged = (
         daily.groupBy("event_type")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.count("*").alias("n_daily_sketches"),
         )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_daily_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -3709,16 +3765,37 @@ def _z_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
         # 16 files gives each file a tight disjoint z2 span at test scale —
         # at 100 TB this is the ingest job's output partitioning knob.
         # Built in a pid-unique staging dir, published by one atomic rename
-        # (last-writer-wins; the content is deterministic) — two processes
+        # (first-writer-wins; the content is deterministic) — two processes
         # racing here must never overwrite each other's in-progress files.
         staging = f"{path}.tmp-{os.getpid()}"
         geo.write_z_ordered(pts, staging, "lon", "lat", res=6, num_files=16)
-        shutil.rmtree(path, ignore_errors=True)  # torn leftover from a crash
-        try:
-            os.rename(staging, path)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+        _publish_layout_dir(staging, path)
     return path
+
+
+def _publish_layout_dir(staging: str, path: str) -> None:
+    """Publish a staged layout dir by atomic rename, FIRST-writer-wins.
+    Never rmtree an existing `path` that carries `_SUCCESS`: another
+    process may be mid-scan of that published layout, and deleting it
+    races task-level FileNotFound into their jobs. Only a TORN leftover
+    (no `_SUCCESS`, i.e. a crashed publish) is cleared and retried."""
+    import os
+    import shutil
+
+    try:
+        os.rename(staging, path)
+        return
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a racing writer already published identical content — ours loses
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    shutil.rmtree(path, ignore_errors=True)  # torn leftover from a crash
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _z3_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
@@ -3728,7 +3805,6 @@ def _z3_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
     keying and staging+atomic-rename publish (and the same no-memo rule:
     the stat tag is the staleness check)."""
     import os
-    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -3750,11 +3826,7 @@ def _z3_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
             geo.epoch_seconds(F.col("ts")), Z3_T_LO, Z3_T_HI,
             res=4, num_files=16,
         )
-        shutil.rmtree(path, ignore_errors=True)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+        _publish_layout_dir(staging, path)
     return path
 
 
@@ -4051,12 +4123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _with_cache_release(fn) for name, fn in _QUERY_FNS.items()
 }
 
-#: Queries with no SQL oracle (the driver records rows-only checks):
-#: q43's HLL++ and q78's Greenwald-Khanna sketches have no DuckDB twin.
-NO_ORACLE: frozenset[str] = frozenset(
-    {
-        "q43_approx_distinct_reach",
-        "q78_approx_percentiles",
-        "q95_hll_sketch_rollup",
-    }
-)
+#: Queries with no SQL oracle (the driver records rows-only checks).
+#: Empty since round 5: the sketch queries (q43 HLL++, q78 GK, q95
+#: DataSketches HLL) now return exact values plus in-plan bounded-error
+#: verdicts that DuckDB reproduces, so every registry entry is oracled.
+NO_ORACLE: frozenset[str] = frozenset()

@@ -41,13 +41,14 @@ def stream_to_manifest(
     checkpoint — paired with the manifest watermark, reprocessing after a
     mid-drain crash cannot double-append."""
     if checkpoint is None:
-        # md5, NOT Python hash(): string hashing is salted per process, and
-        # a restart that derives a different checkpoint dir would replay
-        # the whole source under fresh batch ids — the watermark would then
-        # refuse batches that bundle genuinely new rows (silent data loss)
-        tag = hashlib.md5(os.path.abspath(table_path).encode()).hexdigest()[:12]
+        # Default to DURABLE storage next to the table, not a RAM-backed
+        # scratch root: the manifest txn watermark persists across host
+        # reboots, so a lost checkpoint would replay the whole source under
+        # fresh batch ids and the watermark would refuse batches bundling
+        # genuinely new rows (silent data loss). Co-locating with the table
+        # ties the checkpoint's lifetime to the data it feeds.
         checkpoint = os.path.join(
-            _checkpoint_root(), f"manifest_{query_name}_{tag}"
+            table_path, "_checkpoints", f"manifest_{query_name}"
         )
     applied = [0]
 

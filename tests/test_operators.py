@@ -1139,6 +1139,16 @@ def test_dedup_operators_on_empty_input(spark):
     assert dedup.connected_components(empty_pairs).count() == 0
 
 
+def test_connected_components_rejects_zero_iterations(spark):
+    """max_iter=0 can never converge; it must fail loudly up front, not
+    return unconverged labels or trip an unbound-variable error."""
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=0)
+
+
 def test_geo_filters_on_empty_input(spark):
     empty = spark.createDataFrame([], "lon double, lat double")
     out = geo.bbox_filter(

@@ -193,3 +193,31 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
     transactional.delete_where(spark, table, F.col("k") == "a")
     assert transactional.read_table(spark, table).count() == 2
     assert transactional.append_batch(batch, table, txn_app="ingest", txn_id=1) is None
+
+
+def test_stream_to_manifest_default_checkpoint(spark, tmp_path):
+    """The DEFAULT checkpoint path (checkpoint=None) must work and must be
+    durable — co-located under the table dir, not a RAM-backed scratch
+    root — so a host reboot cannot orphan the manifest txn watermark from
+    its checkpoint. A second default-path drain resumes the same
+    checkpoint and applies nothing."""
+    import os
+
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    _write_batch(spark, src, [("2024-01-01 10:00:00", "a")])
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream, table, "ingest") >= 1
+    assert transactional.read_table(spark, table).count() == 1
+    # the default checkpoint lives with the table (durable), underscore-
+    # prefixed so directory-globbing readers treat it as hidden
+    assert os.path.isdir(os.path.join(table, "_checkpoints", "manifest_ingest"))
+
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream2, table, "ingest") == 0
+    assert transactional.read_table(spark, table).count() == 1
