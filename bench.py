@@ -27,14 +27,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # Size shuffle parallelism to the DATA, not the core count — the same
-    # rule that picks hundreds of partitions per 100 GB on a cluster picks
-    # a handful at sf0.1: partitions ≈ corpus_bytes / 64 MB, floored at 16
-    # (every stage still exercises real multi-partition paths; measured
-    # best of {8,16,32} at sf0.1) and capped at 2×cores (beyond that,
-    # extra reduce tasks are pure scheduler overhead on one box; the cap
-    # binds the floor too on small-core boxes). Over-partitioning tiny
-    # shuffles was worth ~20% of total wall time at sf0.1.
+    # Size shuffle parallelism to the DATA, not the core count — the
+    # documented policy lives in session.py (64 MB/partition target,
+    # floor 16, cap 2×cores); over-partitioning tiny shuffles was worth
+    # ~20% of total wall time at sf0.1.
+    from geomesa_cassandra_tools_spark.session import data_sized_shuffle_partitions
+
     data_bytes = 0
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
@@ -43,7 +41,7 @@ def main() -> None:
                     data_bytes += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-    shuffle_parts = min(2 * int(cpus), max(16, -(-data_bytes // (64 << 20))))
+    shuffle_parts = data_sized_shuffle_partitions(data_bytes, int(cpus))
 
     spark = get_spark(
         app_name="geomesa-spark-bench",

@@ -2072,7 +2072,9 @@ def q80_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_sec"
         ),
     )
-    name = stream_win.run_appendmode(joined, "view_click_join")
+    # inner-join rows emit eagerly in the data batch; the trailing no-data
+    # batch would only evict state this bounded drain discards anyway
+    name = stream_win.run_appendmode(joined, "view_click_join", no_data_batch=False)
     return spark.table(name)
 
 
@@ -2091,7 +2093,9 @@ def q81_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = stream_win.run_appendmode(deduped, "stream_dedup")
+    # first-seen rows emit in the data batch; skip the state-eviction-only
+    # no-data batch (see _drain's no_data_batch note)
+    name = stream_win.run_appendmode(deduped, "stream_dedup", no_data_batch=False)
     return spark.table(name)
 
 

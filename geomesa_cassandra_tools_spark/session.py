@@ -39,7 +39,39 @@ _DEFAULT_CONF = {
     # box (OOMs after enough cached stages). Only applies when this factory
     # launches the JVM; on a cluster the submitter sets executor memory.
     "spark.driver.memory": "16g",
+    # PySpark 4 wraps EVERY DataFrame/Column call with error call-site
+    # capture: a conf.get RPC + a JVM origin set/clear RPC + a Python stack
+    # walk per operation. For expression-heavy plan builders (z-curve
+    # interleaves, unrolled polygon tests, sketch hash families) that is
+    # 3× the Py4J traffic of the build itself — measured 2-5× faster plan
+    # construction with it off. Cost: error messages lose the Python
+    # call-site line, nothing else.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
+
+#: Shuffle-partition sizing policy (the 100 TB partitioning rule, applied
+#: at any scale): target ~64 MB of input per reduce partition —
+#:   partitions = clamp(corpus_bytes / 64 MB, floor=16, cap=2*cores)
+#: - 64 MB/partition keeps a reduce task's working set comfortably inside
+#:   executor memory with room for hash tables (the same order Spark's own
+#:   maxPartitionBytes picks for scan splits);
+#: - the floor of 16 keeps every stage a real multi-partition exercise
+#:   (measured best of {8,16,32} at sf0.1 — below it, one straggler task
+#:   serializes the stage);
+#: - the 2×cores cap bounds pure scheduler overhead on small boxes and
+#:   binds the floor too on tiny-core machines.
+#: At 100 TB the same formula yields ~1.6M partitions — beyond AQE's
+#: practical ceiling, which is why AQE coalescing stays on: this value is
+#: only the pre-AQE seed, and the formula's job is the right ORDER OF
+#: MAGNITUDE, not an exact count.
+SHUFFLE_TARGET_BYTES_PER_PARTITION = 64 << 20
+SHUFFLE_PARTITION_FLOOR = 16
+
+
+def data_sized_shuffle_partitions(data_bytes: int, cpus: int) -> int:
+    """Apply the documented sizing rule above to a corpus size + core count."""
+    by_data = -(-data_bytes // SHUFFLE_TARGET_BYTES_PER_PARTITION)  # ceil div
+    return min(2 * cpus, max(SHUFFLE_PARTITION_FLOOR, by_data))
 
 
 def get_spark(

@@ -193,6 +193,7 @@ def _drain(
     output_mode: str,
     timeout_sec: int,
     state_partitions: int | None,
+    no_data_batch: bool = True,
 ):
     """Start an AvailableNow drain to a memory sink and block until done.
 
@@ -201,15 +202,27 @@ def _drain(
     partition, a per-partition fixed cost — size it to stream volume, not to
     the batch default (32 stores for a small drain is 3× pure overhead; a
     100 TB stream would set hundreds). The conf is captured when the query
-    starts and restored right after."""
+    starts and restored right after (StreamExecution clones the session at
+    start, so the override is frozen into the query and the restore cannot
+    race a later micro-batch).
+
+    ``no_data_batch=False`` disables the trailing no-data micro-batch for
+    operators that EMIT eagerly (inner stream-stream joins, streaming
+    dedup): there the extra batch only evicts state — measured at ~1 s of
+    pure overhead per drain at sf0.1, near the cost of the data batch
+    itself. Operators whose OUTPUT depends on the final watermark advance
+    (event-time timers, append-mode window finalization) must keep it."""
     _RUN_SEQ[0] += 1
     name = f"{query_name}_{_RUN_SEQ[0]}"
     spark = stream_df.sparkSession
     ckpt = os.path.join(_checkpoint_root(), f"{name}_{os.getpid()}")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if not no_data_batch:
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -220,6 +233,7 @@ def _drain(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     # awaitTermination returns False on timeout with the query STILL
     # RUNNING — returning the sink name then would hand the caller a
     # nondeterministic partial table and leak the query. Fail loudly.
@@ -255,13 +269,18 @@ def run_appendmode(
     query_name: str,
     timeout_sec: int = 120,
     state_partitions: int | None = 8,
+    no_data_batch: bool = True,
 ):
     """AvailableNow drain in `append` output mode: only rows whose window
     the watermark has finalized are emitted — the mode that exercises
     late-data drop (complete mode re-emits everything). For checkpointed
     restarts use a FILE sink — the memory sink cannot recover a checkpoint
-    (see tests/test_streaming.py for the parquet-sink restart pattern)."""
-    return _drain(stream_df, query_name, "append", timeout_sec, state_partitions)
+    (see tests/test_streaming.py for the parquet-sink restart pattern).
+    Pass ``no_data_batch=False`` ONLY for eagerly-emitting operators
+    (inner joins, dedup) — see `_drain`."""
+    return _drain(
+        stream_df, query_name, "append", timeout_sec, state_partitions, no_data_batch
+    )
 
 
 def run_availablenow_update(

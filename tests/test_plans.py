@@ -275,3 +275,25 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "part_day" in plan
     expected = ev.where(F.col("ts").cast("date") == F.lit(day).cast("date")).count()
     assert pruned.count() == expected
+
+
+def test_shuffle_partition_sizing_policy():
+    """The documented 64 MB/partition rule (session.py): floor of 16 for
+    small corpora, data-sized in the middle, capped at 2x cores — so a
+    scale-factor change re-sizes shuffles instead of silently keeping a
+    test-scale constant."""
+    from geomesa_cassandra_tools_spark.session import (
+        SHUFFLE_PARTITION_FLOOR,
+        SHUFFLE_TARGET_BYTES_PER_PARTITION,
+        data_sized_shuffle_partitions,
+    )
+
+    mb64 = SHUFFLE_TARGET_BYTES_PER_PARTITION
+    # tiny corpus (sf0.1 is ~200 MB): the floor binds
+    assert data_sized_shuffle_partitions(200 << 20, 32) == SHUFFLE_PARTITION_FLOOR
+    # mid-size: data-sized (ceil division), neither floor nor cap
+    assert data_sized_shuffle_partitions(20 * mb64 + 1, 32) == 21
+    # large corpus: the 2x-cores cap binds
+    assert data_sized_shuffle_partitions(10_000 * mb64, 32) == 64
+    # the cap also binds the floor on tiny-core boxes
+    assert data_sized_shuffle_partitions(0, 4) == 8
