@@ -1,0 +1,208 @@
+"""Console entry point — the reference's CLI verbs over the Spark engine.
+
+The reference IS a command-line tool: every user interaction is
+``python geomesa.py list-sfts -k ks -c cat`` or ``python cluster.py
+find-table-compactions -k ks -t tbl`` (argparse ladders at
+/root/reference/geomesa.py:10-30,144-161 and
+/root/reference/cluster.py:13-28,190-236). This module keeps that UX —
+same verb names, same short flags — but the verbs resolve to DataFrame
+operations instead of SSH+cqlsh/nodetool calls:
+
+- catalog verbs read a catalog parquet (``--catalog-path``) through
+  `GeoCatalog`;
+- cluster verbs ingest captured ``nodetool`` output text (``--log``)
+  through `functions/parsing` — the deployment shape where command output
+  is landed to storage and queried, rather than scraped live (the live
+  Cassandra wire is out of scope here; see sources/ring.py);
+- ``status`` reads a remotes.json-shaped registry
+  (/root/reference/remotes.json.example) and, when ``--info-dir`` holds
+  per-node ``nodetool info`` captures (<name>.txt), the reference's
+  three-flag health predicate (/root/reference/node.py:48-55).
+
+Results print as TSV rows on stdout (header first), so the output pipes
+into cut/awk the way the reference's log lines do.
+
+Run as ``python -m geomesa_cassandra_tools_spark.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="geomesa-cassandra-tools-spark",
+        description="GeoMesa-cassandra tools, Spark engine edition.",
+    )
+    p.add_argument("command", help="The command to run")
+    # reference short flags preserved (/root/reference/geomesa.py:13-16,
+    # cluster.py:20-22)
+    p.add_argument("-k", "--keyspace", help="the schema keyspace")
+    p.add_argument("-c", "--catalog", help="the schema catalog")
+    p.add_argument("-f", "--feature-name", help="the schema (SFT) name")
+    p.add_argument("-t", "--table", help="the table to use")
+    p.add_argument("--catalog-path", help="parquet path of the catalog table")
+    p.add_argument(
+        "--tables-file",
+        help="text file of existing physical table names (one per line)",
+    )
+    p.add_argument("--log", help="captured nodetool output text file")
+    p.add_argument(
+        "--nodes-file", default="remotes.json", help="node registry JSON"
+    )
+    p.add_argument(
+        "--info-dir", help="directory of per-node `nodetool info` captures"
+    )
+    return p
+
+
+def _require(parser: argparse.ArgumentParser, args: argparse.Namespace, *names: str):
+    missing = [n for n in names if getattr(args, n.replace("-", "_")) is None]
+    if missing:
+        parser.error(
+            f"{args.command}: required arguments missing: "
+            + ", ".join(f"--{n}" for n in missing)
+        )
+
+
+def _emit(df: DataFrame, out) -> int:
+    """Print a (small) result frame as TSV and return its row count. CLI
+    results are catalog/ops listings — bounded metadata, never data-scale —
+    so the collect here is the same driver-bounded read the reference's
+    log-print is."""
+    cols = df.columns
+    print("\t".join(cols), file=out)
+    n = 0
+    for row in df.collect():
+        print("\t".join("" if row[c] is None else str(row[c]) for c in cols), file=out)
+        n += 1
+    return n
+
+
+def _spark() -> SparkSession:
+    from geomesa_cassandra_tools_spark.session import get_spark
+
+    return get_spark(app_name="geomesa-cassandra-tools-cli")
+
+
+def main(argv: Sequence[str] | None = None, out=None) -> int:
+    parser = _parser()
+    args = parser.parse_args(argv)
+    out = out if out is not None else sys.stdout
+
+    from geomesa_cassandra_tools_spark.catalog import GeoCatalog, nodes_registry
+    from geomesa_cassandra_tools_spark.functions import parsing
+
+    cmd = args.command
+
+    if cmd == "list-sfts":
+        _require(parser, args, "keyspace", "catalog", "catalog-path")
+        cat = GeoCatalog.load(_spark(), args.catalog_path)
+        _emit(cat.list_sfts(args.keyspace, args.catalog).orderBy("sft"), out)
+        return 0
+
+    if cmd == "find-schema-tables":
+        _require(parser, args, "keyspace", "catalog", "feature-name", "catalog-path")
+        cat = GeoCatalog.load(_spark(), args.catalog_path)
+        _emit(
+            cat.find_schema_tables(
+                args.keyspace, args.catalog, args.feature_name
+            ).orderBy("table"),
+            out,
+        )
+        return 0
+
+    if cmd == "schema-tables-exist":
+        # reference: N concurrent DESCRIBEs + all() gate
+        # (/root/reference/geomesa.py:61-67) -> one left-anti join; exit
+        # code carries the boolean like any shell predicate
+        _require(
+            parser, args, "keyspace", "catalog", "feature-name",
+            "catalog-path", "tables-file",
+        )
+        spark = _spark()
+        cat = GeoCatalog.load(spark, args.catalog_path)
+        existing = spark.read.text(args.tables_file).select(
+            F.col("value").alias("table")
+        )
+        ok = cat.tables_exist(args.keyspace, args.catalog, args.feature_name, existing)
+        print(str(ok).lower(), file=out)
+        return 0 if ok else 1
+
+    if cmd == "remove-sft-from-catalog":
+        # DELETE WHERE sft=… (/root/reference/geomesa.py:56-59) as
+        # filter-and-rewrite with a staged swap: the filtered copy is fully
+        # written before the original is replaced, so a crash leaves either
+        # the old or the new catalog, never a torn one. Single-writer
+        # semantics, like the reference's one-admin CLI.
+        _require(parser, args, "keyspace", "catalog", "feature-name", "catalog-path")
+        spark = _spark()
+        cat = GeoCatalog.load(spark, args.catalog_path)
+        removed = cat.remove_sft(args.keyspace, args.catalog, args.feature_name)
+        staging = f"{args.catalog_path}.tmp-{os.getpid()}"
+        removed.df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(args.catalog_path)
+        os.rename(staging, args.catalog_path)
+        print(f"removed sft {args.feature_name!r} from {args.catalog_path}", file=out)
+        return 0
+
+    if cmd in ("compactionstats", "find-table-compactions"):
+        _require(parser, args, "log")
+        lines = _spark().read.text(args.log)
+        rows = parsing.parse_compactions(lines)
+        if cmd == "find-table-compactions":
+            _require(parser, args, "keyspace", "table")
+            rows = rows.where(
+                (F.col("keyspace") == args.keyspace) & (F.col("table") == args.table)
+            )
+        _emit(rows.orderBy("id"), out)
+        return 0
+
+    if cmd in ("listsnapshots", "find-table-snapshots"):
+        _require(parser, args, "log")
+        lines = _spark().read.text(args.log)
+        rows = parsing.parse_snapshots(lines)
+        if cmd == "find-table-snapshots":
+            _require(parser, args, "keyspace", "table")
+            rows = rows.where(
+                (F.col("keyspace") == args.keyspace) & (F.col("table") == args.table)
+            )
+        _emit(rows.orderBy("name"), out)
+        return 0
+
+    if cmd == "status":
+        spark = _spark()
+        nodes = nodes_registry(spark, args.nodes_file)
+        if args.info_dir:
+            # per-node `nodetool info` capture at <info-dir>/<name>.txt;
+            # a node with no capture reports up=NULL (unknown), matching
+            # the reference's failed-probe logging rather than guessing
+            infos = spark.read.text(
+                os.path.join(args.info_dir, "*.txt"), wholetext=True
+            ).withColumn(
+                "name",
+                F.regexp_extract(
+                    F.input_file_name(), r"([^/]+)\.txt$", 1
+                ),
+            )
+            nodes = nodes.join(infos, "name", "left").select(
+                "name", "host", "port", "user",
+                parsing.is_up(F.col("value")).alias("up"),
+            )
+        _emit(nodes.orderBy("name"), out)
+        return 0
+
+    parser.error(f"Unknown command {cmd!r}")
+    return 2  # pragma: no cover — parser.error raises
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

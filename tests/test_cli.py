@@ -1,0 +1,157 @@
+"""CLI smoke tests: the reference's verbs (geomesa.py:144-161,
+cluster.py:190-236) against small fixtures, asserting stdout row counts
+and side effects. The CLI runs in-process (main(argv, out)) against the
+shared test session."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from geomesa_cassandra_tools_spark import cli
+from geomesa_cassandra_tools_spark.catalog import GeoCatalog
+
+CATALOG_ROWS = [
+    ("ks", "cat", "roads", "cat_roads_z2\ncat_roads_z3\nother_table"),
+    ("ks", "cat", "pois", "cat_pois_z2\nCAT_POIS_Z3"),
+    ("ks", "other_cat", "roads", "other_cat_roads_z2"),
+]
+
+COMPACTION_LOG = """\
+pending tasks: 2
+id                                   compaction type keyspace table completed total unit progress
+8f9c5a10-1111-2222-3333-444455556666 Compaction      ks       roads 10        100   bytes 10%
+aabbccdd-0000-1111-2222-333344445555 Compaction      ks       pois  5         50    bytes 10%
+not a data line
+"""
+
+SNAPSHOT_LOG = """\
+Snapshot Details:
+snap1 ks roads 100 200
+snap2 ks pois  50  80
+snap3 other ks2 1 2
+"""
+
+
+def _run(argv):
+    buf = io.StringIO()
+    rc = cli.main(argv, out=buf)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln]
+    return rc, lines
+
+
+@pytest.fixture()
+def catalog_path(spark, tmp_path):
+    path = str(tmp_path / "catalog")
+    GeoCatalog.from_rows(spark, CATALOG_ROWS).df.write.parquet(path)
+    return path
+
+
+def test_cli_list_sfts(catalog_path):
+    rc, lines = _run(
+        ["list-sfts", "-k", "ks", "-c", "cat", "--catalog-path", catalog_path]
+    )
+    assert rc == 0
+    assert lines[0] == "sft"
+    assert lines[1:] == ["pois", "roads"]
+
+
+def test_cli_find_schema_tables(catalog_path):
+    rc, lines = _run(
+        ["find-schema-tables", "-k", "ks", "-c", "cat", "-f", "pois",
+         "--catalog-path", catalog_path]
+    )
+    # normalize (lower) + catalog-prefix filter, reference geomesa.py:51-52
+    assert rc == 0
+    assert lines[1:] == ["cat_pois_z2", "cat_pois_z3"]
+
+
+def test_cli_schema_tables_exist_exit_code(catalog_path, tmp_path):
+    tables = tmp_path / "existing.txt"
+    tables.write_text("cat_pois_z2\ncat_pois_z3\n")
+    rc, lines = _run(
+        ["schema-tables-exist", "-k", "ks", "-c", "cat", "-f", "pois",
+         "--catalog-path", catalog_path, "--tables-file", str(tables)]
+    )
+    assert rc == 0 and lines == ["true"]
+    # roads is missing cat_roads_z3 from the listing -> predicate fails
+    rc, lines = _run(
+        ["schema-tables-exist", "-k", "ks", "-c", "cat", "-f", "roads",
+         "--catalog-path", catalog_path, "--tables-file", str(tables)]
+    )
+    assert rc == 1 and lines == ["false"]
+
+
+def test_cli_remove_sft_rewrites_catalog(catalog_path):
+    rc, _ = _run(
+        ["remove-sft-from-catalog", "-k", "ks", "-c", "cat", "-f", "pois",
+         "--catalog-path", catalog_path]
+    )
+    assert rc == 0
+    rc, lines = _run(
+        ["list-sfts", "-k", "ks", "-c", "cat", "--catalog-path", catalog_path]
+    )
+    assert lines[1:] == ["roads"]
+    # the other catalog's rows are untouched
+    rc, lines = _run(
+        ["list-sfts", "-k", "ks", "-c", "other_cat", "--catalog-path", catalog_path]
+    )
+    assert lines[1:] == ["roads"]
+
+
+def test_cli_find_table_compactions(tmp_path):
+    log = tmp_path / "compactions.txt"
+    log.write_text(COMPACTION_LOG)
+    rc, lines = _run(
+        ["find-table-compactions", "-k", "ks", "-t", "roads", "--log", str(log)]
+    )
+    assert rc == 0
+    assert len(lines) == 2  # header + 1 row
+    assert "roads" in lines[1]
+    rc, lines = _run(["compactionstats", "--log", str(log)])
+    assert len(lines) == 3  # header + 2 parsed rows; junk lines dropped
+
+
+def test_cli_find_table_snapshots(tmp_path):
+    log = tmp_path / "snapshots.txt"
+    log.write_text(SNAPSHOT_LOG)
+    rc, lines = _run(
+        ["find-table-snapshots", "-k", "ks", "-t", "pois", "--log", str(log)]
+    )
+    assert rc == 0
+    assert len(lines) == 2 and lines[1].startswith("snap2")
+    rc, lines = _run(["listsnapshots", "--log", str(log)])
+    assert len(lines) == 4  # header + 3 data rows; the banner line drops
+    names = {ln.split("\t")[0] for ln in lines[1:]}
+    assert names == {"snap1", "snap2", "snap3"}
+
+
+def test_cli_status_with_health(spark, tmp_path):
+    nodes = {
+        "node1": {"host": "10.0.0.1", "port": 22, "user": "john"},
+        "node2": {"host": "10.0.0.2", "port": 22, "user": "jane"},
+    }
+    nf = tmp_path / "remotes.json"
+    nf.write_text(json.dumps(nodes))
+    info = tmp_path / "info"
+    info.mkdir()
+    (info / "node1.txt").write_text(
+        "Gossip active : true\nThrift active : true\nNative Transport active : true\n"
+    )
+    (info / "node2.txt").write_text(
+        "Gossip active : true\nThrift active : false\nNative Transport active : true\n"
+    )
+    rc, lines = _run(
+        ["status", "--nodes-file", str(nf), "--info-dir", str(info)]
+    )
+    assert rc == 0
+    assert lines[0] == "name\thost\tport\tuser\tup"
+    assert lines[1] == "node1\t10.0.0.1\t22\tjohn\tTrue"
+    assert lines[2].startswith("node2\t") and lines[2].endswith("False")
+
+
+def test_cli_unknown_command_errors():
+    with pytest.raises(SystemExit):
+        _run(["frobnicate"])
