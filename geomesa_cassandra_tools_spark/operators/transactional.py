@@ -17,9 +17,13 @@ manifest layout with an ATOMIC commit:
 Readers resolve the highest committed manifest ONCE and read exactly the
 files it lists — a concurrent commit cannot tear their snapshot, because
 data files are never rewritten in place. Writers stage new files, then
-commit the next manifest via ``os.link`` (create-if-absent): two racing
-writers cannot both commit version N — the loser gets a conflict error,
-exactly Delta's optimistic-concurrency contract.
+publish the next manifest through a `CommitProtocol` whose one primitive
+is atomic create-if-absent: two racing writers cannot both commit version
+N — the loser gets `CommitConflict`, exactly Delta's optimistic-
+concurrency contract. Two protocols ship: `PosixLinkProtocol` (os.link +
+file/dir fsync — local FS, HDFS-like stores) and `ConditionalPutProtocol`
+(the S3/GCS conditional-PUT shape, here as a local test double); porting
+to a new store implements only that one method.
 
 DELETE rewrites ONLY the files that contain matching rows (located with
 one ``input_file_name()`` scan); untouched files carry over into the new
@@ -34,9 +38,11 @@ to parquet; the commit protocol is unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
+import threading
 import time
 import uuid
 
@@ -44,6 +50,97 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency).
+    Retry by re-reading the current version and re-applying."""
+
+
+class CommitProtocol:
+    """The one storage primitive the whole layer stands on: atomically
+    create ``dirpath/filename`` with ``payload`` IF ABSENT, else raise
+    `CommitConflict`. Everything above this line (snapshot isolation,
+    file-granular DELETE, idempotent appends, vacuum) is storage-agnostic;
+    porting the layer to a new store means implementing exactly this one
+    method — the same factoring Delta uses (LogStore) for the same reason."""
+
+    def publish(self, dirpath: str, filename: str, payload: bytes) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkProtocol(CommitProtocol):
+    """POSIX filesystems: write a temp file, fsync it, ``os.link`` to the
+    final name (link — not rename — because rename silently REPLACES an
+    existing target; link fails with EEXIST, which IS the conflict check),
+    then fsync the directory so the entry itself is durable. Valid on
+    local/ext4/XFS and HDFS-like stores with atomic create; NOT on S3/GCS
+    (no link) or NFS (link semantics are implementation-shaky) — use a
+    conditional-put protocol there."""
+
+    def publish(self, dirpath: str, filename: str, payload: bytes) -> None:
+        tmp = os.path.join(dirpath, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(dirpath, filename))
+        except FileExistsError:
+            raise CommitConflict(filename) from None
+        finally:
+            os.unlink(tmp)
+        # fsync the DIRECTORY too: the link's content is durable (file
+        # fsync above) but the directory entry itself is not until the dir
+        # flushes — without this, a crash after an acknowledged commit can
+        # lose the manifest while e.g. a streaming checkpoint remembers the
+        # batch as done (a permanently dropped batch). Same reason
+        # Delta/Iceberg fsync their log directory after the atomic publish.
+        dfd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
+class ConditionalPutProtocol(CommitProtocol):
+    """Object-store shape: a single conditional PUT (S3 ``If-None-Match: *``
+    / GCS ``ifGenerationMatch=0``), where the STORE serializes the
+    exists-check-and-write. This local stand-in reproduces that contract
+    with a process-wide mutex playing the store's server-side serialization
+    (S3 gives the atomicity; the lock is only the test-double for it) and a
+    write-then-rename so readers never observe a half-written manifest.
+    The layer's unit battery runs against BOTH protocols — swapping the
+    real S3 client in changes only this class."""
+
+    _lock = threading.Lock()
+
+    def publish(self, dirpath: str, filename: str, payload: bytes) -> None:
+        dest = os.path.join(dirpath, filename)
+        with self._lock:
+            if os.path.exists(dest):
+                raise CommitConflict(filename)
+            tmp = os.path.join(dirpath, f".put-{uuid.uuid4().hex}.json")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.rename(tmp, dest)
+
+
+_PROTOCOL: CommitProtocol = PosixLinkProtocol()
+
+
+@contextlib.contextmanager
+def use_commit_protocol(protocol: CommitProtocol):
+    """Scope a different commit protocol (e.g. the conditional-put one)
+    over every table commit in the block — protocol choice is per-STORE,
+    not per-table, which is why it is module state and not a table param."""
+    global _PROTOCOL
+    prev = _PROTOCOL
+    _PROTOCOL = protocol
+    try:
+        yield
+    finally:
+        _PROTOCOL = prev
 
 
 def _manifest_dir(path: str) -> str:
@@ -77,48 +174,29 @@ def _commit(
     schema_ddl: str,
     txns: dict[str, int] | None = None,
 ) -> None:
-    """Atomically publish snapshot ``version``. ``os.link`` (not rename:
-    rename silently REPLACES an existing target on POSIX) fails with
-    FileExistsError if another writer committed the same version first —
+    """Atomically publish snapshot ``version`` through the active
+    `CommitProtocol`. A same-version race loses with `CommitConflict` —
     the optimistic-concurrency conflict, surfaced loudly. ``txns`` is the
     idempotent-writer watermark map (app -> highest applied transaction
     id, the Delta txnAppId/txnVersion pattern); every commit carries it
     forward so maintenance commits never forget an append's watermark."""
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "files": sorted(files),
-                "schema": schema_ddl,
-                "txns": txns or {},
-            },
-            fh,
-        )
-        fh.flush()
-        os.fsync(fh.fileno())
+    payload = json.dumps(
+        {
+            "version": version,
+            "files": sorted(files),
+            "schema": schema_ddl,
+            "txns": txns or {},
+        }
+    ).encode()
     try:
-        os.link(tmp, os.path.join(d, f"v{version}.json"))
-    except FileExistsError:
-        raise RuntimeError(
+        _PROTOCOL.publish(d, f"v{version}.json", payload)
+    except CommitConflict:
+        raise CommitConflict(
             f"concurrent commit conflict: version {version} of {path!r} "
             "already committed by another writer"
         ) from None
-    finally:
-        os.unlink(tmp)
-    # fsync the DIRECTORY too: the link's content is durable (file fsync
-    # above) but the directory entry itself is not until the dir flushes —
-    # without this, a crash after an acknowledged commit can lose the
-    # manifest while e.g. a streaming checkpoint remembers the batch as
-    # done (a permanently dropped batch). Same reason Delta/Iceberg fsync
-    # their log directory after the atomic publish.
-    dfd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -167,6 +245,7 @@ def append_batch(
     path: str,
     txn_app: str | None = None,
     txn_id: int | None = None,
+    max_commit_retries: int = 40,
 ) -> int | None:
     """Transactional APPEND with idempotent-writer semantics: stage new
     immutable files, carry every existing file by reference, and commit —
@@ -175,8 +254,19 @@ def append_batch(
     a no-op returning None: exactly the Delta txnAppId/txnVersion contract
     that makes foreachBatch sinks exactly-once under Structured Streaming
     retries (the checkpoint replays a batch, the table refuses the
-    duplicate). Concurrent-commit conflicts raise; the streaming retry
-    re-reads the new current version and re-applies idempotently."""
+    duplicate).
+
+    Concurrency: files are staged ONCE (they are immutable and not bound
+    to any version), then the metadata merge+publish loops on
+    `CommitConflict` — re-reading the current manifest and recommitting is
+    microseconds, so concurrent appenders interleave instead of livelocking
+    the way a stage-again-per-retry design would (the same reason Delta
+    retries only its log write, never the data write). An append is
+    commutative with any interleaved commit: carried files are re-read
+    from the WINNER's manifest each attempt, so a racing DELETE/TRUNCATE
+    is never un-done, and the replay watermark is re-checked per attempt.
+    After ``max_commit_retries`` conflicts it raises — the caller is
+    racing a pathological commit storm and should back off."""
     if (txn_app is None) != (txn_id is None):
         # a half-specified transaction would either skip the replay check
         # or poison the watermark map with None — refuse loudly
@@ -186,26 +276,40 @@ def append_batch(
         # version and store a zero-row file per source hiccup; skipping is
         # replay-safe (a replayed empty batch is equally a no-op)
         return None
-    version = current_version(path)
-    if version < 0:
-        txns = {txn_app: txn_id} if txn_app is not None else {}
-        files = _stage_files(df, path)
-        _commit(path, 0, files, df.schema.json(), txns)
-        return 0
-    man = _read_manifest(path, version)
-    if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
-        raise ValueError(
-            f"append schema does not match table schema at {path!r}; "
-            "align the frame's columns/types before appending"
-        )
-    txns = dict(man.get("txns", {}))
-    if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
-        return None
-    if txn_app is not None:
-        txns[txn_app] = txn_id
-    files = man["files"] + _stage_files(df, path)
-    _commit(path, version + 1, files, man["schema"], txns)
-    return version + 1
+    staged: list[str] | None = None  # staged lazily, exactly once
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            txns = {txn_app: txn_id} if txn_app is not None else {}
+            if staged is None:
+                staged = _stage_files(df, path)
+            try:
+                _commit(path, 0, staged, df.schema.json(), txns)
+                return 0
+            except CommitConflict:
+                continue  # another writer created the table — append to it
+        man = _read_manifest(path, version)
+        if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
+            raise ValueError(
+                f"append schema does not match table schema at {path!r}; "
+                "align the frame's columns/types before appending"
+            )
+        txns = dict(man.get("txns", {}))
+        if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
+            return None
+        if txn_app is not None:
+            txns[txn_app] = txn_id
+        if staged is None:
+            staged = _stage_files(df, path)
+        try:
+            _commit(path, version + 1, man["files"] + staged, man["schema"], txns)
+            return version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"append to {path!r} lost {max_commit_retries} consecutive commit "
+        "races; back off and retry"
+    )
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
