@@ -1477,11 +1477,16 @@ def q63_z3_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's `{catalog}_{sft}_z3` index tables exist to serve
     (/root/reference/geomesa.py:52 manages them; SURVEY.md §1.1 row 3).
     Points are synthesized from event_id exactly like q22's from c_custkey;
-    the time dimension is real (events.ts). The z3 range cover prunes, the
-    exact bbox+interval predicate refines, so the result equals the
-    oracle's plain filter. At 100 TB the z3 column is written (stored=True
-    path) and the OR-of-BETWEENs pushes into row-group skipping on the
-    z-ordered layout."""
+    the time dimension is real (events.ts).
+
+    This is deliberately the COMPUTED-COLUMN demo: the z3 curve is built
+    in-plan over a full scan, so the cover can only filter, not skip I/O —
+    the shape a user gets before any layout work. Its production twin is
+    **q134_z3_stored_spacetime_scan**: the SAME box over the z3-ordered
+    stored layout, where the identical OR-of-BETWEENs cover pushes into
+    parquet row-group skipping (plan-tested, tests/test_plans.py). Read the
+    pair together — q63 is the baseline that quantifies what q134's layout
+    buys; at 100 TB only the q134 path is acceptable."""
     t = load_tables(spark, sf_dir)
     pts = t["events"].select(
         "event_id",
@@ -3970,77 +3975,33 @@ def _with_cache_release(
 
 # Registry order is VERIFICATION-FIRST, not numeric: the external
 # correctness harness checks exactly the first 50 entries per round.
-# Round-4 window = the 40 queries that had never had a driver CORRECTNESS
-# row after r01-r03 (q72-q124 backlog remnant + the six round-3 additions
-# q125-q130), the new q131, and sentinels: q01 (flagship) plus the queries
-# whose implementation changed this round (jaccard candidate pushdown →
-# q14/q16/q58; shared-signature bench release → q26/q57; q15/q22/q63 as
-# family representatives). Union r01-r04 then covers every registry entry.
-# After the window: the already-driver-verified remainder, numeric order.
-# bench.py sorts by name, so benchmark output is unaffected.
+# Round-5 window = (a) the five queries whose asof/multimodal values
+# changed post-window in round 4 (q21/q52/q119/q30/q31 — the standing
+# re-certification contract), (b) the three sketch queries that gained
+# value-changing tolerance oracles this round (q43/q78/q95), (c) streaming
+# and layout sentinels whose implementations changed (q80/q81 no-data-batch
+# skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) q01
+# flagship, and (e) a refresh of the oldest (r02-vintage) certifications.
+# Union r01-r05 continues to cover every registry entry.
+# After the window: the remainder, numeric order. bench.py sorts by name,
+# so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- flagship
     "q01_pricing_summary": q01_pricing_summary,
-    # -- never-driver-checked backlog (r01-r03 union), numeric order
-    "q72_price_histogram": q72_price_histogram,
-    "q73_daily_orders_gapfill": q73_daily_orders_gapfill,
-    "q74_week_over_week_users": q74_week_over_week_users,
-    "q75_embedding_quantization": q75_embedding_quantization,
+    "q21_purchase_asof_view": q21_purchase_asof_view,
+    "q52_purchase_asof_left": q52_purchase_asof_left,
+    "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
+    "q30_media_dimensions": q30_media_dimensions,
+    "q31_video_frame_plan": q31_video_frame_plan,
+    "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
-    "q79_price_qty_regression": q79_price_qty_regression,
-    "q83_fuzzy_name_match": q83_fuzzy_name_match,
-    "q84_hourly_pivot_unpivot": q84_hourly_pivot_unpivot,
-    "q85_bitmap_reach": q85_bitmap_reach,
-    "q86_nearest_hub_assignment": q86_nearest_hub_assignment,
-    "q87_daily_value_interpolation": q87_daily_value_interpolation,
-    "q88_event_sequence_pattern": q88_event_sequence_pattern,
-    "q89_lateral_topk_per_nation": q89_lateral_topk_per_nation,
-    "q90_salted_hot_key_agg": q90_salted_hot_key_agg,
-    "q92_price_distribution_analytics": q92_price_distribution_analytics,
-    "q93_recursive_tree_depth": q93_recursive_tree_depth,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
-    "q97_user_trajectory_length": q97_user_trajectory_length,
-    "q101_event_markov_transitions": q101_event_markov_transitions,
-    "q105_modal_event_type": q105_modal_event_type,
-    "q106_winsorized_price_stats": q106_winsorized_price_stats,
-    "q107_rolling_weekly_users": q107_rolling_weekly_users,
-    "q108_fk_integrity_audit": q108_fk_integrity_audit,
-    "q109_timed_view_purchase_funnel": q109_timed_view_purchase_funnel,
-    "q110_nation_revenue_share": q110_nation_revenue_share,
-    "q111_weighted_sample_stats": q111_weighted_sample_stats,
-    "q112_acctbal_zscore": q112_acctbal_zscore,
-    "q113_retention_cohorts": q113_retention_cohorts,
-    "q114_session_paths": q114_session_paths,
-    "q115_latest_event_per_user": q115_latest_event_per_user,
-    "q116_table_checksum_shards": q116_table_checksum_shards,
-    "q121_digit_token_stats": q121_digit_token_stats,
-    "q123_partial_rollup_merge": q123_partial_rollup_merge,
-    "q124_user_rank_footrule": q124_user_rank_footrule,
-    "q125_sequence_packing": q125_sequence_packing,
-    "q126_minhash_accuracy": q126_minhash_accuracy,
-    "q127_filter_funnel": q127_filter_funnel,
-    "q128_token_kl_divergence": q128_token_kl_divergence,
-    "q129_spatial_dwithin_join": q129_spatial_dwithin_join,
-    "q130_snapshot_diff": q130_snapshot_diff,
-    # -- new this round
+    "q80_stream_view_click_join": q80_stream_view_click_join,
+    "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
+    "q76_stream_session_expiry": q76_stream_session_expiry,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
-    "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
-    "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
-    # -- sentinels: implementation changed this round, or family reps
-    "q14_near_dup_pairs": q14_near_dup_pairs,
-    "q15_minhash_signatures": q15_minhash_signatures,
-    "q16_lsh_near_dups": q16_lsh_near_dups,
-    "q58_neardup_clusters": q58_neardup_clusters,
-    "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
-    # ---- end of the 50-entry verification window ----
-    # -- already driver-verified (r01-r03 green rows), numeric order
-    # (q22/q63/q57 displaced from the sentinel block by q132/q133/q134 —
-    # r03-certified, implementations and values unchanged since)
-    "q02_revenue_by_nation": q02_revenue_by_nation,
-    "q22_geo_bbox": q22_geo_bbox,
-    "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
     "q63_z3_spacetime": q63_z3_spacetime,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
     "q05_customers_without_orders": q05_customers_without_orders,
@@ -4056,15 +4017,13 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_doc_fingerprints": q18_doc_fingerprints,
     "q19_cosine_topk": q19_cosine_topk,
     "q20_sales_rollup": q20_sales_rollup,
-    "q21_purchase_asof_view": q21_purchase_asof_view,
+    "q22_geo_bbox": q22_geo_bbox,
     "q23_ttl_surviving_events": q23_ttl_surviving_events,
     "q24_suppliers_by_region": q24_suppliers_by_region,
     "q25_simhash_docs": q25_simhash_docs,
     "q27_ivf_topk": q27_ivf_topk,
     "q28_embedding_near_dups": q28_embedding_near_dups,
     "q29_media_features": q29_media_features,
-    "q30_media_dimensions": q30_media_dimensions,
-    "q31_video_frame_plan": q31_video_frame_plan,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     "q33_stream_user_sessions": q33_stream_user_sessions,
     "q34_catalog_missing_tables": q34_catalog_missing_tables,
@@ -4076,8 +4035,12 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_lang_id_confusion": q40_lang_id_confusion,
     "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
     "q42_sales_cube": q42_sales_cube,
-    "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q44_stream_stateful_totals": q44_stream_stateful_totals,
+    # ---- end of the 50-entry verification window ----
+    "q14_near_dup_pairs": q14_near_dup_pairs,
+    "q15_minhash_signatures": q15_minhash_signatures,
+    "q16_lsh_near_dups": q16_lsh_near_dups,
+    "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
     "q45_token_stats_by_source": q45_token_stats_by_source,
     "q46_geo_polygon_contains": q46_geo_polygon_contains,
     "q47_stream_sliding_rates": q47_stream_sliding_rates,
@@ -4085,11 +4048,12 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_geo_concave_polygon": q49_geo_concave_polygon,
     "q50_segment_minmax_scale": q50_segment_minmax_scale,
     "q51_wkt_roundtrip_bbox": q51_wkt_roundtrip_bbox,
-    "q52_purchase_asof_left": q52_purchase_asof_left,
     "q53_sql_grouping_sets": q53_sql_grouping_sets,
     "q54_price_percentiles": q54_price_percentiles,
     "q55_nation_top_suppliers_list": q55_nation_top_suppliers_list,
     "q56_ship_latency_by_priority": q56_ship_latency_by_priority,
+    "q57_lsh_multiprobe_topk": q57_lsh_multiprobe_topk,
+    "q58_neardup_clusters": q58_neardup_clusters,
     "q59_tfidf_top_terms": q59_tfidf_top_terms,
     "q60_wkt_polygon_area": q60_wkt_polygon_area,
     "q61_hash_split_stats": q61_hash_split_stats,
@@ -4102,25 +4066,61 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_hourly_type_pivot": q69_hourly_type_pivot,
     "q70_order_value_deciles": q70_order_value_deciles,
     "q71_nation_top_supplier": q71_nation_top_supplier,
-    "q76_stream_session_expiry": q76_stream_session_expiry,
+    "q72_price_histogram": q72_price_histogram,
+    "q73_daily_orders_gapfill": q73_daily_orders_gapfill,
+    "q74_week_over_week_users": q74_week_over_week_users,
+    "q75_embedding_quantization": q75_embedding_quantization,
     "q77_spatial_join": q77_spatial_join,
-    "q80_stream_view_click_join": q80_stream_view_click_join,
-    "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
+    "q79_price_qty_regression": q79_price_qty_regression,
     "q82_weekly_revenue_frame": q82_weekly_revenue_frame,
+    "q83_fuzzy_name_match": q83_fuzzy_name_match,
+    "q84_hourly_pivot_unpivot": q84_hourly_pivot_unpivot,
+    "q85_bitmap_reach": q85_bitmap_reach,
+    "q86_nearest_hub_assignment": q86_nearest_hub_assignment,
+    "q87_daily_value_interpolation": q87_daily_value_interpolation,
+    "q88_event_sequence_pattern": q88_event_sequence_pattern,
+    "q89_lateral_topk_per_nation": q89_lateral_topk_per_nation,
+    "q90_salted_hot_key_agg": q90_salted_hot_key_agg,
     "q91_returned_order_multiset": q91_returned_order_multiset,
+    "q92_price_distribution_analytics": q92_price_distribution_analytics,
+    "q93_recursive_tree_depth": q93_recursive_tree_depth,
     "q94_bigram_lm_score": q94_bigram_lm_score,
     "q96_union_schema_evolution": q96_union_schema_evolution,
+    "q97_user_trajectory_length": q97_user_trajectory_length,
     "q98_column_profile": q98_column_profile,
     "q99_scd2_event_state": q99_scd2_event_state,
     "q100_token_cooccurrence": q100_token_cooccurrence,
+    "q101_event_markov_transitions": q101_event_markov_transitions,
     "q102_copurchase_triangles": q102_copurchase_triangles,
     "q103_nation_pagerank": q103_nation_pagerank,
     "q104_variant_props": q104_variant_props,
+    "q105_modal_event_type": q105_modal_event_type,
+    "q106_winsorized_price_stats": q106_winsorized_price_stats,
+    "q107_rolling_weekly_users": q107_rolling_weekly_users,
+    "q108_fk_integrity_audit": q108_fk_integrity_audit,
+    "q109_timed_view_purchase_funnel": q109_timed_view_purchase_funnel,
+    "q110_nation_revenue_share": q110_nation_revenue_share,
+    "q111_weighted_sample_stats": q111_weighted_sample_stats,
+    "q112_acctbal_zscore": q112_acctbal_zscore,
+    "q113_retention_cohorts": q113_retention_cohorts,
+    "q114_session_paths": q114_session_paths,
+    "q115_latest_event_per_user": q115_latest_event_per_user,
+    "q116_table_checksum_shards": q116_table_checksum_shards,
     "q117_cosine_similarity_histogram": q117_cosine_similarity_histogram,
     "q118_stream_static_enrichment": q118_stream_static_enrichment,
-    "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q120_nation_summary_jsonl": q120_nation_summary_jsonl,
+    "q121_digit_token_stats": q121_digit_token_stats,
     "q122_trajectory_similarity_join": q122_trajectory_similarity_join,
+    "q123_partial_rollup_merge": q123_partial_rollup_merge,
+    "q124_user_rank_footrule": q124_user_rank_footrule,
+    "q125_sequence_packing": q125_sequence_packing,
+    "q126_minhash_accuracy": q126_minhash_accuracy,
+    "q127_filter_funnel": q127_filter_funnel,
+    "q128_token_kl_divergence": q128_token_kl_divergence,
+    "q129_spatial_dwithin_join": q129_spatial_dwithin_join,
+    "q130_snapshot_diff": q130_snapshot_diff,
+    "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
+    "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
