@@ -39,6 +39,13 @@ _DEFAULT_CONF = {
     # box (OOMs after enough cached stages). Only applies when this factory
     # launches the JVM; on a cluster the submitter sets executor memory.
     "spark.driver.memory": "16g",
+    # No web UI for an engine/bench session: the UI's listener tracks every
+    # stage/task for display, a per-task cost that is pure overhead on
+    # many-small-stage workloads (measured ~5-8% of wall time on the
+    # sub-second query fleet). Operators wanting the UI re-enable it via
+    # extra_conf; the history server is the right tool on a cluster.
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     # PySpark 4 wraps EVERY DataFrame/Column call with error call-site
     # capture: a conf.get RPC + a JVM origin set/clear RPC + a Python stack
     # walk per operation. For expression-heavy plan builders (z-curve

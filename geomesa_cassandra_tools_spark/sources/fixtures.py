@@ -31,6 +31,19 @@ _FIXTURE_ROOT = os.path.join(
 )
 
 
+#: bump when the fixture LAYOUT changes (file count, ordering): the tag
+#: below keys the cached artifact, so an old-layout cache must miss.
+_FIXTURE_LAYOUT_VERSION = 2
+
+#: Files per stored fixture. Raw text lines are consumed by regex-heavy
+#: parse operators whose map-side cost dwarfs the scan itself; a
+#: single-file (single-row-group) artifact pins ALL of that regex work to
+#: one task, so the write fans out into N files to let the read
+#: parallelize — the ingest-side layout decision that at 100 TB is "land
+#: command output in many objects, not one giant log file".
+_FIXTURE_FILES = 8
+
+
 def _fixture_path(sf_dir: str, name: str, source_table: str) -> str:
     """Keyed by corpus path AND the source table's (size, mtime) — a
     regenerated corpus at the same path must rebuild, never serve stale
@@ -38,7 +51,7 @@ def _fixture_path(sf_dir: str, name: str, source_table: str) -> str:
     src = os.path.join(sf_dir, f"{source_table}.parquet")
     stat = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{stat}".encode()
+        f"{os.path.abspath(sf_dir)}|{stat}|v{_FIXTURE_LAYOUT_VERSION}".encode()
     ).hexdigest()[:12]
     return os.path.join(_FIXTURE_ROOT, tag, name)
 
@@ -47,7 +60,7 @@ def _materialize(df: DataFrame, path: str) -> None:
     """Write ``df`` to ``path`` with last-writer-wins atomicity: build in a
     pid-unique staging dir, then a single ``os.rename`` publishes it."""
     staging = f"{path}.tmp-{os.getpid()}"
-    df.write.mode("overwrite").parquet(staging)
+    df.repartition(_FIXTURE_FILES).write.mode("overwrite").parquet(staging)
     try:
         os.rename(staging, path)
     except OSError:

@@ -1096,18 +1096,18 @@ def test_map_in_arrow_batches(spark):
 
 
 def test_hll_sketch_rollup_estimate_tolerance(spark):
-    """q95 has no DuckDB twin (different HLL implementation) — pin the
-    merged-sketch estimate to the exact distinct count instead. lgk=12
-    keeps relative error ~1.6%, so 5% is a stable bound."""
+    """q95 carries its tolerance check IN-PLAN since round 5 (approx_ok:
+    merged union-of-daily-sketches estimate within 5% of exact; lgk=12
+    keeps relative error ~1.6%). Pin that every group passes and that the
+    exact side equals an independent countDistinct."""
     from geomesa_cassandra_tools_spark.queries import QUERIES
     from geomesa_cassandra_tools_spark.sources.tables import load_tables
     import pyspark.sql.functions as F
 
     sf = "/root/testdata/sf0.001"
-    est = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["q95_hll_sketch_rollup"](spark, sf).collect()
-    }
+    rows = QUERIES["q95_hll_sketch_rollup"](spark, sf).collect()
+    assert rows and all(r["approx_ok"] for r in rows)
+    got = {r["event_type"]: r["exact_users"] for r in rows}
     exact = {
         r["event_type"]: r["n"]
         for r in load_tables(spark, sf)["events"]
@@ -1115,9 +1115,7 @@ def test_hll_sketch_rollup_estimate_tolerance(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
-    for k in exact:
-        assert abs(est[k] - exact[k]) / exact[k] < 0.05
+    assert got == exact
 
 
 # ------------------------------------------------------ empty-input edges
