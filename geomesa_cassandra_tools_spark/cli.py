@@ -139,18 +139,26 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
 
     if cmd == "remove-sft-from-catalog":
         # DELETE WHERE sft=… (/root/reference/geomesa.py:56-59) as
-        # filter-and-rewrite with a staged swap: the filtered copy is fully
-        # written before the original is replaced, so a crash leaves either
-        # the old or the new catalog, never a torn one. Single-writer
-        # semantics, like the reference's one-admin CLI.
+        # filter-and-rewrite with a staged swap: write the filtered copy,
+        # move the ORIGINAL aside (atomic rename), publish the new copy
+        # (atomic rename), then delete the old — so a crash at any point
+        # leaves the old catalog (possibly under the .old name, trivially
+        # recoverable) or the new one, never NO catalog at the path.
+        # Single-writer semantics, like the reference's one-admin CLI.
         _require(parser, args, "keyspace", "catalog", "feature-name", "catalog-path")
         spark = _spark()
         cat = GeoCatalog.load(spark, args.catalog_path)
         removed = cat.remove_sft(args.keyspace, args.catalog, args.feature_name)
         staging = f"{args.catalog_path}.tmp-{os.getpid()}"
+        backup = f"{args.catalog_path}.old-{os.getpid()}"
         removed.df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(args.catalog_path)
-        os.rename(staging, args.catalog_path)
+        os.rename(args.catalog_path, backup)
+        try:
+            os.rename(staging, args.catalog_path)
+        except OSError:
+            os.rename(backup, args.catalog_path)  # restore; staging kept for debug
+            raise
+        shutil.rmtree(backup)
         print(f"removed sft {args.feature_name!r} from {args.catalog_path}", file=out)
         return 0
 
@@ -184,19 +192,31 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         if args.info_dir:
             # per-node `nodetool info` capture at <info-dir>/<name>.txt;
             # a node with no capture reports up=NULL (unknown), matching
-            # the reference's failed-probe logging rather than guessing
-            infos = spark.read.text(
-                os.path.join(args.info_dir, "*.txt"), wholetext=True
-            ).withColumn(
-                "name",
-                F.regexp_extract(
-                    F.input_file_name(), r"([^/]+)\.txt$", 1
-                ),
+            # the reference's failed-probe logging rather than guessing.
+            # An EMPTY capture dir (all probes failed / job not yet run)
+            # is the all-unknown case, not an error — Spark's glob read
+            # would raise PATH_NOT_FOUND on zero matches, so probe first.
+            has_captures = any(
+                f.endswith(".txt") for f in os.listdir(args.info_dir)
             )
-            nodes = nodes.join(infos, "name", "left").select(
-                "name", "host", "port", "user",
-                parsing.is_up(F.col("value")).alias("up"),
-            )
+            if has_captures:
+                infos = spark.read.text(
+                    os.path.join(args.info_dir, "*.txt"), wholetext=True
+                ).withColumn(
+                    "name",
+                    F.regexp_extract(
+                        F.input_file_name(), r"([^/]+)\.txt$", 1
+                    ),
+                )
+                nodes = nodes.join(infos, "name", "left").select(
+                    "name", "host", "port", "user",
+                    parsing.is_up(F.col("value")).alias("up"),
+                )
+            else:
+                nodes = nodes.select(
+                    "name", "host", "port", "user",
+                    F.lit(None).cast("boolean").alias("up"),
+                )
         _emit(nodes.orderBy("name"), out)
         return 0
 

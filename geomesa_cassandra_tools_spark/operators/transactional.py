@@ -288,7 +288,13 @@ def append_batch(
                 return 0
             except CommitConflict:
                 continue  # another writer created the table — append to it
-        man = _read_manifest(path, version)
+        try:
+            man = _read_manifest(path, version)
+        except FileNotFoundError:
+            # a concurrent commit advanced the table AND a vacuum already
+            # swept the version we resolved — re-read the new current
+            # version (vacuum() guards the same race on its side)
+            continue
         if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
             raise ValueError(
                 f"append schema does not match table schema at {path!r}; "

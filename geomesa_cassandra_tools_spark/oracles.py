@@ -700,8 +700,9 @@ WHERE {cond}
 
 # q43 returns exact counts + an in-plan tolerance verdict on the HLL++
 # estimate; the oracle reproduces the exact side and asserts the verdict
-# is TRUE (rsd=0.02 sketch vs a 5% gate — deterministic sketch seed, so
-# this is a hard check, not a flaky one).
+# is TRUE (rsd=0.02 sketch vs an 8% = 4-sigma gate: deterministic per
+# dataset, and wide enough that corpus REGENERATION re-rolling the
+# hash-induced error cannot flake the gate).
 ORACLES["q43_approx_distinct_reach"] = """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,
@@ -1515,7 +1516,8 @@ WHERE doc_id % 5 = 0
 GROUP BY doc_id, lang
 """
 
-# q95: the sketch union estimate is graded through a 5% tolerance verdict;
+# q95: the sketch union estimate is graded through an 8% (~5-sigma)
+# tolerance verdict;
 # the oracle reproduces the exact distinct counts and the daily-sketch
 # group count (one sketch per (type, day)).
 ORACLES["q95_hll_sketch_rollup"] = """

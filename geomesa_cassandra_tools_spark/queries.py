@@ -957,9 +957,11 @@ def q43_approx_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle); exact sits beside it as the error reference.
     DuckDB's approx_distinct is a different sketch, so the cross-engine
     contract is a BOUNDED-ERROR VERDICT computed in-plan: `approx_ok` is
-    true iff |approx − exact| ≤ 5%·exact (the sketch runs at rsd=0.02, so
-    the 5% gate has ≥2σ headroom). The oracle reproduces the exact counts
-    and asserts TRUE — a full hash check of the exact path plus a hard
+    true iff |approx − exact| ≤ 8%·exact. The sketch runs at rsd=0.02, so
+    8% is 4σ — the gate must hold across corpus REGENERATIONS (each
+    re-rolls the hash-induced error; a 2.5σ gate would flake ~1% of
+    groups per regeneration). The oracle reproduces the exact counts and
+    asserts TRUE — a full hash check of the exact path plus a hard
     tolerance gate on the sketch, replacing the old rows-only check."""
     t = load_tables(spark, sf_dir)
     return (
@@ -976,7 +978,7 @@ def q43_approx_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(0.05) * F.col("exact_users")
+                <= F.lit(0.08) * F.col("exact_users")
             ).alias("approx_ok"),
         )
     )
@@ -2510,9 +2512,11 @@ def q95_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sketches, never a rescan). DuckDB's HLL is a different sketch, so
     like q43 the cross-engine contract is a BOUNDED-ERROR VERDICT:
     exact distinct users per type plus `approx_ok` asserting the merged
-    union-of-daily-sketches estimate is within 5% (lgK=12 → rsd≈1.6%,
-    so ≥3σ headroom). The sketch build/union/estimate stays fully
-    exercised — only its OUTPUT is graded through the tolerance gate."""
+    union-of-daily-sketches estimate is within 8% (lgK=12 → rsd≈1.6%,
+    so ~5σ — wide enough that corpus regeneration re-rolling the
+    hash-induced error cannot flake the gate). The sketch
+    build/union/estimate stays fully exercised — only its OUTPUT is
+    graded through the tolerance gate."""
     ev = load_tables(spark, sf_dir)["events"]
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
@@ -2534,7 +2538,7 @@ def q95_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= F.lit(0.05) * F.col("exact_users")
+            <= F.lit(0.08) * F.col("exact_users")
         ).alias("approx_ok"),
     )
 
@@ -3782,29 +3786,65 @@ def _z_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _publish_layout_dir(staging: str, path: str) -> None:
+def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) -> None:
     """Publish a staged layout dir by atomic rename, FIRST-writer-wins.
     Never rmtree an existing `path` that carries `_SUCCESS`: another
     process may be mid-scan of that published layout, and deleting it
     races task-level FileNotFound into their jobs. Only a TORN leftover
-    (no `_SUCCESS`, i.e. a crashed publish) is cleared and retried."""
+    (no `_SUCCESS`, i.e. a crashed publish) is cleared and retried — and
+    that clear-and-retry runs under an O_EXCL lockfile, because a bare
+    check-then-rmtree is a TOCTOU where two recovering publishers can
+    delete each other's just-published layout. A lock held longer than
+    ``lock_timeout`` is treated as a crashed publisher's leftover and
+    broken (the content is deterministic, so any winner is correct)."""
     import os
     import shutil
+    import time
 
     try:
         os.rename(staging, path)
         return
     except OSError:
         pass
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def published() -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    if published():
         # a racing writer already published identical content — ours loses
         shutil.rmtree(staging, ignore_errors=True)
         return
-    shutil.rmtree(path, ignore_errors=True)  # torn leftover from a crash
+    lock = f"{path}.lock"
+    deadline = time.monotonic() + lock_timeout
+    while True:
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            if published():  # the lock holder finished the swap
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            if time.monotonic() > deadline:
+                try:
+                    os.unlink(lock)  # stale lock from a crashed publisher
+                except FileNotFoundError:
+                    pass
+                continue
+            time.sleep(0.05)
     try:
-        os.rename(staging, path)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
+        if published():  # published while we acquired the lock
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        shutil.rmtree(path, ignore_errors=True)  # torn leftover, under lock
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def _z3_ordered_events_path(spark: SparkSession, sf_dir: str) -> str:

@@ -46,7 +46,11 @@ def stream_to_manifest(
         # reboots, so a lost checkpoint would replay the whole source under
         # fresh batch ids and the watermark would refuse batches bundling
         # genuinely new rows (silent data loss). Co-locating with the table
-        # ties the checkpoint's lifetime to the data it feeds.
+        # ties the checkpoint's lifetime to the data it feeds. (Changing
+        # the default location is safe: the previous default-path code
+        # raised NameError before ever creating a checkpoint, so no table
+        # can have a watermark produced through the old default — explicit
+        # checkpoint= callers are untouched.)
         checkpoint = os.path.join(
             table_path, "_checkpoints", f"manifest_{query_name}"
         )

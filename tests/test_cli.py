@@ -150,6 +150,14 @@ def test_cli_status_with_health(spark, tmp_path):
     assert lines[0] == "name\thost\tport\tuser\tup"
     assert lines[1] == "node1\t10.0.0.1\t22\tjohn\tTrue"
     assert lines[2].startswith("node2\t") and lines[2].endswith("False")
+    # zero captures (probe job never ran): all nodes report unknown, no crash
+    empty = tmp_path / "empty_info"
+    empty.mkdir()
+    rc, lines = _run(
+        ["status", "--nodes-file", str(nf), "--info-dir", str(empty)]
+    )
+    assert rc == 0
+    assert len(lines) == 3 and all(ln.endswith("\t") for ln in lines[1:])
 
 
 def test_cli_unknown_command_errors():
