@@ -2373,3 +2373,73 @@ FROM top JOIN est USING (token)
 # the oracle IS q63's by design (aliased, not copied, so they cannot drift)
 ORACLES["q134_z3_stored_spacetime_scan"] = ORACLES["q63_z3_spacetime"]
 
+
+# q135: chunk construction (12-word tumbling slices) mirrored with
+# list_slice; first occurrence ordered by (doc_id, chunk index) via
+# row_number; retention in integer basis points (exact in both engines).
+ORACLES["q135_chunk_dedup_retention"] = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, source, w,
+         unnest(range(0, CAST(floor((len(w) - 1) / 12) AS BIGINT) + 1)) AS i
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, source, i,
+         array_to_string(list_slice(w, i * 12 + 1, i * 12 + 12), ' ') AS chunk
+  FROM idx
+),
+flagged AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+  FROM ch
+)
+SELECT source,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       (10000 * CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS retention_bp
+FROM flagged GROUP BY source
+"""
+
+# q136: families keyed on the 16-word prefix; keeper = longest member,
+# tie to the smaller doc_id (row_number mirror of Spark's struct-min).
+ORACLES["q136_prefix_family_keeper"] = """
+WITH fam AS (
+  SELECT doc_id, n_chars,
+         array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS prefix
+  FROM documents
+),
+stats AS (
+  SELECT prefix, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS family_chars
+  FROM fam GROUP BY prefix HAVING count(*) > 1
+),
+rk AS (
+  SELECT prefix, doc_id, n_chars,
+         row_number() OVER (PARTITION BY prefix ORDER BY n_chars DESC, doc_id) AS rn
+  FROM fam
+)
+SELECT md5(s.prefix) AS prefix_md5,
+       s.n_docs,
+       r.doc_id AS keeper_doc,
+       r.n_chars AS keeper_chars,
+       s.family_chars
+FROM stats s JOIN rk r ON s.prefix = r.prefix AND r.rn = 1
+"""
+
+# q137: uniform-share rebalance plan — all-integer arithmetic
+# (basis points + min), no double crosses the engine boundary.
+ORACLES["q137_lang_rebalance_plan"] = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_langs FROM per_lang
+)
+SELECT lang, n_docs,
+       least(10000, (10000 * total) // (n_langs * n_docs)) AS accept_bp,
+       least(n_docs, total // n_langs) AS expected_kept
+FROM per_lang, tot
+"""

@@ -3994,6 +3994,124 @@ def q134_z3_stored_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: tumbling chunk width (words) for sub-document dedup — the "paragraph"
+#: unit on this corpus (single-line word streams; real pipelines split on
+#: \n\n first and fall back to fixed windows for wall-of-text documents).
+CHUNK_WORDS = 12
+
+
+def q135_chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph/chunk-level) exact dedup — the
+    RefinedWeb/CCNet pipeline step whole-document dedup (q13) cannot
+    express: a document that copies HALF of another survives doc-level
+    hashing, but its copied chunks should still be dropped. Text tumbles
+    into 12-word chunks in-plan (sequence+slice, no UDF); the FIRST
+    occurrence of each distinct chunk text (ordered by doc_id, then chunk
+    index — deterministic) is kept; per-source retention reports how much
+    of each slice of the corpus survives.
+
+    Scale shape: one shuffle keyed on chunk text (a window per chunk
+    group, each group tiny). A pathologically common chunk is the max_df
+    analog — at 100 TB you'd hash the chunk text to a fixed-width key and
+    cap group size the way dedup.max_df caps hot shingles."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) - 1) / CHUNK_WORDS) + 1
+    ch = (
+        d.select(
+            "doc_id",
+            "source",
+            words.alias("w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.array_join(
+                F.slice(F.col("w"), F.col("i") * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "i")
+    flagged = ch.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_kept",
+            # basis points via integer division — exact in both engines
+            # (a rounded double ratio can flip at .xxxx5 ulp boundaries)
+            F.expr("(10000 * n_kept) div n_chunks").alias("retention_bp"),
+        )
+    )
+
+
+def q136_prefix_family_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-family near-dup resolution: documents sharing an identical
+    16-word PREFIX form a family (the copy-with-appended-noise duplication
+    shape — doc-level hashes differ, MinHash may miss when the tail
+    dominates), and each family keeps its LONGEST member (ties break to
+    the smaller doc_id). One hash-shuffle on the prefix; the keeper is an
+    argmax aggregate, not a self-join — family size never explodes work.
+    Only families with >1 member are reported (the actionable ones)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 16), " ")
+    return (
+        d.select("doc_id", "n_chars", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # min over (-n_chars, doc_id): longest doc wins, tie -> smaller id
+            F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))).alias(
+                "k"
+            ),
+            F.sum("n_chars").alias("family_chars"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            F.md5(F.col("prefix")).alias("prefix_md5"),
+            "n_docs",
+            F.col("k.doc_id").alias("keeper_doc"),
+            (-F.col("k.neg")).alias("keeper_chars"),
+            "family_chars",
+        )
+    )
+
+
+def q137_lang_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalance sampling plan: per-language acceptance ratios
+    that cap every language at the uniform share (total/n_langs) — the
+    mixture-shaping step before training-data sampling. Pure arithmetic
+    over one tiny agg + a broadcast total (the 1-row crossJoin pattern,
+    plan-swept by test_no_accidental_cross_joins_anywhere). Exactness
+    discipline: the ratio ships as integer BASIS POINTS and the expected
+    kept count as an integer min — floor(n·min(1, target/n)) simplifies
+    to min(n, total div n_langs), so no double ever crosses an engine
+    boundary."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_lang = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = per_lang.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    return per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr("(10000 * total) div (n_langs * n_docs)"),
+        ).alias("accept_bp"),
+        F.least(F.col("n_docs"), F.expr("total div n_langs")).alias(
+            "expected_kept"
+        ),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4020,9 +4138,10 @@ def _with_cache_release(
 # re-certification contract), (b) the three sketch queries that gained
 # value-changing tolerance oracles this round (q43/q78/q95), (c) streaming
 # and layout sentinels whose implementations changed (q80/q81 no-data-batch
-# skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) q01
-# flagship, and (e) a refresh of the oldest (r02-vintage) certifications.
-# Union r01-r05 continues to cover every registry entry.
+# skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) the three
+# queries ADDED this round (q135/q136/q137 — first driver certification),
+# (e) q01 flagship, and (f) a refresh of the oldest (r02-vintage)
+# certifications. Union r01-r05 continues to cover every registry entry.
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4041,6 +4160,10 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     "q63_z3_spacetime": q63_z3_spacetime,
+    # -- new this round (must be driver-certified in their first round)
+    "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
+    "q136_prefix_family_keeper": q136_prefix_family_keeper,
+    "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
@@ -4073,14 +4196,14 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_click_view_correlation": q38_click_view_correlation,
     "q39_geo_dwithin": q39_geo_dwithin,
     "q40_lang_id_confusion": q40_lang_id_confusion,
-    "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
-    "q42_sales_cube": q42_sales_cube,
-    "q44_stream_stateful_totals": q44_stream_stateful_totals,
     # ---- end of the 50-entry verification window ----
     "q14_near_dup_pairs": q14_near_dup_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_near_dups": q16_lsh_near_dups,
     "q26_lsh_cosine_topk": q26_lsh_cosine_topk,
+    "q41_rolling_hash_fingerprints": q41_rolling_hash_fingerprints,
+    "q42_sales_cube": q42_sales_cube,
+    "q44_stream_stateful_totals": q44_stream_stateful_totals,
     "q45_token_stats_by_source": q45_token_stats_by_source,
     "q46_geo_polygon_contains": q46_geo_polygon_contains,
     "q47_stream_sliding_rates": q47_stream_sliding_rates,

@@ -165,6 +165,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q128_token_kl_divergence",  # single-row broadcast of corpus token total N
         "q102_copurchase_triangles",  # 1-row agg × 1-row agg result stitch
         "q108_fk_integrity_audit",  # 1-row checked × 1-row violations stitch
+        "q137_lang_rebalance_plan",  # per-lang counts × 1-row (total, n_langs)
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
