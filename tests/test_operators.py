@@ -1511,3 +1511,45 @@ def test_noop_delete_and_truncate_burn_no_version(spark, tmp_path):
     # empty append is a no-op too
     assert tx.append_batch(spark.range(0).toDF("id"), path) is None
     assert tx.current_version(path) == v1
+
+
+def test_publish_layout_dir_racing_publishers(tmp_path):
+    """Two publishers recovering from a torn leftover must never delete
+    each other's just-published layout (the TOCTOU the lockfile closes):
+    after both return, the path holds a complete, _SUCCESS-marked copy."""
+    import os
+    import threading
+
+    from geomesa_cassandra_tools_spark.queries import _publish_layout_dir
+
+    path = str(tmp_path / "layout")
+    # a torn leftover from a crashed publish: files but no _SUCCESS
+    os.makedirs(path)
+    open(os.path.join(path, "part-0.parquet"), "w").write("torn")
+
+    def stage(tag: str) -> str:
+        s = str(tmp_path / f"staging-{tag}")
+        os.makedirs(s)
+        open(os.path.join(s, "part-0.parquet"), "w").write("data")
+        open(os.path.join(s, "_SUCCESS"), "w").close()
+        return s
+
+    errs: list[BaseException] = []
+
+    def publish(tag: str):
+        try:
+            _publish_layout_dir(stage(tag), path)
+        except BaseException as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=publish, args=(f"t{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert open(os.path.join(path, "part-0.parquet")).read() == "data"
+    assert not os.path.exists(path + ".lock")
+    # no staging leftovers
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("staging-")]
