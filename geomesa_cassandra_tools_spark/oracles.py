@@ -2443,3 +2443,102 @@ SELECT lang, n_docs,
        least(n_docs, total // n_langs) AS expected_kept
 FROM per_lang, tot
 """
+
+# q138: deterministic shuffle-shard plan — all-integer LCG permutation,
+# the placement checksum certifies every (shard, position) assignment.
+ORACLES["q138_shard_shuffle_plan"] = """
+WITH placed AS (
+  SELECT doc_id, n_chars,
+         ((doc_id % 1000003) * 1103515245 + 12345) % 2147483647 AS perm
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_chars, perm, perm % 8 AS shard,
+         row_number() OVER (PARTITION BY perm % 8 ORDER BY perm, doc_id) AS pos
+  FROM placed
+)
+SELECT shard, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       min(perm) AS first_perm, max(perm) AS last_perm,
+       CAST(sum((pos * doc_id) % 1000000007) % 1000000007 AS BIGINT)
+         AS placement_checksum
+FROM pos GROUP BY shard
+"""
+
+# q139: temperature-scaled source mixture (alpha = 0.5) — doubles rounded
+# at the output edge; the sqrt-weight sum spans 20 values (~1 ulp noise).
+ORACLES["q139_source_temperature_mixture"] = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+wt AS (
+  SELECT source, n_docs, tokens, sqrt(CAST(tokens AS DOUBLE)) AS w FROM per
+),
+tot AS (
+  SELECT sum(w) AS tot_w, CAST(sum(tokens) AS BIGINT) AS tot_tokens FROM wt
+)
+SELECT source, n_docs, tokens,
+       round(tokens / CAST(tot_tokens AS DOUBLE), 6) AS raw_share,
+       round(w / tot_w, 6) AS temp_share,
+       CAST(round(1000000.0 * w / tot_w, 0) AS BIGINT) AS budget_tokens_1m
+FROM wt, tot
+"""
+
+# q140: one deterministic k-means assign step — squared-L2 via the same
+# index-order fold the Spark side uses (list_sum == sequential aggregate),
+# ties broken by centroid id, output rounded to 4dp.
+ORACLES["q140_kmeans_assign_step"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id AS cluster, e AS se FROM v WHERE vec_id < 8
+),
+d AS (
+  SELECT v.vec_id, s.cluster,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                                 i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])))
+           AS d2
+  FROM v, s
+),
+a AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d
+)
+SELECT cluster, count(*) AS n_vecs,
+       round(avg(sqrt(d2)), 4) AS avg_dist,
+       min(vec_id) AS first_vec, max(vec_id) AS last_vec
+FROM a WHERE rn = 1 GROUP BY cluster
+"""
+
+# q141: per-language vocabulary coverage curve — integer basis points,
+# rank ties broken lexicographically (engine-deterministic).
+ORACLES["q141_vocab_coverage_curve"] = """
+WITH tf AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (
+  SELECT lang, term, count(*) AS n FROM tf GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+  FROM cnt
+),
+agg AS (
+  SELECT lang, count(*) AS vocab_size, CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN rk <= 5 THEN n ELSE 0 END) AS BIGINT) AS m5,
+         CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS m10,
+         CAST(sum(CASE WHEN rk <= 20 THEN n ELSE 0 END) AS BIGINT) AS m20
+  FROM ranked GROUP BY lang
+)
+SELECT lang, vocab_size, total_tokens,
+       (10000 * m5) // total_tokens AS cov5_bp,
+       (10000 * m10) // total_tokens AS cov10_bp,
+       (10000 * m20) // total_tokens AS cov20_bp
+FROM agg
+"""

@@ -166,6 +166,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q102_copurchase_triangles",  # 1-row agg × 1-row agg result stitch
         "q108_fk_integrity_audit",  # 1-row checked × 1-row violations stitch
         "q137_lang_rebalance_plan",  # per-lang counts × 1-row (total, n_langs)
+        "q139_source_temperature_mixture",  # per-source weights × 1-row totals
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
