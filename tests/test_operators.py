@@ -1553,3 +1553,82 @@ def test_publish_layout_dir_racing_publishers(tmp_path):
     assert not os.path.exists(path + ".lock")
     # no staging leftovers
     assert not [d for d in os.listdir(tmp_path) if d.startswith("staging-")]
+
+
+def test_shard_plan_invariant_under_input_layout(spark, tmp_path):
+    """q138's shard/position assignment is a pure function of doc_id — the
+    checksum must not change when the input arrives in a different
+    partition layout (a shuffled corpus re-shard must be reproducible)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from geomesa_cassandra_tools_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = QUERIES["q138_shard_shuffle_plan"](spark, sf)
+    rows_a = {r["shard"]: r.asDict() for r in base.collect()}
+
+    # same documents, scrambled into 7 partitions in descending id order;
+    # other tables symlinked (load_tables plans every table eagerly)
+    alt = str(tmp_path / "sfalt")
+    os.makedirs(alt)
+    for f in os.listdir(sf):
+        if f != "documents.parquet":
+            os.symlink(os.path.join(sf, f), os.path.join(alt, f))
+    (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .repartition(7)
+        .sortWithinPartitions(F.desc("doc_id"))
+        .write.parquet(os.path.join(alt, "documents.parquet"))
+    )
+    rows_b = {
+        r["shard"]: r.asDict()
+        for r in QUERIES["q138_shard_shuffle_plan"](spark, alt).collect()
+    }
+    assert rows_a == rows_b
+
+
+def test_kmeans_assign_ties_break_to_smaller_centroid(spark):
+    """Duplicate vectors in the seed set produce exact distance ties; the
+    assignment must deterministically pick the smaller centroid id (the
+    array_min struct order), matching the oracle's ORDER BY d2, cluster."""
+    import pyspark.sql.functions as F
+
+    from geomesa_cassandra_tools_spark.functions.vectors import as_double
+
+    # centroids 0 and 1 are identical; vector 10 sits exactly on them
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (10, [1.0, 0.0]),
+        (11, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    v = df.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    seeds = {r["vec_id"]: r["e"] for r in v.where(F.col("vec_id") < 2).collect()}
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(float(x)) for x in seeds[k]]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(int(k)).alias("cluster"),
+            )
+            for k in sorted(seeds)
+        ]
+    )
+    got = {
+        r["vec_id"]: r["c"]
+        for r in v.withColumn("a", F.array_min(dists))
+        .select("vec_id", F.col("a.cluster").alias("c"))
+        .collect()
+    }
+    assert got[10] == 0  # exact tie -> smaller centroid id
+    assert got[11] in (0, 1)
