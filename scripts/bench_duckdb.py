@@ -28,11 +28,15 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "4"))
     timings: dict[str, float] = {}
-    for name, sql in sorted(ORACLES.items()):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        for name, sql in sorted(ORACLES.items()):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     print(
         json.dumps(
             {
@@ -41,6 +45,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "stat": "min_per_query",
             }
         )
     )
