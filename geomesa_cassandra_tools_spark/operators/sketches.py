@@ -97,3 +97,71 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+#: Bloom seed decorrelated from both the MinHash family (42) and CMS (7).
+BLOOM_SEED = 11
+
+
+def _bloom_positions(tid: Column, k: int, m: int) -> list[Column]:
+    """k bit positions in one m-bit space: ((a_j·tid + b_j) mod P) mod m."""
+    return [
+        ((F.lit(a) * tid + F.lit(b)) % MINHASH_PRIME % m).cast("int")
+        for (a, b) in minhash_params(k, seed=BLOOM_SEED)
+    ]
+
+
+def bloom_bits(items: DataFrame, item_col: str, k: int = 4, m: int = 4096) -> DataFrame:
+    """Build a Bloom filter over an item column as its SPARSE set-bit rows
+    (`bit` int, ≤ m rows) — the membership-prefilter sketch that completes
+    the family (HLL counts distincts, CMS counts frequencies, GK ranks;
+    Bloom answers "possibly seen?" with zero false negatives).
+
+    The sparse-rows representation keeps the sketch a first-class
+    DataFrame: filters from different corpus slices merge by plain
+    `union().distinct()` (set-bit union — the Bloom merge algebra), and
+    the build is one explode + distinct whose shuffle is capped at k rows
+    per item and m rows total. A deployment chasing the last constant
+    packs the bits into m/64 int64 words per slice (`groupBy(bit div 64)`
+    + `bit_or(1 << (bit % 64))`); the sparse form is chosen here because
+    it keeps probes expressible as joins a SQL oracle reproduces exactly.
+
+    Hashing reuses `hashed_tid` + `minhash_params` (seed decorrelated
+    from MinHash/CMS), so estimates are deterministic, not
+    probabilistic-per-run. Size ``m`` to expected distinct items n:
+    fpr ≈ (1 - e^(-k·n/m))^k."""
+    tid = hashed_tid(F.col(item_col))
+    return (
+        items.select(F.explode(F.array(*_bloom_positions(tid, k, m))).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_maybe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    item_col: str,
+    k: int = 4,
+    m: int = 4096,
+) -> DataFrame:
+    """Probe the filter: (id, maybe_member) per candidate, where
+    maybe_member is TRUE iff every one of the candidate's k bit positions
+    is set. LEFT join against the sparse bit rows (an inner join would
+    silently drop never-seen candidates — same trap as `cms_estimate`);
+    `bool_and` tolerates two hash rows landing on the same bit. The
+    filter side is broadcast: ≤ m rows regardless of corpus size, so the
+    probe never shuffles the candidate stream — the join-pruning shape
+    that makes Bloom the standard pre-filter in front of an expensive
+    exact membership join. No false negatives by construction
+    (property-tested); false positives are the fpr trade-off."""
+    tid = hashed_tid(F.col(item_col))
+    probes = candidates.select(
+        id_col, F.explode(F.array(*_bloom_positions(tid, k, m))).alias("bit")
+    )
+    marked = bloom.withColumn("__set", F.lit(True))
+    return (
+        probes.join(F.broadcast(marked), "bit", "left")
+        .groupBy(id_col)
+        .agg(F.bool_and(F.col("__set").isNotNull()).alias("maybe_member"))
+    )

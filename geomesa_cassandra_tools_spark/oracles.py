@@ -2542,3 +2542,49 @@ SELECT lang, vocab_size, total_tokens,
        (10000 * m20) // total_tokens AS cov20_bp
 FROM agg
 """
+
+
+# q142: Bloom-prefiltered decontamination audit — bit positions mirror
+# operators/sketches.py::_bloom_positions (k=2, m=256, seed=11), so the
+# confusion counts are deterministic and engine-identical; fn_free carries
+# the no-false-negative invariant per row.
+def _bloom_positions_sql(k: int, m: int, src: str, tid_expr: str) -> str:
+    parts = []
+    for a, b in minhash_params(k, seed=11):
+        parts.append(
+            f"SELECT *, CAST((({a} * tid + {b}) % {MINHASH_PRIME}) % {m} AS INT)"
+            f" AS bit FROM {src}"
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+ORACLES["q142_bloom_decontaminate_audit"] = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         ((doc_id % 1000003) * 1103515245 + 12345) % 100 AS bucket
+  FROM documents
+),
+held AS (SELECT DISTINCT {_hashed_tid_sql('text')} AS tid FROM d WHERE bucket >= 80),
+train AS (SELECT doc_id, {_hashed_tid_sql('text')} AS tid FROM d WHERE bucket < 80),
+bits AS (
+  SELECT DISTINCT bit FROM (
+  {_bloom_positions_sql(2, 256, 'held', 'tid')}
+  )
+),
+probes AS (
+  {_bloom_positions_sql(2, 256, 'train', 'tid')}
+),
+maybe AS (
+  SELECT doc_id, bool_and(b.bit IS NOT NULL) AS maybe_member
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY doc_id
+),
+exact AS (
+  SELECT t.doc_id, h.tid IS NOT NULL AS exact_member
+  FROM train t LEFT JOIN held h ON t.tid = h.tid
+)
+SELECT maybe_member, exact_member, count(*) AS n_docs,
+       NOT (exact_member AND NOT maybe_member) AS fn_free
+FROM maybe JOIN exact USING (doc_id)
+GROUP BY maybe_member, exact_member
+"""

@@ -4298,6 +4298,53 @@ def q141_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q142_bloom_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination audit — the membership sketch in
+    its production role: a filter built over the HELD-OUT split's document
+    fingerprints pre-screens the train split before the expensive exact
+    membership join (at 100 TB the Bloom side is ≤ m rows broadcast, so
+    the train stream is never shuffled by the probe; only the ~fpr
+    fraction flagged "maybe" pays the exact join). The audit crosses the
+    sketch verdict with exact membership and reports the confusion
+    counts; `fn_free` carries Bloom's no-false-negative invariant in-plan
+    (a (maybe=false, exact=true) row can never appear — its presence
+    would hash-mismatch every engine reproducing the same bits).
+
+    Split is q61's LCG (engine-reproducible); fingerprint = `hashed_tid`
+    of the text; k=2/m=256 sized small so the false-positive arm is
+    exercised at every SF (a deployment sizes m to held-out cardinality:
+    fpr ≈ (1 - e^(-k·n/m))^k)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = ((F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345) % 100
+    held = d.where(bucket >= 80).select("text")
+    train = d.where(bucket < 80).select("doc_id", "text")
+    bloom = sketches.bloom_bits(held, "text", k=2, m=256)
+    maybe = sketches.bloom_maybe(train, bloom, "doc_id", "text", k=2, m=256)
+    ho_tids = (
+        held.select(dedup.hashed_tid(F.col("text")).alias("tid"))
+        .distinct()
+        .withColumn("__in_held", F.lit(True))
+    )
+    exact = (
+        train.select("doc_id", dedup.hashed_tid(F.col("text")).alias("tid"))
+        .join(F.broadcast(ho_tids), "tid", "left")
+        .select(
+            "doc_id", F.coalesce("__in_held", F.lit(False)).alias("exact_member")
+        )
+    )
+    return (
+        maybe.join(exact, "doc_id")
+        .groupBy("maybe_member", "exact_member")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "maybe_member",
+            "exact_member",
+            "n_docs",
+            (~(F.col("exact_member") & ~F.col("maybe_member"))).alias("fn_free"),
+        )
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4325,7 +4372,7 @@ def _with_cache_release(
 # value-changing tolerance oracles this round (q43/q78/q95), (c) streaming
 # and layout sentinels whose implementations changed (q80/q81 no-data-batch
 # skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) the three
-# queries ADDED this round (q135-q141 — first driver certification),
+# queries ADDED this round (q135-q142 — first driver certification),
 # (e) q01 flagship, and (f) a refresh of the oldest (r02-vintage)
 # certifications (q37-q40 displaced below the window by the late q138-q141
 # additions — their code is unchanged since their green r02/r03 rows, so
@@ -4356,6 +4403,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_source_temperature_mixture": q139_source_temperature_mixture,
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
+    "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
@@ -4383,8 +4431,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_stream_user_sessions": q33_stream_user_sessions,
     "q34_catalog_missing_tables": q34_catalog_missing_tables,
     "q35_parse_compactions": q35_parse_compactions,
-    "q36_order_status_set_ops": q36_order_status_set_ops,
     # ---- end of the 50-entry verification window ----
+    "q36_order_status_set_ops": q36_order_status_set_ops,
     "q37_customer_order_trends": q37_customer_order_trends,
     "q38_click_view_correlation": q38_click_view_correlation,
     "q39_geo_dwithin": q39_geo_dwithin,

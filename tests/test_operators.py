@@ -1632,3 +1632,35 @@ def test_kmeans_assign_ties_break_to_smaller_centroid(spark):
     }
     assert got[10] == 0  # exact tie -> smaller centroid id
     assert got[11] in (0, 1)
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """The two Bloom contracts: (1) every inserted item probes
+    maybe_member=True (no false negatives — the invariant q142 carries
+    in-plan), (2) the filter over a union equals the union of the two
+    slices' filters (set-bit merge algebra)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    rng = random.Random(1234)
+    a = [f"item-{rng.randrange(10**9)}" for _ in range(300)]
+    b = [f"other-{rng.randrange(10**9)}" for _ in range(300)]
+    df_a = spark.createDataFrame([(x,) for x in a], "item string")
+    df_b = spark.createDataFrame([(x,) for x in b], "item string")
+
+    bloom_a = sketches.bloom_bits(df_a, "item", k=3, m=1024)
+    # (1) no false negatives: probe the inserted set itself
+    probed = sketches.bloom_maybe(
+        df_a.withColumn("id", F.col("item")), bloom_a, "id", "item", k=3, m=1024
+    )
+    assert probed.where(~F.col("maybe_member")).count() == 0
+
+    # (2) merge algebra: bits(A ∪ B) == distinct(bits(A) ∪ bits(B))
+    bloom_union = sketches.bloom_bits(df_a.union(df_b), "item", k=3, m=1024)
+    merged = bloom_a.union(sketches.bloom_bits(df_b, "item", k=3, m=1024)).distinct()
+    assert {r["bit"] for r in bloom_union.collect()} == {
+        r["bit"] for r in merged.collect()
+    }
