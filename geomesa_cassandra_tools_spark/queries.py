@@ -4189,13 +4189,18 @@ def q139_source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFra
     tot = weighted.agg(
         F.sum("w").alias("tot_w"), F.sum("tokens").alias("tot_tokens")
     )
+    # nullif guards: an all-empty-text corpus would make both totals 0 and
+    # ANSI mode turns the division into a job abort; NULL shares are the
+    # right degenerate answer (cosine() applies the same discipline)
+    tot_tokens = F.nullif(F.col("tot_tokens").cast("double"), F.lit(0.0))
+    tot_w = F.nullif(F.col("tot_w"), F.lit(0.0))
     return weighted.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "tokens",
-        F.round(F.col("tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
-        F.round(F.col("w") / F.col("tot_w"), 6).alias("temp_share"),
-        F.round(F.lit(1_000_000.0) * F.col("w") / F.col("tot_w"), 0)
+        F.round(F.col("tokens") / tot_tokens, 6).alias("raw_share"),
+        F.round(F.col("w") / tot_w, 6).alias("temp_share"),
+        F.round(F.lit(1_000_000.0) * F.col("w") / tot_w, 0)
         .cast("bigint")
         .alias("budget_tokens_1m"),
     )
@@ -4229,6 +4234,13 @@ def q140_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: r["e"]
         for r in v.where(F.col("vec_id") < KMEANS_K).collect()
     }
+    if not seeds:
+        # F.array() with zero elements would fail downstream with an opaque
+        # analysis error; surface the real cause instead
+        raise ValueError(
+            f"kmeans_assign_step: no seed vectors with vec_id < {KMEANS_K} "
+            f"in {sf_dir!r}"
+        )
     dists = F.array(
         *[
             F.struct(
