@@ -522,3 +522,50 @@ def ivf_topk(
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
     ).withColumnRenamed("rn", "rank")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    seeds: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """One Lloyd's-iteration ASSIGN step against broadcast centroid
+    literals: (id, cluster, d2) per input vector, where cluster is the
+    seed with the smallest squared-L2 distance and ties break to the
+    smaller centroid id (the `array_min` struct order — the contract
+    q140's oracle mirrors with ORDER BY d2, cluster).
+
+    ``seeds`` ships into the plan as literals (the "broadcast the
+    centroids" step every distributed k-means performs); the argmin is a
+    per-row array_min over a K-struct array — no shuffle, no self-join.
+    Distances use the exact left-to-right fold (`aggregate`/`zip_with`),
+    so an index-order `list_sum` oracle reproduces them bit-for-bit.
+    ``vec_col`` must already be array<double> (see `_prep`/`as_double`)."""
+    if not seeds:
+        raise ValueError(
+            "kmeans_assign: empty seed set — a zero-element array literal "
+            "would fail downstream with an opaque analysis error"
+        )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in seeds[k]]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(int(k)).alias("cluster"),
+            )
+            for k in sorted(seeds)
+        ]
+    )
+    return df.select(F.col(id_col), F.array_min(dists).alias("__a")).select(
+        id_col,
+        F.col("__a.cluster").alias("cluster"),
+        F.col("__a.d2").alias("d2"),
+    )

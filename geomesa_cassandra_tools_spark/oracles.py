@@ -2548,7 +2548,7 @@ FROM agg
 # operators/sketches.py::_bloom_positions (k=2, m=256, seed=11), so the
 # confusion counts are deterministic and engine-identical; fn_free carries
 # the no-false-negative invariant per row.
-def _bloom_positions_sql(k: int, m: int, src: str, tid_expr: str) -> str:
+def _bloom_positions_sql(k: int, m: int, src: str) -> str:
     parts = []
     for a, b in minhash_params(k, seed=11):
         parts.append(
@@ -2568,11 +2568,11 @@ held AS (SELECT DISTINCT {_hashed_tid_sql('text')} AS tid FROM d WHERE bucket >=
 train AS (SELECT doc_id, {_hashed_tid_sql('text')} AS tid FROM d WHERE bucket < 80),
 bits AS (
   SELECT DISTINCT bit FROM (
-  {_bloom_positions_sql(2, 256, 'held', 'tid')}
+  {_bloom_positions_sql(2, 256, 'held')}
   )
 ),
 probes AS (
-  {_bloom_positions_sql(2, 256, 'train', 'tid')}
+  {_bloom_positions_sql(2, 256, 'train')}
 ),
 maybe AS (
   SELECT doc_id, bool_and(b.bit IS NOT NULL) AS maybe_member

@@ -132,6 +132,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "zh": ("small", "value", "the"),
 }
 
+
+def _lcg(key: Column, mod: int) -> Column:
+    """The package's engine-reproducible split/shard hash (q61/q65/q111's
+    train/held-out membership, q138's permutation, q142's split): glibc
+    LCG constants over the key reduced mod 1_000_003 FIRST — the raw
+    product would leave int64 once the key grows past ~8.4e9, an ANSI
+    checked-arithmetic abort at corpus scale — then reduced mod ``mod``.
+    Every oracle interpolates the same literals, so membership is
+    bit-identical across engines; production swaps in xxhash64(key) % mod
+    per query docstrings."""
+    return ((key % 1_000_003) * 1_103_515_245 + 12_345) % mod
+
+
 # ---------------------------------------------------------------- relational
 
 
@@ -1412,9 +1425,7 @@ def q61_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile: doc count, token mass, mean quality. Narrow scan → one
     partial-agg shuffle on (split, lang); nothing else."""
     t = load_tables(spark, sf_dir)
-    bucket = (
-        (F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345
-    ) % 100
+    bucket = _lcg(F.col("doc_id"), 100)
     docs = t["documents"].select(
         F.when(bucket < 80, "train").otherwise("held_out").alias("split"),
         "lang",
@@ -1554,12 +1565,7 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-dependent). One shuffle keyed on lang (5 strata here;
     salt-or-split applies if a stratum dominates at scale)."""
     t = load_tables(spark, sf_dir)
-    # reduce doc_id mod P FIRST (as q61/q111 do): the raw product would
-    # leave int64 once doc_id ≳ 8.4e9 — an ANSI overflow abort at corpus
-    # scale, in both engines' checked arithmetic
-    h = (
-        ((F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345) % 2_147_483_647
-    ).alias("h")
+    h = _lcg(F.col("doc_id"), 2_147_483_647).alias("h")
     docs = t["documents"].select(
         "doc_id", "lang", h, T.quality_score(F.col("text")).alias("q")
     )
@@ -3100,9 +3106,7 @@ def q111_weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg computes sampled vs population per priority class."""
     o = load_tables(spark, sf_dir)["orders"]
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    bucket = (
-        (F.col("o_orderkey") % 1_000_003) * 1_103_515_245 + 12_345
-    ) % 10_000
+    bucket = _lcg(F.col("o_orderkey"), 10_000)
     thresh = F.least(F.expr(
         "CAST(round(o_totalprice * 100) AS BIGINT) div 5000"
     ), F.lit(10_000))
@@ -4146,7 +4150,7 @@ def q138_shard_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of aggregating — the audit agg here stands in for the write so
     the oracle can check placement exactly."""
     d = load_tables(spark, sf_dir)["documents"]
-    perm = ((F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345) % 2_147_483_647
+    perm = _lcg(F.col("doc_id"), 2_147_483_647)
     placed = (
         d.select("doc_id", "n_chars", perm.alias("perm"))
         .withColumn("shard", F.col("perm") % N_SHARDS)
@@ -4219,49 +4223,26 @@ def q140_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest squared L2 distance (ties → smaller centroid id).
 
     Scale shape: the K centroids are a bounded collect (K rows — the same
-    "broadcast the centroids" step every distributed k-means performs) and
-    ship into the plan as literals; the argmin is a per-row `array_min`
-    over a K-struct array (no shuffle, no self-join), then ONE partial-agg
-    shuffle on cluster id. Distances use the exact left-to-right fold
-    (`aggregate`/`zip_with`), so the DuckDB oracle's index-order
-    `list_sum` reproduces them bit-for-bit before the 4dp output round."""
+    "broadcast the centroids" step every distributed k-means performs);
+    the assignment itself is `similarity.kmeans_assign` (literal-broadcast
+    centroids, per-row array_min argmin — no shuffle, no self-join), then
+    ONE partial-agg shuffle on cluster id. Distances use the exact
+    left-to-right fold, so the DuckDB oracle's index-order `list_sum`
+    reproduces them bit-for-bit before the 4dp output round."""
     from geomesa_cassandra_tools_spark.functions.vectors import as_double
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
     # bounded collect: exactly KMEANS_K rows, the broadcast-centroids step
+    # (empty seed set raises a clear ValueError inside kmeans_assign)
     seeds = {
         r["vec_id"]: r["e"]
         for r in v.where(F.col("vec_id") < KMEANS_K).collect()
     }
-    if not seeds:
-        # F.array() with zero elements would fail downstream with an opaque
-        # analysis error; surface the real cause instead
-        raise ValueError(
-            f"kmeans_assign_step: no seed vectors with vec_id < {KMEANS_K} "
-            f"in {sf_dir!r}"
-        )
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(float(x)) for x in seeds[k]]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(int(k)).alias("cluster"),
-            )
-            for k in sorted(seeds)
-        ]
-    )
-    assigned = v.select("vec_id", F.array_min(dists).alias("a"))
-    return assigned.groupBy(F.col("a.cluster").alias("cluster")).agg(
+    assigned = similarity.kmeans_assign(v, seeds, id_col="vec_id", vec_col="e")
+    return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.avg(F.sqrt(F.col("a.d2"))), 4).alias("avg_dist"),
+        F.round(F.avg(F.sqrt(F.col("d2"))), 4).alias("avg_dist"),
         F.min("vec_id").alias("first_vec"),
         F.max("vec_id").alias("last_vec"),
     )
@@ -4327,7 +4308,7 @@ def q142_bloom_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     exercised at every SF (a deployment sizes m to held-out cardinality:
     fpr ≈ (1 - e^(-k·n/m))^k)."""
     d = load_tables(spark, sf_dir)["documents"]
-    bucket = ((F.col("doc_id") % 1_000_003) * 1_103_515_245 + 12_345) % 100
+    bucket = _lcg(F.col("doc_id"), 100)
     held = d.where(bucket >= 80).select("text")
     train = d.where(bucket < 80).select("doc_id", "text")
     bloom = sketches.bloom_bits(held, "text", k=2, m=256)

@@ -35,7 +35,7 @@ def main() -> None:
     # existing notes: short name (qNN) -> note, from current table rows
     notes: dict[str, str] = {}
     for m in re.finditer(
-        r"^\| (q\w+) \| [\d.]+ \| [\d.]+ \| [\d.×]+ \| (.*) \|$", md, re.M
+        r"^\| (q\w+) \| [\d.]+ \| [\d.]+ \| [^|]+ \| (.*) \|$", md, re.M
     ):
         notes[m.group(1).split("_")[0]] = m.group(2).strip()
 
@@ -49,8 +49,6 @@ def main() -> None:
         if d is None:
             continue
         ratio = f"{s / d:.1f}×" if d > 0 else "—"
-        if d and s / d < 1:
-            ratio = f"{s / d:.1f}×"
         rows.append(f"| {full} | {s:.2f} | {d:.3f} | {ratio} | {notes.get(short, '')} |")
 
     table = (
@@ -59,7 +57,7 @@ def main() -> None:
     )
     new_md, n = re.subn(
         r"\| query \| spark s \| duckdb s \| ratio \| note \|\n(?:\|.*\|\n?)+",
-        table + "\n",
+        lambda _m: table + "\n",
         md,
     )
     if n != 1:

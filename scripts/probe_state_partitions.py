@@ -33,12 +33,21 @@ STREAMING = [
 ]
 
 
+_ORIG_DRAIN = W._drain
+
+
 def set_default(n: int) -> None:
-    # run_availablenow / run_availablenow_update: (timeout_sec, state_partitions)
-    W.run_availablenow.__defaults__ = (120, n)
-    W.run_availablenow_update.__defaults__ = (120, n)
-    # run_appendmode: (timeout_sec, state_partitions, no_data_batch)
-    W.run_appendmode.__defaults__ = (120, n, True)
+    """Force EVERY drain to n state partitions by wrapping _drain — the
+    run_* defaults are not enough since q80/q81/q118 now pass their tuned
+    state_partitions explicitly (this probe exists to re-measure exactly
+    those tunings, so it must override them)."""
+
+    def patched(stream_df, query_name, output_mode, timeout_sec,
+                state_partitions, no_data_batch=True):
+        return _ORIG_DRAIN(stream_df, query_name, output_mode, timeout_sec,
+                           n, no_data_batch)
+
+    W._drain = patched
 
 
 def main() -> None:
@@ -60,7 +69,7 @@ def main() -> None:
                 cur = results[n].get(q)
                 results[n][q] = dt if cur is None else min(cur, dt)
         print(f"rep {rep} done", flush=True)
-    set_default(8)
+    W._drain = _ORIG_DRAIN
     print(f"{'query':38s}" + "".join(f"  sp={n:>2d}" for n in arms))
     for q in STREAMING:
         print(f"{q:38s}" + "".join(f"  {results[n][q]:5.2f}" for n in arms))

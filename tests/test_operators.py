@@ -1591,11 +1591,15 @@ def test_shard_plan_invariant_under_input_layout(spark, tmp_path):
 
 def test_kmeans_assign_ties_break_to_smaller_centroid(spark):
     """Duplicate vectors in the seed set produce exact distance ties; the
-    assignment must deterministically pick the smaller centroid id (the
-    array_min struct order), matching the oracle's ORDER BY d2, cluster."""
+    production operator (similarity.kmeans_assign — the same code q140
+    runs) must deterministically pick the smaller centroid id, matching
+    the oracle's ORDER BY d2, cluster."""
+    import pytest
+
     import pyspark.sql.functions as F
 
     from geomesa_cassandra_tools_spark.functions.vectors import as_double
+    from geomesa_cassandra_tools_spark.operators import similarity
 
     # centroids 0 and 1 are identical; vector 10 sits exactly on them
     rows = [
@@ -1607,31 +1611,15 @@ def test_kmeans_assign_ties_break_to_smaller_centroid(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     v = df.select("vec_id", as_double(F.col("embedding")).alias("e"))
     seeds = {r["vec_id"]: r["e"] for r in v.where(F.col("vec_id") < 2).collect()}
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(float(x)) for x in seeds[k]]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(int(k)).alias("cluster"),
-            )
-            for k in sorted(seeds)
-        ]
-    )
     got = {
-        r["vec_id"]: r["c"]
-        for r in v.withColumn("a", F.array_min(dists))
-        .select("vec_id", F.col("a.cluster").alias("c"))
-        .collect()
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in similarity.kmeans_assign(v, seeds).collect()
     }
-    assert got[10] == 0  # exact tie -> smaller centroid id
-    assert got[11] in (0, 1)
+    assert got[10] == (0, 0.0)  # exact tie -> smaller centroid id
+    assert got[11][0] in (0, 1)
+
+    with pytest.raises(ValueError, match="empty seed set"):
+        similarity.kmeans_assign(v, {})
 
 
 def test_bloom_no_false_negatives_and_mergeable(spark):
