@@ -569,3 +569,64 @@ def kmeans_assign(
         F.col("__a.cluster").alias("cluster"),
         F.col("__a.d2").alias("d2"),
     )
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full Lloyd's k-means over an embedding column: ``n_iter`` rounds of
+    assign (`kmeans_assign`) + centroid recompute, returning the final
+    (id, cluster, d2) assignment. Deterministic: seeds are the first k
+    vectors by id, ties break to the smaller centroid id, and iteration
+    count is fixed (no convergence-threshold float comparison to drift
+    across engines).
+
+    Scale shape per round: the assign step is map-only (centroids ride
+    along as literals — the broadcast step of every distributed k-means);
+    the update step is ONE partial-agg shuffle keyed on (cluster, dim)
+    after a posexplode, so shuffled rows ≈ corpus_rows × dim collapsing
+    to k × dim aggregates, and only those k·dim means (bounded) return to
+    the driver to become the next round's literals. Nothing else is ever
+    collected. This is the same index-build loop IVF coarse quantizers
+    train with (`ivf_topk` uses a single fixed-seed assignment; pass its
+    corpus through here first to tighten the partitions)."""
+    prep = _prep(df, id_col, vec_col, "id", "v")
+    seed_rows = prep.orderBy("id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_iterate: corpus has {len(seed_rows)} vectors, need k={k}"
+        )
+    cents: dict[int, list[float]] = {
+        i: list(r["v"]) for i, r in enumerate(seed_rows)
+    }
+    assigned = None
+    for _ in range(max(1, n_iter)):
+        assigned = kmeans_assign(
+            prep.select("id", F.col("v")), cents, id_col="id", vec_col="v"
+        )
+        # centroid update: one (cluster, dim) partial-agg shuffle; k×dim
+        # means come back to the driver (bounded) for the next round
+        means = (
+            prep.join(assigned.select("id", "cluster"), "id")
+            .select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cents: dict[int, list[float]] = {}
+        for r in means:
+            new_cents.setdefault(r["cluster"], [0.0] * len(cents[0]))[
+                r["dim"]
+            ] = r["m"]
+        # a cluster that lost every member keeps its previous centroid
+        # (the standard empty-cluster rule; dropping it would renumber)
+        for i, prev in cents.items():
+            new_cents.setdefault(i, prev)
+        cents = new_cents
+    return assigned.select(
+        F.col("id").alias(id_col), "cluster", "d2"
+    )

@@ -1652,3 +1652,37 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     assert {r["bit"] for r in bloom_union.collect()} == {
         r["bit"] for r in merged.collect()
     }
+
+
+def test_kmeans_iterate_separates_two_blobs(spark):
+    """Two well-separated synthetic blobs must end up in two pure clusters
+    after a couple of Lloyd's rounds, regardless of the (adversarial) seed
+    placement — both seeds start inside blob A, so the update step has to
+    actually move a centroid for the test to pass. Also pins the
+    empty-cluster rule: k=3 with only two blobs keeps the starved
+    centroid alive (no renumbering)."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(10)]
+    blob_b = [(100 + i, [10.0 + 0.01 * i, 10.0]) for i in range(10)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id bigint, embedding array<float>"
+    )
+    out = similarity.kmeans_iterate(df, k=2, n_iter=3).collect()
+    by_blob = {
+        "a": {r["cluster"] for r in out if r["vec_id"] < 100},
+        "b": {r["cluster"] for r in out if r["vec_id"] >= 100},
+    }
+    assert len(by_blob["a"]) == 1 and len(by_blob["b"]) == 1
+    assert by_blob["a"] != by_blob["b"]
+
+    # k=3: one centroid starves; assignment still covers every vector and
+    # clusters stay numbered 0..2
+    out3 = similarity.kmeans_iterate(df, k=3, n_iter=2).collect()
+    assert len(out3) == 20
+    assert {r["cluster"] for r in out3} <= {0, 1, 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="need k="):
+        similarity.kmeans_iterate(df.limit(1), k=2)
