@@ -614,8 +614,10 @@ def q26_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized top-3: corpus assigned to its nearest of 4
     centroid partitions once; each query probes its 2 nearest partitions
-    only. Centroids here are seed vectors (vec_id < 4) — at scale a sampled
-    k-means; the probe/assign pipeline is identical."""
+    only. Centroids here are seed vectors (vec_id < 4) — at scale train
+    them with `similarity.kmeans_iterate` (the deterministic Lloyd's loop;
+    q140 certifies its assign step); the probe/assign pipeline is
+    identical either way."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     centroids = emb.where(F.col("vec_id") < 4).select(
