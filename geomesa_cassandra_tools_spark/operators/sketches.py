@@ -149,11 +149,17 @@ def bloom_maybe(
     maybe_member is TRUE iff every one of the candidate's k bit positions
     is set. LEFT join against the sparse bit rows (an inner join would
     silently drop never-seen candidates — same trap as `cms_estimate`);
-    `bool_and` tolerates two hash rows landing on the same bit. The
-    filter side is broadcast: ≤ m rows regardless of corpus size, so the
-    probe never shuffles the candidate stream — the join-pruning shape
-    that makes Bloom the standard pre-filter in front of an expensive
-    exact membership join. No false negatives by construction
+    `bool_and` tolerates two hash rows landing on the same bit.
+
+    Plan shape: the bit-match join is BROADCAST (the filter is ≤ m rows
+    regardless of corpus size), so matching itself never shuffles; the
+    per-candidate AND-reduction is one hash shuffle on the candidate id
+    carrying k rows per candidate. At 100 TB the last constant goes too:
+    pack the ≤ m set bits into a bitmap broadcast variable and evaluate
+    membership map-side inside the scan — the shape Spark's own runtime
+    bloom-filter join pushdown uses — leaving zero probe-side shuffles.
+    The join form is kept here because it stays a pure DataFrame plan a
+    SQL oracle reproduces exactly. No false negatives by construction
     (property-tested); false positives are the fpr trade-off."""
     tid = hashed_tid(F.col(item_col))
     probes = candidates.select(

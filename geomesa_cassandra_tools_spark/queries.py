@@ -4297,9 +4297,11 @@ def q142_bloom_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     """Bloom-prefiltered decontamination audit — the membership sketch in
     its production role: a filter built over the HELD-OUT split's document
     fingerprints pre-screens the train split before the expensive exact
-    membership join (at 100 TB the Bloom side is ≤ m rows broadcast, so
-    the train stream is never shuffled by the probe; only the ~fpr
-    fraction flagged "maybe" pays the exact join). The audit crosses the
+    membership join (the Bloom side is ≤ m rows broadcast so bit-matching
+    never shuffles; the AND-reduction shuffles k rows per candidate — see
+    `bloom_maybe` for the map-side bitmap variant that drops even that —
+    and only the ~fpr fraction flagged "maybe" pays the exact join). The
+    audit crosses the
     sketch verdict with exact membership and reports the confusion
     counts; `fn_free` carries Bloom's no-false-negative invariant in-plan
     (a (maybe=false, exact=true) row can never appear — its presence
