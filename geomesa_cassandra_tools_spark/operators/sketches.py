@@ -171,3 +171,41 @@ def bloom_maybe(
         .groupBy(id_col)
         .agg(F.bool_and(F.col("__set").isNotNull()).alias("maybe_member"))
     )
+
+
+def bloom_maybe_mapside(
+    candidates: DataFrame,
+    set_bits: list[int],
+    id_col: str,
+    item_col: str,
+    k: int = 4,
+    m: int = 4096,
+) -> DataFrame:
+    """The zero-shuffle probe variant `bloom_maybe`'s docstring describes:
+    the filter's set bits arrive as a driver-side list (bounded by m —
+    collect `bloom_bits` once, exactly like broadcasting k-means
+    centroids), are packed into an m-slot boolean literal array, and every
+    candidate row evaluates `element_at(bitmap, pos + 1)` for its k
+    positions MAP-SIDE — no join, no exchange, the shape Spark's own
+    runtime bloom-filter pushdown uses. Returns (id, maybe_member),
+    identical values to `bloom_maybe` (unit-tested equal).
+
+    Use this form when m is expression-sized (≲ tens of thousands of
+    slots); past that, ship the bitmap as a broadcast variable into a
+    pandas UDF instead of a literal. The join form remains the
+    SQL-oracle-portable default."""
+    bitmap = [False] * m
+    for b in set_bits:
+        if not (0 <= b < m):
+            raise ValueError(f"bloom_maybe_mapside: bit {b} outside [0, {m})")
+        bitmap[b] = True
+    lit_bitmap = F.array(*[F.lit(x) for x in bitmap])
+    tid = hashed_tid(F.col(item_col))
+    checks = [
+        F.element_at(lit_bitmap, pos + 1)
+        for pos in _bloom_positions(tid, k, m)
+    ]
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return candidates.select(F.col(id_col), maybe.alias("maybe_member"))

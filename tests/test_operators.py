@@ -1686,3 +1686,37 @@ def test_kmeans_iterate_separates_two_blobs(spark):
 
     with pytest.raises(ValueError, match="need k="):
         similarity.kmeans_iterate(df.limit(1), k=2)
+
+
+def test_bloom_mapside_probe_agrees_and_never_shuffles(spark):
+    """The map-side bitmap probe must (1) return exactly the join form's
+    verdicts and (2) plan ZERO exchanges — the production claim in
+    bloom_maybe's docstring, checked against the executed plan."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from geomesa_cassandra_tools_spark.operators import sketches
+
+    rng = random.Random(99)
+    inserted = [f"in-{rng.randrange(10**9)}" for _ in range(200)]
+    probed = inserted[:50] + [f"out-{rng.randrange(10**9)}" for _ in range(200)]
+    df_in = spark.createDataFrame([(x,) for x in inserted], "item string")
+    df_probe = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(probed)], "id bigint, item string"
+    )
+    bloom = sketches.bloom_bits(df_in, "item", k=3, m=512)
+    join_form = {
+        r["id"]: r["maybe_member"]
+        for r in sketches.bloom_maybe(df_probe, bloom, "id", "item", k=3, m=512).collect()
+    }
+    bits = [r["bit"] for r in bloom.collect()]
+    mapside = sketches.bloom_maybe_mapside(df_probe, bits, "id", "item", k=3, m=512)
+    assert {r["id"]: r["maybe_member"] for r in mapside.collect()} == join_form
+    plan = mapside._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        sketches.bloom_maybe_mapside(df_probe, [512], "id", "item", k=3, m=512)
