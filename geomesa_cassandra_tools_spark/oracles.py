@@ -2588,3 +2588,9 @@ SELECT maybe_member, exact_member, count(*) AS n_docs,
 FROM maybe JOIN exact USING (doc_id)
 GROUP BY maybe_member, exact_member
 """
+
+
+# q143 answers the SAME question as q142 through the map-side bitmap probe
+# — the oracle IS q142's by design (aliased, not copied, so they cannot
+# drift); the q63/q134 stored-layout twin pattern applied to a sketch.
+ORACLES["q143_bloom_mapside_prefilter"] = ORACLES["q142_bloom_decontaminate_audit"]

@@ -4311,12 +4311,27 @@ def q142_bloom_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     of the text; k=2/m=256 sized small so the false-positive arm is
     exercised at every SF (a deployment sizes m to held-out cardinality:
     fpr ≈ (1 - e^(-k·n/m))^k)."""
-    d = load_tables(spark, sf_dir)["documents"]
-    bucket = _lcg(F.col("doc_id"), 100)
-    held = d.where(bucket >= 80).select("text")
-    train = d.where(bucket < 80).select("doc_id", "text")
+    held, train = _bloom_split(spark, sf_dir)
     bloom = sketches.bloom_bits(held, "text", k=2, m=256)
     maybe = sketches.bloom_maybe(train, bloom, "doc_id", "text", k=2, m=256)
+    return _bloom_confusion(maybe, held, train)
+
+
+def _bloom_split(spark: SparkSession, sf_dir: str):
+    """q142/q143's shared held-out/train frames (q61's LCG split)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bucket = _lcg(F.col("doc_id"), 100)
+    return (
+        d.where(bucket >= 80).select("text"),
+        d.where(bucket < 80).select("doc_id", "text"),
+    )
+
+
+def _bloom_confusion(
+    maybe: DataFrame, held: DataFrame, train: DataFrame
+) -> DataFrame:
+    """Cross the sketch verdict with exact membership: the shared audit
+    tail of q142 (join-form probe) and q143 (map-side probe)."""
     ho_tids = (
         held.select(dedup.hashed_tid(F.col("text")).alias("tid"))
         .distinct()
@@ -4340,6 +4355,27 @@ def q142_bloom_decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFram
             (~(F.col("exact_member") & ~F.col("maybe_member"))).alias("fn_free"),
         )
     )
+
+
+def q143_bloom_mapside_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q142's zero-shuffle twin: the SAME decontamination audit driven
+    through `sketches.bloom_maybe_mapside` — the filter's ≤ m set bits
+    are collected once (bounded by m=256, the broadcast-centroids
+    pattern) and packed into a bitmap literal, so the probe is pure
+    map-side expression work with no join and no exchange (plan-tested on
+    the operator). Results are identical to q142 by construction, so the
+    oracle IS q142's (aliased, not copied — the q63/q134 twin pattern);
+    the driver certifying both paths against one SQL statement is the
+    point: two physical strategies, one semantics."""
+    held, train = _bloom_split(spark, sf_dir)
+    bits = [
+        r["bit"]
+        for r in sketches.bloom_bits(held, "text", k=2, m=256).collect()
+    ]
+    maybe = sketches.bloom_maybe_mapside(
+        train, bits, "doc_id", "text", k=2, m=256
+    )
+    return _bloom_confusion(maybe, held, train)
 
 
 def _with_cache_release(
@@ -4369,7 +4405,7 @@ def _with_cache_release(
 # value-changing tolerance oracles this round (q43/q78/q95), (c) streaming
 # and layout sentinels whose implementations changed (q80/q81 no-data-batch
 # skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) the three
-# queries ADDED this round (q135-q142 — first driver certification),
+# queries ADDED this round (q135-q143 — first driver certification),
 # (e) q01 flagship, and (f) a refresh of the oldest (r02-vintage)
 # certifications (q37-q40 displaced below the window by the late q138-q141
 # additions — their code is unchanged since their green r02/r03 rows, so
@@ -4401,6 +4437,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
+    "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
@@ -4427,8 +4464,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     "q33_stream_user_sessions": q33_stream_user_sessions,
     "q34_catalog_missing_tables": q34_catalog_missing_tables,
-    "q35_parse_compactions": q35_parse_compactions,
     # ---- end of the 50-entry verification window ----
+    "q35_parse_compactions": q35_parse_compactions,
     "q36_order_status_set_ops": q36_order_status_set_ops,
     "q37_customer_order_trends": q37_customer_order_trends,
     "q38_click_view_correlation": q38_click_view_correlation,
