@@ -318,14 +318,51 @@ def append_batch(
     )
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Snapshot-isolated read: resolve the current manifest once; the
-    returned frame is pinned to that file list no matter what commits
-    after."""
-    version = current_version(path)
-    if version < 0:
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: resolve one manifest once; the returned
+    frame is pinned to that file list no matter what commits after.
+
+    ``version`` pins the read to an OLDER snapshot (time travel — audit a
+    DELETE, reproduce exactly the corpus a training run consumed). Every
+    version since table creation is addressable until VACUUM reclaims the
+    files an old manifest references; a time-travel read whose files were
+    vacuumed fails here with the missing list rather than mid-job with a
+    task-level FileNotFound — the same contract Delta's versionAsOf has
+    after VACUUM. The latest-version hot path skips the existence sweep
+    (its files are live by definition)."""
+    latest = current_version(path)
+    if latest < 0:
         raise ValueError(f"no committed manifest under {path!r}")
-    man = _read_manifest(path, version)
+    if version is None:
+        version = latest
+    elif not 0 <= version <= latest:
+        raise ValueError(
+            f"version {version} out of range: {path!r} has versions 0..{latest}"
+        )
+    try:
+        man = _read_manifest(path, version)
+    except FileNotFoundError:
+        # VACUUM removes superseded manifests along with their files
+        raise ValueError(
+            f"snapshot v{version} of {path!r} was vacuumed (manifest "
+            "removed); only snapshots newer than the last VACUUM are "
+            "time-travelable"
+        ) from None
+    if version != latest:
+        missing = [
+            f
+            for f in man["files"]
+            if not os.path.exists(os.path.join(_data_dir(path), f))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot v{version} of {path!r} references "
+                f"{len(missing)} vacuumed file(s) (e.g. {missing[0]!r}); "
+                "only snapshots newer than the last VACUUM grace window "
+                "are time-travelable"
+            )
     if not man["files"]:
         from pyspark.sql.types import StructType
 

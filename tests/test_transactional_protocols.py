@@ -167,3 +167,29 @@ def test_transactional_concurrency(spark, tmp_path):
     on_disk = set(os.listdir(os.path.join(path, "data")))
     assert on_disk == set(man["files"]), "orphaned or missing live files"
     assert {r["id"] for r in tx.read_table(spark, path).collect()} == expected
+
+
+def test_time_travel_reads_pre_delete_snapshot(spark, tmp_path, protocol):
+    """read_table(version=) pins an older manifest: after a DELETE the
+    latest snapshot shrinks but v0 still serves the original rows; out-of
+    -range versions and vacuumed snapshots fail with clear errors."""
+    path = str(tmp_path / "tt")
+    assert tx.init_table(spark.range(10).toDF("id"), path) == 0
+    tx.delete_where(spark, path, "id >= 5")
+
+    assert tx.read_table(spark, path).count() == 5
+    v0 = tx.read_table(spark, path, version=0)
+    assert sorted(r["id"] for r in v0.collect()) == list(range(10))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        tx.read_table(spark, path, version=99)
+
+    # vacuum (keep_versions=1, no grace) reclaims v0's manifest and any
+    # files only it references -> time travel to v0 must fail loudly with
+    # the vacuum explanation, and the latest snapshot still reads fine
+    tx.vacuum(path, grace_seconds=0)
+    assert tx.read_table(spark, path).count() == 5
+    with _pytest.raises(ValueError, match="vacuumed"):
+        tx.read_table(spark, path, version=0)
