@@ -158,7 +158,12 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         except OSError:
             os.rename(backup, args.catalog_path)  # restore; staging kept for debug
             raise
-        shutil.rmtree(backup)
+        # the catalog path may be a directory OR a single parquet file
+        # (GeoCatalog.load accepts both) — dispatch the cleanup accordingly
+        if os.path.isdir(backup):
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.unlink(backup)
         print(f"removed sft {args.feature_name!r} from {args.catalog_path}", file=out)
         return 0
 

@@ -3813,9 +3813,13 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
     (no `_SUCCESS`, i.e. a crashed publish) is cleared and retried — and
     that clear-and-retry runs under an O_EXCL lockfile, because a bare
     check-then-rmtree is a TOCTOU where two recovering publishers can
-    delete each other's just-published layout. A lock held longer than
-    ``lock_timeout`` is treated as a crashed publisher's leftover and
-    broken (the content is deterministic, so any winner is correct)."""
+    delete each other's just-published layout. A lock whose FILE is older
+    than ``lock_timeout`` (mtime check — the holder has been stuck that
+    long, not merely "this waiter has waited that long") is treated as a
+    crashed publisher's leftover and broken; a break only clears THAT
+    lock (never one freshly re-created by a live publisher), so two
+    recovering publishers can't both think they hold the lock (the
+    content is deterministic, so any single winner is correct)."""
     import os
     import shutil
     import time
@@ -3834,7 +3838,6 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
         shutil.rmtree(staging, ignore_errors=True)
         return
     lock = f"{path}.lock"
-    deadline = time.monotonic() + lock_timeout
     while True:
         try:
             os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -3843,7 +3846,17 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
             if published():  # the lock holder finished the swap
                 shutil.rmtree(staging, ignore_errors=True)
                 return
-            if time.monotonic() > deadline:
+            # Break ONLY a lock whose file has sat untouched past the
+            # timeout — i.e. the HOLDER is stuck/crashed — never just
+            # because this waiter has been waiting a while. A lock
+            # re-created moments ago by another recovering publisher has a
+            # fresh mtime and survives; the unlink races are benign
+            # (FileNotFoundError → someone else broke it first).
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except (FileNotFoundError, OSError):
+                continue  # lock vanished/changed — retry O_EXCL immediately
+            if age > lock_timeout:
                 try:
                     os.unlink(lock)  # stale lock from a crashed publisher
                 except FileNotFoundError:
@@ -4404,7 +4417,7 @@ def _with_cache_release(
 # re-certification contract), (b) the three sketch queries that gained
 # value-changing tolerance oracles this round (q43/q78/q95), (c) streaming
 # and layout sentinels whose implementations changed (q80/q81 no-data-batch
-# skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) the three
+# skip, q76 drain adjacency, q131/q134/q63 layout publish), (d) the nine
 # queries ADDED this round (q135-q143 — first driver certification),
 # (e) q01 flagship, and (f) a refresh of the oldest (r02-vintage)
 # certifications (q37-q40 displaced below the window by the late q138-q141

@@ -163,3 +163,26 @@ def test_cli_status_with_health(spark, tmp_path):
 def test_cli_unknown_command_errors():
     with pytest.raises(SystemExit):
         _run(["frobnicate"])
+
+
+def test_cli_remove_sft_single_file_catalog(spark, tmp_path):
+    # --catalog-path may be ONE parquet file, not a directory
+    # (GeoCatalog.load accepts both); the backup cleanup must not
+    # assume a directory (r5 ADVICE: rmtree raised NotADirectoryError
+    # and stranded the .old-<pid> backup)
+    import glob
+    import os
+    import shutil
+
+    stage = str(tmp_path / "stage")
+    GeoCatalog.from_rows(spark, CATALOG_ROWS).df.coalesce(1).write.parquet(stage)
+    path = str(tmp_path / "catalog.parquet")
+    shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
+    rc, _ = _run(
+        ["remove-sft-from-catalog", "-k", "ks", "-c", "cat", "-f", "pois",
+         "--catalog-path", path]
+    )
+    assert rc == 0
+    assert not glob.glob(path + ".old-*"), "backup must be cleaned up"
+    rc, lines = _run(["list-sfts", "-k", "ks", "-c", "cat", "--catalog-path", path])
+    assert lines[1:] == ["roads"]

@@ -1720,3 +1720,55 @@ def test_bloom_mapside_probe_agrees_and_never_shuffles(spark):
 
     with pytest.raises(ValueError, match="outside"):
         sketches.bloom_maybe_mapside(df_probe, [512], "id", "item", k=3, m=512)
+
+
+def test_publish_layout_dir_breaks_only_aged_locks(tmp_path):
+    """Lock-break discipline (r5 ADVICE): a lock is broken only when the
+    lock FILE itself is older than the timeout (holder crashed), never
+    merely because this waiter has waited long enough — so a fresh lock
+    from a live publisher survives, while a crashed publisher's aged
+    leftover is cleared and publish proceeds."""
+    import os
+    import threading
+    import time
+
+    from geomesa_cassandra_tools_spark.queries import _publish_layout_dir
+
+    def torn(path: str) -> None:
+        os.makedirs(path)
+        open(os.path.join(path, "part-0.parquet"), "w").write("torn")
+
+    def stage(s: str) -> str:
+        os.makedirs(s)
+        open(os.path.join(s, "part-0.parquet"), "w").write("data")
+        open(os.path.join(s, "_SUCCESS"), "w").close()
+        return s
+
+    # (a) aged lock (crashed publisher) → broken immediately, publish wins
+    path = str(tmp_path / "aged")
+    torn(path)
+    open(path + ".lock", "w").close()
+    os.utime(path + ".lock", (time.time() - 1000, time.time() - 1000))
+    _publish_layout_dir(stage(str(tmp_path / "s1")), path, lock_timeout=120.0)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(path + ".lock")
+
+    # (b) fresh lock (live publisher) → waiter must NOT break it early
+    path2 = str(tmp_path / "fresh")
+    torn(path2)
+    open(path2 + ".lock", "w").close()  # freshly created: mtime = now
+    done = threading.Event()
+
+    def publish():
+        _publish_layout_dir(stage(str(tmp_path / "s2")), path2, lock_timeout=2.0)
+        done.set()
+
+    t = threading.Thread(target=publish)
+    t.start()
+    time.sleep(0.6)
+    # lock is only 0.6 s old < 2 s timeout: still held, publish blocked
+    assert os.path.exists(path2 + ".lock") and not done.is_set()
+    t.join(timeout=30)  # after the lock AGES past 2 s it is broken
+    assert done.is_set()
+    assert os.path.exists(os.path.join(path2, "_SUCCESS"))
+    assert not os.path.exists(path2 + ".lock")
