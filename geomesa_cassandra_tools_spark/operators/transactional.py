@@ -173,23 +173,29 @@ def _commit(
     files: list[str],
     schema_ddl: str,
     txns: dict[str, int] | None = None,
+    stats_cols: list[str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> None:
     """Atomically publish snapshot ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
     the optimistic-concurrency conflict, surfaced loudly. ``txns`` is the
     idempotent-writer watermark map (app -> highest applied transaction
     id, the Delta txnAppId/txnVersion pattern); every commit carries it
-    forward so maintenance commits never forget an append's watermark."""
+    forward so maintenance commits never forget an append's watermark.
+    ``stats_cols``/``stats`` are the per-file min/max skipping metadata
+    (see `_collect_file_stats`); carried forward the same way."""
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
-    payload = json.dumps(
-        {
-            "version": version,
-            "files": sorted(files),
-            "schema": schema_ddl,
-            "txns": txns or {},
-        }
-    ).encode()
+    body = {
+        "version": version,
+        "files": sorted(files),
+        "schema": schema_ddl,
+        "txns": txns or {},
+    }
+    if stats_cols:
+        body["stats_cols"] = list(stats_cols)
+        body["stats"] = {f: (stats or {}).get(f) for f in body["files"]}
+    payload = json.dumps(body).encode()
     try:
         _PROTOCOL.publish(d, f"v{version}.json", payload)
     except CommitConflict:
@@ -220,15 +226,189 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return names
 
 
-def init_table(df: DataFrame, path: str) -> int:
+def _norm_stat(v):
+    """Normalize a statistics value (from a parquet footer OR a user
+    predicate literal) into a JSON-safe, totally-ordered primitive so the
+    driver-side interval checks compare like the engine would: timestamps
+    -> epoch microseconds (int), dates -> proleptic ordinal (int),
+    int/float/str/bool pass through. Unsupported types -> None (the file
+    is then never skipped on that column — skipping must only ever be a
+    superset of the true answer)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max skipping is pointless; None = no stat
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return round((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
+def _collect_file_stats(
+    path: str, names: list[str], stats_cols: list[str]
+) -> dict[str, dict]:
+    """Per-file min/max for ``stats_cols``, read from the parquet FOOTERS
+    of just-staged files (no extra Spark job — the writer already computed
+    row-group statistics; this is how Delta/Iceberg harvest file stats).
+    A column missing from a file, or any row group without min/max
+    (e.g. all-null), records null for that column: the file is then
+    always kept by the pruner — skipping stays strictly conservative."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for name in names:
+        md = pq.ParquetFile(os.path.join(_data_dir(path), name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col_stats: dict[str, list | None] = {}
+        for col in stats_cols:
+            if col not in idx:
+                col_stats[col] = None
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            col_stats[col] = [lo, hi] if ok and lo is not None else None
+        out[name] = col_stats
+    return out
+
+
+def _file_survives(col_stats: dict | None, pred: tuple) -> bool:
+    """Interval check: can a file whose ``stats_cols`` span ``col_stats``
+    contain a row satisfying ``pred``? Missing/None stats -> True (keep).
+    Predicates are the simple pushdown shapes: (col, op, value) with op in
+    {'=', '<', '<=', '>', '>=', 'between', 'in', 'ranges'} — 'between'
+    takes (lo, hi), 'in' a value list, 'ranges' a list of (lo, hi) pairs
+    (the z-cover shape: keep the file if ANY range intersects its span)."""
+    col, op, val = pred
+    if not col_stats:
+        return True
+    span = col_stats.get(col)
+    if span is None:
+        return True
+    lo, hi = span
+    if op in ("=", "=="):
+        v = _norm_stat(val)
+        return v is None or (lo <= v <= hi)
+    if op == "<":
+        v = _norm_stat(val)
+        return v is None or lo < v
+    if op == "<=":
+        v = _norm_stat(val)
+        return v is None or lo <= v
+    if op == ">":
+        v = _norm_stat(val)
+        return v is None or hi > v
+    if op == ">=":
+        v = _norm_stat(val)
+        return v is None or hi >= v
+    if op == "between":
+        a, b = _norm_stat(val[0]), _norm_stat(val[1])
+        return a is None or b is None or (hi >= a and lo <= b)
+    if op == "in":
+        vs = [_norm_stat(v) for v in val]
+        return any(v is None or (lo <= v <= hi) for v in vs)
+    if op == "ranges":
+        return any(
+            _norm_stat(a) is None or _norm_stat(b) is None
+            or (hi >= _norm_stat(a) and lo <= _norm_stat(b))
+            for a, b in val
+        )
+    raise ValueError(f"unsupported skipping predicate op: {op!r}")
+
+
+def _predicate_column(pred: tuple) -> Column:
+    """The row-level filter for a skipping predicate — pruning is always
+    cover-and-refine: the pruned file list is a superset of the files
+    holding matches, and this exact filter runs on top, so results are
+    identical with or without stats."""
+    col, op, val = pred
+    c = F.col(col)
+    if op in ("=", "=="):
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "between":
+        return c.between(F.lit(val[0]), F.lit(val[1]))
+    if op == "in":
+        return c.isin(list(val))
+    if op == "ranges":
+        cover = None
+        for a, b in val:
+            term = c.between(F.lit(a), F.lit(b))
+            cover = term if cover is None else (cover | term)
+        return cover if cover is not None else F.lit(False)
+    raise ValueError(f"unsupported skipping predicate op: {op!r}")
+
+
+def init_table(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
-    frame. Returns the committed version."""
+    frame. Returns the committed version. ``stats_cols`` declares the
+    columns whose per-file min/max are recorded in every manifest from
+    here on (the Delta `dataSkippingNumIndexedCols` analog, explicit
+    instead of positional): reads with a ``where=`` predicate on those
+    columns open only the files whose span intersects it. Declare the
+    clustering columns (z2/z3, event date, tenant id) — stats on a column
+    the layout does not cluster by skip nothing."""
     prior = current_version(path)
     txns = _read_manifest(path, prior).get("txns", {}) if prior >= 0 else {}
     version = prior + 1
     files = _stage_files(df, path)
-    _commit(path, version, files, df.schema.json(), txns)
+    stats = _collect_file_stats(path, files, stats_cols) if stats_cols else None
+    _commit(path, version, files, df.schema.json(), txns, stats_cols, stats)
     return version
+
+
+def init_table_z_ordered(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    res: int = 6,
+    num_files: int | None = None,
+    extra_stats_cols: list[str] | None = None,
+) -> int:
+    """`geo.write_z_ordered` composed with the manifest layer: materialize
+    the z2 column, range-cluster the files by it, and declare it a stats
+    column — so a bbox read over the MANIFEST table skips whole files from
+    the manifest's min/max (driver-side, before the scan even plans), then
+    parquet row-group stats skip inside the survivors, then the exact
+    refine runs. The same three-tier cover-and-refine as the raw
+    z-ordered layout (reference z2 side-tables,
+    /root/reference/geomesa.py:52), now with snapshot isolation on top."""
+    from geomesa_cassandra_tools_spark.operators import geo
+    from geomesa_cassandra_tools_spark.operators.relational import (
+        _estimated_scan_partitions,
+    )
+
+    out = df.withColumn("z2", geo.z2(F.col(lon_col), F.col(lat_col), res))
+    parts = num_files or max(_estimated_scan_partitions(df), 1)
+    clustered = out.repartitionByRange(parts, F.col("z2")).sortWithinPartitions("z2")
+    return init_table(
+        clustered, path, stats_cols=["z2", *(extra_stats_cols or [])]
+    )
 
 
 def _schema_sig(schema_json: str) -> list[tuple]:
@@ -240,12 +420,44 @@ def _schema_sig(schema_json: str) -> list[tuple]:
     ]
 
 
+def _merge_schemas(table_schema_json: str, batch_schema_json: str) -> str:
+    """Schema evolution for appends (the Delta ``mergeSchema`` analog):
+    the merged schema is the TABLE's fields in their existing order, plus
+    any net-new batch fields appended after them. A common field whose
+    type differs is refused — type widening silently rewrites history
+    (old files would re-read under a different type), so it stays an
+    explicit offline migration. Nullability always merges to nullable:
+    old files lack the new columns (read as null), and new files may omit
+    old ones."""
+    table = json.loads(table_schema_json)
+    batch = json.loads(batch_schema_json)
+    batch_by_name = {f["name"]: f for f in batch["fields"]}
+    merged = []
+    for f in table["fields"]:
+        b = batch_by_name.get(f["name"])
+        if b is not None and json.dumps(b["type"], sort_keys=True) != json.dumps(
+            f["type"], sort_keys=True
+        ):
+            raise ValueError(
+                f"merge_schema cannot change the type of column {f['name']!r} "
+                f"({f['type']} -> {b['type']}); type changes are an explicit "
+                "table rewrite, not an append"
+            )
+        merged.append({**f, "nullable": True})
+    table_names = {f["name"] for f in table["fields"]}
+    for f in batch["fields"]:
+        if f["name"] not in table_names:
+            merged.append({**f, "nullable": True})
+    return json.dumps({**table, "fields": merged})
+
+
 def append_batch(
     df: DataFrame,
     path: str,
     txn_app: str | None = None,
     txn_id: int | None = None,
     max_commit_retries: int = 40,
+    merge_schema: bool = False,
 ) -> int | None:
     """Transactional APPEND with idempotent-writer semantics: stage new
     immutable files, carry every existing file by reference, and commit —
@@ -266,7 +478,14 @@ def append_batch(
     from the WINNER's manifest each attempt, so a racing DELETE/TRUNCATE
     is never un-done, and the replay watermark is re-checked per attempt.
     After ``max_commit_retries`` conflicts it raises — the caller is
-    racing a pathological commit storm and should back off."""
+    racing a pathological commit storm and should back off.
+
+    ``merge_schema=True`` opts into schema EVOLUTION (`_merge_schemas`):
+    net-new batch columns are added to the table schema (old files read
+    them as null), batch-missing table columns null-backfill in the new
+    files, and a type change is refused. Default False keeps the strict
+    signature check — accidental drift from an upstream producer should
+    fail loudly, same default as Delta."""
     if (txn_app is None) != (txn_id is None):
         # a half-specified transaction would either skip the replay check
         # or poison the watermark map with None — refuse loudly
@@ -277,6 +496,7 @@ def append_batch(
         # replay-safe (a replayed empty batch is equally a no-op)
         return None
     staged: list[str] | None = None  # staged lazily, exactly once
+    staged_stats: dict[str, dict] | None = None  # footer stats, read once
     for _ in range(max_commit_retries):
         version = current_version(path)
         if version < 0:
@@ -295,11 +515,18 @@ def append_batch(
             # swept the version we resolved — re-read the new current
             # version (vacuum() guards the same race on its side)
             continue
-        if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
-            raise ValueError(
-                f"append schema does not match table schema at {path!r}; "
-                "align the frame's columns/types before appending"
-            )
+        if merge_schema:
+            # evolution is validated (and re-merged) per attempt: a racing
+            # append may itself have evolved the schema we merge into
+            schema = _merge_schemas(man["schema"], df.schema.json())
+        else:
+            if _schema_sig(df.schema.json()) != _schema_sig(man["schema"]):
+                raise ValueError(
+                    f"append schema does not match table schema at {path!r}; "
+                    "align the frame's columns/types before appending, or "
+                    "pass merge_schema=True to evolve the table schema"
+                )
+            schema = man["schema"]
         txns = dict(man.get("txns", {}))
         if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
             return None
@@ -307,8 +534,18 @@ def append_batch(
             txns[txn_app] = txn_id
         if staged is None:
             staged = _stage_files(df, path)
+        stats_cols = man.get("stats_cols")
+        stats = None
+        if stats_cols:
+            if staged_stats is None:
+                staged_stats = _collect_file_stats(path, staged, stats_cols)
+            stats = dict(man.get("stats") or {})
+            stats.update(staged_stats)
         try:
-            _commit(path, version + 1, man["files"] + staged, man["schema"], txns)
+            _commit(
+                path, version + 1, man["files"] + staged, schema, txns,
+                stats_cols, stats,
+            )
             return version + 1
         except CommitConflict:
             continue
@@ -318,20 +555,9 @@ def append_batch(
     )
 
 
-def read_table(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot-isolated read: resolve one manifest once; the returned
-    frame is pinned to that file list no matter what commits after.
-
-    ``version`` pins the read to an OLDER snapshot (time travel — audit a
-    DELETE, reproduce exactly the corpus a training run consumed). Every
-    version since table creation is addressable until VACUUM reclaims the
-    files an old manifest references; a time-travel read whose files were
-    vacuumed fails here with the missing list rather than mid-job with a
-    task-level FileNotFound — the same contract Delta's versionAsOf has
-    after VACUUM. The latest-version hot path skips the existence sweep
-    (its files are live by definition)."""
+def _resolve_manifest(path: str, version: int | None) -> dict:
+    """Resolve ONE manifest (latest or pinned), with the vacuumed-snapshot
+    diagnostics read_table documents."""
     latest = current_version(path)
     if latest < 0:
         raise ValueError(f"no committed manifest under {path!r}")
@@ -363,13 +589,83 @@ def read_table(
                 "only snapshots newer than the last VACUUM grace window "
                 "are time-travelable"
             )
-    if not man["files"]:
-        from pyspark.sql.types import StructType
+    return man
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
-    return spark.read.parquet(
-        *[os.path.join(_data_dir(path), f) for f in man["files"]]
-    )
+
+def resolve_files(
+    path: str, where: list[tuple] | None = None, version: int | None = None
+) -> list[str]:
+    """The file list a read with ``where`` will open, AFTER manifest-level
+    min/max pruning — the observable data-skipping surface (unit tests
+    assert on it; `read_table` consumes it). Predicates on columns without
+    recorded stats prune nothing; every kept file still goes through the
+    exact row filter, so the list is always a superset of the files that
+    contain matches."""
+    man = _resolve_manifest(path, version)
+    files = man["files"]
+    if where and man.get("stats_cols"):
+        stats = man.get("stats") or {}
+        files = [
+            f
+            for f in files
+            if all(_file_survives(stats.get(f), p) for p in where)
+        ]
+    return files
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read: resolve one manifest once; the returned
+    frame is pinned to that file list no matter what commits after.
+
+    ``version`` pins the read to an OLDER snapshot (time travel — audit a
+    DELETE, reproduce exactly the corpus a training run consumed). Every
+    version since table creation is addressable until VACUUM reclaims the
+    files an old manifest references; a time-travel read whose files were
+    vacuumed fails here with the missing list rather than mid-job with a
+    task-level FileNotFound — the same contract Delta's versionAsOf has
+    after VACUUM. The latest-version hot path skips the existence sweep
+    (its files are live by definition).
+
+    ``where`` (a list of simple ANDed predicates, see `_file_survives`)
+    is the data-skipping read: files whose recorded min/max span cannot
+    contain a match are dropped from the scan BEFORE Spark ever plans it
+    (manifest-level skipping, tier 1), parquet row-group stats skip inside
+    the survivors (tier 2), and the same predicates are applied as an
+    exact row filter (tier 3, the refine) — so results are byte-identical
+    to an unfiltered read + filter, just cheaper. At 100 TB tier 1 is the
+    difference between opening 3 files and opening 30,000.
+
+    Reads always project through the MANIFEST schema (not file inference),
+    so after a `merge_schema` append the old files' missing columns read
+    as null and every snapshot reads under exactly the schema it
+    committed."""
+    from pyspark.sql.types import StructType
+
+    man = _resolve_manifest(path, version)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    files = man["files"]
+    if where and man.get("stats_cols"):
+        stats = man.get("stats") or {}
+        files = [
+            f
+            for f in files
+            if all(_file_survives(stats.get(f), p) for p in where)
+        ]
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(_data_dir(path), f) for f in files]
+        )
+    if where:
+        for p in where:
+            df = df.where(_predicate_column(p))
+    return df
 
 
 def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dict:
@@ -414,8 +710,15 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
         *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
     ).where(~F.coalesce(cond, F.lit(False)))
     new_files = _stage_files(survivors, path)
+    stats_cols = man.get("stats_cols")
+    stats = None
+    if stats_cols:
+        # carried files keep their recorded spans; only rewrites re-read
+        stats = {f: (man.get("stats") or {}).get(f) for f in carried}
+        stats.update(_collect_file_stats(path, new_files, stats_cols))
     _commit(
-        path, version + 1, carried + new_files, man["schema"], man.get("txns", {})
+        path, version + 1, carried + new_files, man["schema"],
+        man.get("txns", {}), stats_cols, stats,
     )
     return {
         "version": version + 1,
@@ -434,7 +737,10 @@ def truncate_table(path: str) -> int:
     man = _read_manifest(path, version)
     if not man["files"]:
         return version  # already empty — no version burned
-    _commit(path, version + 1, [], man["schema"], man.get("txns", {}))
+    _commit(
+        path, version + 1, [], man["schema"], man.get("txns", {}),
+        man.get("stats_cols"), {},
+    )
     return version + 1
 
 

@@ -2594,3 +2594,19 @@ GROUP BY maybe_member, exact_member
 # — the oracle IS q142's by design (aliased, not copied, so they cannot
 # drift); the q63/q134 stored-layout twin pattern applied to a sketch.
 ORACLES["q143_bloom_mapside_prefilter"] = ORACLES["q142_bloom_decontaminate_audit"]
+
+# q144 proves the manifest-table data-skipping read is pure cover-and-refine:
+# the oracle is the plain full-scan bbox filter (q131's shape, different box)
+# — file pruning from manifest min/max spans must never change the answer.
+ORACLES["q144_manifest_skipping_scan"] = """
+WITH pts AS (
+  SELECT event_type, value,
+         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM pts
+WHERE lon >= -60.0 AND lon <= -5.0 AND lat >= -35.0 AND lat <= 10.0
+GROUP BY event_type
+"""

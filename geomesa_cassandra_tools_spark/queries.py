@@ -31,6 +31,7 @@ from geomesa_cassandra_tools_spark.operators import (
     relational,
     similarity,
     sketches,
+    transactional,
 )
 from geomesa_cassandra_tools_spark.sources import fixtures
 from geomesa_cassandra_tools_spark.sources.tables import load_tables, stream_events
@@ -4391,6 +4392,65 @@ def q143_bloom_mapside_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bloom_confusion(maybe, held, train)
 
 
+def _manifest_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once MANIFEST table of events with the shared pseudo lon/lat,
+    z-clustered with file-level z2 stats (`transactional.init_table_z_ordered`)
+    — the snapshot-isolated sibling of `_z_ordered_events_path`. Same
+    (size, mtime) staleness key; the publish race is resolved by the
+    manifest layer's own commit protocol instead of a rename: a racing
+    builder that loses the v0 commit gets `CommitConflict`, and the
+    winner's table is byte-equivalent (the content is a deterministic
+    function of the corpus), so the loser just reads it."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"gcts_manifest_events_{safe}_{tag}")
+    if transactional.current_version(path) < 0:
+        pts = load_tables(spark, sf_dir)["events"].select(
+            "event_id",
+            "event_type",
+            "value",
+            _pseudo_lon(F.col("event_id")).alias("lon"),
+            _pseudo_lat(F.col("event_id")).alias("lat"),
+        )
+        try:
+            transactional.init_table_z_ordered(
+                pts, path, "lon", "lat", res=6, num_files=16
+            )
+        except transactional.CommitConflict:
+            pass  # a racing builder committed the identical v0 first
+    return path
+
+
+def q144_manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 brief item 1 end-to-end: a bbox scan over a MANIFEST table
+    whose per-file z2 min/max spans live in the manifest itself. The
+    three-tier cover-and-refine: (1) `transactional.read_table(where=
+    [("z2","ranges",...)])` drops files whose recorded span misses every
+    z-range of the box BEFORE Spark plans the scan (at 100 TB this is the
+    difference between opening a handful of files and listing the table);
+    (2) the same OR-of-BETWEENs cover pushes into the surviving parquet
+    scans for row-group skipping; (3) the exact lon/lat refine makes the
+    result identical to a full-scan filter — which is what the oracle
+    proves. File-level skipping itself is asserted in
+    tests/test_transactional_protocols.py (both commit protocols)."""
+    path = _manifest_events_path(spark, sf_dir)
+    lon_min, lon_max, lat_min, lat_max = -60.0, -5.0, -35.0, 10.0
+    ranges = geo.bbox_cell_ranges(lon_min, lon_max, lat_min, lat_max, res=6)
+    pts = transactional.read_table(spark, path, where=[("z2", "ranges", ranges)])
+    hits = pts.where(
+        F.col("lon").between(lon_min, lon_max)
+        & F.col("lat").between(lat_min, lat_max)
+    )
+    return hits.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4451,6 +4511,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
+    "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -193,3 +193,126 @@ def test_time_travel_reads_pre_delete_snapshot(spark, tmp_path, protocol):
     assert tx.read_table(spark, path).count() == 5
     with _pytest.raises(ValueError, match="vacuumed"):
         tx.read_table(spark, path, version=0)
+
+
+def test_battery_file_stats_skipping(spark, tmp_path, protocol):
+    """Manifest-level data skipping: a table clustered on `k` with
+    stats_cols=["k"] must open FEWER files for a narrow predicate —
+    resolve_files is the observable — while read_table(where=) returns
+    byte-identical rows to a full read + filter (cover-and-refine)."""
+    path = str(tmp_path / "t")
+    df = spark.range(1000).toDF("k").withColumn("v", F.col("k") * 2)
+    tx.init_table(df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+                  path, stats_cols=["k"])
+    all_files = tx.resolve_files(path)
+    assert len(all_files) == 8
+    pred = [("k", "between", (100, 140))]
+    kept = tx.resolve_files(path, where=pred)
+    assert 0 < len(kept) < len(all_files), (kept, all_files)
+    got = sorted(r["k"] for r in tx.read_table(spark, path, where=pred).collect())
+    assert got == list(range(100, 141))
+    # a predicate on a column WITHOUT stats prunes nothing but still filters
+    assert len(tx.resolve_files(path, where=[("v", "<", 10)])) == 8
+    assert tx.read_table(spark, path, where=[("v", "<", 10)]).count() == 5
+    # every comparison op prunes conservatively and refines exactly
+    assert tx.read_table(spark, path, where=[("k", "=", 7)]).count() == 1
+    assert tx.read_table(spark, path, where=[("k", ">=", 995)]).count() == 5
+    assert tx.read_table(
+        spark, path, where=[("k", "in", [3, 500, 999])]
+    ).count() == 3
+    assert len(tx.resolve_files(path, where=[("k", ">=", 995)])) == 1
+
+
+def test_battery_stats_survive_append_delete_truncate(spark, tmp_path, protocol):
+    """Stats flow through the whole lifecycle: appends add spans for new
+    files only, deletes carry untouched files' spans by reference, and
+    truncate keeps the declaration with an empty map."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.range(100).toDF("k").repartitionByRange(4, "k"),
+        path, stats_cols=["k"],
+    )
+    tx.append_batch(
+        spark.range(1000, 1100).toDF("k").repartitionByRange(4, "k"), path
+    )
+    # the append's files are skippable too
+    assert len(tx.resolve_files(path, where=[("k", ">=", 1000)])) == 4
+    assert tx.read_table(spark, path, where=[("k", ">=", 1000)]).count() == 100
+    stats = tx.delete_where(spark, path, F.col("k").between(1000, 1049))
+    assert stats["files_carried"] >= 4
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["stats_cols"] == ["k"]
+    assert all(f in man["stats"] for f in man["files"])
+    assert tx.read_table(spark, path, where=[("k", ">=", 1000)]).count() == 50
+    v = tx.truncate_table(path)
+    man = tx._read_manifest(path, v)
+    assert man["stats_cols"] == ["k"] and man["stats"] == {}
+
+
+def test_battery_zordered_manifest_table_skips(spark, tmp_path, protocol):
+    """init_table_z_ordered: the z2 stats column + a z-cover 'ranges'
+    predicate skip files for a spatial box, and the refined result equals
+    the raw lon/lat filter."""
+    from geomesa_cassandra_tools_spark.operators import geo
+
+    path = str(tmp_path / "t")
+    n = 2000
+    pts = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("id") * 61) % 180 - 90 + 0.5).cast("double").alias("lat"),
+    )
+    tx.init_table_z_ordered(pts, path, "lon", "lat", res=6, num_files=16)
+    ranges = geo.bbox_cell_ranges(-10.0, 40.0, 20.0, 60.0, res=6)
+    pred = [("z2", "ranges", ranges)]
+    kept = tx.resolve_files(path, where=pred)
+    assert 0 < len(kept) < 16, kept
+    got = (
+        tx.read_table(spark, path, where=pred)
+        .where(
+            F.col("lon").between(-10.0, 40.0) & F.col("lat").between(20.0, 60.0)
+        )
+        .count()
+    )
+    want = pts.where(
+        F.col("lon").between(-10.0, 40.0) & F.col("lat").between(20.0, 60.0)
+    ).count()
+    assert got == want > 0
+
+
+def test_battery_schema_evolution(spark, tmp_path, protocol):
+    """merge_schema append: add-column with null backfill both ways,
+    type-change refusal, and time travel reading each snapshot under the
+    schema it committed."""
+    path = str(tmp_path / "t")
+    v0 = tx.init_table(
+        spark.range(3).select(F.col("id"), F.lit("a").alias("s")), path
+    )
+    batch = spark.range(10, 13).select(
+        F.col("id"), F.lit("b").alias("s"), F.lit(1.5).alias("score")
+    )
+    # strict default still refuses drift
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        tx.append_batch(batch, path)
+    v1 = tx.append_batch(batch, path, merge_schema=True)
+    cur = tx.read_table(spark, path)
+    assert cur.columns == ["id", "s", "score"]
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows[0] is None and rows[10] == 1.5  # old files null-backfill
+    # batch MISSING a table column also null-backfills (reordered too)
+    v2 = tx.append_batch(
+        spark.range(20, 22).select(F.lit(2.5).alias("score"), F.col("id")),
+        path, merge_schema=True,
+    )
+    assert v2 == v1 + 1
+    rows = {r["id"]: (r["s"], r["score"]) for r in tx.read_table(spark, path).collect()}
+    assert rows[20] == (None, 2.5)
+    # type change is refused even under merge_schema
+    with pytest.raises(ValueError, match="cannot change the type"):
+        tx.append_batch(
+            spark.range(2).select(F.col("id"), F.lit(7).alias("s")),
+            path, merge_schema=True,
+        )
+    # time travel across the evolution boundary: v0 has the ORIGINAL schema
+    old = tx.read_table(spark, path, version=v0)
+    assert old.columns == ["id", "s"] and old.count() == 3
