@@ -580,10 +580,16 @@ def kmeans_iterate(
 ) -> DataFrame:
     """Full Lloyd's k-means over an embedding column: ``n_iter`` rounds of
     assign (`kmeans_assign`) + centroid recompute, returning the final
-    (id, cluster, d2) assignment. Deterministic: seeds are the first k
-    vectors by id, ties break to the smaller centroid id, and iteration
-    count is fixed (no convergence-threshold float comparison to drift
-    across engines).
+    (id, cluster, d2) assignment. BIT-deterministic end-to-end: seeds are
+    the first k vectors by id, ties break to the smaller centroid id,
+    iteration count is fixed, and the centroid update accumulates the
+    coordinates QUANTIZED to 1e-6 (``sum(floor(x*1e6))`` as exact int64 —
+    integer addition is order-independent, so the resulting centroids are
+    identical no matter how partitions fold, where a plain `F.avg` over
+    doubles drifts in the low bits with partial-aggregation order). The
+    ≤1e-6 per-coordinate perturbation is orders of magnitude below
+    embedding noise; what it buys is a trainer whose every round an
+    independent engine (q145's unrolled SQL oracle) reproduces exactly.
 
     Scale shape per round: the assign step is map-only (centroids ride
     along as literals — the broadcast step of every distributed k-means);
@@ -609,19 +615,24 @@ def kmeans_iterate(
             prep.select("id", F.col("v")), cents, id_col="id", vec_col="v"
         )
         # centroid update: one (cluster, dim) partial-agg shuffle; k×dim
-        # means come back to the driver (bounded) for the next round
+        # (sum, count) pairs come back to the driver (bounded) for the next
+        # round. The sum is over floor(x*1e6) as int64 — exact, so the
+        # mean below is the same doubles regardless of partitioning.
         means = (
             prep.join(assigned.select("id", "cluster"), "id")
             .select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(1e6))).alias("s6"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new_cents: dict[int, list[float]] = {}
         for r in means:
             new_cents.setdefault(r["cluster"], [0.0] * len(cents[0]))[
                 r["dim"]
-            ] = r["m"]
+            ] = (r["s6"] / 1e6) / r["n"]
         # a cluster that lost every member keeps its previous centroid
         # (the standard empty-cluster rule; dropping it would renumber)
         for i, prev in cents.items():

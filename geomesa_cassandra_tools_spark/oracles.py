@@ -2595,6 +2595,138 @@ GROUP BY maybe_member, exact_member
 # drift); the q63/q134 stored-layout twin pattern applied to a sketch.
 ORACLES["q143_bloom_mapside_prefilter"] = ORACLES["q142_bloom_decontaminate_audit"]
 
+# q145 unrolls kmeans_iterate's two rounds in SQL. It can only exist
+# because the trainer's centroid update is ORDER-EXACT: sums of
+# floor(x*1e6) as int64 are the same integers in any fold order, so both
+# engines derive bit-identical round-2 centroids ((s6/1e6)/n in left-to-
+# right double division), and the round-2 distances (index-order fold)
+# match before the 4dp output round. Empty clusters keep their seed.
+_KM_D2 = """list_sum(list_transform(range(1, 65),
+                                 i -> (v.e[i] - {c}[i]) * (v.e[i] - {c}[i])))"""
+ORACLES["q145_kmeans_lloyd_trainer"] = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id AS cluster, e AS se FROM v WHERE vec_id < 8
+),
+d1 AS (
+  SELECT v.vec_id, s.cluster, {_KM_D2.format(c="s.se")} AS d2
+  FROM v, s
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+ud AS (
+  SELECT a1.cluster, t.i AS dim,
+         SUM(CAST(floor(v.e[t.i] * 1000000.0) AS BIGINT)) AS s6,
+         COUNT(*) AS n
+  FROM a1 JOIN v USING (vec_id), range(1, 65) AS t(i)
+  GROUP BY a1.cluster, t.i
+),
+m AS (
+  SELECT cluster,
+         list(CAST(s6 AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS ce
+  FROM ud GROUP BY cluster
+),
+c2 AS (
+  SELECT s.cluster, CASE WHEN m.ce IS NULL THEN s.se ELSE m.ce END AS ce
+  FROM s LEFT JOIN m USING (cluster)
+),
+d2r AS (
+  SELECT v.vec_id, c2.cluster, {_KM_D2.format(c="c2.ce")} AS d2
+  FROM v, c2
+),
+a2 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d2r
+  ) WHERE rn = 1
+)
+SELECT cluster, count(*) AS n_vecs,
+       round(avg(sqrt(d2)), 4) AS avg_dist,
+       min(vec_id) AS first_vec, max(vec_id) AS last_vec
+FROM a2 GROUP BY cluster
+"""
+
+# q146 composes the exact (q19), LSH (q26), and IVF (q27) pipelines and
+# counts overlaps — recall@5 per query point as integers. The approximate
+# sides replay the exact same deterministic hyperplanes / centroid
+# assignment as their parent queries, so the hit counts are lockstep.
+ORACLES["q146_ann_recall_calibration"] = f"""
+WITH {_VEC_CTE},
+ex AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(q='q', c='c')} DESC, c.vec_id) AS rnk
+    FROM n q, n c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+s0 AS (SELECT vec_id, e, nrm, ({_hyperplane_sig_sql(64, 8)}) AS sig FROM n),
+lsh AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(q='q', c='c')} DESC, c.vec_id) AS rnk
+    FROM s0 q JOIN s0 c ON q.sig = c.sig AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+ca AS {_centroid_assign_sql("", 1)},
+qa AS {_centroid_assign_sql("WHERE a.vec_id < 8", 2)},
+ivf AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(q='q', c='c')} DESC, c.vec_id) AS rnk
+    FROM qa q JOIN ca c USING (cid) WHERE q.vec_id <> c.vec_id
+  ) WHERE rnk <= 5
+)
+SELECT ex.query_id,
+       count(*) AS k_exact,
+       CAST(sum(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS lsh_hits,
+       CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ivf_hits
+FROM ex
+LEFT JOIN lsh l ON ex.query_id = l.query_id AND ex.cand_id = l.cand_id
+LEFT JOIN ivf i ON ex.query_id = i.query_id AND ex.cand_id = i.cand_id
+GROUP BY ex.query_id
+"""
+
+# q147's oracle is the UNSALTED plain join+window — the salted physical
+# plan must be pure implementation detail (same answer, bounded task size).
+ORACLES["q147_salted_skew_join"] = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type
+),
+per_user AS (
+  SELECT e.event_type, e.user_id, count(*) AS n_events,
+         min(d.type_total) AS type_total
+  FROM events e JOIN dim d USING (event_type)
+  GROUP BY e.event_type, e.user_id
+)
+SELECT event_type, user_id, rnk, n_events,
+       (n_events * 10000) // type_total AS share_bp
+FROM (
+  SELECT event_type, user_id, n_events, type_total,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rnk
+  FROM per_user
+)
+WHERE rnk <= 5
+"""
+
 # q144 proves the manifest-table data-skipping read is pure cover-and-refine:
 # the oracle is the plain full-scan bbox filter (q131's shape, different box)
 # — file pruning from manifest min/max spans must never change the answer.

@@ -4451,6 +4451,121 @@ def q144_manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_kmeans_lloyd_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lloyd's TRAINER (q140 certifies one assign step; this
+    certifies the loop): `similarity.kmeans_iterate` with KMEANS_K
+    clusters and 2 rounds over the embedding corpus, reduced to per-cluster
+    population stats. Bit-deterministic by construction — the centroid
+    update accumulates 1e-6-quantized coordinates as exact int64 sums
+    (order-independent across partitions), so the unrolled 2-round SQL
+    oracle reproduces round-2 centroids and distances exactly (r5 VERDICT
+    item 3: the trainer's driver certification).
+
+    Scale shape per round: assign is map-only against broadcast centroid
+    literals; the update is ONE (cluster, dim) partial-agg shuffle whose
+    k·dim (sum, count) pairs are the only thing the driver ever sees."""
+    from geomesa_cassandra_tools_spark.functions.vectors import as_double
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    assigned = similarity.kmeans_iterate(
+        v, k=KMEANS_K, n_iter=2, id_col="vec_id", vec_col="e"
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.sqrt(F.col("d2"))), 4).alias("avg_dist"),
+        F.min("vec_id").alias("first_vec"),
+        F.max("vec_id").alias("last_vec"),
+    )
+
+
+def q146_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 calibration for BOTH approximate ANN paths against the
+    exact baseline, on one frame (r5 VERDICT item 4: q126 calibrates
+    MinHash recall; nothing measured the vector paths). For each of the 8
+    query vectors: the exact top-5 (`cosine_topk`, the calibration
+    baseline), how many of those 5 the hyperplane-LSH path
+    (`lsh_cosine_topk`, nbits=8, shared persisted signature index) found,
+    and how many the IVF path (`ivf_topk`, 4 partitions, nprobe=2) found.
+    Integer hit counts — no float in the certified surface, so the oracle
+    (the three SQL pipelines composed) is trivially stable.
+
+    This is the query you run BEFORE turning an approximate path on at
+    100 TB: it tells you what the bucket width / probe count actually buy
+    on your corpus, per query point, not on average folklore. The
+    measured defaults at sf0.1 are recorded in BENCH.md."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = emb.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(qv, emb, k=5).select("query_id", "cand_id")
+    lsh = similarity.lsh_cosine_topk(
+        qv, emb, k=5, dim=64, nbits=8,
+        corpus_sigs=_embedding_signatures(spark, sf_dir),
+    ).select("query_id", "cand_id")
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    ivf = similarity.ivf_topk(
+        qv, emb, k=5, centroids=centroids, nprobe=2
+    ).select("query_id", "cand_id")
+    base = exact.groupBy("query_id").agg(F.count("*").alias("k_exact"))
+    lsh_h = (
+        exact.join(lsh, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("lsh_hits"))
+    )
+    ivf_h = (
+        exact.join(ivf, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("ivf_hits"))
+    )
+    return (
+        base.join(lsh_h, "query_id", "left")
+        .join(ivf_h, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("lsh_hits"), F.lit(0)).alias("lsh_hits"),
+            F.coalesce(F.col("ivf_hits"), F.lit(0)).alias("ivf_hits"),
+        )
+    )
+
+
+def q147_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`relational.salted_join` driver-certified (r5 VERDICT item 7: the
+    operator was unit-only). The shape is THE classic skew case: a fact
+    table joined on a key with a handful of hot values (event_type — a few
+    distinct types over the whole corpus, so a plain hash join puts each
+    type's entire row set in ONE task). The salted plan splits every type
+    across 8 salt buckets — the Exchange hashes (event_type, __salt), no
+    single-task straggler partition exists by construction (plan-asserted
+    in tests/test_plans.py) — and the result hash-matches the UNSALTED
+    SQL oracle, which is the operator's whole contract: same answer,
+    bounded task size. Top-5 users per type by event count, share in
+    integer basis points (div — no float in the certified surface)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    facts = ev.select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    joined = relational.salted_join(facts, dim, on=["event_type"], salt=8)
+    per_user = joined.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events"), F.min("type_total").alias("type_total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "user_id",
+            "rnk",
+            "n_events",
+            F.expr("(n_events * 10000) div type_total").alias("share_bp"),
+        )
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4512,6 +4627,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
+    "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
+    "q146_ann_recall_calibration": q146_ann_recall_calibration,
+    "q147_salted_skew_join": q147_salted_skew_join,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -299,3 +299,20 @@ def test_shuffle_partition_sizing_policy():
     assert data_sized_shuffle_partitions(10_000 * mb64, 32) == 64
     # the cap also binds the floor on tiny-core boxes
     assert data_sized_shuffle_partitions(0, 4) == 8
+
+
+def test_q147_salted_join_exchanges_on_salt(spark):
+    """The salted join's whole point: the join-side Exchanges hash on
+    (event_type, __salt), so no event_type's row set can land in a single
+    task — a hot key splits across the 8 salt buckets by construction.
+    Assert the physical join keys carry the salt, and the plain (unsalted)
+    single-key join shape is absent from the join stage."""
+    df = QUERIES["q147_salted_skew_join"](spark, SF)
+    plan = inspect.explain_str(df)
+    assert "__salt" in plan
+    # the equi-join itself keys on [event_type..., __salt...] (formatted
+    # explain puts the key lists on their own "Left/Right keys" lines)
+    key_lines = [
+        l for l in plan.splitlines() if "Left keys" in l or "Right keys" in l
+    ]
+    assert key_lines and all("__salt" in l for l in key_lines), key_lines
