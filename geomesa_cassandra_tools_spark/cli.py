@@ -17,7 +17,13 @@ operations instead of SSH+cqlsh/nodetool calls:
 - ``status`` reads a remotes.json-shaped registry
   (/root/reference/remotes.json.example) and, when ``--info-dir`` holds
   per-node ``nodetool info`` captures (<name>.txt), the reference's
-  three-flag health predicate (/root/reference/node.py:48-55).
+  three-flag health predicate (/root/reference/node.py:48-55);
+- ``sql`` is the reference's one-statement escape hatch
+  (``-e/--cql-command``, /root/reference/geomesa.py:17, node.py:312) as
+  Spark SQL over registered views; ``table-exists`` /
+  ``truncate-table`` / ``remove-schema`` close the maintenance verb
+  surface (/root/reference/node.py:316-322, geomesa.py:31-55) over the
+  manifest-transactional or plain-parquet layouts (``--fmt``).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -61,6 +67,24 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--info-dir", help="directory of per-node `nodetool info` captures"
     )
+    # the reference's SQL escape hatch flag (-e/--cql-command,
+    # /root/reference/geomesa.py:17, cluster.py:232, node.py:312)
+    p.add_argument("-e", "--command-sql", help="SQL statement to execute")
+    p.add_argument(
+        "--data-dir",
+        help="directory of the standard parquet tables to register as views",
+    )
+    p.add_argument("--table-path", help="path of one physical table")
+    p.add_argument(
+        "--tables-dir",
+        help="directory holding each physical table at <dir>/<table-name>",
+    )
+    p.add_argument(
+        "--fmt",
+        default="parquet",
+        choices=("parquet", "manifest"),
+        help="physical table layout for maintenance verbs",
+    )
     return p
 
 
@@ -91,6 +115,29 @@ def _spark() -> SparkSession:
     from geomesa_cassandra_tools_spark.session import get_spark
 
     return get_spark(app_name="geomesa-cassandra-tools-cli")
+
+
+def _swap_catalog(df: DataFrame, catalog_path: str) -> None:
+    """Publish a rewritten catalog with a staged swap: write the new copy,
+    move the ORIGINAL aside (atomic rename), publish the new copy (atomic
+    rename), then delete the old — a crash at any point leaves the old
+    catalog (possibly under the .old name, trivially recoverable) or the
+    new one, never NO catalog at the path. Single-writer semantics, like
+    the reference's one-admin CLI. The path may be a directory OR a single
+    parquet file (GeoCatalog.load accepts both)."""
+    staging = f"{catalog_path}.tmp-{os.getpid()}"
+    backup = f"{catalog_path}.old-{os.getpid()}"
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(catalog_path, backup)
+    try:
+        os.rename(staging, catalog_path)
+    except OSError:
+        os.rename(backup, catalog_path)  # restore; staging kept for debug
+        raise
+    if os.path.isdir(backup):
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.unlink(backup)
 
 
 def main(argv: Sequence[str] | None = None, out=None) -> int:
@@ -137,33 +184,114 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         print(str(ok).lower(), file=out)
         return 0 if ok else 1
 
+    if cmd == "sql":
+        # the reference's escape hatch: execute one statement verbatim
+        # (`-e/--cql-command`, /root/reference/geomesa.py:17,
+        # cluster.py:232, node.py:312) — here the statement is Spark SQL
+        # over the registered views instead of CQL over the wire. q53
+        # certifies the passthrough semantics; this verb is its CLI face.
+        _require(parser, args, "command-sql")
+        spark = _spark()
+        if args.data_dir:
+            from geomesa_cassandra_tools_spark.sources.tables import load_tables
+
+            for name, df in load_tables(spark, args.data_dir).items():
+                df.createOrReplaceTempView(name)
+        if args.catalog_path:
+            GeoCatalog.load(spark, args.catalog_path).df.createOrReplaceTempView(
+                "catalog"
+            )
+        _emit(spark.sql(args.command_sql), out)
+        return 0
+
+    if cmd == "table-exists":
+        # reference node.py:316-322: DESCRIBE-based existence probe with
+        # the boolean in the exit code. Two stores: a tables-file listing
+        # (the captured-DESCRIBE deployment shape) or a physical path
+        # (parquet dir / manifest table, per --fmt).
+        _require(parser, args, "table")
+        if args.table_path is None and args.tables_file is None:
+            parser.error("table-exists: provide --table-path or --tables-file")
+        if args.table_path is not None:
+            if args.fmt == "manifest":
+                from geomesa_cassandra_tools_spark.operators import transactional
+
+                ok = transactional.current_version(args.table_path) >= 0
+            else:
+                ok = os.path.exists(args.table_path)
+        else:
+            spark = _spark()
+            listing = spark.read.text(args.tables_file).select(
+                F.col("value").alias("table")
+            )
+            ok = listing.where(F.col("table") == args.table).limit(1).count() > 0
+        print(str(ok).lower(), file=out)
+        return 0 if ok else 1
+
+    if cmd == "truncate-table":
+        # reference node.py:320-322 `TRUNCATE {table}`: one atomic
+        # manifest commit (fmt=manifest) or the single-writer staged
+        # overwrite (fmt=parquet) — the same split remove_schema uses.
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if args.fmt == "manifest":
+            v = transactional.truncate_table(args.table_path)
+            print(f"truncated manifest table {args.table_path} at v{v}", file=out)
+            return 0
+        spark = _spark()
+        df = spark.read.parquet(args.table_path)
+        empty = spark.createDataFrame([], df.schema)
+        tmp = args.table_path.rstrip("/") + f".trunc_tmp-{os.getpid()}"
+        empty.write.mode("overwrite").parquet(tmp)
+        backup = args.table_path.rstrip("/") + f".old-{os.getpid()}"
+        os.rename(args.table_path, backup)
+        try:
+            os.rename(tmp, args.table_path)
+        except OSError:
+            os.rename(backup, args.table_path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+        print(f"truncated parquet table {args.table_path}", file=out)
+        return 0
+
+    if cmd == "remove-schema":
+        # the full 7-stage removal pipeline (reference geomesa.py:31-55 /
+        # cluster.py drop path) over maintenance.remove_schema: verify,
+        # truncate, compact/vacuum, drop the catalog row — then publish
+        # the rewritten catalog with the same staged swap as
+        # remove-sft-from-catalog. Emits the audit frame.
+        _require(
+            parser, args, "keyspace", "catalog", "feature-name",
+            "catalog-path", "tables-dir",
+        )
+        from geomesa_cassandra_tools_spark.operators import maintenance
+
+        spark = _spark()
+        cat = GeoCatalog.load(spark, args.catalog_path)
+        tables = [
+            r["table"]
+            for r in cat.find_schema_tables(
+                args.keyspace, args.catalog, args.feature_name
+            ).collect()
+        ]
+        table_paths = {t: os.path.join(args.tables_dir, t) for t in tables}
+        new_cat, audit = maintenance.remove_schema(
+            spark, cat, args.keyspace, args.catalog, args.feature_name,
+            table_paths, fmt=args.fmt,
+        )
+        _swap_catalog(new_cat.df, args.catalog_path)
+        _emit(audit.orderBy("stage", "table"), out)
+        return 0
+
     if cmd == "remove-sft-from-catalog":
         # DELETE WHERE sft=… (/root/reference/geomesa.py:56-59) as
-        # filter-and-rewrite with a staged swap: write the filtered copy,
-        # move the ORIGINAL aside (atomic rename), publish the new copy
-        # (atomic rename), then delete the old — so a crash at any point
-        # leaves the old catalog (possibly under the .old name, trivially
-        # recoverable) or the new one, never NO catalog at the path.
-        # Single-writer semantics, like the reference's one-admin CLI.
+        # filter-and-rewrite published through the staged catalog swap.
         _require(parser, args, "keyspace", "catalog", "feature-name", "catalog-path")
         spark = _spark()
         cat = GeoCatalog.load(spark, args.catalog_path)
         removed = cat.remove_sft(args.keyspace, args.catalog, args.feature_name)
-        staging = f"{args.catalog_path}.tmp-{os.getpid()}"
-        backup = f"{args.catalog_path}.old-{os.getpid()}"
-        removed.df.write.mode("overwrite").parquet(staging)
-        os.rename(args.catalog_path, backup)
-        try:
-            os.rename(staging, args.catalog_path)
-        except OSError:
-            os.rename(backup, args.catalog_path)  # restore; staging kept for debug
-            raise
-        # the catalog path may be a directory OR a single parquet file
-        # (GeoCatalog.load accepts both) — dispatch the cleanup accordingly
-        if os.path.isdir(backup):
-            shutil.rmtree(backup, ignore_errors=True)
-        else:
-            os.unlink(backup)
+        _swap_catalog(removed.df, args.catalog_path)
         print(f"removed sft {args.feature_name!r} from {args.catalog_path}", file=out)
         return 0
 
