@@ -1772,3 +1772,60 @@ def test_publish_layout_dir_breaks_only_aged_locks(tmp_path):
     assert done.is_set()
     assert os.path.exists(os.path.join(path2, "_SUCCESS"))
     assert not os.path.exists(path2 + ".lock")
+
+
+def test_bloom_packed_m65536_matches_sparse_and_merges(spark):
+    """The production-sized packing (r5 VERDICT item 8) at m=65536: the
+    int64-word representation must hold EXACTLY the sparse bit set
+    (unpack == bloom_bits, including words whose top bit 63 is set — the
+    sign bit of the long), probe identically to the sparse join form with
+    zero false negatives, and merge slice filters by word-wise bit_or to
+    the same filter built over the union."""
+    from geomesa_cassandra_tools_spark.operators import sketches as sk
+
+    K, M = 4, 65536
+    items = spark.range(3000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("text")
+    )
+    sparse = {r["bit"] for r in sk.bloom_bits(items, "text", k=K, m=M).collect()}
+    packed = sk.bloom_bits_packed(items, "text", k=K, m=M)
+    unpacked = {r["bit"] for r in sk.bloom_unpack(packed).collect()}
+    assert unpacked == sparse and len(sparse) > 1000
+    # at 3000 items × 4 hashes over 65536 bits, some word uses bit 63
+    assert any(b % 64 == 63 for b in sparse), "want a sign-bit word in play"
+    # probe equivalence: members all true (no false negatives), and the
+    # packed probe agrees with the sparse-join probe on a mixed candidate set
+    cands = spark.range(2900, 3100).select(
+        F.col("id").alias("cid"), F.concat(F.lit("item-"), F.col("id")).alias("text")
+    )
+    via_sparse = {
+        r["cid"]: r["maybe_member"]
+        for r in sk.bloom_maybe(
+            cands, sk.bloom_bits(items, "text", k=K, m=M), "cid", "text", k=K, m=M
+        ).collect()
+    }
+    via_packed = {
+        r["cid"]: r["maybe_member"]
+        for r in sk.bloom_maybe_packed(cands, packed, "cid", "text", k=K, m=M).collect()
+    }
+    assert via_packed == via_sparse
+    assert all(via_packed[c] for c in range(2900, 3000)), "false negative!"
+    # merge algebra: slice filters OR together to the union's filter
+    a = sk.bloom_bits_packed(
+        spark.range(1500).select(
+            F.concat(F.lit("item-"), F.col("id")).alias("text")
+        ),
+        "text", k=K, m=M,
+    )
+    b = sk.bloom_bits_packed(
+        spark.range(1500, 3000).select(
+            F.concat(F.lit("item-"), F.col("id")).alias("text")
+        ),
+        "text", k=K, m=M,
+    )
+    merged = {
+        (r["word"], r["bits"])
+        for r in sk.bloom_merge_packed(a, b).collect()
+    }
+    whole = {(r["word"], r["bits"]) for r in packed.collect()}
+    assert merged == whole
