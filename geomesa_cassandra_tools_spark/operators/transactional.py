@@ -684,8 +684,15 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     if not man["files"]:
         # nothing to delete from — no state change, no version burned
         return {"version": version, "files_rewritten": 0, "files_carried": 0}
+    from pyspark.sql.types import StructType
+
+    # always project through the MANIFEST schema (same rule as read_table):
+    # after a merge_schema append the live files carry MIXED physical
+    # schemas, and plain inference would pick one file's — the rewrite
+    # below must preserve evolved columns (null where a file lacks them)
+    schema = StructType.fromJson(json.loads(man["schema"]))
     abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
-    df = spark.read.parquet(*abs_files)
+    df = spark.read.schema(schema).parquet(*abs_files)
     # locate the files that actually hold matching rows — one scan, and the
     # pushed condition prunes it like any filter
     hits = (
@@ -706,7 +713,7 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
             "files_carried": len(man["files"]),
         }
     carried = [f for f in man["files"] if f not in hit_names]
-    survivors = spark.read.parquet(
+    survivors = spark.read.schema(schema).parquet(
         *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
     ).where(~F.coalesce(cond, F.lit(False)))
     new_files = _stage_files(survivors, path)

@@ -2727,6 +2727,35 @@ FROM (
 WHERE rnk <= 5
 """
 
+# q148 replays the manifest lifecycle (init %3==0 -> merge_schema append
+# %3==1 with `priority` -> delete price>200k) as plain set algebra: the
+# commit/evolution machinery must not change a single row at any version.
+ORACLES["q148_manifest_evolution_timetravel"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v1 AS (
+  SELECT * FROM v0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+v2 AS (
+  SELECT * FROM v1 WHERE NOT (o_totalprice > 200000.0)
+),
+lifecycle AS (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL SELECT 1 AS version, * FROM v1
+  UNION ALL SELECT 2 AS version, * FROM v2
+)
+SELECT version, count(*) AS n_rows,
+       count(priority) AS n_with_priority,
+       round(sum(o_totalprice), 2) AS total_price,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+FROM lifecycle GROUP BY version
+"""
+
 # q144 proves the manifest-table data-skipping read is pure cover-and-refine:
 # the oracle is the plain full-scan bbox filter (q131's shape, different box)
 # — file pruning from manifest min/max spans must never change the answer.

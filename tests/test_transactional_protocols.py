@@ -316,3 +316,21 @@ def test_battery_schema_evolution(spark, tmp_path, protocol):
     # time travel across the evolution boundary: v0 has the ORIGINAL schema
     old = tx.read_table(spark, path, version=v0)
     assert old.columns == ["id", "s"] and old.count() == 3
+
+
+def test_battery_delete_after_evolution_preserves_columns(spark, tmp_path, protocol):
+    """Regression: delete_where must project through the MANIFEST schema.
+    After a merge_schema append the live files carry mixed physical
+    schemas; a rewrite that read the hit files with plain inference could
+    silently drop the evolved column from the rewritten rows."""
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(10).toDF("id"), path)
+    tx.append_batch(
+        spark.range(10, 20).select(F.col("id"), (F.col("id") * 10).alias("extra")),
+        path, merge_schema=True,
+    )
+    # delete hits BOTH a v0 file (no `extra`) and a v1 file (with it)
+    tx.delete_where(spark, path, (F.col("id") % 2) == 0)
+    rows = {r["id"]: r["extra"] for r in tx.read_table(spark, path).collect()}
+    assert set(rows) == {i for i in range(20) if i % 2 == 1}
+    assert rows[11] == 110 and rows[1] is None  # evolved column survives
