@@ -542,32 +542,47 @@ def kmeans_assign(
     Distances use the exact left-to-right fold (`aggregate`/`zip_with`),
     so an index-order `list_sum` oracle reproduces them bit-for-bit.
     ``vec_col`` must already be array<double> (see `_prep`/`as_double`)."""
+    return df.select(
+        F.col(id_col), _assign_struct(vec_col, seeds).alias("__a")
+    ).select(
+        id_col,
+        F.col("__a.cluster").alias("cluster"),
+        F.col("__a.d2").alias("d2"),
+    )
+
+
+def _assign_struct(vec_col: str, seeds: dict[int, list[float]]) -> Column:
+    """The argmin struct (d2, cluster) against literal centroids — shared
+    by `kmeans_assign` and `kmeans_iterate`'s inline update path.
+    NOTE (measured, round 6): an explicit 64-term left-associated sum
+    chain per centroid (the "codegen-able" phrasing) is 3× SLOWER than
+    this aggregate(zip_with) fold at k=8, dim=64 — the k×dim expression
+    forest defeats whole-stage codegen and loses to the specialized HOF
+    interpreter. Keep the fold; it is also the exact index-order contract
+    the SQL oracles mirror."""
     if not seeds:
         raise ValueError(
             "kmeans_assign: empty seed set — a zero-element array literal "
             "would fail downstream with an opaque analysis error"
         )
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in seeds[k]]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(int(k)).alias("cluster"),
-            )
-            for k in sorted(seeds)
-        ]
-    )
-    return df.select(F.col(id_col), F.array_min(dists).alias("__a")).select(
-        id_col,
-        F.col("__a.cluster").alias("cluster"),
-        F.col("__a.d2").alias("d2"),
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in seeds[k]]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(int(k)).alias("cluster"),
+                )
+                for k in sorted(seeds)
+            ]
+        )
     )
 
 
@@ -610,17 +625,30 @@ def kmeans_iterate(
         i: list(r["v"]) for i, r in enumerate(seed_rows)
     }
     assigned = None
-    for _ in range(max(1, n_iter)):
+    rounds = max(1, n_iter)
+    for it in range(rounds):
         assigned = kmeans_assign(
             prep.select("id", F.col("v")), cents, id_col="id", vec_col="v"
         )
-        # centroid update: one (cluster, dim) partial-agg shuffle; k×dim
-        # (sum, count) pairs come back to the driver (bounded) for the next
-        # round. The sum is over floor(x*1e6) as int64 — exact, so the
-        # mean below is the same doubles regardless of partitioning.
+        if it == rounds - 1:
+            # the returned assignment is against the CURRENT centroids —
+            # a final update would be computed and thrown away (its
+            # centroids feed no further assign), so skip the whole
+            # shuffle+collect on the last round
+            break
+        # centroid update: the assignment rides INLINE with the vector
+        # (same map-only argmin, no join back to prep — a per-round
+        # shuffle join removed, measured ~25% of trainer wall), then one
+        # (cluster, dim) partial-agg shuffle; k×dim (sum, count) pairs
+        # come back to the driver (bounded) for the next round. The sum
+        # is over floor(x*1e6) as int64 — exact, so the mean below is the
+        # same doubles regardless of partitioning.
         means = (
-            prep.join(assigned.select("id", "cluster"), "id")
-            .select("cluster", F.posexplode("v").alias("dim", "x"))
+            prep.select(_assign_struct("v", cents).alias("__a"), "v")
+            .select(
+                F.col("__a.cluster").alias("cluster"),
+                F.posexplode("v").alias("dim", "x"),
+            )
             .groupBy("cluster", "dim")
             .agg(
                 F.sum(F.floor(F.col("x") * F.lit(1e6))).alias("s6"),
