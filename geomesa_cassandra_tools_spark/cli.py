@@ -242,16 +242,9 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         spark = _spark()
         df = spark.read.parquet(args.table_path)
         empty = spark.createDataFrame([], df.schema)
-        tmp = args.table_path.rstrip("/") + f".trunc_tmp-{os.getpid()}"
-        empty.write.mode("overwrite").parquet(tmp)
-        backup = args.table_path.rstrip("/") + f".old-{os.getpid()}"
-        os.rename(args.table_path, backup)
-        try:
-            os.rename(tmp, args.table_path)
-        except OSError:
-            os.rename(backup, args.table_path)
-            raise
-        shutil.rmtree(backup, ignore_errors=True)
+        # same staged swap as the catalog publish — including the
+        # single-FILE table shape, where the backup needs unlink not rmtree
+        _swap_catalog(empty, args.table_path.rstrip("/"))
         print(f"truncated parquet table {args.table_path}", file=out)
         return 0
 

@@ -226,16 +226,27 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return names
 
 
-def _norm_stat(v):
+def _norm_stat(v, side: str | None = None):
     """Normalize a statistics value (from a parquet footer OR a user
     predicate literal) into a JSON-safe, totally-ordered primitive so the
     driver-side interval checks compare like the engine would: timestamps
-    -> epoch microseconds (int), dates -> proleptic ordinal (int),
-    int/float/str/bool pass through. Unsupported types -> None (the file
-    is then never skipped on that column — skipping must only ever be a
-    superset of the true answer)."""
+    -> epoch microseconds (int, exact integer arithmetic — float
+    ``total_seconds()`` has ~0.5 µs ulp at 2026 epochs, enough to flip a
+    strict bound), dates -> proleptic ordinal (int), int/float/str pass
+    through. Unsupported types -> None (the file is then never skipped on
+    that column — skipping must only ever be a superset of the true
+    answer).
+
+    ``side`` handles lossy float conversion (Decimal) with DIRECTED
+    rounding: ``"lo"`` rounds a file minimum DOWN one ulp, ``"hi"`` rounds
+    a maximum UP, so the recorded span always CONTAINS the true decimal
+    span. Predicate literals (side=None) use round-to-nearest, which is
+    monotone — combined with the widened span every interval check stays
+    strictly conservative even for '<'/'>' on decimals that collapse to
+    the same float."""
     import datetime
     import decimal
+    import math
 
     if isinstance(v, bool) or v is None:
         return None  # bool min/max skipping is pointless; None = no stat
@@ -243,12 +254,52 @@ def _norm_stat(v):
         return v
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return round((v - epoch).total_seconds() * 1_000_000)
+        d = v - epoch  # timedelta holds exact integer (days, s, µs)
+        return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
     if isinstance(v, datetime.date):
         return v.toordinal()
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        f = float(v)  # round-to-nearest (monotone)
+        if side == "lo":
+            return f if decimal.Decimal(f) <= v else math.nextafter(f, -math.inf)
+        if side == "hi":
+            return f if decimal.Decimal(f) >= v else math.nextafter(f, math.inf)
+        return f
     return None
+
+
+def _stat_kind(v) -> str | None:
+    """Timestamp statistics carry a comparison-domain tag: ``"instant"``
+    for tz-aware values (parquet isAdjustedToUTC columns — Spark
+    TIMESTAMP) and ``"wall"`` for naive ones (TIMESTAMP_NTZ). A predicate
+    literal only prunes against a span in the SAME domain: a naive
+    literal vs an instant span differs by the session-timezone offset
+    (Spark's row filter interprets it in the session zone, the footer is
+    UTC-adjusted), so mixed comparisons never prune — the file is kept
+    and the exact row filter decides."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return "instant" if v.tzinfo is not None else "wall"
+    return None
+
+
+def _norm_literal(val, kind: str | None, side: str | None = None):
+    """Normalize a predicate literal against a span recorded with
+    ``kind`` (see `_stat_kind`). A datetime literal whose domain does not
+    match the span's returns None — the predicate then keeps the file.
+    ``side`` directs lossy (Decimal) rounding the CONSERVATIVE way for
+    the comparison at hand: a literal compared against a span's upper
+    bound rounds DOWN ("lo"), against a lower bound rounds UP ("hi") —
+    otherwise a decimal literal and a file extreme that collapse to the
+    same double can defeat a strict bound and wrongly skip the file."""
+    import datetime
+
+    if isinstance(val, datetime.datetime):
+        if _stat_kind(val) != kind:
+            return None
+        return _norm_stat(val)
+    return _norm_stat(val, side)
 
 
 def _collect_file_stats(
@@ -259,7 +310,10 @@ def _collect_file_stats(
     row-group statistics; this is how Delta/Iceberg harvest file stats).
     A column missing from a file, or any row group without min/max
     (e.g. all-null), records null for that column: the file is then
-    always kept by the pruner — skipping stays strictly conservative."""
+    always kept by the pruner — skipping stays strictly conservative.
+    Spans are ``[lo, hi]`` (directed-rounded for lossy types, see
+    `_norm_stat`) or ``[lo, hi, kind]`` for timestamps (see
+    `_stat_kind`)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -271,20 +325,24 @@ def _collect_file_stats(
             if col not in idx:
                 col_stats[col] = None
                 continue
-            lo = hi = None
+            lo = hi = kind = None
             ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[col]).statistics
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                mn, mx = _norm_stat(st.min, "lo"), _norm_stat(st.max, "hi")
                 if mn is None or mx is None:
                     ok = False
                     break
+                kind = kind or _stat_kind(st.min)
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
-            col_stats[col] = [lo, hi] if ok and lo is not None else None
+            if ok and lo is not None:
+                col_stats[col] = [lo, hi, kind] if kind else [lo, hi]
+            else:
+                col_stats[col] = None
         out[name] = col_stats
     return out
 
@@ -302,32 +360,38 @@ def _file_survives(col_stats: dict | None, pred: tuple) -> bool:
     span = col_stats.get(col)
     if span is None:
         return True
-    lo, hi = span
+    lo, hi = span[0], span[1]
+    kind = span[2] if len(span) > 2 else None
+
+    def interval_hits(v) -> bool:
+        """Can [lo, hi] contain v? Both-sided directed literal rounding."""
+        v_lo, v_hi = _norm_literal(v, kind, "lo"), _norm_literal(v, kind, "hi")
+        return v_lo is None or v_hi is None or (lo <= v_hi and v_lo <= hi)
+
     if op in ("=", "=="):
-        v = _norm_stat(val)
-        return v is None or (lo <= v <= hi)
+        return interval_hits(val)
     if op == "<":
-        v = _norm_stat(val)
+        v = _norm_literal(val, kind, "hi")  # vs lower bound: round UP
         return v is None or lo < v
     if op == "<=":
-        v = _norm_stat(val)
+        v = _norm_literal(val, kind, "hi")
         return v is None or lo <= v
     if op == ">":
-        v = _norm_stat(val)
+        v = _norm_literal(val, kind, "lo")  # vs upper bound: round DOWN
         return v is None or hi > v
     if op == ">=":
-        v = _norm_stat(val)
+        v = _norm_literal(val, kind, "lo")
         return v is None or hi >= v
     if op == "between":
-        a, b = _norm_stat(val[0]), _norm_stat(val[1])
+        a, b = _norm_literal(val[0], kind, "lo"), _norm_literal(val[1], kind, "hi")
         return a is None or b is None or (hi >= a and lo <= b)
     if op == "in":
-        vs = [_norm_stat(v) for v in val]
-        return any(v is None or (lo <= v <= hi) for v in vs)
+        return any(interval_hits(v) for v in val)
     if op == "ranges":
         return any(
-            _norm_stat(a) is None or _norm_stat(b) is None
-            or (hi >= _norm_stat(a) and lo <= _norm_stat(b))
+            _norm_literal(a, kind, "lo") is None
+            or _norm_literal(b, kind, "hi") is None
+            or (hi >= _norm_literal(a, kind, "lo") and lo <= _norm_literal(b, kind, "hi"))
             for a, b in val
         )
     raise ValueError(f"unsupported skipping predicate op: {op!r}")

@@ -3817,10 +3817,18 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
     delete each other's just-published layout. A lock whose FILE is older
     than ``lock_timeout`` (mtime check — the holder has been stuck that
     long, not merely "this waiter has waited that long") is treated as a
-    crashed publisher's leftover and broken; a break only clears THAT
-    lock (never one freshly re-created by a live publisher), so two
-    recovering publishers can't both think they hold the lock (the
-    content is deterministic, so any single winner is correct)."""
+    crashed publisher's leftover and broken. Breaking is by atomic
+    ``os.rename`` to a breaker-unique name, so only ONE breaker can claim
+    a given lock-file instance (unlink-by-path would race: two breakers
+    could both "succeed", the second unlinking a live holder's fresh
+    lock). The breaker re-checks the CLAIMED file's mtime — exclusively
+    owned, no TOCTOU — and if it turns out fresh (a live publisher
+    re-created it between our stat and rename) hard-links it back and
+    keeps waiting. The restore itself has a microscopic window where a
+    third waiter can O_EXCL-create while the path is vacant; the content
+    is deterministic, so any single winner publishes correct bytes —
+    the lock only minimizes (not perfectly excludes) duplicated work and
+    vanish-mid-scan races after a crash."""
     import os
     import shutil
     import time
@@ -3851,17 +3859,34 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
             # timeout — i.e. the HOLDER is stuck/crashed — never just
             # because this waiter has been waiting a while. A lock
             # re-created moments ago by another recovering publisher has a
-            # fresh mtime and survives; the unlink races are benign
-            # (FileNotFoundError → someone else broke it first).
+            # fresh mtime and survives.
             try:
                 age = time.time() - os.stat(lock).st_mtime
             except (FileNotFoundError, OSError):
                 continue  # lock vanished/changed — retry O_EXCL immediately
             if age > lock_timeout:
+                # claim-by-rename: atomic, so exactly one breaker wins this
+                # lock-file instance; the loser's rename raises and loops.
+                claimed = f"{lock}.break-{os.getpid()}"
                 try:
-                    os.unlink(lock)  # stale lock from a crashed publisher
-                except FileNotFoundError:
-                    pass
+                    os.rename(lock, claimed)
+                except (FileNotFoundError, OSError):
+                    continue  # another breaker claimed it first
+                # re-check on the file we now exclusively own (no TOCTOU):
+                # if it is FRESH we stole a live publisher's lock that was
+                # re-created between our stat and rename — put it back.
+                try:
+                    still_stale = time.time() - os.stat(claimed).st_mtime > lock_timeout
+                except (FileNotFoundError, OSError):
+                    continue
+                if still_stale:
+                    os.unlink(claimed)  # genuinely a crashed holder's lock
+                    continue
+                try:
+                    os.link(claimed, lock)  # restore same inode + mtime
+                except FileExistsError:
+                    pass  # a third waiter acquired meanwhile — it holds now
+                os.unlink(claimed)
                 continue
             time.sleep(0.05)
     try:

@@ -29,6 +29,13 @@ _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for the few pandas-UDF paths (multimodal/geo refinement).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark's INT96 parquet-timestamp default writes NO column min/max
+    # statistics, so neither parquet row-group pruning nor the manifest
+    # layer's file skipping can act on timestamp predicates. INT64 micros
+    # is the modern stats-bearing encoding (lossless for the engine's
+    # microsecond timestamps); at 100 TB a time-bounded scan over an
+    # INT96 table reads everything.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # 128 MB input splits — the right order of magnitude for parquet scans
     # both locally and on a cluster.
     "spark.sql.files.maxPartitionBytes": "134217728",

@@ -13,10 +13,12 @@ is data-driven instead of folklore.
 Counting uses the public status tracker + job groups (no listener JNI):
 each query runs inside its own job group; afterwards
 `statusTracker().getJobIdsForGroup(group)` enumerates its jobs and
-`getJobInfo(j).stageIds` its stages. Streaming drains spawn jobs outside
-the group's thread in Spark's streaming threads — those queries are
-reported with group-attributed counts plus a delta of ALL new job ids as
-`jobs_total` (upper bound), flagged `streaming`.
+`getJobInfo(j).stageIds` its stages. Known limit: streaming drains spawn
+their micro-batch jobs in Spark's stream-execution threads under the
+STREAM's own job group, which the public tracker can only enumerate by
+group id we don't know — so streaming queries' micro-batch jobs are NOT
+counted here (their group-attributed rows undercount; the bench wall
+time, not this audit, is their cost signal).
 
 Usage: python scripts/audit_jobs.py [sf_dir] [> report.tsv]
 Prints one TSV row per query: name, jobs, stages, tasks, flag.
@@ -58,7 +60,6 @@ def main() -> None:
     rows = []
     for name, fn in sorted(QUERIES.items()):
         release_query_caches()
-        before = set(tracker.getJobIdsForGroup(None) or [])
         group = f"audit-{name}"
         sc.setJobGroup(group, name)
         try:

@@ -334,3 +334,78 @@ def test_battery_delete_after_evolution_preserves_columns(spark, tmp_path, proto
     rows = {r["id"]: r["extra"] for r in tx.read_table(spark, path).collect()}
     assert set(rows) == {i for i in range(20) if i % 2 == 1}
     assert rows[11] == 110 and rows[1] is None  # evolved column survives
+
+
+def test_battery_decimal_stats_prune_conservatively(spark, tmp_path, protocol):
+    """Decimal spans are directed-rounded (file min DOWN, max UP one ulp):
+    two decimals that collapse to the same double must not let a strict
+    '<' / '>' predicate skip a file that contains matching rows."""
+    from decimal import Decimal
+
+    path = str(tmp_path / "t")
+    # 0.09999999999999999999 and 0.1 round to the SAME double; the row is
+    # strictly below the predicate literal, so the file must survive
+    lo_val = Decimal("0.09999999999999999999")
+    df = spark.createDataFrame([(lo_val,), (Decimal("0.2"),)], "d decimal(38,20)")
+    tx.init_table(df.repartitionByRange(2, "d"), path, stats_cols=["d"])
+    pred = [("d", "<", Decimal("0.1"))]
+    got = tx.read_table(spark, path, where=pred).collect()
+    assert [r["d"] for r in got] == [lo_val]
+    # symmetric case for '>'
+    pred_hi = [("d", ">", Decimal("0.2"))]
+    hi_df = spark.createDataFrame(
+        [(Decimal("0.20000000000000000001"),)], "d decimal(38,20)"
+    )
+    tx.append_batch(hi_df, path)
+    assert tx.read_table(spark, path, where=pred_hi).count() == 1
+
+
+def test_battery_timestamp_stats_domain_tagged(spark, tmp_path, protocol):
+    """Timestamp spans carry an instant/wall tag: a naive predicate
+    literal never prunes an instant (tz-adjusted) column — Spark's row
+    filter reads it in the session zone while footer stats are UTC — but
+    prunes a TIMESTAMP_NTZ column exactly; results always equal the
+    unpruned read + filter even under a non-UTC session timezone."""
+    import datetime
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_ot = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # Spark's INT96 default writes NO parquet min/max for timestamps (the
+    # layer then simply never prunes); micros is the stats-bearing format
+    # the session factory also sets
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        base = spark.range(96).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1767225600) + F.col("id") * 3600).alias("ts"),
+        )
+        # instant (tz-adjusted) column
+        p_instant = str(tmp_path / "instant")
+        tx.init_table(
+            base.repartitionByRange(4, "ts"), p_instant, stats_cols=["ts"]
+        )
+        naive = datetime.datetime(2026, 1, 2, 0, 0, 0)
+        pred = [("ts", ">=", naive)]
+        # naive literal: no pruning (kept = all 4 files), exact refine only
+        assert len(tx.resolve_files(p_instant, where=pred)) == 4
+        want = base.where(F.col("ts") >= F.lit(naive)).count()
+        assert tx.read_table(spark, p_instant, where=pred).count() == want > 0
+        # aware literal: prunes AND matches the direct filter
+        aware = naive.replace(tzinfo=datetime.timezone.utc)
+        pred_aw = [("ts", ">=", aware)]
+        assert 0 < len(tx.resolve_files(p_instant, where=pred_aw)) < 4
+        want_aw = base.where(F.col("ts") >= F.lit(aware)).count()
+        assert tx.read_table(spark, p_instant, where=pred_aw).count() == want_aw > 0
+
+        # TIMESTAMP_NTZ column: naive literal prunes and refines exactly
+        ntz = base.select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+        p_ntz = str(tmp_path / "ntz")
+        tx.init_table(ntz.repartitionByRange(4, "ts"), p_ntz, stats_cols=["ts"])
+        kept = tx.resolve_files(p_ntz, where=pred)
+        assert 0 < len(kept) < 4
+        want_ntz = ntz.where(F.col("ts") >= F.lit(naive)).count()
+        assert tx.read_table(spark, p_ntz, where=pred).count() == want_ntz > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ot)
