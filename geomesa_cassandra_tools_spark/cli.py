@@ -23,7 +23,13 @@ operations instead of SSH+cqlsh/nodetool calls:
   Spark SQL over registered views; ``table-exists`` /
   ``truncate-table`` / ``remove-schema`` close the maintenance verb
   surface (/root/reference/node.py:316-322, geomesa.py:31-55) over the
-  manifest-transactional or plain-parquet layouts (``--fmt``).
+  manifest-transactional or plain-parquet layouts (``--fmt``);
+- manifest lifecycle verbs: ``versions`` (DESCRIBE HISTORY analog),
+  ``read-table`` (snapshot read, ``--version`` pins time travel),
+  ``vacuum`` (``--keep-versions``/``--grace-seconds``), and
+  ``compact-table`` (the reference pipeline's final compact stage,
+  /root/reference/geomesa_cassandra.py:188-191, as one atomic OPTIMIZE
+  commit).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -84,6 +90,28 @@ def _parser() -> argparse.ArgumentParser:
         default="parquet",
         choices=("parquet", "manifest"),
         help="physical table layout for maintenance verbs",
+    )
+    # manifest lifecycle verbs (versions / read-table / vacuum /
+    # compact-table) — the library surface at operators/transactional.py
+    p.add_argument(
+        "--version", type=int, default=None,
+        help="pin a read to this snapshot version (time travel)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20,
+        help="max rows read-table prints (0 = all)",
+    )
+    p.add_argument(
+        "--keep-versions", type=int, default=1,
+        help="vacuum: how many trailing snapshots stay time-travelable",
+    )
+    p.add_argument(
+        "--grace-seconds", type=int, default=600,
+        help="vacuum: age a file must reach before reclaim (in-flight guard)",
+    )
+    p.add_argument(
+        "--target-bytes", type=int, default=128 << 20,
+        help="compact-table: bin-pack files smaller than this",
     )
     return p
 
@@ -246,6 +274,68 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         # single-FILE table shape, where the backup needs unlink not rmtree
         _swap_catalog(empty, args.table_path.rstrip("/"))
         print(f"truncated parquet table {args.table_path}", file=out)
+        return 0
+
+    if cmd == "versions":
+        # DESCRIBE HISTORY analog: one row per still-resolvable commit
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        print("version\top\tn_add\tn_remove", file=out)
+        for h in transactional.table_history(args.table_path):
+            print(
+                f"{h['version']}\t{h['op']}\t{h['n_add']}\t{h['n_remove']}",
+                file=out,
+            )
+        return 0
+
+    if cmd == "read-table":
+        # snapshot (or pinned-version time-travel) read of a manifest table
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        df = transactional.read_table(
+            _spark(), args.table_path, version=args.version
+        )
+        if args.limit:
+            df = df.limit(args.limit)
+        _emit(df, out)
+        return 0
+
+    if cmd == "vacuum":
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        removed = transactional.vacuum(
+            args.table_path,
+            keep_versions=args.keep_versions,
+            grace_seconds=args.grace_seconds,
+        )
+        print(
+            f"vacuumed {removed} data file(s) from {args.table_path} "
+            f"(kept {args.keep_versions} version(s))",
+            file=out,
+        )
+        return 0
+
+    if cmd == "compact-table":
+        # the reference pipeline's final compact stage
+        # (/root/reference/geomesa_cassandra.py:188-191) on the manifest
+        # layout: one atomic OPTIMIZE commit
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        res = transactional.compact_table(
+            _spark(), args.table_path, target_bytes=args.target_bytes
+        )
+        if res.get("aborted"):
+            print(f"compact aborted: {res['aborted']}", file=out)
+            return 1
+        print(
+            f"compacted {res['files_compacted']} file(s) into "
+            f"{res['files_written']} at v{res['version']}",
+            file=out,
+        )
         return 0
 
     if cmd == "remove-schema":

@@ -31,9 +31,22 @@ manifest by reference — at 100 TB a targeted delete touches a handful of
 files, not the table. The container has no Delta/Iceberg jars (and this
 repo takes no third-party deps), so the protocol is implemented directly;
 on a cluster with Delta available, `maintenance.remove_schema(fmt=...)`
-swaps in transparently. Scale note: at very large file counts the JSON
-manifest itself becomes the bottleneck — production formats checkpoint it
-to parquet; the commit protocol is unchanged.
+swaps in transparently.
+
+Log layout (the Delta-log shape, sized for 100 TB file counts):
+
+- each ``vN.json`` is a DELTA — the files added/removed by that commit
+  plus the (small) schema/txns/stats-cols header — so committing is
+  O(batch), never O(table). A v1-era manifest that carries a full
+  ``files`` list still resolves (it acts as its own base snapshot).
+- every `CHECKPOINT_INTERVAL` commits the committer also publishes
+  ``checkpoint-vN.json``: the full resolved state at N. Readers resolve
+  a version by loading the nearest base at-or-below it (checkpoint or
+  legacy full snapshot) and replaying at most `CHECKPOINT_INTERVAL`
+  delta tails — the O(files)-per-read driver cost the v1 format
+  disclosed is gone. Checkpoints are deterministic for a given version,
+  so two writers racing the same checkpoint publish identical bytes and
+  the conflict is ignorable.
 """
 
 from __future__ import annotations
@@ -162,39 +175,131 @@ def current_version(path: str) -> int:
     return max(versions, default=-1)
 
 
-def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
+#: A checkpoint (full resolved state) is published every this-many
+#: commits; reads replay at most this many delta tails past a base.
+CHECKPOINT_INTERVAL = 16
+
+_CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
+
+
+def _read_json(path: str, name: str) -> dict:
+    with open(os.path.join(_manifest_dir(path), name)) as fh:
         return json.load(fh)
+
+
+def _empty_state() -> dict:
+    return {
+        "version": -1, "files": [], "schema": None, "txns": {},
+        "stats_cols": None, "stats": None,
+    }
+
+
+def _apply_delta(state: dict, delta: dict) -> dict:
+    """Fold one delta commit into a resolved state (in place)."""
+    removed = set(delta.get("remove", ()))
+    files = [f for f in state["files"] if f not in removed]
+    files.extend(delta.get("add", ()))
+    files.sort()
+    state["version"] = delta["version"]
+    state["files"] = files
+    state["schema"] = delta["schema"]
+    state["txns"] = delta.get("txns", {})
+    stats_cols = delta.get("stats_cols")
+    state["stats_cols"] = stats_cols
+    if stats_cols:
+        prev = state.get("stats") or {}
+        add_stats = delta.get("add_stats") or {}
+        state["stats"] = {
+            f: add_stats.get(f, prev.get(f)) for f in files
+        }
+    else:
+        state["stats"] = None
+    return state
+
+
+def _as_state(body: dict) -> dict:
+    """Normalize a checkpoint / legacy full-snapshot body to state shape."""
+    return {
+        "version": body["version"],
+        "files": list(body.get("files", [])),
+        "schema": body.get("schema"),
+        "txns": body.get("txns", {}),
+        "stats_cols": body.get("stats_cols"),
+        "stats": body.get("stats") if body.get("stats_cols") else None,
+    }
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    """Resolve the FULL table state at ``version``: walk back from the
+    target collecting delta commits until a base (checkpoint or legacy
+    full-snapshot manifest) is found, then replay forward. The walk is at
+    most `CHECKPOINT_INTERVAL` reads — O(tail), never O(history) — and
+    the returned dict always carries files/schema/txns/stats_cols/stats.
+    Raises FileNotFoundError if a needed commit was vacuumed."""
+    d = _manifest_dir(path)
+    try:
+        have_cp = {
+            int(m.group(1))
+            for f in os.listdir(d) if (m := _CHECKPOINT_RE.match(f))
+        }
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no manifest directory under {path!r}") from None
+    deltas: list[dict] = []
+    state = _empty_state()
+    v = version
+    while v >= 0:
+        if v in have_cp:
+            try:
+                state = _as_state(_read_json(path, f"checkpoint-v{v}.json"))
+                break
+            except FileNotFoundError:
+                pass  # checkpoint vacuumed between listdir and read
+        body = _read_json(path, f"v{v}.json")  # FileNotFoundError -> vacuumed
+        if "files" in body:  # legacy full-snapshot manifest: its own base
+            state = _as_state(body)
+            break
+        deltas.append(body)
+        v -= 1
+    for delta in reversed(deltas):
+        _apply_delta(state, delta)
+    return state
 
 
 def _commit(
     path: str,
     version: int,
-    files: list[str],
     schema_ddl: str,
     txns: dict[str, int] | None = None,
     stats_cols: list[str] | None = None,
-    stats: dict[str, dict] | None = None,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    add_stats: dict[str, dict] | None = None,
+    op: str = "commit",
 ) -> None:
-    """Atomically publish snapshot ``version`` through the active
+    """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
     the optimistic-concurrency conflict, surfaced loudly. ``txns`` is the
     idempotent-writer watermark map (app -> highest applied transaction
     id, the Delta txnAppId/txnVersion pattern); every commit carries it
     forward so maintenance commits never forget an append's watermark.
-    ``stats_cols``/``stats`` are the per-file min/max skipping metadata
-    (see `_collect_file_stats`); carried forward the same way."""
+    ``add_stats`` holds per-file min/max for the ADDED files only (see
+    `_collect_file_stats`) — carried stats live in the resolved state,
+    never re-written per commit. After a successful publish, a checkpoint
+    is published every `CHECKPOINT_INTERVAL` versions (best-effort: the
+    commit is already durable; a racing identical checkpoint is fine)."""
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     body = {
         "version": version,
-        "files": sorted(files),
+        "op": op,
+        "add": sorted(add or []),
+        "remove": sorted(remove or []),
         "schema": schema_ddl,
         "txns": txns or {},
     }
     if stats_cols:
         body["stats_cols"] = list(stats_cols)
-        body["stats"] = {f: (stats or {}).get(f) for f in body["files"]}
+        body["add_stats"] = {f: (add_stats or {}).get(f) for f in body["add"]}
     payload = json.dumps(body).encode()
     try:
         _PROTOCOL.publish(d, f"v{version}.json", payload)
@@ -203,6 +308,38 @@ def _commit(
             f"concurrent commit conflict: version {version} of {path!r} "
             "already committed by another writer"
         ) from None
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            checkpoint_table(path, version)
+        except (CommitConflict, OSError):
+            pass  # another writer checkpointed (identical bytes) / IO blip
+
+
+def checkpoint_table(path: str, version: int | None = None) -> int:
+    """Publish ``checkpoint-vN.json`` — the full resolved state at N
+    (default: current version). Readers then replay only the delta tail
+    past it; `vacuum` prunes checkpoints older than the retention window.
+    Deterministic content per version, so concurrent checkpointers
+    conflict harmlessly. Returns the checkpointed version."""
+    if version is None:
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+    state = _read_manifest(path, version)
+    body = {
+        "version": version,
+        "files": state["files"],
+        "schema": state["schema"],
+        "txns": state["txns"],
+    }
+    if state["stats_cols"]:
+        body["stats_cols"] = state["stats_cols"]
+        body["stats"] = state["stats"]
+    _PROTOCOL.publish(
+        _manifest_dir(path), f"checkpoint-v{version}.json",
+        json.dumps(body).encode(),
+    )
+    return version
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -437,11 +574,19 @@ def init_table(df: DataFrame, path: str, stats_cols: list[str] | None = None) ->
     clustering columns (z2/z3, event date, tenant id) — stats on a column
     the layout does not cluster by skip nothing."""
     prior = current_version(path)
-    txns = _read_manifest(path, prior).get("txns", {}) if prior >= 0 else {}
+    if prior >= 0:
+        st = _read_manifest(path, prior)
+        txns, remove = st["txns"], st["files"]
+    else:
+        txns, remove = {}, []
     version = prior + 1
     files = _stage_files(df, path)
     stats = _collect_file_stats(path, files, stats_cols) if stats_cols else None
-    _commit(path, version, files, df.schema.json(), txns, stats_cols, stats)
+    _commit(
+        path, version, df.schema.json(), txns, stats_cols,
+        add=files, remove=remove, add_stats=stats,
+        op="overwrite" if prior >= 0 else "init",
+    )
     return version
 
 
@@ -505,7 +650,7 @@ def _merge_schemas(table_schema_json: str, batch_schema_json: str) -> str:
             raise ValueError(
                 f"merge_schema cannot change the type of column {f['name']!r} "
                 f"({f['type']} -> {b['type']}); type changes are an explicit "
-                "table rewrite, not an append"
+                "table rewrite, not an append — see rewrite_table_schema()"
             )
         merged.append({**f, "nullable": True})
     table_names = {f["name"] for f in table["fields"]}
@@ -538,11 +683,12 @@ def append_batch(
     microseconds, so concurrent appenders interleave instead of livelocking
     the way a stage-again-per-retry design would (the same reason Delta
     retries only its log write, never the data write). An append is
-    commutative with any interleaved commit: carried files are re-read
-    from the WINNER's manifest each attempt, so a racing DELETE/TRUNCATE
-    is never un-done, and the replay watermark is re-checked per attempt.
-    After ``max_commit_retries`` conflicts it raises — the caller is
-    racing a pathological commit storm and should back off.
+    commutative with any interleaved commit: its delta only ADDS the
+    staged files (existing files are never restated), so a racing
+    DELETE/TRUNCATE is never un-done, and the replay watermark and schema
+    are re-merged from the winner's state per attempt. After
+    ``max_commit_retries`` conflicts it raises — the caller is racing a
+    pathological commit storm and should back off.
 
     ``merge_schema=True`` opts into schema EVOLUTION (`_merge_schemas`):
     net-new batch columns are added to the table schema (old files read
@@ -568,7 +714,7 @@ def append_batch(
             if staged is None:
                 staged = _stage_files(df, path)
             try:
-                _commit(path, 0, staged, df.schema.json(), txns)
+                _commit(path, 0, df.schema.json(), txns, add=staged, op="append")
                 return 0
             except CommitConflict:
                 continue  # another writer created the table — append to it
@@ -599,16 +745,13 @@ def append_batch(
         if staged is None:
             staged = _stage_files(df, path)
         stats_cols = man.get("stats_cols")
-        stats = None
-        if stats_cols:
-            if staged_stats is None:
-                staged_stats = _collect_file_stats(path, staged, stats_cols)
-            stats = dict(man.get("stats") or {})
-            stats.update(staged_stats)
+        if stats_cols and staged_stats is None:
+            staged_stats = _collect_file_stats(path, staged, stats_cols)
         try:
             _commit(
-                path, version + 1, man["files"] + staged, schema, txns,
-                stats_cols, stats,
+                path, version + 1, schema, txns, stats_cols,
+                add=staged, add_stats=staged_stats if stats_cols else None,
+                op="append",
             )
             return version + 1
         except CommitConflict:
@@ -782,14 +925,15 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     ).where(~F.coalesce(cond, F.lit(False)))
     new_files = _stage_files(survivors, path)
     stats_cols = man.get("stats_cols")
-    stats = None
-    if stats_cols:
-        # carried files keep their recorded spans; only rewrites re-read
-        stats = {f: (man.get("stats") or {}).get(f) for f in carried}
-        stats.update(_collect_file_stats(path, new_files, stats_cols))
+    # carried files keep their recorded spans BY REFERENCE (the delta
+    # never re-writes them); only the rewritten files' footers are read
+    new_stats = (
+        _collect_file_stats(path, new_files, stats_cols) if stats_cols else None
+    )
     _commit(
-        path, version + 1, carried + new_files, man["schema"],
-        man.get("txns", {}), stats_cols, stats,
+        path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
+        add=new_files, remove=sorted(hit_names), add_stats=new_stats,
+        op="delete",
     )
     return {
         "version": version + 1,
@@ -809,10 +953,232 @@ def truncate_table(path: str) -> int:
     if not man["files"]:
         return version  # already empty — no version burned
     _commit(
-        path, version + 1, [], man["schema"], man.get("txns", {}),
-        man.get("stats_cols"), {},
+        path, version + 1, man["schema"], man.get("txns", {}),
+        man.get("stats_cols"), remove=man["files"], op="truncate",
     )
     return version + 1
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_input_files: int = 2,
+    cluster_by: str | None = None,
+    max_commit_retries: int = 40,
+) -> dict:
+    """OPTIMIZE: bin-pack live files smaller than ``target_bytes`` into
+    ~target-sized rewrites, published as ONE atomic commit (remove the
+    inputs, add the packed files) under the same optimistic-concurrency
+    loop as `append_batch`. This is what the reference's pipeline-final
+    `compact_table` (/root/reference/geomesa_cassandra.py:188-191) maps
+    to on the manifest layout — and what a long-lived streamed table
+    (`streaming/sinks.stream_to_manifest` appends one file set per
+    micro-batch forever) needs to stay readable: without it the scan
+    opens thousands of tiny files.
+
+    Clustering: rewrites are range-clustered + sorted on ``cluster_by``
+    (default: the table's first declared stats column, if any), so
+    compaction also REPAIRS data-skipping locality — interleaved small
+    appends each spanning the whole key range become tight disjoint
+    spans. With no cluster key the inputs are coalesced (no shuffle).
+
+    Concurrency: data files are staged once; only the metadata commit
+    retries. A conflicting commit is re-read and checked — if any input
+    file is no longer live (a racing DELETE/TRUNCATE rewrote it),
+    committing would resurrect its removed rows, so the compaction
+    ABORTS cleanly instead (staged files stay unreferenced; vacuum
+    reclaims them). Racing appends are commutative and the retry simply
+    lands on the next version. Returns stats (with an ``aborted`` reason
+    when applicable)."""
+    from pyspark.sql.types import StructType
+
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    man = _read_manifest(path, version)
+    data = _data_dir(path)
+    sizes: dict[str, int] = {}
+    for f in man["files"]:
+        try:
+            sizes[f] = os.path.getsize(os.path.join(data, f))
+        except FileNotFoundError:
+            sizes[f] = target_bytes  # unexpected; treat as not-compactable
+    inputs = sorted(f for f in man["files"] if sizes[f] < target_bytes)
+    if len(inputs) < max(2, min_input_files):
+        return {"version": version, "files_compacted": 0, "files_written": 0}
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    total = sum(sizes[f] for f in inputs)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(data, f) for f in inputs]
+    )
+    key = cluster_by or next(iter(man.get("stats_cols") or ()), None)
+    if key is not None and key in schema.fieldNames():
+        packed = df.repartitionByRange(n_out, F.col(key)).sortWithinPartitions(key)
+    else:
+        # no cluster key: pure bin-packing — coalesce is shuffle-free (the
+        # scan already groups small files into ~maxPartitionBytes splits)
+        packed = df.coalesce(n_out)
+    staged = _stage_files(packed, path)
+    stats_cols = man.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(path, staged, stats_cols) if stats_cols else None
+    )
+    input_set = set(inputs)
+    for _ in range(max_commit_retries):
+        try:
+            _commit(
+                path, version + 1, man["schema"], man["txns"], stats_cols,
+                add=staged, remove=inputs, add_stats=new_stats, op="compact",
+            )
+            return {
+                "version": version + 1,
+                "files_compacted": len(inputs),
+                "files_written": len(staged),
+            }
+        except CommitConflict:
+            version = current_version(path)
+            man = _read_manifest(path, version)
+            if not input_set <= set(man["files"]):
+                return {
+                    "version": version, "files_compacted": 0,
+                    "files_written": 0,
+                    "aborted": "input files rewritten by a concurrent commit",
+                }
+            # a racing merge_schema append may have evolved the schema: the
+            # packed files were written under the OLD schema, which stays
+            # valid — reads project through the manifest schema and
+            # null-backfill the added columns — so carry the winner's
+            # schema/txns and recommit
+    raise CommitConflict(
+        f"compact of {path!r} lost {max_commit_retries} consecutive commit "
+        "races; back off and retry"
+    )
+
+
+#: widening-only casts `rewrite_table_schema` accepts, by Spark
+#: simpleString: every value representable in the source type is exactly
+#: representable in the target (int->double is exact: |int| < 2^53;
+#: long->double is NOT and is refused).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("tinyint", "float"), ("smallint", "float"),
+    ("date", "timestamp_ntz"),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _is_widening(src: str, dst: str) -> bool:
+    if src == dst:
+        return True
+    if (src, dst) in _WIDENINGS:
+        return True
+    ms, md = _DECIMAL_RE.match(src), _DECIMAL_RE.match(dst)
+    if ms and md:
+        # same scale, no smaller precision: every old value fits exactly
+        return int(md.group(2)) == int(ms.group(2)) and int(md.group(1)) >= int(
+            ms.group(1)
+        )
+    return False
+
+
+def rewrite_table_schema(
+    spark: SparkSession, path: str, cast_map: dict[str, str]
+) -> int:
+    """The explicit type-widening migration `_merge_schemas`' refusal
+    points at: rewrite EVERY live file with the requested column casts
+    and commit the result (with the new schema) as one new version.
+    Only lossless widenings are accepted (`_is_widening`) — a narrowing
+    or lossy cast raises before any data is written. Time travel across
+    the boundary keeps working because every version carries its own
+    schema. Single-attempt commit: a concurrent writer surfaces as
+    `CommitConflict` — rerun the migration (it is idempotent in effect)."""
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    man = _read_manifest(path, version)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    names = schema.fieldNames()
+    unknown = sorted(set(cast_map) - set(names))
+    if unknown:
+        raise ValueError(f"rewrite_table_schema: no such column(s): {unknown}")
+    src_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # normalize the requested type through Spark's parser so synonyms
+    # (integer/int, long/bigint) compare canonically
+    empty = spark.createDataFrame([], schema)
+    target = empty.select(
+        *[
+            F.col(n).cast(cast_map[n]).alias(n) if n in cast_map else F.col(n)
+            for n in names
+        ]
+    )
+    dst_types = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    for col in cast_map:
+        if not _is_widening(src_types[col], dst_types[col]):
+            raise ValueError(
+                f"rewrite_table_schema: {src_types[col]} -> {dst_types[col]} "
+                f"on column {col!r} is not a lossless widening; refusing "
+                "(narrowings/lossy casts need an explicit transform + "
+                "init_table)"
+            )
+    df = read_table(spark, path)
+    out = df.select(
+        *[
+            F.col(n).cast(cast_map[n]).alias(n) if n in cast_map else F.col(n)
+            for n in names
+        ]
+    )
+    staged = _stage_files(out, path)
+    stats_cols = man.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(path, staged, stats_cols) if stats_cols else None
+    )
+    _commit(
+        path, version + 1, out.schema.json(), man["txns"], stats_cols,
+        add=staged, remove=man["files"], add_stats=new_stats,
+        op="rewrite-schema",
+    )
+    return version + 1
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one row per still-resolvable commit,
+    oldest first — version, operation verb, files added/removed, and
+    whether the version can still be time-traveled to (False once vacuum
+    pruned its delta). Reads only the commit files themselves (O(1) each,
+    never a full state resolution)."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        raise ValueError(f"no committed manifest under {path!r}")
+    rows = []
+    versions = sorted(
+        int(m.group(1)) for f in os.listdir(mdir) if (m := _MANIFEST_RE.match(f))
+    )
+    for v in versions:
+        try:
+            body = _read_json(path, f"v{v}.json")
+        except FileNotFoundError:
+            continue  # vacuumed between listdir and read
+        if "files" in body:  # legacy full-snapshot manifest
+            rows.append(
+                {"version": v, "op": body.get("op", "snapshot"),
+                 "n_add": len(body["files"]), "n_remove": 0}
+            )
+        else:
+            rows.append(
+                {"version": v, "op": body.get("op", "commit"),
+                 "n_add": len(body.get("add", ())),
+                 "n_remove": len(body.get("remove", ()))}
+            )
+    return rows
 
 
 def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
@@ -830,9 +1196,17 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
     version = current_version(path)
     if version < 0:
         return 0
-    keep = range(max(0, version - keep_versions + 1), version + 1)
+    oldest_kept = max(0, version - keep_versions + 1)
+    # before any delta older than the window is pruned, pin a BASE the
+    # retained versions can resolve from: a checkpoint at oldest_kept
+    # (idempotent — a racing vacuum publishes identical bytes)
+    if oldest_kept > 0:
+        try:
+            checkpoint_table(path, oldest_kept)
+        except CommitConflict:
+            pass  # already checkpointed
     live: set[str] = set()
-    for v in keep:
+    for v in range(oldest_kept, version + 1):
         try:
             live |= set(_read_manifest(path, v)["files"])
         except FileNotFoundError:
@@ -856,10 +1230,11 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
     # only SUPERSEDED manifests (strictly older than the retention window)
     # are removed — a manifest committed concurrently AFTER this vacuum's
     # version snapshot is a live transaction, and deleting it would revert
-    # the table and orphan its data files (permanent loss)
-    oldest_kept = max(0, version - keep_versions + 1)
+    # the table and orphan its data files (permanent loss). Checkpoints
+    # older than the window are superseded by the one pinned above.
     for f in os.listdir(mdir):
-        m = _MANIFEST_RE.match(f)
+        m = _MANIFEST_RE.match(f) or _CHECKPOINT_RE.match(f)
         if m and int(m.group(1)) < oldest_kept:
-            os.unlink(os.path.join(mdir, f))
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(os.path.join(mdir, f))
     return removed

@@ -280,3 +280,79 @@ def test_cli_remove_schema_manifest_backed(spark, tmp_path, catalog_path):
         ["list-sfts", "-k", "ks", "-c", "cat", "--catalog-path", catalog_path]
     )
     assert lines[1:] == ["roads"]
+
+
+@pytest.fixture()
+def manifest_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    path = str(tmp_path / "mtab")
+    for i in range(3):
+        tx.append_batch(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(10)], "k bigint"
+            ).coalesce(1),
+            path,
+        )
+    tx.delete_where(spark, path, F.col("k") >= 25)
+    return path
+
+
+def test_cli_versions_history(manifest_table):
+    rc, lines = _run(["versions", "--table-path", manifest_table])
+    assert rc == 0
+    assert lines[0] == "version\top\tn_add\tn_remove"
+    ops = [ln.split("\t")[1] for ln in lines[1:]]
+    assert ops == ["append", "append", "append", "delete"]
+
+
+def test_cli_read_table_time_travel(manifest_table):
+    # latest: 25 rows (5 deleted)
+    rc, lines = _run(
+        ["read-table", "--table-path", manifest_table, "--limit", "0"]
+    )
+    assert rc == 0 and len(lines) - 1 == 25
+    # pinned pre-delete version: all 30
+    rc, lines = _run(
+        ["read-table", "--table-path", manifest_table, "--limit", "0",
+         "--version", "2"]
+    )
+    assert rc == 0 and len(lines) - 1 == 30
+    # --limit caps output
+    rc, lines = _run(
+        ["read-table", "--table-path", manifest_table, "--limit", "7"]
+    )
+    assert rc == 0 and len(lines) - 1 == 7
+
+
+def test_cli_compact_and_vacuum_lifecycle(manifest_table):
+    import os
+
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    rc, lines = _run(
+        ["compact-table", "--table-path", manifest_table,
+         "--target-bytes", str(1 << 20)]
+    )
+    assert rc == 0 and lines[0].startswith("compacted 3 file(s) into ")
+    rc, lines = _run(
+        ["vacuum", "--table-path", manifest_table, "--keep-versions", "1",
+         "--grace-seconds", "0"]
+    )
+    assert rc == 0 and lines[0].startswith("vacuumed ")
+    n = int(lines[0].split()[1])
+    assert n >= 4
+    # post-vacuum: time travel outside the window refuses
+    with pytest.raises(ValueError, match="vacuumed"):
+        _run(["read-table", "--table-path", manifest_table, "--version", "0"])
+    # live read still fine, data dir holds exactly the live files
+    rc, lines = _run(
+        ["read-table", "--table-path", manifest_table, "--limit", "0"]
+    )
+    assert rc == 0 and len(lines) - 1 == 25
+    man = tx._read_manifest(manifest_table, tx.current_version(manifest_table))
+    assert set(os.listdir(os.path.join(manifest_table, "data"))) == set(
+        man["files"]
+    )
