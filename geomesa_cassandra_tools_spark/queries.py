@@ -2622,36 +2622,48 @@ def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profiler: null count, EXACT distinct count, and
     min/max per profiled column, one output row per column.
 
-    Plan shape: one per-column aggregate per profiled column, unioned.
-    Fusing several exact countDistincts into a single agg makes Catalyst
-    Expand-multiply the scan by (n_distincts + 1) — at 100 TB that is a 5×
-    read amplification. Per-column passes instead prune the parquet scan to
-    exactly one column each (total bytes touched = one full-width scan) and
-    each single-distinct agg plans as an ordinary two-phase partial
-    aggregation with NO Expand. A profiler that tolerates error should use
-    approx_count_distinct and fuse everything into one pass; this one's
-    contract is exact."""
+    Plan shape: ONE pass — a typed `stack` lane per profiled column
+    ((column_name, long-lane, string-lane, timestamp-lane), exactly one
+    lane non-null per row), a (column_name, value) partial-agg shuffle,
+    then a per-column rollup. Same bytes as per-column scans (the scan
+    reads only the profiled columns once, vs N single-column rescans)
+    but 1/5 the passes and 2 shuffles total instead of 2 per column —
+    at sf0.1 this dropped the query from 11 driver jobs to 3. Unlike
+    fusing countDistincts into one agg (whose Expand replicates the scan
+    rows n+1 times over ALL agg columns), the stack emits only the lane
+    each row profiles, and the first-phase map-side aggregation collapses
+    it before any wire traffic. The exact-distinct contract stays; a
+    profiler that tolerates error should swap approx_count_distinct into
+    the same single pass."""
     o = load_tables(spark, sf_dir)["orders"]
-
-    def profile(c: str, value_fmt) -> DataFrame:
-        return o.select(c).agg(
-            F.lit(c).alias("column_name"),
-            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
-            value_fmt(F.min(c)).alias("min_value"),
-            value_fmt(F.max(c)).alias("max_value"),
-        ).select("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
-
-    as_str = lambda col: col.cast("string")
-    as_date = lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss")
-    parts = [
-        profile(c, as_str)
-        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    ] + [profile("o_orderdate", as_date)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    dv_type = dict(o.dtypes)["o_orderdate"]
+    lanes = o.selectExpr(
+        "stack(5, "
+        f"'o_orderkey', o_orderkey, CAST(NULL AS STRING), CAST(NULL AS {dv_type}), "
+        f"'o_custkey', o_custkey, CAST(NULL AS STRING), CAST(NULL AS {dv_type}), "
+        f"'o_orderstatus', CAST(NULL AS BIGINT), o_orderstatus, CAST(NULL AS {dv_type}), "
+        f"'o_orderpriority', CAST(NULL AS BIGINT), o_orderpriority, CAST(NULL AS {dv_type}), "
+        f"'o_orderdate', CAST(NULL AS BIGINT), CAST(NULL AS STRING), o_orderdate"
+        ") AS (column_name, lv, sv, dv)"
+    )
+    per_value = lanes.groupBy("column_name", "lv", "sv", "dv").agg(
+        F.count("*").alias("cnt")
+    )
+    lane_null = F.col("lv").isNull() & F.col("sv").isNull() & F.col("dv").isNull()
+    return per_value.groupBy("column_name").agg(
+        F.sum(F.when(lane_null, F.col("cnt")).otherwise(F.lit(0))).alias("n_nulls"),
+        F.count(F.when(~lane_null, F.lit(1))).alias("n_distinct"),
+        F.coalesce(
+            F.min("lv").cast("string"),
+            F.min("sv"),
+            F.date_format(F.min("dv"), "yyyy-MM-dd HH:mm:ss"),
+        ).alias("min_value"),
+        F.coalesce(
+            F.max("lv").cast("string"),
+            F.max("sv"),
+            F.date_format(F.max("dv"), "yyyy-MM-dd HH:mm:ss"),
+        ).alias("max_value"),
+    )
 
 
 def q99_scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2683,8 +2695,10 @@ def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token SET (one groupBy on doc_id) expands to its ordered pairs
     with array higher-order functions — per-row JVM codegen, no self-join,
     no second pass over the corpus — then pair counts scale by doc
-    frequencies: lift = n_docs·c(a,b)/(c(a)·c(b)). The df aggregation reads
-    the same cached per-doc sets. At corpus scale the vocabulary must be
+    frequencies: lift = n_docs·c(a,b)/(c(a)·c(b)). Singles and pairs share
+    one explode + one count shuffle (tok_b NULL marks a single); the tiny
+    cached counts frame serves both the df broadcasts and the pair rows.
+    At corpus scale the vocabulary must be
     capped (top-K by document frequency) before pairing — this synthetic
     vocab is 30 tokens, so the cap is a no-op and omitted; the per-row
     expansion is |set|² bounded by that cap, which is what makes it safe.
@@ -2700,26 +2714,37 @@ def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
     )
-    _cache(tok_sets)
-    n_docs = docs.select(F.count("*").alias("n_docs"))
-    df = (
-        tok_sets.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
-    pairs = (
-        tok_sets.select(
-            F.explode(
+    # singles (tok_b NULL) and ordered pairs ride ONE explode into ONE
+    # (tok_a, tok_b) count shuffle — the corpus is read and aggregated
+    # once instead of once per granularity (was 12 driver jobs; the tiny
+    # cached counts frame then feeds df_a/df_b broadcasts and pair rows)
+    items = tok_sets.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(toks, x ->"
+                    " struct(x AS tok_a, CAST(NULL AS STRING) AS tok_b))"
+                ),
                 F.expr(
                     "flatten(transform(toks, (x, i) ->"
                     " transform(slice(toks, i + 2, size(toks)),"
                     " y -> struct(x AS tok_a, y AS tok_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
-        .agg(F.count("*").alias("pair_count"))
+                ),
+            )
+        ).alias("p")
     )
+    counts = _cache(
+        items.groupBy(
+            F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    df = counts.where(F.col("tok_b").isNull()).select(
+        F.col("tok_a").alias("tok"), F.col("cnt").alias("df")
+    )
+    pairs = counts.where(F.col("tok_b").isNotNull()).select(
+        "tok_a", "tok_b", F.col("cnt").alias("pair_count")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
     out = (
         pairs.join(F.broadcast(df.withColumnRenamed("tok", "tok_a")
                                .withColumnRenamed("df", "df_a")), "tok_a")
@@ -2985,11 +3010,18 @@ def q107_rolling_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: anti-join violation counts for each
-    declared FK edge, one result row per check — the data-quality gate a
-    pipeline runs before publishing a snapshot. Anti joins broadcast the
-    key-only dim side; each check is an independent scan so the three
-    union branches parallelize as separate stages."""
+    """Referential-integrity audit: violation counts for each declared FK
+    edge, one result row per check — the data-quality gate a pipeline runs
+    before publishing a snapshot. ALL checks ride one keyed pipeline:
+    facts and dims are tagged (fk_check, k) and unioned, the dim side
+    dedups, and one left join + one aggregate counts rows and misses per
+    check (the earlier per-check anti-join + separate fact-count +
+    crossJoin shape scanned every fact twice and cost 13 driver jobs for
+    27 tasks; this is 1 join + 1 agg for any number of declared edges).
+    Check names are disjoint key prefixes, so the shuffle domains never
+    collide. The dim-side dedup keeps the count exact even if the audited
+    "primary" key is itself corrupt — an integrity audit must not assume
+    the integrity it checks."""
     t = load_tables(spark, sf_dir)
     checks = [
         (
@@ -3008,15 +3040,21 @@ def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["nation"].select(F.col("n_nationkey").alias("k")),
         ),
     ]
-    frames = []
-    for name, fact, dim in checks:
-        viol = fact.join(dim, "k", "left_anti")
-        frames.append(
-            fact.agg(F.count("*").alias("n_checked")).crossJoin(
-                viol.agg(F.count("*").alias("n_violations"))
-            ).select(F.lit(name).alias("fk_check"), "n_checked", "n_violations")
-        )
-    return relational.union_all(frames)
+    fact_u = relational.union_all(
+        [f.select(F.lit(name).alias("fk_check"), "k") for name, f, _ in checks]
+    )
+    dim_u = relational.union_all(
+        [d.select(F.lit(name).alias("fk_check"), "k") for name, _, d in checks]
+    )
+    marked = fact_u.join(
+        dim_u.dropDuplicates(["fk_check", "k"]).withColumn("hit", F.lit(1)),
+        ["fk_check", "k"],
+        "left",
+    )
+    return marked.groupBy("fk_check").agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("hit").isNull(), F.lit(1))).alias("n_violations"),
+    )
 
 
 def q109_timed_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
