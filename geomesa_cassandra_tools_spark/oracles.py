@@ -2771,3 +2771,28 @@ FROM pts
 WHERE lon >= -60.0 AND lon <= -5.0 AND lat >= -35.0 AND lat <= 10.0
 GROUP BY event_type
 """
+
+# q149 proves OPTIMIZE changes layout, never data: the pre-compaction
+# snapshot, post-compaction snapshot, and a skipping read over the packed
+# files' re-harvested stats must all equal plain SQL over orders.
+ORACLES["q149_manifest_compaction"] = """
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT 'pre_compact' AS snapshot, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+       count(DISTINCT o_orderstatus) AS n_status
+FROM s
+UNION ALL
+SELECT 'post_compact', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM s
+UNION ALL
+SELECT 'post_compact_pruned', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM s WHERE o_orderkey BETWEEN 100 AND 5000
+"""
