@@ -71,6 +71,7 @@ def blas_hyperplane_signatures(
     planes: list[list[float]],
     id_col: str,
     vec_col: str,
+    ntables: int = 1,
 ) -> DataFrame:
     """`hyperplane_signature` computed by BLAS matmul (`mapInPandas`)
     instead of per-row interpreted folds — the corpus side of LSH is the
@@ -82,36 +83,62 @@ def blas_hyperplane_signatures(
     summation orders disagree on the SIGN of the dot product, which
     requires |dot| below float-sum noise — any |dot| < 1e-6 is therefore
     recomputed with the exact left-to-right sequential sum the JVM fold
-    uses, so borderline rows get the identical sign."""
+    uses, so borderline rows get the identical sign.
+
+    ``ntables > 1`` interprets ``planes`` as ntables CONSECUTIVE plane
+    sets of nbits each (multi-table LSH) and emits the long format
+    ``(id, vec, table, sig)`` — one matmul computes every table's bits,
+    so L tables cost one corpus pass, not L."""
     import numpy as np
     import pandas as pd
 
-    pl = np.array(planes, dtype=np.float64)  # nbits × dim
-    weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+    pl = np.array(planes, dtype=np.float64)  # (ntables*nbits) × dim
+    nbits = pl.shape[0] // ntables
+    weights = (1 << np.arange(nbits, dtype=np.int64))
 
     def compute(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            dots = mat @ pl.T  # n × nbits
+            dots = mat @ pl.T  # n × (ntables*nbits)
             for r, b in zip(*np.where(np.abs(dots) < 1e-6)):
                 acc = 0.0
                 for x, h in zip(mat[r], pl[b]):
                     acc = acc + float(x) * float(h)
                 dots[r, b] = acc
-            sig = ((dots >= 0) @ weights).astype(np.int64)
+            bits = dots >= 0
+            if ntables == 1:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col],
+                        "sig": (bits @ weights).astype(np.int64),
+                    }
+                )
+                continue
+            n = len(pdf)
+            sigs = np.empty((n, ntables), dtype=np.int64)
+            for t in range(ntables):
+                sigs[:, t] = bits[:, t * nbits:(t + 1) * nbits] @ weights
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "sig": sig,
+                    id_col: np.repeat(pdf[id_col].to_numpy(), ntables),
+                    vec_col: pdf[vec_col].to_numpy().repeat(ntables),
+                    "table": np.tile(
+                        np.arange(ntables, dtype=np.int32), n
+                    ),
+                    "sig": sigs.reshape(-1),
                 }
             )
 
-    return df.mapInPandas(
-        compute, f"{id_col} bigint, {vec_col} array<double>, sig bigint"
-    )
+    if ntables == 1:
+        schema = f"{id_col} bigint, {vec_col} array<double>, sig bigint"
+    else:
+        schema = (
+            f"{id_col} bigint, {vec_col} array<double>, table int, sig bigint"
+        )
+    return df.mapInPandas(compute, schema)
 
 
 def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -133,19 +160,29 @@ def corpus_hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    ntables: int = 1,
 ) -> DataFrame:
     """The corpus side of hyperplane LSH as a standalone frame
     ``(cand_id, cv, sig)`` — mirroring ``minhash_signatures``' shape so
     callers compute the (expensive, full-scan) BLAS signature pass ONCE,
     persist it, and share it across every probe variant (plain, multiprobe,
     different k). This is the production shape: signatures are a
-    materialized index table, not a per-query derivation."""
-    planes = random_hyperplanes(dim, nbits, seed)
+    materialized index table, not a per-query derivation.
+
+    ``ntables > 1`` emits the multi-table long format
+    ``(cand_id, cv, table, sig)`` — L independent hash tables from one
+    corpus pass (the classic LSH recall lever: a true neighbor is missed
+    only if it hashes apart in EVERY table, so miss probability decays
+    exponentially in L while candidate volume grows only linearly).
+    Table 0's planes are exactly the ntables=1 planes (one LCG stream),
+    so single-table indexes stay byte-identical."""
+    planes = random_hyperplanes(dim, nbits * ntables, seed)
     return blas_hyperplane_signatures(
         ensure_parallelism(_prep(corpus, id_col, vec_col, "cand_id", "cv")),
         planes,
         "cand_id",
         "cv",
+        ntables=ntables,
     )
 
 
@@ -160,6 +197,7 @@ def lsh_cosine_topk(
     multiprobe: int = 0,
     corpus_sigs: DataFrame | None = None,
     seed: int = 42,
+    ntables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose hyperplane signature
     equals the query's. Equi-join on the signature → hash join, ~n/2^nbits
@@ -169,19 +207,47 @@ def lsh_cosine_topk(
     join stays equi, candidates grow ~(m+1)×, recall rises accordingly).
     This is the 100 TB path where brute force is off the table.
 
+    ``ntables=L`` probes L INDEPENDENT hash tables and unions candidates —
+    the standard LSH recall lever and, per the committed sweep
+    (bench_data/ann_recall_sweep_sf0.1.tsv), the one that matters: a
+    single table's recall collapses once 2^nbits passes the corpus/bucket
+    sweet spot, while a neighbor escapes L tables only with exponentially
+    small probability. Candidates grow ~L×; the join stays equi on
+    (table, sig). Composes with multiprobe (applied per table).
+
     ``corpus_sigs`` (from ``corpus_hyperplane_signatures`` with the same
-    dim/nbits/seed, usually persisted) skips the corpus BLAS pass entirely —
-    pass it whenever more than one probe variant runs over the same corpus.
-    ``seed`` MUST match the one the corpus signatures were built with: the
-    query side hashes with these planes, and a mismatched seed silently
-    degrades recall to chance (~n/2^nbits random buckets) — there is no
-    way to detect it from the data, so the parameter is explicit here
-    instead of hardcoded.
+    dim/nbits/seed/ntables, usually persisted) skips the corpus BLAS pass
+    entirely — pass it whenever more than one probe variant runs over the
+    same corpus. ``seed`` MUST match the one the corpus signatures were
+    built with: the query side hashes with these planes, and a mismatched
+    seed silently degrades recall to chance (~n/2^nbits random buckets) —
+    there is no way to detect it from the data, so the parameter is
+    explicit here instead of hardcoded.
     """
-    planes = random_hyperplanes(dim, nbits, seed=seed)
-    q = _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
-        "sig", hyperplane_signature(F.col("qv"), planes)
-    )
+    all_planes = random_hyperplanes(dim, nbits * ntables, seed=seed)
+    q = _prep(queries, id_col, vec_col, "query_id", "qv")
+    if ntables == 1:
+        q = q.withColumn(
+            "sig", hyperplane_signature(F.col("qv"), all_planes)
+        )
+    else:
+        per_table = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("qv"), all_planes[t * nbits:(t + 1) * nbits]
+                    ).alias("sig"),
+                )
+                for t in range(ntables)
+            ]
+        )
+        q = (
+            q.withColumn("ts", F.explode(per_table))
+            .withColumn("table", F.col("ts.table"))
+            .withColumn("sig", F.col("ts.sig"))
+            .drop("ts")
+        )
     if multiprobe > 0:
         probes = F.array(
             F.col("sig"),
@@ -192,20 +258,28 @@ def lsh_cosine_topk(
         corpus_sigs
         if corpus_sigs is not None
         else corpus_hyperplane_signatures(
-            corpus, dim, nbits, id_col, vec_col, seed=seed
+            corpus, dim, nbits, id_col, vec_col, seed=seed, ntables=ntables
         )
     )
+    if ntables > 1 and "table" not in c.columns:
+        raise ValueError(
+            "ntables > 1 needs multi-table corpus signatures — rebuild "
+            "corpus_sigs with the same ntables"
+        )
+    join_cond = (F.col("q.sig") == F.col("c.sig")) & (
+        F.col("query_id") != F.col("cand_id")
+    )
+    if ntables > 1:
+        join_cond = join_cond & (F.col("q.table") == F.col("c.table"))
     pairs = (
         F.broadcast(q)
         .alias("q")
-        .join(
-            c.alias("c"),
-            (F.col("q.sig") == F.col("c.sig")) & (F.col("query_id") != F.col("cand_id")),
-        )
+        .join(c.alias("c"), join_cond)
         .select("query_id", "cand_id", "qv", "cv")
     )
-    if multiprobe > 0:
-        # a candidate can land in several probed buckets — dedup before scoring
+    if multiprobe > 0 or ntables > 1:
+        # a candidate can land in several probed buckets/tables — dedup
+        # before scoring
         pairs = pairs.dropDuplicates(["query_id", "cand_id"])
     scored = pairs.select(
         "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos")

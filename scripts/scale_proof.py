@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Scaling proof (r6 VERDICT item 7): measure the 12 data-heavy queries at
+sf0.1 AND at a 10x synthetic scale-up, Spark vs DuckDB, so the "would
+this hold at 100x" claims rest on a measured slope instead of plan-shape
+argument alone.
+
+The scaled corpus lives under /tmp (driver testdata is read-only): events,
+documents, and embeddings are replicated 10x with DETERMINISTIC identity
+remapping that preserves each table's statistical character instead of
+creating degenerate duplicates —
+
+- events: ids/users offset per copy (per-user event counts stay constant;
+  the time range stays fixed, i.e. density grows — the realistic shape);
+- documents: per-copy VOCABULARY rotation (every word maps through a
+  rotated vocab permutation). Within a copy the near-dup structure is
+  exactly the original's; across copies shingles never collide — so dedup
+  work grows LINEARLY in copies, the honest 10x, not the quadratic blowup
+  verbatim duplication would inject;
+- embeddings: per-copy cyclic component rotation (norms and within-copy
+  geometry preserved; cross-copy cosines decorrelate).
+
+Small dimension tables are hard-linked from the source sf dir. Timings are
+per-query minima over SPARK_GRAFT_RUNS (default 2) noop-sink runs; DuckDB
+runs each query's oracle_sql() on views over the same parquet.
+
+Usage: python scripts/scale_proof.py [base_sf_dir] [copies]
+Writes bench_data/scale_proof_<copies>x.tsv.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES_UNDER_TEST = [
+    "q15_minhash_signatures",
+    "q16_lsh_near_dups",
+    "q28_embedding_near_dups",
+    "q58_neardup_clusters",
+    "q77_spatial_join",
+    "q122_trajectory_similarity_join",
+    "q129_spatial_dwithin_join",
+    "q132_incremental_lsh_dedup",
+    "q133_cms_heavy_hitters",
+    "q135_chunk_dedup_retention",
+    "q142_bloom_decontaminate_audit",
+    "q144_manifest_skipping_scan",
+]
+
+
+def build_scaled_dir(base: str, copies: int) -> str:
+    """Materialize the scaled corpus once; keyed by source identity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src_ev = os.path.join(base, "events.parquet")
+    tag = f"{os.path.getsize(src_ev)}_{int(os.path.getmtime(src_ev))}"
+    out_dir = f"/tmp/gcts_scale_{copies}x_{tag}"
+    done = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    # small tables: hard links (same bytes, no copy cost)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem",
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.link(os.path.join(base, f"{t}.parquet"), dst)
+
+    # events: offset ids/users per copy
+    ev = pq.read_table(src_ev)
+    ev_max_id = pc.max(ev["event_id"]).as_py() + 1
+    ev_max_user = pc.max(ev["user_id"]).as_py() + 1
+    parts = []
+    for c in range(copies):
+        t = ev
+        if c:
+            t = t.set_column(
+                t.schema.get_field_index("event_id"), "event_id",
+                pc.add(t["event_id"], c * ev_max_id),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("user_id"), "user_id",
+                pc.add(t["user_id"], c * ev_max_user),
+            )
+        parts.append(t)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(out_dir, "events.parquet")
+    )
+
+    # documents: vocab rotation per copy
+    docs = pq.read_table(os.path.join(base, "documents.parquet")).to_pandas()
+    vocab = sorted({w for txt in docs["text"] for w in txt.split(" ") if w})
+    v = len(vocab)
+    idx = {w: i for i, w in enumerate(vocab)}
+    d_max = int(docs["doc_id"].max()) + 1
+    frames = []
+    for c in range(copies):
+        d = docs.copy()
+        if c:
+            rot = c * 7 % v or 1
+            perm = {w: vocab[(idx[w] + rot) % v] for w in vocab}
+            d["text"] = d["text"].map(
+                lambda s, p=perm: " ".join(p.get(w, w) for w in s.split(" "))
+            )
+            d["doc_id"] = d["doc_id"] + c * d_max
+            d["n_chars"] = d["text"].str.len()
+        frames.append(d)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                             preserve_index=False),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    # embeddings: cyclic component rotation per copy
+    embt = pq.read_table(os.path.join(base, "embeddings.parquet")).to_pandas()
+    e_max = int(embt["vec_id"].max()) + 1
+    eframes = []
+    for c in range(copies):
+        e = embt.copy()
+        if c:
+            e["embedding"] = e["embedding"].map(
+                lambda a, c=c: np.roll(np.asarray(a, dtype=np.float32), c)
+            )
+            e["vec_id"] = e["vec_id"] + c * e_max
+        eframes.append(e)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(eframes, ignore_index=True),
+                             preserve_index=False),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    open(done, "w").close()
+    return out_dir
+
+
+def time_spark(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    from geomesa_cassandra_tools_spark.queries import (
+        QUERIES, release_query_caches, release_shared_caches,
+    )
+    from geomesa_cassandra_tools_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+    release_shared_caches()
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in QUERIES_UNDER_TEST:
+            release_query_caches()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+        release_query_caches()
+        release_shared_caches()
+    return best
+
+
+def time_duckdb(sf_dir: str, runs: int) -> dict[str, float]:
+    import duckdb
+
+    from geomesa_cassandra_tools_spark.oracles import ORACLES
+    from geomesa_cassandra_tools_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in QUERIES_UNDER_TEST:
+            t0 = time.perf_counter()
+            con.execute(ORACLES[name]).fetchall()
+            dt = time.perf_counter() - t0
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return best
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    scaled = build_scaled_dir(base, copies)
+    print(f"# scaled corpus: {scaled}", file=sys.stderr)
+
+    from geomesa_cassandra_tools_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale-proof", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    s_base = time_spark(spark, base, runs)
+    s_scaled = time_spark(spark, scaled, runs)
+    d_base = time_duckdb(base, runs)
+    d_scaled = time_duckdb(scaled, runs)
+
+    header = (
+        "query\tspark_base_s\tspark_10x_s\tspark_slope\t"
+        "duck_base_s\tduck_10x_s\tduck_slope\tratio_base\tratio_10x"
+    )
+    lines = [header]
+    for name in QUERIES_UNDER_TEST:
+        sb, ss = s_base[name], s_scaled[name]
+        db, ds = d_base[name], d_scaled[name]
+        lines.append(
+            f"{name}\t{sb:.2f}\t{ss:.2f}\t{ss / sb:.1f}\t"
+            f"{db:.2f}\t{ds:.2f}\t{ds / db:.1f}\t"
+            f"{sb / db:.2f}\t{ss / ds:.2f}"
+        )
+    out = "\n".join(lines)
+    print(out)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_data", f"scale_proof_{copies}x.tsv",
+    )
+    with open(path, "w") as fh:
+        fh.write(out + "\n")
+    print(f"# written: {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

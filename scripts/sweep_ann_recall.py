@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""ANN recall/cost knob sweep (r6 VERDICT item 8): measure what the LSH
+bucket width (nbits), multiprobe count, and IVF probe count actually buy
+on THIS corpus, so q146's defaults are justified by a curve instead of a
+single calibration point.
+
+For 32 query vectors against the full embeddings corpus:
+- exact cosine top-5 (`cosine_topk`) is the recall baseline, computed once;
+- LSH (`lsh_cosine_topk`) sweeps nbits x multiprobe — wider signatures
+  shrink buckets (cheaper, lower recall); multiprobe widens the probe set
+  (recall back up at ~(m+1)x candidate cost);
+- IVF (`ivf_topk`) sweeps nprobe over 8 coarse centroids.
+
+Per variant: mean recall@5 (sum hits / sum exact) and wall seconds for
+the full pipeline INCLUDING its index/signature build — the one-shot cost
+a production run would amortize, disclosed rather than hidden. Output is
+one TSV row per variant (stdout + bench_data/ann_recall_sweep_<sf>.tsv);
+BENCH.md carries the committed table.
+
+Usage: python scripts/sweep_ann_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geomesa_cassandra_tools_spark.operators import similarity  # noqa: E402
+from geomesa_cassandra_tools_spark.session import get_spark  # noqa: E402
+from geomesa_cassandra_tools_spark.sources.tables import load_tables  # noqa: E402
+
+N_QUERIES = 32
+K = 5
+DIM = 64
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="ann-recall-sweep", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.where(F.col("vec_id") < N_QUERIES)
+
+    exact = (
+        similarity.cosine_topk(qv, emb, k=K)
+        .select("query_id", "cand_id")
+        .persist()
+    )
+    n_exact = exact.count()  # materialize the baseline once
+
+    def recall_of(approx_df) -> float:
+        hits = exact.join(
+            approx_df.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_semi",
+        ).count()
+        return hits / n_exact
+
+    rows = []
+
+    for nbits in (8, 16, 32):
+        for multiprobe in (0, 1, 2):
+            t0 = time.perf_counter()
+            sigs = similarity.corpus_hyperplane_signatures(
+                emb, dim=DIM, nbits=nbits
+            )
+            approx = similarity.lsh_cosine_topk(
+                qv, emb, k=K, dim=DIM, nbits=nbits,
+                multiprobe=multiprobe, corpus_sigs=sigs,
+            )
+            r = recall_of(approx)
+            wall = time.perf_counter() - t0
+            rows.append(
+                ("lsh", f"nbits={nbits} multiprobe={multiprobe} ntables=1",
+                 r, wall)
+            )
+
+    # the multi-table lever: L independent tables, union of candidates
+    for nbits in (8, 16):
+        for ntables in (4, 8, 16):
+            t0 = time.perf_counter()
+            sigs = similarity.corpus_hyperplane_signatures(
+                emb, dim=DIM, nbits=nbits, ntables=ntables
+            )
+            approx = similarity.lsh_cosine_topk(
+                qv, emb, k=K, dim=DIM, nbits=nbits,
+                corpus_sigs=sigs, ntables=ntables,
+            )
+            r = recall_of(approx)
+            wall = time.perf_counter() - t0
+            rows.append(
+                ("lsh", f"nbits={nbits} multiprobe=0 ntables={ntables}",
+                 r, wall)
+            )
+
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    for nprobe in (1, 2, 4):
+        t0 = time.perf_counter()
+        approx = similarity.ivf_topk(
+            qv, emb, k=K, centroids=centroids, nprobe=nprobe
+        )
+        r = recall_of(approx)
+        wall = time.perf_counter() - t0
+        rows.append(("ivf", f"ncentroids=8 nprobe={nprobe}", r, wall))
+
+    exact.unpersist()
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_data", f"ann_recall_sweep_{sf}.tsv",
+    )
+    header = "path\tparams\trecall_at_5\twall_s"
+    lines = [header] + [
+        f"{p}\t{params}\t{r:.4f}\t{w:.2f}" for p, params, r, w in rows
+    ]
+    print("\n".join(lines))
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"# written: {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

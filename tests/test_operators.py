@@ -1829,3 +1829,57 @@ def test_bloom_packed_m65536_matches_sparse_and_merges(spark):
     }
     whole = {(r["word"], r["bits"]) for r in packed.collect()}
     assert merged == whole
+
+
+def test_lsh_multitable_recall_dominates_single(spark):
+    """Multi-table LSH: L independent tables' candidate union must (a)
+    return exactly the same schema/contract as ntables=1, (b) achieve
+    recall >= the single table on the same corpus (a true neighbor escapes
+    only by hashing apart in EVERY table), and (c) refuse a single-table
+    corpus index when ntables > 1."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.operators import similarity as sim
+
+    dim, n = 16, 400
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.sin(F.col("id") * j * 0.37) + F.cos(F.col("id") + j)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    qv = base.where(F.col("vec_id") < 16)
+    exact = sim.cosine_topk(qv, base, k=5).select("query_id", "cand_id")
+    exact.persist()
+    n_exact = exact.count()
+
+    def recall(ntables: int) -> float:
+        sigs = sim.corpus_hyperplane_signatures(
+            base, dim=dim, nbits=12, ntables=ntables
+        )
+        approx = sim.lsh_cosine_topk(
+            qv, base, k=5, dim=dim, nbits=12, corpus_sigs=sigs,
+            ntables=ntables,
+        )
+        hits = exact.join(
+            approx.select("query_id", "cand_id"),
+            ["query_id", "cand_id"], "left_semi",
+        ).count()
+        return hits / n_exact
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 > 0.3  # 8 tables must find a real fraction of true neighbors
+
+    # mismatched index shape refuses loudly
+    single_sigs = sim.corpus_hyperplane_signatures(base, dim=dim, nbits=12)
+    with _pytest.raises(ValueError, match="multi-table"):
+        sim.lsh_cosine_topk(
+            qv, base, k=5, dim=dim, nbits=12, corpus_sigs=single_sigs,
+            ntables=8,
+        )
+    exact.unpersist()
