@@ -208,9 +208,13 @@ def main() -> None:
     spark = get_spark(app_name="scale-proof", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    print("# timing spark @ base", file=sys.stderr, flush=True)
     s_base = time_spark(spark, base, runs)
+    print("# timing spark @ scaled", file=sys.stderr, flush=True)
     s_scaled = time_spark(spark, scaled, runs)
+    print("# timing duckdb @ base", file=sys.stderr, flush=True)
     d_base = time_duckdb(base, runs)
+    print("# timing duckdb @ scaled", file=sys.stderr, flush=True)
     d_scaled = time_duckdb(scaled, runs)
 
     header = (
