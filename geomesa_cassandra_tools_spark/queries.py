@@ -3495,7 +3495,18 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
     user_id, shared with nothing downstream) so the verify step needs no
     size-lookup joins at all — the pair aggregation reads na/nb off its
     own input rows. This is the scalable shape for "find objects that
-    move alike": index, co-group, verify."""
+    move alike": index, co-group, verify.
+
+    Scale audit (r7, bench_data/scale_proof_10x.tsv): candidate pairs per
+    cell grow with the SQUARE of its posting-list length, and this
+    query's deliberately coarse 10x10 grid makes every cell hot — at 10x
+    corpus density the wall grew 33x (DuckDB: 226x; the shape, not the
+    engine). The production knob is GRID RESOLUTION: size cells so
+    E[users/cell] stays bounded as density grows (finer z-cells — the
+    same resolution lever q22/q77 expose), optionally plus a hot-cell
+    cap (the q16 `max_df` stopword analog) for pathological cells. The
+    certified query keeps the coarse grid: it is the calibration shape
+    that MAKES the quadratic visible."""
     ev = load_tables(spark, sf_dir)["events"]
     cells = ev.select(
         "user_id",
