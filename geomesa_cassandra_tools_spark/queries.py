@@ -2695,10 +2695,8 @@ def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token SET (one groupBy on doc_id) expands to its ordered pairs
     with array higher-order functions — per-row JVM codegen, no self-join,
     no second pass over the corpus — then pair counts scale by doc
-    frequencies: lift = n_docs·c(a,b)/(c(a)·c(b)). Singles and pairs share
-    one explode + one count shuffle (tok_b NULL marks a single); the tiny
-    cached counts frame serves both the df broadcasts and the pair rows.
-    At corpus scale the vocabulary must be
+    frequencies: lift = n_docs·c(a,b)/(c(a)·c(b)). The df aggregation reads
+    the same cached per-doc sets. At corpus scale the vocabulary must be
     capped (top-K by document frequency) before pairing — this synthetic
     vocab is 30 tokens, so the cap is a no-op and omitted; the per-row
     expansion is |set|² bounded by that cap, which is what makes it safe.
@@ -2714,37 +2712,33 @@ def q100_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
     )
-    # singles (tok_b NULL) and ordered pairs ride ONE explode into ONE
-    # (tok_a, tok_b) count shuffle — the corpus is read and aggregated
-    # once instead of once per granularity (was 12 driver jobs; the tiny
-    # cached counts frame then feeds df_a/df_b broadcasts and pair rows)
-    items = tok_sets.select(
-        F.explode(
-            F.concat(
-                F.expr(
-                    "transform(toks, x ->"
-                    " struct(x AS tok_a, CAST(NULL AS STRING) AS tok_b))"
-                ),
+    # r7 A/B note: a fused shape (singles tagged tok_b=NULL riding the
+    # pair explode into ONE count shuffle, tiny cached counts frame
+    # feeding both df broadcasts) measured 12->10 driver jobs but 1.27 ->
+    # 1.51 s wall interleaved-min-of-3 — the persist sync + wider explode
+    # cost more than the saved shuffle. Kept shape: df and pairs as
+    # separate aggregations over the cached per-doc sets; job count is a
+    # proxy, the wall A/B is the decider.
+    _cache(tok_sets)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df = (
+        tok_sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    pairs = (
+        tok_sets.select(
+            F.explode(
                 F.expr(
                     "flatten(transform(toks, (x, i) ->"
                     " transform(slice(toks, i + 2, size(toks)),"
                     " y -> struct(x AS tok_a, y AS tok_b))))"
-                ),
-            )
-        ).alias("p")
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count("*").alias("pair_count"))
     )
-    counts = _cache(
-        items.groupBy(
-            F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
-        ).agg(F.count("*").alias("cnt"))
-    )
-    df = counts.where(F.col("tok_b").isNull()).select(
-        F.col("tok_a").alias("tok"), F.col("cnt").alias("df")
-    )
-    pairs = counts.where(F.col("tok_b").isNotNull()).select(
-        "tok_a", "tok_b", F.col("cnt").alias("pair_count")
-    )
-    n_docs = docs.select(F.count("*").alias("n_docs"))
     out = (
         pairs.join(F.broadcast(df.withColumnRenamed("tok", "tok_a")
                                .withColumnRenamed("df", "df_a")), "tok_a")
@@ -3012,14 +3006,15 @@ def q107_rolling_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: violation counts for each declared FK
     edge, one result row per check — the data-quality gate a pipeline runs
-    before publishing a snapshot. ALL checks ride one keyed pipeline:
-    facts and dims are tagged (fk_check, k) and unioned, the dim side
-    dedups, and one left join + one aggregate counts rows and misses per
-    check (the earlier per-check anti-join + separate fact-count +
-    crossJoin shape scanned every fact twice and cost 13 driver jobs for
-    27 tasks; this is 1 join + 1 agg for any number of declared edges).
-    Check names are disjoint key prefixes, so the shuffle domains never
-    collide. The dim-side dedup keeps the count exact even if the audited
+    before publishing a snapshot. Each check is ONE pass over its fact
+    side: left-join the deduped dim keys, count rows and misses in a
+    single aggregate (the r6 shape scanned every fact twice — anti-join +
+    separate count + crossJoin — for 13 driver jobs; this is 3 branches ×
+    1 scan, ~10 jobs, A/B-measured at wall parity). A fully fused
+    union-of-all-checks pipeline was ALSO measured and REJECTED: tagging
+    facts (fk_check, k) and deduping the union forces real shuffles where
+    AQE would broadcast each small deduped dim — 2× the wall for a 4-job
+    count. The dim-side dedup keeps the count exact even if the audited
     "primary" key is itself corrupt — an integrity audit must not assume
     the integrity it checks."""
     t = load_tables(spark, sf_dir)
@@ -3040,21 +3035,21 @@ def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["nation"].select(F.col("n_nationkey").alias("k")),
         ),
     ]
-    fact_u = relational.union_all(
-        [f.select(F.lit(name).alias("fk_check"), "k") for name, f, _ in checks]
-    )
-    dim_u = relational.union_all(
-        [d.select(F.lit(name).alias("fk_check"), "k") for name, _, d in checks]
-    )
-    marked = fact_u.join(
-        dim_u.dropDuplicates(["fk_check", "k"]).withColumn("hit", F.lit(1)),
-        ["fk_check", "k"],
-        "left",
-    )
-    return marked.groupBy("fk_check").agg(
-        F.count("*").alias("n_checked"),
-        F.count(F.when(F.col("hit").isNull(), F.lit(1))).alias("n_violations"),
-    )
+    frames = []
+    for name, fact, dim in checks:
+        marked = fact.join(
+            dim.dropDuplicates(["k"]).withColumn("hit", F.lit(1)), "k", "left"
+        )
+        frames.append(
+            marked.agg(
+                F.lit(name).alias("fk_check"),
+                F.count("*").alias("n_checked"),
+                F.count(F.when(F.col("hit").isNull(), F.lit(1))).alias(
+                    "n_violations"
+                ),
+            ).select("fk_check", "n_checked", "n_violations")
+        )
+    return relational.union_all(frames)
 
 
 def q109_timed_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
