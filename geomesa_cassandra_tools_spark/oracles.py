@@ -26,11 +26,16 @@ _VEC_CTE = """
 _COS = "list_sum(list_transform(range(1, len({q}.e) + 1), i -> {q}.e[i] * {c}.e[i])) / ({q}.nrm * {c}.nrm)"
 
 
-def _hyperplane_sig_sql(dim: int = 64, nbits: int = 8) -> str:
+def _hyperplane_sig_sql(
+    dim: int = 64, nbits: int = 8, planes: list | None = None
+) -> str:
     """Signature expression mirroring similarity.hyperplane_signature: per
     plane a flat left-associated dot-product chain (same fold order as the
-    Spark `aggregate`, so the sign test sees bit-identical doubles)."""
-    planes = random_hyperplanes(dim, nbits)
+    Spark `aggregate`, so the sign test sees bit-identical doubles).
+    ``planes`` overrides the default single-table plane set — the
+    multi-table oracle (q150) passes each table's slice of the one LCG
+    stream, exactly as the operator slices it."""
+    planes = planes if planes is not None else random_hyperplanes(dim, nbits)
     terms = []
     for i, row in enumerate(planes):
         dot = " + ".join(f"e[{j + 1}] * ({x!r})" for j, x in enumerate(row))
@@ -2795,4 +2800,31 @@ SELECT 'post_compact_pruned', count(*),
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
        min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
 FROM s WHERE o_orderkey BETWEEN 100 AND 5000
+"""
+
+# q150 unrolls the MULTI-TABLE LSH path: four independent 8-bit signatures
+# per vector (four consecutive slices of the ONE LCG plane stream — exactly
+# how the operator slices it), candidates = pairs agreeing in ANY table,
+# then the same exact-cosine rerank as q26.
+_MT_PLANES = random_hyperplanes(64, 8 * 4)
+_MT_SIGS = ", ".join(
+    f"({_hyperplane_sig_sql(64, 8, planes=_MT_PLANES[t * 8:(t + 1) * 8])}) AS g{t}"
+    for t in range(4)
+)
+ORACLES["q150_lsh_multitable_topk"] = f"""
+WITH {_VEC_CTE},
+s0 AS (SELECT vec_id, e, nrm, {_MT_SIGS} FROM n),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_COS.format(q='q', c='c')} AS cos
+  FROM s0 q JOIN s0 c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+   AND (q.g0 = c.g0 OR q.g1 = c.g1 OR q.g2 = c.g2 OR q.g3 = c.g3)
+),
+r AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+  FROM s
+)
+SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 5
 """

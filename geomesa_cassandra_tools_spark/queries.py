@@ -4604,6 +4604,28 @@ def q146_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH top-5 driver-certified (the r7 `ntables`
+    operator): four independent 8-bit hash tables — four consecutive
+    slices of the one LCG plane stream, all computed in ONE corpus BLAS
+    pass — candidates are pairs agreeing in ANY table (union, deduped),
+    reranked by exact cosine. Per the committed sweep
+    (bench_data/ann_recall_sweep_sf0.1.tsv / BENCH.md Appendix A), table
+    count is the recall lever that still works once 2^nbits outgrows the
+    corpus: a true neighbor is missed only by hashing apart in EVERY
+    table, so miss probability decays exponentially in L while candidate
+    volume grows only linearly. The oracle unrolls all four signature
+    chains and the OR-of-tables candidate join in SQL."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = similarity.lsh_cosine_topk(
+        emb.where(F.col("vec_id") < 8), emb, k=5, dim=64, nbits=8, ntables=4,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").alias("rnk"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
 def q147_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`relational.salted_join` driver-certified (r5 VERDICT item 7: the
     operator was unit-only). The shape is THE classic skew case: a fact
@@ -4830,9 +4852,10 @@ def _with_cache_release(
 # Registry order is VERIFICATION-FIRST, not numeric: the external
 # correctness harness checks exactly the first 50 entries per round.
 # Round-7 window = the round-6 window with q149 (manifest OPTIMIZE
-# lifecycle, first driver certification) inserted after q148, displacing
-# one more tail entry below the line — displaced entries' code and
-# values are unchanged since their green rows, so union coverage holds.
+# lifecycle) and q150 (multi-table LSH, the r7 ntables operator) — both
+# first driver certifications — inserted after q148, displacing two more
+# tail entries below the line; displaced entries' code and values are
+# unchanged since their green rows, so union coverage holds.
 # No existing query's VALUES changed in round 7 (the q98/q100/q108 job
 # reductions are plan-only — re-verified against their oracles; the
 # manifest delta-log redesign changes the LOG format, not any read
@@ -4871,6 +4894,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_salted_skew_join": q147_salted_skew_join,
     "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
     "q149_manifest_compaction": q149_manifest_compaction,
+    "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
