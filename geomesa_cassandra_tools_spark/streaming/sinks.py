@@ -32,6 +32,8 @@ def stream_to_manifest(
     query_name: str,
     checkpoint: str | None = None,
     timeout_sec: int = 120,
+    compact_every: int | None = None,
+    compact_target_bytes: int = 128 << 20,
 ) -> int:
     """Drain a bounded stream (Trigger.AvailableNow) into the manifest
     table at ``table_path`` exactly once, and return how many micro-batch
@@ -39,7 +41,17 @@ def stream_to_manifest(
     watermark). ``checkpoint`` defaults to a deterministic per-(query,
     table) location so a RESTART of the same drain resumes the same
     checkpoint — paired with the manifest watermark, reprocessing after a
-    mid-drain crash cannot double-append."""
+    mid-drain crash cannot double-append.
+
+    ``compact_every=N`` runs `transactional.compact_table` inline after
+    every N applied batches (and once more at drain end if anything
+    applied since the last one): the self-maintenance that keeps a
+    long-lived streamed table from degrading into one-file-per-batch
+    without an external scheduler. Safe with the exactly-once contract by
+    construction — compaction is its own commit that never touches the
+    txn watermark, a replayed batch still refuses, and a compaction that
+    races a concurrent delete aborts cleanly inside `compact_table`. The
+    count returned stays the number of APPEND commits."""
     if checkpoint is None:
         # Default to DURABLE storage next to the table, not a RAM-backed
         # scratch root: the manifest txn watermark persists across host
@@ -55,6 +67,7 @@ def stream_to_manifest(
             table_path, "_checkpoints", f"manifest_{query_name}"
         )
     applied = [0]
+    since_compact = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         committed = transactional.append_batch(
@@ -62,6 +75,13 @@ def stream_to_manifest(
         )
         if committed is not None:
             applied[0] += 1
+            since_compact[0] += 1
+            if compact_every and since_compact[0] >= compact_every:
+                transactional.compact_table(
+                    batch_df.sparkSession, table_path,
+                    target_bytes=compact_target_bytes,
+                )
+                since_compact[0] = 0
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -73,5 +93,11 @@ def stream_to_manifest(
         q.stop()
         raise TimeoutError(
             f"manifest drain {query_name!r} did not finish within {timeout_sec}s"
+        )
+    if compact_every and since_compact[0]:
+        # final sweep so the drain never leaves a tail of tiny files
+        spark = stream_df.sparkSession
+        transactional.compact_table(
+            spark, table_path, target_bytes=compact_target_bytes
         )
     return applied[0]

@@ -221,3 +221,43 @@ def test_stream_to_manifest_default_checkpoint(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(src)
     assert sinks.stream_to_manifest(stream2, table, "ingest") == 0
     assert transactional.read_table(spark, table).count() == 1
+
+
+def test_stream_to_manifest_auto_compaction(spark, tmp_path):
+    """compact_every: a drain of many one-file micro-batches keeps the
+    live-file count bounded through inline OPTIMIZE commits, while data
+    and the exactly-once contract stay intact."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(6):
+        _write_batch(spark, src, [(f"2024-01-01 1{i}:00:00", f"k{i}")])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    applied = sinks.stream_to_manifest(
+        stream, table, "ingest", checkpoint=ckpt,
+        compact_every=3, compact_target_bytes=64 << 20,
+    )
+    assert applied == 6
+    man = transactional._read_manifest(table, transactional.current_version(table))
+    # 6 one-file appends, compacted at batch 3 and 6 -> never more than
+    # compact_every + 1 live files, and in the end exactly 1 packed file
+    assert len(man["files"]) == 1
+    assert {r["k"] for r in transactional.read_table(spark, table).collect()} == {
+        f"k{i}" for i in range(6)
+    }
+    ops = [h["op"] for h in transactional.table_history(table)]
+    assert ops.count("compact") == 2
+    # the contract survives: a replayed applied batch id still refuses
+    batch = spark.read.parquet(src)
+    assert (
+        transactional.append_batch(batch, table, txn_app="ingest", txn_id=0)
+        is None
+    )
