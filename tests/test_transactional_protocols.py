@@ -78,12 +78,15 @@ def _retrying(fn, max_tries=50):
 
 
 def test_transactional_concurrency(spark, tmp_path):
-    """Threads racing append_batch/delete_where/vacuum on ONE table, >=100
-    racing commits. Invariants under optimistic concurrency:
+    """Threads racing append_batch/delete_where/vacuum/COMPACT on ONE
+    table, >=100 racing commits. Invariants under optimistic concurrency:
     - every acknowledged append's rows are present exactly once until
       explicitly deleted (no lost updates, no duplication);
     - committed versions are unique and strictly monotonic;
     - vacuum during the storm (with grace) never breaks a reader;
+    - an OPTIMIZE racing the storm commits or aborts cleanly, never
+      resurrects deleted rows or drops appended ones (r7: compact_table
+      joined the storm);
     - after a final grace-0 vacuum, data/ holds exactly the live files."""
     path = str(tmp_path / "t")
     tx.init_table(spark.createDataFrame([(-1,)], "id bigint"), path)
@@ -117,16 +120,31 @@ def test_transactional_concurrency(spark, tmp_path):
         except BaseException as e:
             errors.append(e)
 
+    def compactor(stop: threading.Event):
+        try:
+            while not stop.is_set():
+                # tiny target packs everything compactable; the abort path
+                # (inputs rewritten by a racing commit) returns cleanly
+                tx.compact_table(spark, path, target_bytes=1 << 20)
+                time.sleep(0.1)
+        except tx.CommitConflict:
+            pass  # lost a pathological streak of races — acceptable exit
+        except BaseException as e:
+            errors.append(e)
+
     stop = threading.Event()
     threads = [threading.Thread(target=appender, args=(t,)) for t in range(n_threads)]
     vt = threading.Thread(target=vacuumer, args=(stop,))
+    ct = threading.Thread(target=compactor, args=(stop,))
     for t in threads:
         t.start()
     vt.start()
+    ct.start()
     for t in threads:
         t.join(timeout=600)
     stop.set()
     vt.join(timeout=60)
+    ct.join(timeout=60)
     assert not errors, errors[:3]
 
     # racing deletes of disjoint ranges, with retry on conflict
