@@ -231,22 +231,13 @@ def lsh_cosine_topk(
             "sig", hyperplane_signature(F.col("qv"), all_planes)
         )
     else:
-        per_table = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_signature(
-                        F.col("qv"), all_planes[t * nbits:(t + 1) * nbits]
-                    ).alias("sig"),
-                )
-                for t in range(ntables)
-            ]
-        )
-        q = (
-            q.withColumn("ts", F.explode(per_table))
-            .withColumn("table", F.col("ts.table"))
-            .withColumn("sig", F.col("ts.sig"))
-            .drop("ts")
+        # L tables × nbits planes as per-table JVM literal chains is
+        # ~L·nbits·dim plan nodes — plan build/codegen dwarfs the data
+        # work (measured ~2 s at L=4). One Arrow batch through the same
+        # BLAS kernel the corpus side uses emits the identical long
+        # format (sign parity guaranteed by its borderline re-check).
+        q = blas_hyperplane_signatures(
+            q, all_planes, "query_id", "qv", ntables=ntables
         )
     if multiprobe > 0:
         probes = F.array(
