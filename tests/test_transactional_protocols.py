@@ -653,3 +653,46 @@ def test_battery_rewrite_table_schema(spark, tmp_path, protocol):
         tx.rewrite_table_schema(spark, path, {"nope": "bigint"})
     hist = tx.table_history(path)
     assert "rewrite-schema" in [h["op"] for h in hist]
+
+
+def test_battery_widening_decimal_and_date(spark, tmp_path, protocol):
+    """The remaining `_is_widening` families: decimal precision growth at
+    the SAME scale widens; scale change or precision shrink refuses;
+    date -> timestamp_ntz widens (midnight wall times); and a widened
+    table still compacts + time-travels."""
+    from decimal import Decimal
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(Decimal("12.34"), "2026-01-01"), (Decimal("99.99"), "2026-02-03")],
+        "amt decimal(10,2), d string",
+    ).select(F.col("amt"), F.to_date("d").alias("d"))
+    tx.init_table(df.coalesce(1), path)
+    tx.append_batch(
+        spark.createDataFrame(
+            [(Decimal("5.00"), "2026-03-04")], "amt decimal(10,2), d string"
+        ).select(F.col("amt"), F.to_date("d").alias("d")).coalesce(1),
+        path,
+    )
+    v = tx.rewrite_table_schema(
+        spark, path, {"amt": "decimal(14,2)", "d": "timestamp_ntz"}
+    )
+    cur = tx.read_table(spark, path)
+    assert dict(cur.dtypes) == {"amt": "decimal(14,2)", "d": "timestamp_ntz"}
+    rows = {str(r["amt"]): str(r["d"]) for r in cur.collect()}
+    assert rows["12.34"] == "2026-01-01 00:00:00"
+    # old snapshot keeps the narrow schema
+    assert dict(tx.read_table(spark, path, version=v - 1).dtypes) == {
+        "amt": "decimal(10,2)", "d": "date"
+    }
+    # scale change and precision shrink refuse
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        tx.rewrite_table_schema(spark, path, {"amt": "decimal(16,4)"})
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        tx.rewrite_table_schema(spark, path, {"amt": "decimal(12,2)"})
+    # the widened table still compacts; values survive
+    res = tx.compact_table(spark, path, target_bytes=1 << 20)
+    assert res["files_written"] >= 1
+    assert {str(r["amt"]) for r in tx.read_table(spark, path).collect()} == {
+        "12.34", "99.99", "5.00"
+    }
