@@ -942,6 +942,118 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     }
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+) -> dict | None:
+    """Atomic MERGE by key (the Delta ``MERGE INTO`` upsert shape): rows
+    of ``batch`` REPLACE existing rows with the same key, everything else
+    appends — in ONE commit, so readers never observe the half-state a
+    delete-then-append pair exposes between its two commits.
+
+    File-granular like DELETE: one scan locates the files holding matched
+    keys; only those are rewritten (their unmatched rows carried through
+    the rewrite, matched rows replaced by the batch versions); untouched
+    files carry by reference. A batch with duplicate keys is refused —
+    "which version wins" must be resolved upstream (q115's latest-wins
+    shape), not silently here.
+
+    ``txn_app``/``txn_id`` give the same idempotent-writer watermark as
+    `append_batch` — a replayed CDC micro-batch is a no-op returning
+    None — making exactly-once streaming UPSERT a foreachBatch one-liner.
+    Single-attempt commit like `delete_where`: a concurrent writer
+    surfaces as `CommitConflict`; re-running re-reads current state and
+    is key-idempotent. Returns stats, or None for a watermark-refused
+    replay."""
+    from pyspark.sql.types import StructType
+
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError("txn_app and txn_id must be provided together")
+    if not key_cols:
+        raise ValueError("merge_upsert needs at least one key column")
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(
+            f"no committed manifest under {path!r}; use init_table/"
+            "append_batch to create the table first"
+        )
+    man = _read_manifest(path, version)
+    txns = dict(man.get("txns", {}))
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
+        return None  # replayed batch — the watermark refuses it
+    if txn_app is not None:
+        txns[txn_app] = txn_id
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    if _schema_sig(batch.schema.json()) != _schema_sig(man["schema"]):
+        raise ValueError(
+            f"merge batch schema does not match table schema at {path!r}; "
+            "align the frame's columns/types before merging"
+        )
+    dup = batch.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "merge batch carries duplicate keys; resolve which version "
+            "wins upstream (e.g. latest-wins by timestamp) before merging"
+        )
+    keys = batch.select(*key_cols)
+    if not man["files"]:
+        new_files = _stage_files(batch, path)
+        stats_cols = man.get("stats_cols")
+        stats = (
+            _collect_file_stats(path, new_files, stats_cols)
+            if stats_cols else None
+        )
+        _commit(
+            path, version + 1, man["schema"], txns, stats_cols,
+            add=new_files, add_stats=stats, op="merge",
+        )
+        return {"version": version + 1, "files_rewritten": 0,
+                "rows_inserted_files": len(new_files)}
+    abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
+    table = spark.read.schema(schema).parquet(*abs_files)
+    # semi-join locates the hit files; AQE broadcasts a small batch's key
+    # side at runtime — no forced hint, so a huge CDC batch can't be
+    # collected to the driver. input_file_name() MUST be captured BELOW
+    # the join: above a shuffled join the row no longer belongs to a scan
+    # task and the function returns '' (delete_where's filter-only shape
+    # doesn't hit this; any join shape does).
+    hits = (
+        table.withColumn("__f", F.input_file_name())
+        .join(keys, key_cols, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    )
+    hit_names = {os.path.basename(r["__f"]) for r in hits}
+    carried = [f for f in man["files"] if f not in hit_names]
+    if hit_names:
+        hit_rows = spark.read.schema(schema).parquet(
+            *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
+        )
+        survivors = hit_rows.join(keys, key_cols, "left_anti")
+        out = survivors.unionByName(batch.select(*schema.fieldNames()))
+    else:
+        out = batch.select(*schema.fieldNames())
+    new_files = _stage_files(out, path)
+    stats_cols = man.get("stats_cols")
+    stats = (
+        _collect_file_stats(path, new_files, stats_cols) if stats_cols else None
+    )
+    _commit(
+        path, version + 1, man["schema"], txns, stats_cols,
+        add=new_files, remove=sorted(hit_names), add_stats=stats, op="merge",
+    )
+    return {
+        "version": version + 1,
+        "files_rewritten": len(hit_names),
+        "files_carried": len(carried),
+    }
+
+
 def truncate_table(path: str) -> int:
     """Atomic TRUNCATE: commit an empty file list. O(1) metadata — no data
     file is touched (vacuum reclaims them later), which is exactly how the

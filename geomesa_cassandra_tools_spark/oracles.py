@@ -2828,3 +2828,35 @@ r AS (
 )
 SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 5
 """
+
+# q151 replays the atomic MERGE as set algebra: matched keys (the %3==0
+# subset of the base slice) take the batch's updated price, new keys
+# (%4==1 AND %5==0) append, everything else carries — proving merge_upsert
+# changed exactly the intended rows and nothing else, across time travel.
+ORACLES["q151_manifest_merge_upsert"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+),
+batch AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0
+),
+v1 AS (
+  SELECT * FROM v0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT 'pre_merge' AS snapshot, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+FROM v0
+UNION ALL
+SELECT 'post_merge', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey)
+FROM v1
+"""

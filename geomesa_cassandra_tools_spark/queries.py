@@ -4604,6 +4604,81 @@ def q146_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_merge_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table certifying MERGE (the q151 fixture):
+    v0 `init_table` with the o_orderkey % 4 == 0 slice of orders, then
+    ONE `merge_upsert` whose batch UPDATES the % 3 == 0 subset (price
+    + 1000.00) and INSERTS the disjoint % 4 == 1 ∧ % 5 == 0 slice —
+    matched keys replaced and new keys appended in one atomic commit.
+    Idempotent like the q148/q149 fixtures: init loses its v0 race
+    gracefully, the merge is replay-refused by the txn watermark
+    (txn_app='cdc'), and a racing builder's conflicting merge is the
+    identical commit."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"gcts_manifest_merge_{safe}_{tag}")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 4 == 0)
+                .repartitionByRange(4, "o_orderkey"),
+                path,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    updates = orders.where(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    inserts = orders.where(
+        (F.col("o_orderkey") % 4 == 1) & (F.col("o_orderkey") % 5 == 0)
+    )
+    try:
+        transactional.merge_upsert(
+            spark, path, updates.unionByName(inserts), ["o_orderkey"],
+            txn_app="cdc", txn_id=1,
+        )
+    except transactional.CommitConflict:
+        pass  # a racing builder landed the identical merge
+    return path
+
+
+def q151_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`transactional.merge_upsert` driver-certified: the atomic MERGE
+    (Delta MERGE INTO shape — matched keys replaced, new keys appended,
+    ONE commit, file-granular rewrite) applied to an orders slice, read
+    back at the pre-merge snapshot (time travel) and after. The oracle
+    replays the merge as set algebra over orders; money stays integer
+    cents. With the txn watermark this is the exactly-once streaming
+    CDC-upsert landing path — the mutation surface the reference's
+    one-statement CQL writes map to when the write is an update."""
+    path = _manifest_merge_path(spark, sf_dir)
+    latest = transactional.current_version(path)
+    pre = transactional.read_table(spark, path, version=latest - 1)
+    post = transactional.read_table(spark, path)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        ).select("snapshot", "n_rows", "price_cents", "first_key", "last_key")
+
+    return summarize(pre, "pre_merge").unionByName(summarize(post, "post_merge"))
+
+
 def q150_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH top-5 driver-certified (the r7 `ntables`
     operator): four independent 8-bit hash tables — four consecutive
@@ -4852,10 +4927,11 @@ def _with_cache_release(
 # Registry order is VERIFICATION-FIRST, not numeric: the external
 # correctness harness checks exactly the first 50 entries per round.
 # Round-7 window = the round-6 window with q149 (manifest OPTIMIZE
-# lifecycle) and q150 (multi-table LSH, the r7 ntables operator) — both
-# first driver certifications — inserted after q148, displacing two more
-# tail entries below the line; displaced entries' code and values are
-# unchanged since their green rows, so union coverage holds.
+# lifecycle), q150 (multi-table LSH, the r7 ntables operator) and q151
+# (atomic MERGE upsert) — all first driver certifications — inserted
+# after q148, displacing three more tail entries below the line;
+# displaced entries' code and values are unchanged since their green
+# rows, so union coverage holds.
 # No existing query's VALUES changed in round 7 (the q98/q100/q108 job
 # reductions are plan-only — re-verified against their oracles; the
 # manifest delta-log redesign changes the LOG format, not any read
@@ -4895,6 +4971,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
     "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
+    "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -696,3 +696,53 @@ def test_battery_widening_decimal_and_date(spark, tmp_path, protocol):
     assert {str(r["amt"]) for r in tx.read_table(spark, path).collect()} == {
         "12.34", "99.99", "5.00"
     }
+
+
+def test_battery_merge_upsert(spark, tmp_path, protocol):
+    """Atomic MERGE: matched keys replaced, new keys appended, one
+    commit; file-granular (untouched files carry by reference);
+    duplicate-key batches refused; the txn watermark makes replays
+    no-ops; time travel shows the pre-merge state."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k bigint, val string"
+    )
+    tx.init_table(base.repartitionByRange(4, "k"), path, stats_cols=["k"])
+
+    batch = spark.createDataFrame(
+        [(3, "V3"), (17, "V17"), (100, "V100")], "k bigint, val string"
+    )
+    res = tx.merge_upsert(spark, path, batch, ["k"], txn_app="cdc", txn_id=0)
+    assert res["version"] == 1 and res["files_rewritten"] >= 1
+    assert res["files_carried"] >= 1  # files without matched keys carried
+    rows = {r["k"]: r["val"] for r in tx.read_table(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[3] == "V3" and rows[17] == "V17" and rows[100] == "V100"
+    assert rows[5] == "v5"
+    # replay refused by the watermark
+    assert tx.merge_upsert(spark, path, batch, ["k"], txn_app="cdc", txn_id=0) is None
+    assert tx.read_table(spark, path).count() == 21
+    # pre-merge snapshot intact
+    old = {r["k"]: r["val"] for r in tx.read_table(spark, path, version=0).collect()}
+    assert old[3] == "v3" and 100 not in old
+    # duplicate keys refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        tx.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(1, "a"), (1, "b")], "k bigint, val string"),
+            ["k"],
+        )
+    # schema drift refuses
+    with _pytest.raises(ValueError, match="does not match table schema"):
+        tx.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(1,)], "k bigint"), ["k"],
+        )
+    # merge into an empty (truncated) table = pure insert
+    tx.truncate_table(path)
+    res2 = tx.merge_upsert(spark, path, batch, ["k"])
+    assert res2["files_rewritten"] == 0
+    assert tx.read_table(spark, path).count() == 3
+    ops = [h["op"] for h in tx.table_history(path)]
+    assert ops.count("merge") == 2
