@@ -113,6 +113,13 @@ def _parser() -> argparse.ArgumentParser:
         "--target-bytes", type=int, default=128 << 20,
         help="compact-table: bin-pack files smaller than this",
     )
+    p.add_argument(
+        "--batch-path", help="merge-table: parquet path of the upsert batch"
+    )
+    p.add_argument(
+        "--merge-keys",
+        help="merge-table: comma-separated key column names",
+    )
     return p
 
 
@@ -334,6 +341,25 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         print(
             f"compacted {res['files_compacted']} file(s) into "
             f"{res['files_written']} at v{res['version']}",
+            file=out,
+        )
+        return 0
+
+    if cmd == "merge-table":
+        # atomic MERGE (upsert by key) from a parquet batch into a
+        # manifest table — the CLI face of transactional.merge_upsert
+        _require(parser, args, "table-path", "batch-path", "merge-keys")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        spark = _spark()
+        batch = spark.read.parquet(args.batch_path)
+        res = transactional.merge_upsert(
+            spark, args.table_path, batch,
+            [k.strip() for k in args.merge_keys.split(",") if k.strip()],
+        )
+        print(
+            f"merged into {args.table_path} at v{res['version']}: "
+            f"{res.get('files_rewritten', 0)} file(s) rewritten",
             file=out,
         )
         return 0

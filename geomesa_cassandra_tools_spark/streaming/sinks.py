@@ -34,6 +34,7 @@ def stream_to_manifest(
     timeout_sec: int = 120,
     compact_every: int | None = None,
     compact_target_bytes: int = 128 << 20,
+    merge_keys: list[str] | None = None,
 ) -> int:
     """Drain a bounded stream (Trigger.AvailableNow) into the manifest
     table at ``table_path`` exactly once, and return how many micro-batch
@@ -51,7 +52,14 @@ def stream_to_manifest(
     construction — compaction is its own commit that never touches the
     txn watermark, a replayed batch still refuses, and a compaction that
     races a concurrent delete aborts cleanly inside `compact_table`. The
-    count returned stays the number of APPEND commits."""
+    count returned stays the number of APPEND commits.
+
+    ``merge_keys=[...]`` switches each batch from APPEND to the atomic
+    MERGE (`transactional.merge_upsert`): matched keys replaced, new
+    keys appended, exactly once under replays — the streaming CDC-upsert
+    landing path. The source must emit at most one row per key per
+    micro-batch (dedupe upstream, e.g. latest-wins by timestamp);
+    `merge_upsert` refuses duplicate-key batches loudly."""
     if checkpoint is None:
         # Default to DURABLE storage next to the table, not a RAM-backed
         # scratch root: the manifest txn watermark persists across host
@@ -70,9 +78,24 @@ def stream_to_manifest(
     since_compact = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        committed = transactional.append_batch(
-            batch_df, table_path, txn_app=query_name, txn_id=batch_id
-        )
+        if merge_keys:
+            if batch_df.isEmpty():
+                return
+            if transactional.current_version(table_path) < 0:
+                # first batch creates the table (merge needs a base schema)
+                committed = transactional.append_batch(
+                    batch_df, table_path, txn_app=query_name, txn_id=batch_id
+                )
+            else:
+                res = transactional.merge_upsert(
+                    batch_df.sparkSession, table_path, batch_df, merge_keys,
+                    txn_app=query_name, txn_id=batch_id,
+                )
+                committed = None if res is None else res["version"]
+        else:
+            committed = transactional.append_batch(
+                batch_df, table_path, txn_app=query_name, txn_id=batch_id
+            )
         if committed is not None:
             applied[0] += 1
             since_compact[0] += 1

@@ -356,3 +356,26 @@ def test_cli_compact_and_vacuum_lifecycle(manifest_table):
     assert set(os.listdir(os.path.join(manifest_table, "data"))) == set(
         man["files"]
     )
+
+
+def test_cli_merge_table(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "mt")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        ).coalesce(1),
+        table,
+    )
+    batch_path = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k bigint, v string"
+    ).coalesce(1).write.parquet(batch_path)
+    rc, lines = _run(
+        ["merge-table", "--table-path", table, "--batch-path", batch_path,
+         "--merge-keys", "k"]
+    )
+    assert rc == 0 and lines[0].startswith("merged into")
+    rows = {r["k"]: r["v"] for r in tx.read_table(spark, table).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 9: "Z"}

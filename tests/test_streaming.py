@@ -261,3 +261,44 @@ def test_stream_to_manifest_auto_compaction(spark, tmp_path):
         transactional.append_batch(batch, table, txn_app="ingest", txn_id=0)
         is None
     )
+
+
+def test_stream_to_manifest_merge_mode(spark, tmp_path):
+    """merge_keys: a CDC-shaped stream upserts by key exactly once —
+    later batches REPLACE earlier rows with the same key instead of
+    duplicating them; a replayed drain applies nothing."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # three single-file batches; key "a" appears in batches 0 and 2
+    _write_batch(spark, src, [("2024-01-01 10:00:00", "a")])
+    _write_batch(spark, src, [("2024-01-01 11:00:00", "b")])
+    _write_batch(spark, src, [("2024-01-01 12:00:00", "a")])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    applied = sinks.stream_to_manifest(
+        stream, table, "cdc", checkpoint=ckpt, merge_keys=["k"]
+    )
+    assert applied == 3
+    rows = {r["k"]: str(r["ts"]) for r in transactional.read_table(spark, table).collect()}
+    assert set(rows) == {"a", "b"}  # upserted, not appended
+    assert rows["a"].startswith("2024-01-01 12")  # last write won
+    # replayed drain: nothing applied, state unchanged
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    assert sinks.stream_to_manifest(
+        stream2, table, "cdc", checkpoint=ckpt, merge_keys=["k"]
+    ) == 0
+    assert transactional.read_table(spark, table).count() == 2
+    ops = [h["op"] for h in transactional.table_history(table)]
+    assert ops.count("merge") == 2  # batch 0 created; batches 1,2 merged
