@@ -257,6 +257,14 @@ def lsh_cosine_topk(
             "ntables > 1 needs multi-table corpus signatures — rebuild "
             "corpus_sigs with the same ntables"
         )
+    if ntables == 1 and "table" in c.columns:
+        # the reverse mismatch would silently join the query's table-0
+        # sig against EVERY table's rows (different hash functions) —
+        # the same silent-degradation class as a wrong seed
+        raise ValueError(
+            "corpus_sigs is a multi-table index but ntables=1 — pass the "
+            "matching ntables (or rebuild single-table signatures)"
+        )
     join_cond = (F.col("q.sig") == F.col("c.sig")) & (
         F.col("query_id") != F.col("cand_id")
     )

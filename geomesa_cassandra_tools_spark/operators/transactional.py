@@ -390,7 +390,16 @@ def _norm_stat(v, side: str | None = None):
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # aware values subtract a UTC epoch: the timedelta between two
+        # aware datetimes is offset-correct, so any zone normalizes to
+        # the same INSTANT micros (an epoch built in v's own tzinfo would
+        # yield wall-clock-in-that-offset micros — a +05:00 literal would
+        # land 5h away from the same instant written as UTC and wrongly
+        # skip files). Naive values use the naive epoch (wall domain).
+        if v.tzinfo is not None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
         d = v - epoch  # timedelta holds exact integer (days, s, µs)
         return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
     if isinstance(v, datetime.date):
@@ -564,7 +573,12 @@ def _predicate_column(pred: tuple) -> Column:
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
-def init_table(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
+def init_table(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    only_if_absent: bool = False,
+) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
     frame. Returns the committed version. ``stats_cols`` declares the
     columns whose per-file min/max are recorded in every manifest from
@@ -572,7 +586,24 @@ def init_table(df: DataFrame, path: str, stats_cols: list[str] | None = None) ->
     instead of positional): reads with a ``where=`` predicate on those
     columns open only the files whose span intersects it. Declare the
     clustering columns (z2/z3, event date, tenant id) — stats on a column
-    the layout does not cluster by skip nothing."""
+    the layout does not cluster by skip nothing.
+
+    ``only_if_absent=True`` commits at version 0 UNCONDITIONALLY — if the
+    table exists (any version), the publish conflicts instead of
+    overwriting. This closes the check-then-init race for idempotent
+    build-once fixtures: a racing builder that already committed v0 (and
+    possibly more) can never be silently overwritten by a stale second
+    builder whose existence check passed moments earlier."""
+    if only_if_absent:
+        files = _stage_files(df, path)
+        stats = (
+            _collect_file_stats(path, files, stats_cols) if stats_cols else None
+        )
+        _commit(
+            path, 0, df.schema.json(), {}, stats_cols,
+            add=files, add_stats=stats, op="init",
+        )
+        return 0
     prior = current_version(path)
     if prior >= 0:
         st = _read_manifest(path, prior)
@@ -598,6 +629,7 @@ def init_table_z_ordered(
     res: int = 6,
     num_files: int | None = None,
     extra_stats_cols: list[str] | None = None,
+    only_if_absent: bool = False,
 ) -> int:
     """`geo.write_z_ordered` composed with the manifest layer: materialize
     the z2 column, range-cluster the files by it, and declare it a stats
@@ -616,7 +648,8 @@ def init_table_z_ordered(
     parts = num_files or max(_estimated_scan_partitions(df), 1)
     clustered = out.repartitionByRange(parts, F.col("z2")).sortWithinPartitions("z2")
     return init_table(
-        clustered, path, stats_cols=["z2", *(extra_stats_cols or [])]
+        clustered, path, stats_cols=["z2", *(extra_stats_cols or [])],
+        only_if_absent=only_if_absent,
     )
 
 
@@ -975,6 +1008,10 @@ def merge_upsert(
         raise ValueError("txn_app and txn_id must be provided together")
     if not key_cols:
         raise ValueError("merge_upsert needs at least one key column")
+    if batch.isEmpty():
+        # same rule as append_batch: an empty batch merges nothing —
+        # committing would burn a version per source hiccup; replay-safe
+        return None
     version = current_version(path)
     if version < 0:
         raise ValueError(
@@ -1317,6 +1354,11 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
             checkpoint_table(path, oldest_kept)
         except CommitConflict:
             pass  # already checkpointed
+        except FileNotFoundError:
+            # a racing vacuum with a NARROWER window already pruned the
+            # deltas below its own (higher) pin — our retained versions
+            # resolve from that newer checkpoint; nothing to pin here
+            pass
     live: set[str] = set()
     for v in range(oldest_kept, version + 1):
         try:

@@ -2650,7 +2650,7 @@ def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt")
     )
     lane_null = F.col("lv").isNull() & F.col("sv").isNull() & F.col("dv").isNull()
-    return per_value.groupBy("column_name").agg(
+    agg = per_value.groupBy("column_name").agg(
         F.sum(F.when(lane_null, F.col("cnt")).otherwise(F.lit(0))).alias("n_nulls"),
         F.count(F.when(~lane_null, F.lit(1))).alias("n_distinct"),
         F.coalesce(
@@ -2663,6 +2663,24 @@ def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sv"),
             F.date_format(F.max("dv"), "yyyy-MM-dd HH:mm:ss"),
         ).alias("max_value"),
+    )
+    # spine join keeps the contract on an EMPTY table: the profiler (and
+    # the oracle's no-groupBy branches) still emit one row per column
+    # with zero counts and NULL extremes — a groupBy over zero stacked
+    # rows would emit nothing
+    spine = spark.createDataFrame(
+        [(c,) for c in [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate",
+        ]],
+        "column_name string",
+    )
+    return spine.join(agg, "column_name", "left").select(
+        "column_name",
+        F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        "min_value",
+        "max_value",
     )
 
 
@@ -3872,7 +3890,12 @@ def _publish_layout_dir(staging: str, path: str, lock_timeout: float = 120.0) ->
     third waiter can O_EXCL-create while the path is vacant; the content
     is deterministic, so any single winner publishes correct bytes —
     the lock only minimizes (not perfectly excludes) duplicated work and
-    vanish-mid-scan races after a crash."""
+    vanish-mid-scan races after a crash. One bounded degradation: if the
+    live holder FAILS its publish and exits between our claim and
+    restore, the restored lock is ownerless and waiters sit out up to
+    ``lock_timeout`` before staleness lets one break it — a stall, never
+    a correctness loss, and only reachable from an already-crashed
+    corner."""
     import os
     import shutil
     import time
@@ -4461,6 +4484,21 @@ def q143_bloom_mapside_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bloom_confusion(maybe, held, train)
 
 
+def _corpus_keyed_tmp_path(sf_dir: str, src_table: str, prefix: str) -> str:
+    """Shared build-once fixture keying: a /tmp path tied to the identity
+    (size, mtime) of the source parquet, so regenerated driver testdata
+    automatically invalidates every derived fixture. One definition —
+    the staleness-keying scheme must change in ONE place, not per
+    fixture."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{safe}_{tag}")
+
+
 def _manifest_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once MANIFEST table of events with the shared pseudo lon/lat,
     z-clustered with file-level z2 stats (`transactional.init_table_z_ordered`)
@@ -4470,13 +4508,7 @@ def _manifest_events_path(spark: SparkSession, sf_dir: str) -> str:
     builder that loses the v0 commit gets `CommitConflict`, and the
     winner's table is byte-equivalent (the content is a deterministic
     function of the corpus), so the loser just reads it."""
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"gcts_manifest_events_{safe}_{tag}")
+    path = _corpus_keyed_tmp_path(sf_dir, "events", "gcts_manifest_events")
     if transactional.current_version(path) < 0:
         pts = load_tables(spark, sf_dir)["events"].select(
             "event_id",
@@ -4487,7 +4519,8 @@ def _manifest_events_path(spark: SparkSession, sf_dir: str) -> str:
         )
         try:
             transactional.init_table_z_ordered(
-                pts, path, "lon", "lat", res=6, num_files=16
+                pts, path, "lon", "lat", res=6, num_files=16,
+                only_if_absent=True,
             )
         except transactional.CommitConflict:
             pass  # a racing builder committed the identical v0 first
@@ -4614,13 +4647,7 @@ def _manifest_merge_path(spark: SparkSession, sf_dir: str) -> str:
     gracefully, the merge is replay-refused by the txn watermark
     (txn_app='cdc'), and a racing builder's conflicting merge is the
     identical commit."""
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"gcts_manifest_merge_{safe}_{tag}")
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_manifest_merge")
     if transactional.current_version(path) >= 1:
         return path
     orders = load_tables(spark, sf_dir)["orders"].select(
@@ -4631,7 +4658,7 @@ def _manifest_merge_path(spark: SparkSession, sf_dir: str) -> str:
             transactional.init_table(
                 orders.where(F.col("o_orderkey") % 4 == 0)
                 .repartitionByRange(4, "o_orderkey"),
-                path,
+                path, only_if_absent=True,
             )
         except transactional.CommitConflict:
             pass  # racing builder committed the identical v0
@@ -4750,22 +4777,17 @@ def _manifest_orders_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
     txn watermark (txn_app='lifecycle'), and re-deleting an already-
     deleted predicate burns no version — so concurrent builders converge
     on the same 3-version table, whatever interleaving."""
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"gcts_manifest_orders_{safe}_{tag}"
-    )
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_manifest_orders")
     if transactional.current_version(path) >= 2:
         return path
     orders = load_tables(spark, sf_dir)["orders"]
     base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     if transactional.current_version(path) < 0:
         try:
-            transactional.init_table(base.where(F.col("o_orderkey") % 3 == 0), path)
+            transactional.init_table(
+                base.where(F.col("o_orderkey") % 3 == 0), path,
+                only_if_absent=True,
+            )
         except transactional.CommitConflict:
             pass  # racing builder committed the identical v0
     evolved = orders.where(F.col("o_orderkey") % 3 == 1).select(
@@ -4827,15 +4849,7 @@ def _manifest_compaction_path(spark: SparkSession, sf_dir: str) -> str:
     watermark, and the compaction is guarded by the table history (a
     racing compactor aborts cleanly when its inputs vanish), so every
     builder converges on the same v0..v8 lifecycle."""
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    tag = f"{os.path.getsize(src)}_{int(os.path.getmtime(src))}"
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"gcts_manifest_compact_{safe}_{tag}"
-    )
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_manifest_compact")
     if transactional.current_version(path) >= 0 and any(
         h["op"] == "compact" for h in transactional.table_history(path)
     ):
@@ -4847,7 +4861,7 @@ def _manifest_compaction_path(spark: SparkSession, sf_dir: str) -> str:
         try:
             transactional.init_table(
                 orders.where(F.col("o_orderkey") % 8 == 0).coalesce(1),
-                path, stats_cols=["o_orderkey"],
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
             )
         except transactional.CommitConflict:
             pass  # racing builder committed the identical v0
@@ -4856,7 +4870,13 @@ def _manifest_compaction_path(spark: SparkSession, sf_dir: str) -> str:
             orders.where(F.col("o_orderkey") % 8 == i).coalesce(1),
             path, txn_app="compact-fixture", txn_id=i,
         )
-    if not any(h["op"] == "compact" for h in transactional.table_history(path)):
+    # retry until a compact commit actually LANDS: a compaction can abort
+    # cleanly when a racing builder's commit rewrote its inputs — the
+    # fixture must not return with q149's latest-1 read pointing at a
+    # non-compaction boundary
+    for _ in range(5):
+        if any(h["op"] == "compact" for h in transactional.table_history(path)):
+            break
         transactional.compact_table(
             spark, path, target_bytes=256 << 20, cluster_by="o_orderkey"
         )

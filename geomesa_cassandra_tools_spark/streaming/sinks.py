@@ -82,7 +82,21 @@ def stream_to_manifest(
             if batch_df.isEmpty():
                 return
             if transactional.current_version(table_path) < 0:
-                # first batch creates the table (merge needs a base schema)
+                # first batch creates the table (merge needs a base
+                # schema) — but under the SAME duplicate-key contract
+                # merge_upsert enforces: an append here would silently
+                # seed the "upserted" table with duplicate key rows
+                from pyspark.sql import functions as F
+
+                dup = (
+                    batch_df.groupBy(*merge_keys).count()
+                    .where(F.col("count") > 1).limit(1)
+                )
+                if dup.count() > 0:
+                    raise ValueError(
+                        "merge batch carries duplicate keys; resolve which "
+                        "version wins upstream before merging"
+                    )
                 committed = transactional.append_batch(
                     batch_df, table_path, txn_app=query_name, txn_id=batch_id
                 )

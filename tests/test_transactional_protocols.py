@@ -746,3 +746,62 @@ def test_battery_merge_upsert(spark, tmp_path, protocol):
     assert tx.read_table(spark, path).count() == 3
     ops = [h["op"] for h in tx.table_history(path)]
     assert ops.count("merge") == 2
+
+
+def test_battery_aware_offset_literal_normalizes_to_instant(spark, tmp_path, protocol):
+    """An aware predicate literal in ANY zone offset must normalize to the
+    same instant as its UTC rendering (review r7: a tz-relative epoch made
+    a +05:00 literal land 5h away and wrongly skip files)."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        path = str(tmp_path / "t")
+        base = spark.range(48).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1767225600) + F.col("id") * 3600).alias("ts"),
+        )
+        tx.init_table(base.repartitionByRange(4, "ts"), path, stats_cols=["ts"])
+        utc = datetime.datetime(2026, 1, 2, 0, 0, tzinfo=datetime.timezone.utc)
+        plus5 = utc.astimezone(
+            datetime.timezone(datetime.timedelta(hours=5))
+        )  # same instant, +05:00 rendering
+        assert tx._norm_stat(utc) == tx._norm_stat(plus5)
+        for lit in (utc, plus5):
+            pred = [("ts", ">=", lit)]
+            got = tx.read_table(spark, path, where=pred).count()
+            want = base.where(F.col("ts") >= F.lit(lit)).count()
+            assert got == want > 0, (lit, got, want)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def test_battery_merge_empty_batch_noop(spark, tmp_path, protocol):
+    """An empty merge batch is a version-burning no-op refusal, same rule
+    as append_batch."""
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(3).toDF("k"), path)
+    empty = spark.range(0).toDF("k")
+    assert tx.merge_upsert(spark, path, empty, ["k"]) is None
+    assert tx.current_version(path) == 0
+
+
+def test_lsh_single_table_refuses_multitable_index(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.operators import similarity as sim
+
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.sin(F.col("id") * j).cast("float"),
+        ).alias("embedding"),
+    )
+    mt = sim.corpus_hyperplane_signatures(base, dim=8, nbits=6, ntables=4)
+    with _pytest.raises(ValueError, match="multi-table index"):
+        sim.lsh_cosine_topk(
+            base.limit(4), base, k=3, dim=8, nbits=6, corpus_sigs=mt
+        )
