@@ -805,3 +805,26 @@ def test_lsh_single_table_refuses_multitable_index(spark):
         sim.lsh_cosine_topk(
             base.limit(4), base, k=3, dim=8, nbits=6, corpus_sigs=mt
         )
+
+
+def test_battery_read_cost_is_o_tail(spark, tmp_path, protocol, monkeypatch):
+    """The delta-log asymptotic claim, asserted: resolving the latest
+    state of a many-commit table reads at most CHECKPOINT_INTERVAL + 1
+    manifest files (nearest checkpoint + delta tail), not O(history)."""
+    path = str(tmp_path / "t")
+    n = tx.CHECKPOINT_INTERVAL * 3 + 5
+    for i in range(n):
+        tx.append_batch(
+            spark.createDataFrame([(i,)], "id bigint").coalesce(1), path
+        )
+    reads = []
+    real = tx._read_json
+
+    def counting(p, name):
+        reads.append(name)
+        return real(p, name)
+
+    monkeypatch.setattr(tx, "_read_json", counting)
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert len(man["files"]) == n
+    assert len(reads) <= tx.CHECKPOINT_INTERVAL + 1, reads
