@@ -29,7 +29,9 @@ operations instead of SSH+cqlsh/nodetool calls:
   ``vacuum`` (``--keep-versions``/``--grace-seconds``), and
   ``compact-table`` (the reference pipeline's final compact stage,
   /root/reference/geomesa_cassandra.py:188-191, as one atomic OPTIMIZE
-  commit).
+  commit), ``merge-table`` (atomic upsert by key), and
+  ``table-changes`` (row-level change feed between commits —
+  ``--from-version``/``--to-version``).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -115,6 +117,14 @@ def _parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--batch-path", help="merge-table: parquet path of the upsert batch"
+    )
+    p.add_argument(
+        "--from-version", type=int, default=0,
+        help="table-changes: first commit of the change range (inclusive)",
+    )
+    p.add_argument(
+        "--to-version", type=int, default=None,
+        help="table-changes: last commit of the range (default: latest)",
     )
     p.add_argument(
         "--merge-keys",
@@ -303,6 +313,21 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
 
         df = transactional.read_table(
             _spark(), args.table_path, version=args.version
+        )
+        if args.limit:
+            df = df.limit(args.limit)
+        _emit(df, out)
+        return 0
+
+    if cmd == "table-changes":
+        # row-level change feed between two commits (CDF analog) — the
+        # incremental-consumer face of transactional.table_changes
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        df = transactional.table_changes(
+            _spark(), args.table_path,
+            from_version=args.from_version, to_version=args.to_version,
         )
         if args.limit:
             df = df.limit(args.limit)

@@ -2829,6 +2829,38 @@ r AS (
 SELECT query_id, cand_id, rnk, round(cos, 6) AS cos FROM r WHERE rnk <= 5
 """
 
+# q152 replays the MERGE's row-level change feed as set algebra: updated
+# keys surface as before-image delete + after-image insert, new keys as
+# insert — and nothing else, because table_changes' EXCEPT ALL cancels
+# every row the file-granular rewrite merely carried. Money in exact
+# cents (o_totalprice is 2-decimal, so round(x*100) snaps the integer
+# identically in both engines; the +1000.0 update is the same IEEE
+# double add on both sides).
+ORACLES["q152_manifest_change_feed"] = """
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+),
+news AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(round((o_totalprice + 1000.0) * 100) AS BIGINT) AS price_cents,
+       'insert' AS change_type, 1 AS commit_version
+FROM updates
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       'delete' AS change_type, 1 AS commit_version
+FROM updates
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       'insert' AS change_type, 1 AS commit_version
+FROM news
+"""
+
 # q151 replays the atomic MERGE as set algebra: matched keys (the %3==0
 # subset of the base slice) take the batch's updated price, new keys
 # (%4==1 AND %5==0) append, everything else carries — proving merge_upsert

@@ -4706,6 +4706,32 @@ def q151_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(pre, "pre_merge").unionByName(summarize(post, "post_merge"))
 
 
+def q152_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`transactional.table_changes` driver-certified: the row-level
+    Change Data Feed of the q151 MERGE commit. The feed is computed from
+    the delta log (rows of added files EXCEPT ALL rows of removed files,
+    and the reverse), so the file-granular rewrite's carried rows — every
+    unmatched row co-located with a matched key — must cancel EXACTLY:
+    the oracle is pure set algebra over orders (updated keys appear as
+    before-image delete + after-image insert, new keys as insert, and
+    NOTHING else appears at all). That cancellation is the operator's
+    whole contract — an incremental consumer sees precisely what changed,
+    never the rewrite's plumbing. At 100 TB the feed opens only the files
+    the commit touched and shuffles only their rows; append-only commits
+    (streamed ingestion, the common case) short-circuit to a scan with no
+    shuffle at all. Money stays integer cents; the version tag comes from
+    the log, not the data."""
+    path = _manifest_merge_path(spark, sf_dir)
+    feed = transactional.table_changes(spark, path, 1, 1)
+    return feed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    )
+
+
 def q150_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH top-5 driver-certified (the r7 `ntables`
     operator): four independent 8-bit hash tables — four consecutive
@@ -4992,6 +5018,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
+    "q152_manifest_change_feed": q152_manifest_change_feed,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -379,3 +379,24 @@ def test_cli_merge_table(spark, tmp_path):
     assert rc == 0 and lines[0].startswith("merged into")
     rows = {r["k"]: r["v"] for r in tx.read_table(spark, table).collect()}
     assert rows == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_cli_table_changes(manifest_table):
+    # full feed: 30 inserts + 5 deletes, version-tagged
+    rc, lines = _run(
+        ["table-changes", "--table-path", manifest_table, "--limit", "0"]
+    )
+    assert rc == 0
+    assert lines[0] == "k\t_change_type\t_commit_version"
+    kinds = [ln.split("\t")[1] for ln in lines[1:]]
+    assert kinds.count("insert") == 30 and kinds.count("delete") == 5
+    # ranged feed: only the delete commit's rows
+    rc, lines = _run(
+        ["table-changes", "--table-path", manifest_table, "--limit", "0",
+         "--from-version", "3", "--to-version", "3"]
+    )
+    assert rc == 0
+    got = sorted(
+        (int(ln.split("\t")[0]), ln.split("\t")[1]) for ln in lines[1:]
+    )
+    assert got == [(k, "delete") for k in range(25, 30)]

@@ -828,3 +828,137 @@ def test_battery_read_cost_is_o_tail(spark, tmp_path, protocol, monkeypatch):
     man = tx._read_manifest(path, tx.current_version(path))
     assert len(man["files"]) == n
     assert len(reads) <= tx.CHECKPOINT_INTERVAL + 1, reads
+
+
+# ----------------------------------------------------------- change data feed
+
+
+def _fold_changes(rows):
+    """Fold a change feed into a multiset of data rows (insert +1,
+    delete -1) — the model a downstream incremental consumer maintains."""
+    from collections import Counter
+
+    bag: Counter = Counter()
+    for r in rows:
+        d = r.asDict()
+        v = d.pop("_commit_version")
+        kind = d.pop("_change_type")
+        assert kind in ("insert", "delete") and v >= 0
+        bag[tuple(sorted(d.items()))] += 1 if kind == "insert" else -1
+    assert all(c >= 0 for c in bag.values()), "feed deleted a never-inserted row"
+    return +bag
+
+
+def test_battery_change_feed_lifecycle(spark, tmp_path, protocol):
+    """CDF across init/append/delete/OPTIMIZE/truncate: appends feed pure
+    inserts, a file-granular DELETE feeds ONLY the deleted rows (carried
+    co-located survivors cancel), compaction feeds ZERO rows, truncate
+    feeds full deletes — and folding the whole feed reproduces each
+    snapshot's multiset exactly."""
+    from collections import Counter
+
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.range(10).toDF("id").repartitionByRange(2, "id"), path
+    )
+    tx.append_batch(spark.range(10, 15).toDF("id"), path)
+    tx.delete_where(spark, path, F.col("id") >= 12)  # rewrites a mixed file
+    res = tx.compact_table(spark, path, target_bytes=1 << 30)
+    assert res["version"] == 3
+    tx.truncate_table(path)
+
+    by_v = {}
+    for r in tx.table_changes(spark, path).collect():
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    assert {r["id"] for r in by_v[0]} == set(range(10))
+    assert {r["_change_type"] for r in by_v[0]} == {"insert"}
+    assert {r["id"] for r in by_v[1]} == {10, 11, 12, 13, 14}
+    assert {r["_change_type"] for r in by_v[1]} == {"insert"}
+    # the DELETE rewrote a file also holding survivors: they must cancel
+    assert sorted((r["id"], r["_change_type"]) for r in by_v[2]) == [
+        (12, "delete"), (13, "delete"), (14, "delete")
+    ]
+    assert 3 not in by_v, "pure compaction must feed zero change rows"
+    assert {r["_change_type"] for r in by_v[4]} == {"delete"}
+    assert {r["id"] for r in by_v[4]} == set(range(12))
+
+    # fold property at every prefix: feed[0..v] == snapshot v
+    for v in range(5):
+        fold = _fold_changes(
+            tx.table_changes(spark, path, 0, v).collect()
+        )
+        snap = Counter(
+            tuple(sorted(r.asDict().items()))
+            for r in tx.read_table(spark, path, version=v).collect()
+        )
+        assert fold == snap, f"fold of feed [0..{v}] != snapshot v{v}"
+
+
+def test_battery_change_feed_merge_and_evolution(spark, tmp_path, protocol):
+    """An upsert feeds before-image deletes + after-image inserts for the
+    matched keys only (carried rows in rewritten files cancel), inserts
+    for new keys; across a merge_schema evolution the feed aligns by name
+    with pre-evolution rows null in the new column."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, i * 10) for i in range(8)], "id bigint, val bigint")
+    tx.init_table(base.repartitionByRange(2, "id"), path)
+    batch = spark.createDataFrame(
+        [(2, 999), (5, 999), (20, 999)], "id bigint, val bigint"
+    )
+    tx.merge_upsert(spark, path, batch, ["id"])  # v1
+
+    rows = tx.table_changes(spark, path, 1, 1).collect()
+    got = sorted((r["id"], r["val"], r["_change_type"]) for r in rows)
+    assert got == [
+        (2, 20, "delete"), (2, 999, "insert"),
+        (5, 50, "delete"), (5, 999, "insert"),
+        (20, 999, "insert"),
+    ]
+
+    evolved = spark.createDataFrame([(30, 1, "en")], "id bigint, val bigint, lang string")
+    tx.append_batch(evolved, path, merge_schema=True)  # v2
+    tx.delete_where(spark, path, F.col("id") == 0)  # v3: pre-evolution row
+    rows = tx.table_changes(spark, path, 2, 3).collect()
+    got = sorted(
+        (r["id"], r["lang"], r["_change_type"], r["_commit_version"]) for r in rows
+    )
+    assert got == [
+        (0, None, "delete", 3),  # old physical file, new column reads null
+        (30, "en", "insert", 2),
+    ]
+    # full-range feed (spanning the evolution) folds to the final snapshot
+    fold = _fold_changes(tx.table_changes(spark, path).collect())
+    from collections import Counter
+
+    snap = Counter(
+        tuple(sorted(r.asDict().items()))
+        for r in tx.read_table(spark, path).collect()
+    )
+    assert fold == snap
+
+
+def test_battery_change_feed_range_and_vacuum_errors(spark, tmp_path, protocol):
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(4).toDF("id"), path)
+    tx.append_batch(spark.range(4, 8).toDF("id"), path)
+    with pytest.raises(ValueError, match="bad change range"):
+        tx.table_changes(spark, path, 2, 5)
+    with pytest.raises(ValueError, match="bad change range"):
+        tx.table_changes(spark, path, 1, 0)
+    # empty metadata-only commit ranges still produce a well-typed frame
+    df = tx.table_changes(spark, path, 1, 1)
+    assert df.columns == ["id", "_change_type", "_commit_version"]
+    tx.delete_where(spark, path, F.col("id") < 4)  # v2 supersedes v0 files
+    tx.append_batch(spark.range(8, 12).toDF("id"), path)  # v3
+    # keep v2+v3 resolvable; v0/v1 deltas AND v2's removed files reclaimed
+    tx.vacuum(path, keep_versions=2, grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuum"):
+        tx.table_changes(spark, path, 0, tx.current_version(path))
+    # v2's before-images lived in the files vacuum reclaimed — the feed
+    # must fail loudly with the vacuumed-file diagnostic, not read torn
+    with pytest.raises(ValueError, match="vacuumed data file"):
+        tx.table_changes(spark, path, 2, 2).collect()
+    # an append-only tail only needs its own (still live) added files
+    live = tx.table_changes(spark, path, 3, 3).collect()
+    assert sorted(r["id"] for r in live) == [8, 9, 10, 11]
+    assert {r["_change_type"] for r in live} == {"insert"}
