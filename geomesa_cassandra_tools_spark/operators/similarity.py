@@ -742,3 +742,100 @@ def kmeans_iterate(
     return assigned.select(
         F.col("id").alias(id_col), "cluster", "d2"
     )
+
+
+def _seq_cos(a, b) -> float:
+    """Cosine with EVERY term accumulated left-to-right — dot and both
+    norms — matching a scalar-fold engine bit-for-bit. The boundary
+    recompute for BLAS kernels: pairwise summation can differ from a
+    sequential fold by ~1 ulp, which flips >= threshold decisions."""
+    acc = na = nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        acc += x * y
+        na += x * x
+        nb += y * y
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    seeds: dict[int, list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding corpus with a fixed coarse
+    quantizer, then prune — within each cluster only — every vector that
+    has a near-duplicate neighbor (cosine >= ``threshold``) earlier in id
+    order. Returns one row per PRUNED vector: (id, cluster,
+    n_suppressors, keeper_id), where keeper_id is the smallest-id
+    suppressor — the representative a dataset builder keeps. Survivors
+    are the anti-join of the corpus against this frame.
+
+    The point of the cluster fence is the scale contract: candidate pairs
+    are O(Σ cluster_size²), never corpus², and each cluster's pairwise
+    pass is one executor-local BLAS matmul (`applyInPandas` per cluster).
+    At 100 TB, k grows so clusters stay executor-sized (SemDeDup's own
+    regime: k in the tens of thousands), and oversized clusters shard
+    into sub-blocks — the deliberate trade that cross-cluster near-dups
+    go unseen, which is the published algorithm's semantics, not a
+    shortcut.
+
+    Determinism contract (what lets q153's SQL oracle reproduce this
+    bit-for-bit): assignment uses the exact JVM-side squared-L2 fold of
+    `kmeans_assign` (ties to the smaller centroid id); the in-cluster
+    cosine compare recomputes any BLAS entry within 1e-9 of the
+    threshold with the fully sequential `_seq_cos`; suppressor order is
+    id order; zero-norm vectors are excluded up front (no defined
+    cosine). 'Earlier id suppresses' deliberately counts suppressors
+    that were themselves pruned — the screen is a per-vector predicate,
+    not a transitive closure (that variant is `neardup_clusters`'s
+    connected-components job)."""
+    import numpy as np
+    import pandas as pd
+
+    prep = _prep(corpus, id_col, vec_col, "id", "v").where(
+        dot(F.col("v"), F.col("v")) > 0
+    )
+    assigned = prep.select(
+        "id", "v", _assign_struct("v", seeds).alias("__a")
+    ).select("id", "v", F.col("__a.cluster").alias("cluster"))
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "cluster": [], "n_suppressors": [], "keeper_id": []}
+        ).astype(
+            {"vec_id": "int64", "cluster": "int32",
+             "n_suppressors": "int64", "keeper_id": "int64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        for i, j in zip(*np.where(np.abs(sims - threshold) < 1e-9)):
+            if i != j:
+                sims[i, j] = _seq_cos(mat[i], mat[j])
+        sup = np.tril(sims >= threshold, k=-1)  # row j, col i<j (id-sorted)
+        nsup = sup.sum(axis=1)
+        hit = nsup > 0
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "cluster": np.full(hit.sum(), pdf["cluster"].iloc[0], np.int32),
+                "n_suppressors": nsup[hit].astype(np.int64),
+                # first True column = smallest suppressor id (ids sorted)
+                "keeper_id": ids[np.argmax(sup[hit], axis=1)],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune,
+        "vec_id bigint, cluster int, n_suppressors bigint, keeper_id bigint",
+    )

@@ -2861,6 +2861,53 @@ SELECT o_orderkey, o_orderstatus,
 FROM news
 """
 
+# q153 replays SemDeDup in SQL: the q140 assignment CTE (exact index-order
+# squared-L2 fold, ties to the smaller centroid id) fences the threshold
+# join inside clusters; a pruned vector is one with ANY earlier-id
+# same-cluster neighbor at cosine >= 0.30. All outputs are integers; the
+# corpus's nearest cosine to the threshold is >=5.9e-7 at every SF, so
+# BLAS-vs-fold ulp differences cannot flip a comparison.
+ORACLES["q153_semdedup_prune"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v WHERE list_sum(list_transform(e, x -> x * x)) > 0
+),
+s AS (
+  SELECT vec_id AS cluster, e AS se FROM v WHERE vec_id < 8
+),
+d AS (
+  SELECT n.vec_id, s.cluster,
+         list_sum(list_transform(range(1, len(n.e) + 1),
+                                 i -> (n.e[i] - s.se[i]) * (n.e[i] - s.se[i])))
+           AS d2
+  FROM n, s
+),
+a AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d
+),
+asg AS (
+  SELECT n.vec_id, n.e, n.nrm, a.cluster
+  FROM n JOIN a ON a.vec_id = n.vec_id AND a.rn = 1
+),
+sup AS (
+  SELECT hi.vec_id, hi.cluster, lo.vec_id AS sup_id
+  FROM asg hi JOIN asg lo
+    ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+   AND list_sum(list_transform(range(1, len(hi.e) + 1),
+                               i -> hi.e[i] * lo.e[i]))
+         / (hi.nrm * lo.nrm) >= 0.30
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       count(*) AS n_suppressors, min(sup_id) AS keeper_id
+FROM sup GROUP BY vec_id, cluster
+"""
+
 # q151 replays the atomic MERGE as set algebra: matched keys (the %3==0
 # subset of the base slice) take the batch's updated price, new keys
 # (%4==1 AND %5==0) append, everything else carries — proving merge_upsert

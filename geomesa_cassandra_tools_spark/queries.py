@@ -4732,6 +4732,37 @@ def q152_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.30
+
+
+def q153_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity.semdedup_prune` driver-certified: SemDeDup (Abbas et
+    al. 2023) semantic deduplication — cluster the embedding corpus with
+    the q140 coarse quantizer (first-8 seeds, exact squared-L2 fold,
+    ties to the smaller centroid id), then inside each cluster prune
+    every vector with an earlier-id neighbor at cosine >= 0.30. One row
+    per pruned vector with its suppressor count and kept representative;
+    training-set survivors are the anti-join against this frame.
+
+    Scale shape: assignment is map-only (literal centroids); the
+    pairwise pass is one executor-local BLAS matmul per cluster via
+    applyInPandas — candidate pairs O(Σ cluster²), never corpus². The
+    oracle replays assignment + the within-cluster threshold join in
+    SQL; every output is an integer (ids and counts), and the measured
+    nearest cosine to the 0.30 threshold is >=5.9e-7 across SFs — five
+    orders above the 1e-9 band where the operator swaps BLAS sums for
+    the sequential fold the oracle computes."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    seeds = {
+        r["vec_id"]: r["e"]
+        for r in v.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+    return similarity.semdedup_prune(
+        v, seeds, SEMDEDUP_TAU, id_col="vec_id", vec_col="e"
+    )
+
+
 def q150_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH top-5 driver-certified (the r7 `ntables`
     operator): four independent 8-bit hash tables — four consecutive
@@ -5019,6 +5050,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q152_manifest_change_feed": q152_manifest_change_feed,
+    "q153_semdedup_prune": q153_semdedup_prune,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -1883,3 +1883,49 @@ def test_lsh_multitable_recall_dominates_single(spark):
             ntables=8,
         )
     exact.unpersist()
+
+
+def test_semdedup_prune_semantics(spark):
+    """Earlier-id in-cluster near-dups suppress; cross-cluster near-dups
+    never meet (the SemDeDup fence); a pruned suppressor still suppresses
+    (per-vector screen, not transitive closure); zero-norm excluded."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # cluster-0 seed / keeper
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 0 -> dropped, keeper 0
+        (2, [0.98, 0.02, 0.01, 0.0]), # near-dup of 0 AND 1 -> keeper 0, 2 sups
+        (3, [0.0, 0.0, 1.0, 0.0]),    # cluster-1 seed, orthogonal to all
+        (4, [0.01, 0.0, 0.99, 0.0]),  # near-dup of 3 in OTHER cluster
+        (5, [0.0, 0.0, 0.0, 0.0]),    # zero norm: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, e array<double>")
+    seeds = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 0.0, 1.0, 0.0]}
+    out = similarity.semdedup_prune(df, seeds, 0.9, id_col="vec_id", vec_col="e")
+    got = {
+        r["vec_id"]: (r["cluster"], r["n_suppressors"], r["keeper_id"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (0, 1, 0),
+        2: (0, 2, 0),
+        4: (1, 1, 3),
+    }
+    # the fence: 4 is cosine~0.0099.. to nothing in cluster 0; its only
+    # suppressor is 3, in ITS cluster — no cross-cluster pair was scored
+    # exact-threshold boundary: cos(a,b) == 0.9 within 1e-9 must count
+    a = [1.0, 0.0]
+    import math
+
+    th = 0.9
+    b = [th, math.sqrt(1 - th * th)]  # cos(a,b) == 0.9 up to rounding
+    df2 = spark.createDataFrame(
+        [(0, a), (1, b)], "vec_id bigint, e array<double>"
+    )
+    out2 = similarity.semdedup_prune(
+        df2, {0: a}, th, id_col="vec_id", vec_col="e"
+    )
+    # decided by the sequential-fold recompute, deterministically
+    got2 = [(r["vec_id"], r["keeper_id"]) for r in out2.collect()]
+    seq = similarity._seq_cos(a, b)
+    assert got2 == ([(1, 0)] if seq >= th else [])
