@@ -2861,6 +2861,79 @@ SELECT o_orderkey, o_orderstatus,
 FROM news
 """
 
+# q155: longest shared token run per doc pair — 5-token windows equi-join
+# on the gram string, gaps-and-islands per (pair, diagonal). All-integer.
+# DuckDB's list_slice / range are 1-based inclusive, mirroring Spark's
+# 1-based slice(a, i, w) exactly.
+ORACLES["q155_shared_run_pairs"] = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(list_slice(a, i, i + 4), 'string_agg', ' ') AS gram
+  FROM arr, unnest(range(1, len(a) - 3)) AS t(i)
+  WHERE len(a) >= 5
+),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+),
+islands AS (
+  SELECT a, b, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+  FROM p
+),
+runs AS (
+  SELECT a, b, count(*) AS run FROM islands GROUP BY a, b, diag, grp
+)
+SELECT a AS doc_a, b AS doc_b, CAST(max(run) + 4 AS BIGINT) AS run_tokens
+FROM runs GROUP BY a, b HAVING max(run) + 4 >= 8
+"""
+
+# q154 replays BM25 in SQL with the same expression SHAPE as the Spark
+# side: each (doc, term) weight is one deterministic arithmetic expression
+# over exact integers + the single avgdl division, snapped to integer
+# micro-units BEFORE the per-doc sum — float summation order (which
+# neither engine fixes) never touches the certified values.
+ORACLES["q154_bm25_retrieval"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+q AS (SELECT unnest(['merge', 'scan', 'window']) AS term),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / tot.avgdl)))
+             * 1000000.0
+         ) AS BIGINT) AS w_micro
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_terms, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+FROM scored
+ORDER BY rnk LIMIT 10
+"""
+
 # q153 replays SemDeDup in SQL: the q140 assignment CTE (exact index-order
 # squared-L2 fold, ties to the smaller centroid id) fences the threshold
 # join inside clusters; a pruned vector is one with ANY earlier-id

@@ -4732,6 +4732,90 @@ def q152_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("merge", "scan", "window")
+
+
+def q154_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-default
+    scoring function) for a literal query over the document corpus:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)); top-10 docs.
+    Complements q59's corpus-level TF-IDF: this is the query-time
+    doc-ranking operator (retrieval / RAG context selection / dedup-by-
+    query triage), not a vocabulary profile.
+
+    Engine-determinism: each (doc, term) weight is ONE arithmetic
+    expression over exact integers (tf, df, dl, N) plus the single
+    avgdl division — bit-identical across engines — snapped to integer
+    MICRO-units before the per-doc sum, so the only float SUM (whose
+    partial-agg order Spark does not fix) becomes order-independent
+    int64 addition. Rank ties break on doc_id after the integer score.
+
+    Scale shape: one explode feeds dl (partial-agg on doc_id) and the
+    term filter (broadcast of a literal 3-row dim); df and the corpus
+    totals are broadcast 1-row/3-row aggregates; the only wide shuffles
+    are the two doc_id-keyed aggs, then a global top-10 TakeOrdered —
+    no driver collect, no cartesian beyond 1-row broadcasts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    w = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * 2.2) / denom * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    scored = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("w_micro").alias("score_micro"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "n_terms", "score_micro", "rnk")
+    )
+
+
+def q155_shared_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup.shared_run_pairs` driver-certified: longest common
+    consecutive token run per document pair (>= 8 tokens, 5-token
+    candidate windows) — the exact-substring duplication signal
+    set-similarity dedup dilutes. Gram equi-join, then gaps-and-islands
+    per (pair, diagonal); every output is an integer. The oracle replays
+    windows, the equi-join, and the islands in SQL; position ties and
+    run arithmetic are exact, so no float discipline is needed at all."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.shared_run_pairs(docs, w=5, min_tokens=8)
+
+
 SEMDEDUP_TAU = 0.30
 
 
@@ -5051,6 +5135,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q152_manifest_change_feed": q152_manifest_change_feed,
     "q153_semdedup_prune": q153_semdedup_prune,
+    "q154_bm25_retrieval": q154_bm25_retrieval,
+    "q155_shared_run_pairs": q155_shared_run_pairs,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -1929,3 +1929,33 @@ def test_semdedup_prune_semantics(spark):
     got2 = [(r["vec_id"], r["keeper_id"]) for r in out2.collect()]
     seq = similarity._seq_cos(a, b)
     assert got2 == ([(1, 0)] if seq >= th else [])
+
+
+def test_shared_run_pairs_semantics(spark):
+    """Known runs: a verbatim 10-token run is reported at 10; two
+    separate diagonals report the LONGEST; sub-threshold overlap and
+    docs shorter than the window are excluded."""
+    run10 = "a b c d e f g h i j"
+    rows = [
+        (0, run10 + " x1 x2 x3"),
+        (1, "y1 y2 " + run10 + " y3"),              # shares the 10-run with 0
+        (2, "a b c d e z1 z2 z3 f g h i j z4"),      # two 5-window runs vs 0
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),       # no overlap
+        (4, "a b c"),                                 # shorter than w: excluded
+    ]
+    from geomesa_cassandra_tools_spark.operators import dedup as dd
+
+    out = dd.shared_run_pairs(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        w=5, min_tokens=5,
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["run_tokens"] for r in out.collect()}
+    assert got[(0, 1)] == 10
+    assert got[(0, 2)] == 5  # max of the two 5-token runs, not their sum
+    assert (1, 2) in got and got[(1, 2)] == 5
+    assert all(3 not in pair and 4 not in pair for pair in got)
+    # min_tokens fences: at 11 nothing survives
+    assert dd.shared_run_pairs(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        w=5, min_tokens=11,
+    ).count() == 0

@@ -168,6 +168,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q137_lang_rebalance_plan",  # per-lang counts × 1-row (total, n_langs)
         "q139_source_temperature_mixture",  # per-source weights × 1-row totals
         "q146_ann_recall_calibration",  # composes q19's brute-force baseline (broadcast queries × corpus) by design
+        "q154_bm25_retrieval",      # single-row broadcast of (N, avgdl) totals
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
