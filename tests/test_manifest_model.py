@@ -1,0 +1,110 @@
+"""Model-based certification of the manifest delta log: a random sequence
+of append / delete / merge / compact / truncate / checkpoint commits is
+replayed against a trivial in-memory model (a Counter of rows). After
+EVERY op the table must equal the model; afterwards, every recorded
+version must time-travel back to its model snapshot, and folding the
+whole change feed (insert +1 / delete −1) must land exactly on the final
+model — one property that ties read_table, table_changes, and the
+checkpoint/tail resolution together under arbitrary interleavings the
+hand-written battery doesn't enumerate.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+_seq = itertools.count()
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 5)), min_size=1, max_size=5
+)
+
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("delete"), st.tuples(st.integers(0, 12), st.integers(0, 12))),
+    st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("truncate"), st.none()),
+    st.tuples(st.just("checkpoint"), st.none()),
+)
+
+
+def _snap(spark, path, version=None):
+    return Counter(
+        (r["k"], r["v"])
+        for r in tx.read_table(spark, path, version=version).collect()
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+def test_manifest_log_matches_model(spark, tmp_path, ops):
+    path = str(tmp_path / f"t{next(_seq)}")
+    tx.init_table(
+        spark.createDataFrame([(0, 0), (1, 1)], "k bigint, v bigint")
+        .repartitionByRange(2, "k"),
+        path,
+    )
+    model: Counter = Counter({(0, 0): 1, (1, 1): 1})
+    history = {0: Counter(model)}
+
+    for kind, arg in ops:
+        if kind == "append":
+            tx.append_batch(
+                spark.createDataFrame(arg, "k bigint, v bigint"), path
+            )
+            model.update(arg)
+        elif kind == "delete":
+            lo, hi = min(arg), max(arg)
+            tx.delete_where(
+                spark, path, (F.col("k") >= lo) & (F.col("k") <= hi)
+            )
+            model = Counter(
+                {r: c for r, c in model.items() if not lo <= r[0] <= hi}
+            )
+        elif kind == "merge":
+            # merge batches must be key-unique: keep the last value per key
+            batch = list({k: (k, v) for k, v in arg}.values())
+            tx.merge_upsert(
+                spark,
+                path,
+                spark.createDataFrame(batch, "k bigint, v bigint"),
+                ["k"],
+            )
+            keys = {k for k, _ in batch}
+            model = Counter({r: c for r, c in model.items() if r[0] not in keys})
+            model.update(batch)
+        elif kind == "compact":
+            tx.compact_table(spark, path, target_bytes=1 << 30)
+        elif kind == "truncate":
+            tx.truncate_table(path)
+            model = Counter()
+        elif kind == "checkpoint":
+            tx.checkpoint_table(path)
+            continue  # no commit happened — no new version to record
+        history[tx.current_version(path)] = Counter(model)
+        assert _snap(spark, path) == model, f"after {kind}"
+
+    # every committed version time-travels back to its model snapshot
+    # (compact commits burn a version without changing rows — resolve
+    # each recorded version explicitly)
+    for v, snap in history.items():
+        assert _snap(spark, path, version=v) == snap, f"time travel to v{v}"
+
+    # the full change feed folds to the final model
+    fold: Counter = Counter()
+    for r in tx.table_changes(spark, path).collect():
+        d = (r["k"], r["v"])
+        fold[d] += 1 if r["_change_type"] == "insert" else -1
+    assert +fold == model, "change feed does not fold to the final state"
