@@ -2861,6 +2861,19 @@ SELECT o_orderkey, o_orderstatus,
 FROM news
 """
 
+# q156: the streaming-feed drain of the append-only q156 fixture must
+# reproduce events exactly (its 4 slices partition events completely),
+# so the oracle is the plain batch aggregate — the q37 integer-cents rule
+# for the one float column.
+ORACLES["q156_manifest_stream_feed"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
 # q155: longest shared token run per doc pair — 5-token windows equi-join
 # on the gram string, gaps-and-islands per (pair, diagonal). All-integer.
 # DuckDB's list_slice / range are 1-based inclusive, mirroring Spark's

@@ -5066,6 +5066,74 @@ def q149_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_feed_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once append-only manifest table for the q156 streaming-feed
+    certification: init + 3 appends, each one quarter of events
+    (user_id % 4) over (event_id, user_id, event_type, value) — no
+    timestamp column, so the fixture's physical parquet is
+    writer-session-independent (INT96 vs INT64 never enters). Idempotent
+    and race-safe like the q148/q149 fixtures: init loses its v0 race
+    gracefully and the appends are replay-refused by the txn watermark,
+    so every builder converges on the same v0..v3 append-only history."""
+    path = _corpus_keyed_tmp_path(sf_dir, "events", "gcts_manifest_feed")
+    if transactional.current_version(path) >= 3:
+        return path
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                ev.where(F.col("user_id") % 4 == 0).coalesce(2), path,
+                only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    for i in range(1, 4):
+        transactional.append_batch(
+            # 2 files per commit: enough to keep the one-task-per-file
+            # planning observable, without paying a Python worker spin-up
+            # per sliver of a small fixture
+            ev.where(F.col("user_id") % 4 == i).coalesce(2), path,
+            txn_app="feed-fixture", txn_id=i,
+        )
+    return path
+
+
+def q156_manifest_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest delta log consumed as a STRUCTURED STREAMING SOURCE
+    (`sources/manifestfeed.py` — versions as offsets, one scan task per
+    added file, Arrow-batch executor reads) driver-certified end to end:
+    the q156 fixture's 4 append commits are drained (AvailableNow) into a
+    memory sink and aggregated per event_type. Because the fixture is
+    append-only and the immutable log replans deterministically, the
+    streamed row multiset must equal the batch table EXACTLY — the oracle
+    is the plain batch SQL over events (the fixture's 4 slices partition
+    events completely). Money follows the q37 integer-cents rule. This is
+    the read-side twin of the exactly-once manifest sink: source + sink
+    together are the incremental multi-hop (bronze->silver) contract at
+    100 TB — each hop's cost is O(new commits), never O(table)."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+
+    path = _manifest_feed_fixture_path(spark, sf_dir)
+    feed = manifestfeed.stream_feed(spark, path)
+    name = stream_win.run_appendmode(
+        feed, "manifest_feed", state_partitions=None
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("event_type", "n_events", "value_cents", "n_users")
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5088,11 +5156,13 @@ def _with_cache_release(
 # Registry order is VERIFICATION-FIRST, not numeric: the external
 # correctness harness checks exactly the first 50 entries per round.
 # Round-7 window = the round-6 window with q149 (manifest OPTIMIZE
-# lifecycle), q150 (multi-table LSH, the r7 ntables operator) and q151
-# (atomic MERGE upsert) — all first driver certifications — inserted
-# after q148, displacing three more tail entries below the line;
-# displaced entries' code and values are unchanged since their green
-# rows, so union coverage holds.
+# lifecycle), q150 (multi-table LSH, the r7 ntables operator), q151
+# (atomic MERGE upsert), q152 (Change Data Feed), q153 (SemDeDup),
+# q154 (BM25), q155 (exact-substring shared runs) and q156 (manifest
+# streaming SOURCE) — all first driver certifications — inserted after
+# q148, displacing as many tail entries below the line; displaced
+# entries' code and values are unchanged since their green rows, so
+# union coverage holds.
 # No existing query's VALUES changed in round 7 (the q98/q100/q108 job
 # reductions are plan-only — re-verified against their oracles; the
 # manifest delta-log redesign changes the LOG format, not any read
@@ -5137,6 +5207,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_semdedup_prune": q153_semdedup_prune,
     "q154_bm25_retrieval": q154_bm25_retrieval,
     "q155_shared_run_pairs": q155_shared_run_pairs,
+    "q156_manifest_stream_feed": q156_manifest_stream_feed,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -1,0 +1,218 @@
+"""The manifestfeed streaming SOURCE battery: manifest tables consumed
+incrementally via ``spark.readStream`` (sources/manifestfeed.py) — the
+read-side twin of the exactly-once manifest sink. Covers the full-drain
+identity, checkpointed incremental resume, replay stability, the three
+``onDelete`` policies against delete / rewrite commits, startingVersion
+(numeric and "latest"), schema pinned across a merge_schema evolution in
+both directions, timestamp round-trip, and the vacuum-horizon
+diagnostics."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.operators import transactional as tx
+from geomesa_cassandra_tools_spark.sources import manifestfeed as mf
+
+
+def _mk(spark, rows, ddl="k bigint, s string"):
+    return spark.createDataFrame(rows, ddl)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "feed_table")
+    tx.init_table(_mk(spark, [(1, "a"), (2, "b")]), path)
+    tx.append_batch(_mk(spark, [(3, "c")]), path)
+    tx.append_batch(_mk(spark, [(4, "d"), (5, "e")]), path)
+    return path
+
+
+def _drain(spark, path, ckpt, out, **feed_kw):
+    q = (
+        mf.stream_feed(spark, path, **feed_kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "feed drain timed out"
+    from pyspark.errors import AnalysisException
+
+    try:
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    except AnalysisException:
+        return []  # nothing emitted yet -> sink dir has no parquet files
+
+
+def test_feed_full_drain_equals_table(spark, tmp_path, table):
+    got = _drain(spark, table, str(tmp_path / "c"), str(tmp_path / "o"))
+    want = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert got == want == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_feed_schema_comes_from_manifest(spark, table):
+    feed = mf.stream_feed(spark, table)
+    assert feed.schema.simpleString() == "struct<k:bigint,s:string>"
+
+
+def test_feed_incremental_resume_and_replay_stability(spark, tmp_path, table):
+    ckpt, out = str(tmp_path / "c"), str(tmp_path / "o")
+    first = _drain(spark, table, ckpt, out)
+    assert len(first) == 5
+    tx.append_batch(_mk(spark, [(6, "f")]), table)
+    second = _drain(spark, table, ckpt, out)
+    assert sorted(second) == sorted(first + [(6, "f")])
+    # no new commits -> a third drain must be a no-op, not a re-emit
+    third = _drain(spark, table, ckpt, out)
+    assert third == second
+
+
+def test_feed_starting_version(spark, tmp_path, table):
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        starting_version=2,
+    )
+    assert got == [(4, "d"), (5, "e")]
+
+
+def test_feed_starting_latest_sees_only_new_commits(spark, tmp_path, table):
+    # "latest" anchors at query START (Delta semantics): the first drain
+    # subscribes and emits nothing; commits after that checkpoint stream.
+    ckpt, out = str(tmp_path / "c"), str(tmp_path / "o")
+    first = _drain(spark, table, ckpt, out, starting_version="latest")
+    assert first == []
+    tx.append_batch(_mk(spark, [(9, "z")]), table)
+    second = _drain(spark, table, ckpt, out, starting_version="latest")
+    assert second == [(9, "z")]
+
+
+def test_feed_on_delete_fail_names_the_commit(spark, tmp_path, table):
+    tx.delete_where(spark, table, "k = 1")
+    with pytest.raises(Exception, match="onDelete"):
+        _drain(spark, table, str(tmp_path / "c"), str(tmp_path / "o"))
+
+
+def test_feed_on_delete_ignore_skips_delete_only(spark, tmp_path, table):
+    # TRUNCATE is the remove-only commit shape (delete_where stages
+    # survivor files, so even a whole-file delete is a rewrite commit)
+    tx.truncate_table(table)
+    tx.append_batch(_mk(spark, [(8, "h")]), table)
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        on_delete="ignore",
+    )
+    # every commit's ADDS stream; the truncate contributes nothing —
+    # the documented trade of ignore (downstream keeps pre-truncate rows)
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (8, "h")]
+
+
+def test_feed_on_delete_ignore_refuses_rewrites(spark, tmp_path, table):
+    tx.compact_table(spark, table, target_bytes=256 << 20)
+    with pytest.raises(Exception, match="REWROTE|additive"):
+        _drain(
+            spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+            on_delete="ignore",
+        )
+
+
+def test_feed_on_delete_additive_streams_rewrites(spark, tmp_path, table):
+    tx.compact_table(spark, table, target_bytes=256 << 20)
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        on_delete="additive",
+    )
+    # documented ignoreChanges semantics: the compaction re-emits every
+    # carried row, so each of the 5 rows appears exactly twice
+    want = sorted([(k, s) for k, s in
+                   [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]] * 2)
+    assert got == want
+
+
+def test_feed_schema_pinned_across_evolution(spark, tmp_path, table):
+    # stream DEFINED pre-evolution: new files project through the old
+    # schema (extra column dropped)
+    feed_old = mf.stream_feed(spark, table)
+    tx.append_batch(
+        _mk(spark, [(7, "g", 70)], "k bigint, s string, extra bigint"),
+        table, merge_schema=True,
+    )
+    q = (
+        feed_old.writeStream.format("parquet")
+        .option("path", str(tmp_path / "o1"))
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    old_view = spark.read.parquet(str(tmp_path / "o1"))
+    assert old_view.columns == ["k", "s"]
+    assert (7, "g") in {tuple(r) for r in old_view.collect()}
+
+    # stream DEFINED post-evolution: old files null-backfill the new column
+    got = _drain(spark, table, str(tmp_path / "c2"), str(tmp_path / "o2"))
+    by_k = {r[0]: r for r in got}
+    assert by_k[7] == (7, "g", 70)
+    assert by_k[1] == (1, "a", None)
+
+
+def test_feed_timestamp_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "ts_table")
+    t0 = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    tx.init_table(
+        spark.createDataFrame([(1, t0)], "k bigint, ts timestamp_ntz"), path
+    )
+    tx.append_batch(
+        spark.createDataFrame(
+            [(2, t0 + datetime.timedelta(hours=1))], "k bigint, ts timestamp_ntz"
+        ),
+        path,
+    )
+    got = _drain(spark, path, str(tmp_path / "c"), str(tmp_path / "o"))
+    assert got == sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    assert got[0][1] == t0
+
+
+def test_feed_below_vacuum_horizon_is_named(spark, tmp_path, table):
+    tx.delete_where(spark, table, "k = 3")
+    tx.vacuum(table, keep_versions=1, grace_seconds=0)
+    with pytest.raises(Exception, match="vacuum|retention"):
+        _drain(
+            spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+            on_delete="additive",
+        )
+
+
+def test_feed_requires_existing_table(spark, tmp_path):
+    with pytest.raises(Exception, match="manifest"):
+        mf.stream_feed(spark, str(tmp_path / "nope"))
+
+
+def test_feed_chains_into_manifest_sink(spark, tmp_path, table):
+    """Bronze -> silver multi-hop: the feed source drains into the
+    exactly-once manifest SINK, and the downstream table converges to the
+    upstream's live rows (append-only upstream)."""
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "c")
+    sinks.stream_to_manifest(
+        mf.stream_feed(spark, table).withColumn("s2", F.upper("s")),
+        silver, query_name="feed_hop", checkpoint=ckpt,
+    )
+    tx.append_batch(_mk(spark, [(6, "f")]), table)
+    sinks.stream_to_manifest(
+        mf.stream_feed(spark, table).withColumn("s2", F.upper("s")),
+        silver, query_name="feed_hop", checkpoint=ckpt,
+    )
+    got = sorted(tuple(r) for r in tx.read_table(spark, silver).collect())
+    assert got == [
+        (1, "a", "A"), (2, "b", "B"), (3, "c", "C"),
+        (4, "d", "D"), (5, "e", "E"), (6, "f", "F"),
+    ]
