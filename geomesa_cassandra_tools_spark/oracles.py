@@ -14,7 +14,10 @@ from geomesa_cassandra_tools_spark.functions.text import (
     rolling_hash_powers,
 )
 from geomesa_cassandra_tools_spark.operators.dedup import MINHASH_PRIME, minhash_params
-from geomesa_cassandra_tools_spark.operators.similarity import random_hyperplanes
+from geomesa_cassandra_tools_spark.operators.similarity import (
+    pq_codebooks,
+    random_hyperplanes,
+)
 
 # Shared CTE: embeddings as double vectors with norms (cosine denominator).
 _VEC_CTE = """
@@ -2872,6 +2875,62 @@ SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
+"""
+
+# q157 replays product quantization end to end: the same LCG codebooks as
+# literals (CAST to DOUBLE[][][] — bare float literals would parse as
+# DECIMAL), codes re-derived per subspace as list_position-of-list_min
+# (first occurrence = smallest code, the struct-min tie rule), and the
+# ADC distance as index-order list_sum folds — Spark's aggregate/zip_with
+# and the driver-side Python table build fold the same order, so every
+# double is bit-identical before the 6-decimal display rounding.
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+_PQ_CB = pq_codebooks(_PQ_M * _PQ_SUB, _PQ_M, _PQ_K)
+_PQ_CB_LIT = (
+    "CAST(["
+    + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(f"{x!r}" for x in w) + "]" for w in words
+        ) + "]"
+        for words in _PQ_CB
+    )
+    + "] AS DOUBLE[][][])"
+)
+# d2 of relation alias {a}'s subspace s (1-based SQL var) to codeword c
+_PQ_D2 = (
+    "list_sum(list_transform(range(1, {n}), i -> "
+    "({a}.e[(s-1)*{sub} + i] - b[s][{c}][i])"
+    " * ({a}.e[(s-1)*{sub} + i] - b[s][{c}][i])))"
+).format
+_PQ_DLIST = (
+    f"list_transform(range(1, {_PQ_K + 1}), c -> "
+    + _PQ_D2(n=_PQ_SUB + 1, a="v", sub=_PQ_SUB, c="c")
+    + ")"
+)
+ORACLES["q157_pq_adc_topk"] = f"""
+WITH {_VEC_CTE},
+cb AS (SELECT {_PQ_CB_LIT} AS b),
+enc AS (
+  SELECT v.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_PQ_DLIST}, list_min({_PQ_DLIST})) - 1
+         ) AS codes
+  FROM v, cb
+),
+pairs AS (
+  SELECT v.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, {_PQ_M + 1}), s ->
+           {_PQ_D2(n=_PQ_SUB + 1, a="v", sub=_PQ_SUB, c="c.codes[s] + 1")}
+         )) AS d2
+  FROM v JOIN enc c ON v.vec_id < 8 AND c.vec_id <> v.vec_id, cb
+),
+r AS (
+  SELECT query_id, cand_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+           AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
 """
 
 # q155: longest shared token run per doc pair — 5-token windows equi-join

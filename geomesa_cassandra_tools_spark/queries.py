@@ -5134,6 +5134,35 @@ def q156_manifest_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`similarity.pq_encode` + `pq_adc_topk`)
+    driver-certified: the corpus is compressed to m=8 one-byte codes per
+    vector (32× less than 64 floats — the representation that lets a
+    100 TB embedding corpus's search structure live in memory), and each
+    of the 8 query vectors ranks candidates by asymmetric distance — m
+    table lookups + an m-term fold per candidate, never a dim-length dot
+    product and never a read of the original embedding column. Codebooks
+    are the deterministic LCG set (`pq_codebooks(64, 8, 16)`); the oracle
+    re-derives the codes (per-subspace argmin, ties to the smaller code)
+    and the ADC sums from the same literals with index-order folds, so
+    every distance is bit-identical before the 6-decimal display
+    rounding. `pq_train` (unit-certified) is the data-tuned variant;
+    exact re-ranking of these candidates via `cosine_topk` is the
+    standard second stage when recall matters."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cb = similarity.pq_codebooks(64, 8, 16)
+    # the BLAS encode kernel (code-identical to the JVM fold by the
+    # 1e-9-gap boundary recompute; pinned by unit) — the corpus-side
+    # hot path, ~10x the interpreted m*k fold
+    codes = similarity.pq_encode_blas(emb, cb)
+    top = similarity.pq_adc_topk(
+        codes, emb.where(F.col("vec_id") < 8), cb, 5
+    )
+    return top.select(
+        "query_id", "cand_id", "rank", F.round("d2", 6).alias("d2")
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5208,6 +5237,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154_bm25_retrieval": q154_bm25_retrieval,
     "q155_shared_run_pairs": q155_shared_run_pairs,
     "q156_manifest_stream_feed": q156_manifest_stream_feed,
+    "q157_pq_adc_topk": q157_pq_adc_topk,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

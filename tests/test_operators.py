@@ -1959,3 +1959,190 @@ def test_shared_run_pairs_semantics(spark):
         spark.createDataFrame(rows, "doc_id bigint, text string"),
         w=5, min_tokens=11,
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def _pq_python_encode(vec, books):
+    codes = []
+    sub = len(books[0][0])
+    for s, words in enumerate(books):
+        best = None
+        for ci, w in enumerate(words):
+            d = 0.0
+            for i in range(sub):
+                diff = float(vec[s * sub + i]) - w[i]
+                d += diff * diff
+            if best is None or d < best[0]:
+                best = (d, ci)
+        codes.append(best[1])
+    return codes
+
+
+def _pq_python_adc(qv, codes, books):
+    sub = len(books[0][0])
+    dist = 0.0
+    for s, words in enumerate(books):
+        w = words[codes[s]]
+        d = 0.0
+        for i in range(sub):
+            diff = float(qv[s * sub + i]) - w[i]
+            d += diff * diff
+        dist += d
+    return dist
+
+
+def test_pq_codebooks_shape_determinism_and_validation():
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = similarity.pq_codebooks(8, 2, 4)
+    assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+    assert cb == similarity.pq_codebooks(8, 2, 4)
+    assert cb != similarity.pq_codebooks(8, 2, 4, seed=99)
+    with pytest.raises(ValueError, match="divide"):
+        similarity.pq_codebooks(10, 3, 4)
+
+
+def test_pq_encode_hand_case(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    # two 2-dim subspaces, two codewords each — answers computable by eye
+    cb = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.0, 0.0], [-1.0, -1.0]],
+    ]
+    df = spark.createDataFrame(
+        [(0, [0.9, 1.1, -0.9, -1.2]), (1, [0.1, -0.1, 0.2, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in
+           similarity.pq_encode(df, cb).collect()}
+    assert got == {0: [1, 1], 1: [0, 0]}
+
+
+def test_pq_encode_tie_breaks_to_smaller_code(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = [[[1.0], [-1.0]]]  # equidistant from 0.0
+    df = spark.createDataFrame([(0, [0.0])], "vec_id bigint, embedding array<double>")
+    assert similarity.pq_encode(df, cb).first()["codes"] == [0]
+
+
+def test_pq_adc_topk_matches_python_reference(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = similarity.pq_codebooks(8, 2, 4, seed=5)
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 5.0 - 1.0 for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes = similarity.pq_encode(df, cb)
+    got = similarity.pq_adc_topk(codes, df.where("vec_id < 2"), cb, 3).collect()
+
+    py_codes = {i: _pq_python_encode(v, cb) for i, v in rows}
+    for qid in (0, 1):
+        qv = rows[qid][1]
+        ranked = sorted(
+            ((_pq_python_adc(qv, py_codes[i], cb), i) for i, _ in rows if i != qid),
+        )[:3]
+        mine = sorted(
+            (r["d2"], r["cand_id"]) for r in got if r["query_id"] == qid
+        )
+        assert [c for _, c in mine] == [c for _, c in ranked]
+        for (da, _), (db, _) in zip(mine, ranked):
+            assert da == pytest.approx(db, abs=1e-12)
+
+
+def test_pq_adc_topk_query_guard(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = similarity.pq_codebooks(4, 2, 2)
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 0.5]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    codes = similarity.pq_encode(df, cb)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_adc_topk(codes, df, cb, 2, max_queries=2)
+
+
+def test_pq_train_reduces_quantization_error(spark, sf_smoke):
+    from geomesa_cassandra_tools_spark.operators import similarity
+    from geomesa_cassandra_tools_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_smoke)["embeddings"]
+    vecs = [list(r["embedding"]) for r in emb.select("embedding").collect()]
+    dim = len(vecs[0])
+
+    random_cb = similarity.pq_codebooks(dim, 8, 16)
+    trained_cb = similarity.pq_train(emb, dim, 8, 16, rounds=2)
+
+    def err(books):
+        total = 0.0
+        for v in vecs:
+            codes = _pq_python_encode(v, books)
+            total += _pq_python_adc(v, codes, books)
+        return total / len(vecs)
+
+    e_rand, e_train = err(random_cb), err(trained_cb)
+    assert e_train < e_rand * 0.75, (e_rand, e_train)
+
+
+def test_pq_train_is_deterministic(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 17) / 8.0 - 1.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a = similarity.pq_train(df, 8, 2, 4, rounds=2)
+    b = similarity.pq_train(df.repartition(7), 8, 2, 4, rounds=2)
+    assert a == b  # int64-quantized update: partitioning-independent
+
+
+def test_pq_adc_recall_on_separated_blobs(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    # 3 well-separated blobs in dim 8: ADC must keep neighbors in-blob
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [c[j] + ((i * 31 + j * 7) % 13) / 13.0 for j in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = similarity.pq_train(df, 8, 4, 8, rounds=2)
+    codes = similarity.pq_encode(df, cb)
+    got = similarity.pq_adc_topk(codes, df.where("vec_id < 3"), cb, 5).collect()
+    for r in got:
+        # query i's blob is i % 3; every returned neighbor must share it
+        assert r["cand_id"] % 3 == r["query_id"] % 3, r
+
+
+def test_pq_encode_blas_equals_jvm_fold(spark):
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = similarity.pq_codebooks(8, 2, 4, seed=5)
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 5.0 - 1.0 for j in range(8)])
+        for i in range(50)
+    ]
+    # adversarial tie rows: exactly equidistant between two codewords in
+    # a hand codebook exercise the boundary recompute + (d2, code) rule
+    tie_cb = [[[1.0], [-1.0], [3.0], [5.0]], [[0.0], [2.0], [4.0], [6.0]]]
+    tie_rows = [(100 + i, [0.0, 1.0]) for i in range(3)]
+
+    for books, data, ddl in (
+        (cb, rows, "vec_id bigint, embedding array<double>"),
+        (tie_cb, tie_rows, "vec_id bigint, embedding array<double>"),
+    ):
+        df = spark.createDataFrame(data, ddl)
+        jvm = {r["vec_id"]: list(r["codes"]) for r in
+               similarity.pq_encode(df, books).collect()}
+        blas = {r["vec_id"]: list(r["codes"]) for r in
+                similarity.pq_encode_blas(df, books).collect()}
+        assert jvm == blas
