@@ -3006,6 +3006,87 @@ FROM scored
 ORDER BY rnk LIMIT 10
 """
 
+# q158 fuses the q154 BM25 ranking (cut at 20) with the q19-contract
+# dense cosine ranking for query vec 0 via fixed-point reciprocal rank
+# fusion: floor(1e9/(60+rank)) per system, absent -> 0 — all-integer, so
+# the fusion carries no float discipline of its own.
+ORACLES["q158_hybrid_rrf_retrieval"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+q AS (SELECT unnest(['merge', 'scan', 'window']) AS term),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / tot.avgdl)))
+             * 1000000.0
+         ) AS BIGINT) AS w_micro
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM w GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, bm25_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
+             AS bm25_rank
+    FROM scored
+  ) WHERE bm25_rank <= 20
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+),
+s AS (
+  SELECT c.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS cos
+  FROM n q, n c
+  WHERE q.vec_id = 0 AND c.vec_id <> 0
+),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+             AS dense_rank
+    FROM s
+  ) WHERE dense_rank <= 20
+),
+f AS (
+  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         COALESCE(b.bm25_rank, 0) AS bm25_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank,
+         CAST(COALESCE(1000000000 // (60 + b.bm25_rank), 0)
+            + COALESCE(1000000000 // (60 + d.dense_rank), 0) AS BIGINT)
+           AS rrf_micro
+  FROM bm b FULL OUTER JOIN dense d ON b.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, dense_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+FROM f
+ORDER BY rnk LIMIT 10
+"""
+
 # q153 replays SemDeDup in SQL: the q140 assignment CTE (exact index-order
 # squared-L2 fold, ties to the smaller centroid id) fences the threshold
 # join inside clusters; a pruned vector is one with ANY earlier-id

@@ -4757,6 +4757,23 @@ def q154_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the two doc_id-keyed aggs, then a global top-10 TakeOrdered —
     no driver collect, no cartesian beyond 1-row broadcasts."""
     docs = load_tables(spark, sf_dir)["documents"]
+    scored = _bm25_scored_docs(spark, docs)
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "n_terms", "score_micro", "rnk")
+    )
+
+
+def _bm25_scored_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The q154 BM25 scoring core as a reusable frame (doc_id, n_terms,
+    score_micro) — shared by q154's direct ranking and q158's hybrid
+    fusion so both certify the SAME scoring arithmetic."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -4788,19 +4805,9 @@ def q154_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_micro"),
         )
     )
-    scored = w.groupBy("doc_id").agg(
+    return w.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"),
         F.sum("w_micro").alias("score_micro"),
-    )
-    return (
-        scored.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
-            ),
-        )
-        .where(F.col("rnk") <= 10)
-        .select("doc_id", "n_terms", "score_micro", "rnk")
     )
 
 
@@ -5163,6 +5170,75 @@ def q157_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def q158_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion — the standard RAG
+    retrieval composition: the SPARSE ranking (q154's BM25 over the
+    'merge scan window' query) and the DENSE ranking (exact cosine
+    against the vec_id=0 embedding; vec_id ≡ doc_id in this corpus) are
+    each cut at top-20, then fused by fixed-point RRF:
+    rrf_micro(d) = Σ_systems floor(1e9 / (K0 + rank_s(d))), K0 = 60,
+    absent-from-a-system contributing 0 — all-integer, so the fusion
+    has zero float discipline to carry (the two upstream rankings are
+    already engine-deterministic: integer micro BM25, the q19 cosine
+    contract). Top-10 fused docs with both source ranks (0 = not
+    retrieved by that system).
+
+    Scale shape: each system's ranking is its own certified pipeline;
+    the fusion itself is a full-outer join of two k-row frames + one
+    integer expression — at 100 TB the cost IS the two retrievals, and
+    they run independently (no barrier between sparse and dense until
+    the k-row fuse)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bm = (
+        _bm25_scored_docs(spark, docs)
+        .withColumn(
+            "bm25_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+            ),
+        )
+        .where(F.col("bm25_rank") <= 20)
+        .select("doc_id", "bm25_rank")
+    )
+    dense = (
+        similarity.cosine_topk(emb.where(F.col("vec_id") == 0), emb, 20)
+        .select(
+            F.col("cand_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("dense_rank"),
+        )
+    )
+    fused = (
+        bm.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 DIV ({RRF_K0} + bm25_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 DIV ({RRF_K0} + dense_rank)"), F.lit(0)
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "bm25_rank", "dense_rank", "rrf_micro", "rnk")
+    )
+
+
 def _with_cache_release(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5238,6 +5314,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_shared_run_pairs": q155_shared_run_pairs,
     "q156_manifest_stream_feed": q156_manifest_stream_feed,
     "q157_pq_adc_topk": q157_pq_adc_topk,
+    "q158_hybrid_rrf_retrieval": q158_hybrid_rrf_retrieval,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
