@@ -3006,6 +3006,35 @@ FROM scored
 ORDER BY rnk LIMIT 10
 """
 
+# q159: the streamed CDF images of the q151 fixture fold to exactly the
+# post-merge state, so the oracle replays the merge as set algebra and
+# aggregates that final state; net_violations is 0 by the fold contract.
+ORACLES["q159_manifest_cdf_stream_fold"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0
+),
+v1 AS (
+  SELECT * FROM v0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+       CAST(0 AS BIGINT) AS net_violations
+FROM v1
+"""
+
 # q158 fuses the q154 BM25 ranking (cut at 20) with the q19-contract
 # dense cosine ranking for query vec 0 via fixed-point reciprocal rank
 # fusion: floor(1e9/(60+rank)) per system, absent -> 0 — all-integer, so

@@ -5170,6 +5170,59 @@ def q157_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_manifest_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED Change Data Feed (`manifestfeed` with ``feed="cdf"``)
+    driver-certified on a lifecycle with a rewrite commit: the q151
+    fixture's init + MERGE are drained as file-level change images
+    (added files → insert rows, removed files → delete rows — every
+    commit representable, deletes included, which the plain append feed
+    cannot do), then folded: net(+1 insert / −1 delete) per full row.
+    The contract certified here is fold-correctness — carried rows
+    cancel, replaced versions net 0 (their v0 insert + v1 delete), and
+    the net==1 multiset IS the final snapshot: the oracle replays the
+    merge as set algebra over orders and aggregates that final state
+    directly, with an in-plan `net_violations` count (|net| ∉ {0,1})
+    that must be zero. File-level images are the honest streaming form
+    of q152's batch feed: the EXCEPT ALL compaction is an optimization
+    of the same multiset that a per-file scan task cannot perform, and
+    any fold-consumer nets identically. Money stays integer cents."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+
+    path = _manifest_merge_path(spark, sf_dir)
+    feed = manifestfeed.stream_feed(spark, path, feed="cdf")
+    name = stream_win.run_appendmode(
+        feed, "manifest_cdf_fold", state_partitions=None
+    )
+    folded = (
+        spark.table(name)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("w"),
+        )
+        .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+        .agg(F.sum("w").alias("net"))
+    )
+    live = F.col("net") == 1
+    return folded.agg(
+        F.sum(F.when(live, 1).otherwise(0)).alias("n_rows"),
+        F.sum(F.when(live, F.col("price_cents"))).alias("price_cents"),
+        F.min(F.when(live, F.col("o_orderkey"))).alias("first_key"),
+        F.max(F.when(live, F.col("o_orderkey"))).alias("last_key"),
+        F.countDistinct(F.when(live, F.col("o_orderstatus"))).alias(
+            "n_status"
+        ),
+        F.sum(F.when(~F.col("net").isin(0, 1), 1).otherwise(0)).alias(
+            "net_violations"
+        ),
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5315,6 +5368,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_manifest_stream_feed": q156_manifest_stream_feed,
     "q157_pq_adc_topk": q157_pq_adc_topk,
     "q158_hybrid_rrf_retrieval": q158_hybrid_rrf_retrieval,
+    "q159_manifest_cdf_stream_fold": q159_manifest_cdf_stream_fold,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

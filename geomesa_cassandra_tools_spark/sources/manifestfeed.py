@@ -63,12 +63,21 @@ from geomesa_cassandra_tools_spark.operators import transactional as tx
 _ON_DELETE = ("fail", "ignore", "additive")
 
 
-class FeedFileSlice(InputPartition):
-    """One added data file of one commit — the executor-side scan unit."""
+_FEEDS = ("append", "cdf")
+_CDF_COLS = ("_change_type", "_commit_version")
 
-    def __init__(self, file_path: str, commit_version: int):
+
+class FeedFileSlice(InputPartition):
+    """One data file of one commit — the executor-side scan unit.
+    ``change_type`` is None for the plain append feed, 'insert'/'delete'
+    for the CDF feed."""
+
+    def __init__(
+        self, file_path: str, commit_version: int, change_type: str | None = None
+    ):
         self.file_path = file_path
         self.commit_version = commit_version
+        self.change_type = change_type
 
 
 def _opt(options, key: str, default: str | None = None) -> str | None:
@@ -107,6 +116,16 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"onDelete must be one of {_ON_DELETE}, got {self._on_delete!r}"
             )
+        self._feed = str(_opt(options, "feed", "append")).lower()
+        if self._feed not in _FEEDS:
+            raise ValueError(f"feed must be one of {_FEEDS}, got {self._feed!r}")
+        if self._feed == "cdf":
+            missing = [c for c in _CDF_COLS if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"cdf feed schema must carry {list(_CDF_COLS)} (missing "
+                    f"{missing}) — let the source derive the schema"
+                )
         self._arrow_schema = None  # built lazily, executor-side
 
     # -- offsets ---------------------------------------------------------
@@ -149,6 +168,24 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             added, removed = self._commit_files(v)
+            if self._feed == "cdf":
+                # file-level change images: every commit is representable
+                # — added files as inserts, removed files as deletes. A
+                # rewrite commit re-emits carried rows as delete+insert
+                # PAIRS that cancel under any fold, so a fold-consumer
+                # nets exactly what the batch table_changes' compacted
+                # feed nets (the EXCEPT ALL cancellation is an
+                # optimization of the same multiset, one a per-file scan
+                # task cannot perform).
+                slices.extend(
+                    FeedFileSlice(os.path.join(data, f), v, "insert")
+                    for f in added
+                )
+                slices.extend(
+                    FeedFileSlice(os.path.join(data, f), v, "delete")
+                    for f in removed
+                )
+                continue
             if removed and self._on_delete == "fail":
                 raise ValueError(
                     f"commit v{v} of {self._path!r} removed "
@@ -191,7 +228,15 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             ) from None
         cols = {}
         for field in target:
-            if field.name in tbl.column_names:
+            if field.name == "_change_type" and partition.change_type:
+                cols[field.name] = pa.array(
+                    [partition.change_type] * len(tbl), field.type
+                )
+            elif field.name == "_commit_version" and partition.change_type:
+                cols[field.name] = pa.array(
+                    [partition.commit_version] * len(tbl), field.type
+                )
+            elif field.name in tbl.column_names:
                 cols[field.name] = tbl.column(field.name).cast(field.type)
             else:
                 # file predates a merge_schema evolution: null backfill,
@@ -213,9 +258,20 @@ class ManifestFeedDataSource(DataSource):
         latest = tx.current_version(path)
         if latest < 0:
             raise ValueError(f"no committed manifest table under {path!r}")
-        return StructType.fromJson(
+        base = StructType.fromJson(
             json.loads(tx._read_manifest(path, latest)["schema"])
         )
+        if str(_opt(self.options, "feed", "append")).lower() == "cdf":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> ManifestFeedStreamReader:
         return ManifestFeedStreamReader(schema, self.options)
@@ -230,14 +286,21 @@ def stream_feed(
     path: str,
     starting_version: int | str = 0,
     on_delete: str = "fail",
+    feed: str = "append",
 ):
     """Open a manifest table as a streaming DataFrame. ``starting_version``
-    accepts a commit number or ``"latest"`` (new commits only)."""
+    accepts a commit number or ``"latest"`` (new commits only). ``feed``:
+    ``"append"`` streams added rows only (delete handling per
+    ``on_delete``); ``"cdf"`` streams file-level change images — every
+    commit representable, rows tagged (_change_type, _commit_version),
+    rewrite commits emitting carried rows as cancelling delete+insert
+    pairs, so any fold-consumer nets what the batch `table_changes` nets."""
     register(spark)
     return (
         spark.readStream.format("manifestfeed")
         .option("path", path)
         .option("startingVersion", str(starting_version))
         .option("onDelete", on_delete)
+        .option("feed", feed)
         .load()
     )

@@ -216,3 +216,69 @@ def test_feed_chains_into_manifest_sink(spark, tmp_path, table):
         (1, "a", "A"), (2, "b", "B"), (3, "c", "C"),
         (4, "d", "D"), (5, "e", "E"), (6, "f", "F"),
     ]
+
+
+def test_feed_cdf_images_fold_to_final_state(spark, tmp_path, table):
+    """CDF mode streams delete/merge/compact commits as file-level change
+    images; folding (+1 insert / -1 delete) per row must land exactly on
+    the final snapshot — same net as the batch table_changes feed."""
+    tx.delete_where(spark, table, "k = 2")
+    tx.merge_upsert(
+        spark, table, _mk(spark, [(3, "c2"), (9, "i")]), key_cols=["k"]
+    )
+    tx.compact_table(spark, table, target_bytes=256 << 20)
+
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"), feed="cdf"
+    )
+    from collections import Counter
+
+    net: Counter = Counter()
+    for k, s, change, _v in got:
+        net[(k, s)] += 1 if change == "insert" else -1
+    assert all(v in (0, 1) for v in net.values())
+    folded = sorted(key for key, v in net.items() if v == 1)
+    final = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert folded == final
+    # a pure compaction's images cancel COMPLETELY
+    last = tx.current_version(table)
+    compact_rows = [r for r in got if r[3] == last]
+    cnet: Counter = Counter()
+    for k, s, change, _v in compact_rows:
+        cnet[(k, s)] += 1 if change == "insert" else -1
+    assert compact_rows and all(v == 0 for v in cnet.values())
+
+
+def test_feed_cdf_append_only_is_all_inserts(spark, tmp_path, table):
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"), feed="cdf"
+    )
+    assert {r[2] for r in got} == {"insert"}
+    assert sorted((r[0], r[1]) for r in got) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")
+    ]
+    # commit attribution: k=3 arrived in commit 1, (4,5) in commit 2
+    by_version = {(r[0], r[1]): r[3] for r in got}
+    assert by_version[(3, "c")] == 1
+    assert by_version[(4, "d")] == by_version[(5, "e")] == 2
+
+
+def test_feed_cdf_incremental_resume(spark, tmp_path, table):
+    ckpt, out = str(tmp_path / "c"), str(tmp_path / "o")
+    first = _drain(spark, table, ckpt, out, feed="cdf")
+    assert len(first) == 5
+    tx.delete_where(spark, table, "k = 1")
+    second = _drain(spark, table, ckpt, out, feed="cdf")
+    fresh = [r for r in second if r not in first or second.count(r) > first.count(r)]
+    # the delete commit rewrote the (1,2) file: images are 1 delete-file
+    # worth of rows (both) + the survivor rewrite (just 2)
+    new_rows = sorted(second)
+    for r in sorted(first):
+        new_rows.remove(r)
+    assert ((1, "a", "delete") in {(k, s, c) for k, s, c, _ in new_rows})
+    net = {}
+    for k, s, c, _ in new_rows:
+        net[(k, s)] = net.get((k, s), 0) + (1 if c == "insert" else -1)
+    # layout-agnostic: the only NET change is the deleted row; any row the
+    # rewrite carried (file-layout dependent) must cancel exactly
+    assert {kv: v for kv, v in net.items() if v != 0} == {(1, "a"): -1}
