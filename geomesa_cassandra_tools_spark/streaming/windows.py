@@ -292,3 +292,53 @@ def run_availablenow_update(
     """AvailableNow drain in `update` output mode — required for arbitrary
     stateful operators (complete mode isn't supported there)."""
     return _drain(stream_df, query_name, "update", timeout_sec, state_partitions)
+
+
+def stateful_user_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """`stateful_user_totals` re-expressed on `transformWithStateInPandas`
+    (Spark 4's arbitrary-state API — typed ValueState handles instead of
+    one opaque tuple, plus timers/TTL/ListState/MapState the old API
+    lacks). Same semantics by construction: per-key running (count, sum)
+    in a ValueState, the current totals emitted for every key seen in the
+    micro-batch. The unit battery drains BOTH implementations over the
+    same bounded stream and asserts identical results — two independent
+    state engines (GroupState vs the StatefulProcessor ValueState store)
+    certifying each other. New pipelines should prefer this API: state is
+    schema'd and composable, and expiry is first-class timers rather than
+    the single timeout channel.
+
+    Sandbox note: the TWS runtime speaks protobuf to a driver-side state
+    worker; this container ships no google.protobuf, so the equivalence
+    unit importorskips here and the operator certifies wherever protobuf
+    exists (no pip installs allowed — same constraint class as the live
+    connector wire)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key} bigint, n_events bigint, sum_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, k, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame({key: [k[0]], "n_events": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key, "value")
+        .groupBy(key)
+        .transformWithStateInPandas(
+            RunningTotals(), out_schema, "Update", "None"
+        )
+    )

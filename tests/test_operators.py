@@ -2146,3 +2146,44 @@ def test_pq_encode_blas_equals_jvm_fold(spark):
         blas = {r["vec_id"]: list(r["codes"]) for r in
                 similarity.pq_encode_blas(df, books).collect()}
         assert jvm == blas
+
+
+def test_gram_windows_udtf_matches_jvm_builder(spark):
+    """The UDTF escape hatch reproduces the JVM transform-over-sequence
+    window builder row for row (same windows `dedup.shared_run_pairs`
+    plans JVM-side) — the API-surface twin, not a hot-path replacement."""
+    from geomesa_cassandra_tools_spark.functions import tablefuncs
+
+    tablefuncs.register(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "one two three")],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, g.pos, g.gram "
+            "FROM udtf_docs d, LATERAL gram_windows(d.text, 3) g"
+        ).collect()
+    )
+    jvm = sorted(
+        tuple(r)
+        for r in docs.where(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size(F.split("text", " ")) - F.lit(2)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col("text"), " "), i, 3)
+                    ),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "gram")
+        .collect()
+    )
+    assert got == jvm and len(got) == 4
