@@ -116,6 +116,69 @@ def main() -> None:
 
     exact.unpersist()
 
+    # PQ ranks by ASYMMETRIC L2, so its honest baseline is exact L2 top-k
+    # (cosine and L2 rankings differ on unnormalized vectors) — computed
+    # once, same protocol as the cosine baseline above.
+    from geomesa_cassandra_tools_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    qp = F.broadcast(
+        similarity._prep(qv, "vec_id", "embedding", "query_id", "qv")
+    )
+    cp = similarity._prep(emb, "vec_id", "embedding", "cand_id", "cv")
+    l2 = (
+        qp.join(cp, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    exact_l2 = top_k_per_group(
+        l2, ["query_id"], [F.col("d2").asc(), F.col("cand_id")], K
+    ).select("query_id", "cand_id").persist()
+    n_exact_l2 = exact_l2.count()
+
+    def recall_l2(approx_df) -> float:
+        hits = exact_l2.join(
+            approx_df.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_semi",
+        ).count()
+        return hits / n_exact_l2
+
+    for m, kc in ((8, 16), (8, 64), (16, 16)):
+        for trained in (False, True):
+            t0 = time.perf_counter()
+            if trained:
+                cb = similarity.pq_train(emb, DIM, m, kc, rounds=2)
+            else:
+                cb = similarity.pq_codebooks(DIM, m, kc)
+            codes = similarity.pq_encode_blas(emb, cb)
+            approx = similarity.pq_adc_topk(
+                codes, qv, cb, K, max_queries=N_QUERIES
+            )
+            r = recall_l2(approx)
+            wall = time.perf_counter() - t0
+            rows.append(
+                (
+                    "pq",
+                    f"m={m} k={kc} {'trained' if trained else 'random'}"
+                    " (recall vs exact-L2; wall incl. train+encode)",
+                    r,
+                    wall,
+                )
+            )
+
+    exact_l2.unpersist()
+
     sf = os.path.basename(sf_dir.rstrip("/"))
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
