@@ -1114,3 +1114,52 @@ def pq_encode_blas(
 
     prepped = _prep(df, id_col, vec_col, id_col, vec_col)
     return prepped.mapInPandas(compute, f"{id_col} bigint, codes array<int>")
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """The production PQ recipe: ADC candidate generation + EXACT cosine
+    rerank (the recall-recovery stage BENCH.md's sweep recommends
+    whenever compressed-domain recall alone isn't enough). Stage 1 ranks
+    the whole corpus in the compressed domain (`pq_adc_topk`,
+    k·overfetch candidates per query — m byte-lookups per vector, raw
+    embeddings never scanned); stage 2 re-scores ONLY the |Q|·k·overfetch
+    candidate rows with the sequential JVM cosine fold (the q19
+    contract), so the final ranking is exact over the candidate set and
+    bit-reproducible by a scalar-fold SQL engine.
+
+    Plan shape: the candidate list is bounded and BROADCAST back against
+    the corpus (one corpus scan, no corpus shuffle), then against the
+    broadcast query side; one window top-k on query_id finishes. At
+    100 TB the raw-embedding scan cost is paid only for the candidate
+    rows — the 32× I/O asymmetry between stage 1 and a brute-force pass
+    is the whole point."""
+    codes = pq_encode_blas(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    cand = pq_adc_topk(
+        codes, queries, codebooks, k * overfetch,
+        id_col=id_col, vec_col=vec_col, max_queries=max_queries,
+    ).select("query_id", "cand_id")
+    c = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    q = F.broadcast(_prep(queries, id_col, vec_col, "query_id", "qv"))
+    scored = (
+        c.join(F.broadcast(cand), "cand_id")
+        .join(q, "query_id")
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k,
+        keep_rank=True,
+    ).withColumnRenamed("rn", "rank").select(
+        "query_id", "cand_id", "rank", "cos"
+    )

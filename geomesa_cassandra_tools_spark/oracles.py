@@ -2933,6 +2933,49 @@ r AS (
 SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
 """
 
+# q160 replays the two-stage PQ recipe: q157's code/ADC CTEs cut at
+# k*overfetch = 20 candidates, then the q19-contract cosine over exactly
+# that candidate set, top-5 per query.
+ORACLES["q160_pq_rerank_topk"] = f"""
+WITH {_VEC_CTE},
+cb AS (SELECT {_PQ_CB_LIT} AS b),
+enc AS (
+  SELECT v.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_PQ_DLIST}, list_min({_PQ_DLIST})) - 1
+         ) AS codes
+  FROM v, cb
+),
+pairs AS (
+  SELECT v.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, {_PQ_M + 1}), s ->
+           {_PQ_D2(n=_PQ_SUB + 1, a="v", sub=_PQ_SUB, c="c.codes[s] + 1")}
+         )) AS d2
+  FROM v JOIN enc c ON v.vec_id < 8 AND c.vec_id <> v.vec_id, cb
+),
+cand AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+             AS r
+    FROM pairs
+  ) WHERE r <= 20
+),
+rescored AS (
+  SELECT ca.query_id, ca.cand_id,
+         {_COS.format(q='q', c='c')} AS cos
+  FROM cand ca
+  JOIN n q ON q.vec_id = ca.query_id
+  JOIN n c ON c.vec_id = ca.cand_id
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cos FROM (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id)
+           AS rank
+  FROM rescored
+) WHERE rank <= 5
+"""
+
 # q155: longest shared token run per doc pair — 5-token windows equi-join
 # on the gram string, gaps-and-islands per (pair, diagonal). All-integer.
 # DuckDB's list_slice / range are 1-based inclusive, mirroring Spark's

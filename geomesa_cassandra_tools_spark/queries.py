@@ -5223,6 +5223,26 @@ def q159_manifest_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q160_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity.pq_rerank_topk` driver-certified: the production PQ
+    recipe — compressed-domain ADC candidates (q157's stage, k·overfetch
+    = 20 per query) re-scored with the EXACT sequential cosine fold (the
+    q19 contract) and cut to top-5. The oracle replays both stages: the
+    q157 code/ADC CTEs produce the candidate rank, then the q19 cosine
+    over the candidate set. Raw embeddings are scanned only for the
+    bounded candidate rows — at 100 TB the asymmetry between the
+    m-byte/vector stage-1 pass and the full-vector rerank is the whole
+    economics of PQ. Recall-recovery measured in BENCH.md Appendix A."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cb = similarity.pq_codebooks(64, 8, 16)
+    top = similarity.pq_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 8), cb, k=5, overfetch=4
+    )
+    return top.select(
+        "query_id", "cand_id", "rank", F.round("cos", 6).alias("cos")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5369,6 +5389,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_pq_adc_topk": q157_pq_adc_topk,
     "q158_hybrid_rrf_retrieval": q158_hybrid_rrf_retrieval,
     "q159_manifest_cdf_stream_fold": q159_manifest_cdf_stream_fold,
+    "q160_pq_rerank_topk": q160_pq_rerank_topk,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

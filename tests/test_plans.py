@@ -169,6 +169,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q139_source_temperature_mixture",  # per-source weights × 1-row totals
         "q146_ann_recall_calibration",  # composes q19's brute-force baseline (broadcast queries × corpus) by design
         "q154_bm25_retrieval",      # single-row broadcast of (N, avgdl) totals
+        "q158_hybrid_rrf_retrieval",  # composes q19's brute-force dense stage (broadcast 1 query × corpus) + q154's totals broadcast
     }
     for name, fn in sorted(QUERIES.items()):
         if "stream" in name:
