@@ -1,3 +1,8 @@
-from geomesa_cassandra_tools_spark.functions import parsing, text, vectors
+from geomesa_cassandra_tools_spark.functions import (
+    parsing,
+    tablefuncs,
+    text,
+    vectors,
+)
 
-__all__ = ["parsing", "text", "vectors"]
+__all__ = ["parsing", "tablefuncs", "text", "vectors"]
