@@ -298,10 +298,11 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         _require(parser, args, "table-path")
         from geomesa_cassandra_tools_spark.operators import transactional
 
-        print("version\top\tn_add\tn_remove", file=out)
+        print("version\top\tn_add\tn_remove\tn_dv", file=out)
         for h in transactional.table_history(args.table_path):
             print(
-                f"{h['version']}\t{h['op']}\t{h['n_add']}\t{h['n_remove']}",
+                f"{h['version']}\t{h['op']}\t{h['n_add']}\t{h['n_remove']}"
+                f"\t{h.get('n_dv', 0)}",
                 file=out,
             )
         return 0

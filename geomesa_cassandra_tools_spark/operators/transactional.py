@@ -47,6 +47,14 @@ Log layout (the Delta-log shape, sized for 100 TB file counts):
   disclosed is gone. Checkpoints are deterministic for a given version,
   so two writers racing the same checkpoint publish identical bytes and
   the conflict is ignorable.
+- DELETION VECTORS (``delete_where(mode="dv")``): a delete can mark row
+  positions in a small sidecar parquet instead of rewriting data files —
+  the commit carries ``set_dv: {file -> dv_file}`` (cumulative
+  positions), reads anti-join the vector, and any later rewrite of the
+  file (delete/merge/OPTIMIZE) materializes and drops it. At 100 TB this
+  is the difference between rewriting a 1 GB file to drop 3 rows and
+  writing a 3-row sidecar; OPTIMIZE treats vectored files as always
+  eligible, so vectors never accumulate past the next compaction.
 """
 
 from __future__ import annotations
@@ -190,7 +198,7 @@ def _read_json(path: str, name: str) -> dict:
 def _empty_state() -> dict:
     return {
         "version": -1, "files": [], "schema": None, "txns": {},
-        "stats_cols": None, "stats": None,
+        "stats_cols": None, "stats": None, "dvs": {},
     }
 
 
@@ -204,6 +212,17 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     state["files"] = files
     state["schema"] = delta["schema"]
     state["txns"] = delta.get("txns", {})
+    # deletion vectors: a removed/rewritten file's vector dies with it
+    # (the rewrite materialized it); added files are born vector-free; a
+    # set_dv entry (CUMULATIVE positions) replaces the file's mapping
+    file_set = set(files)
+    dvs = {
+        f: d for f, d in (state.get("dvs") or {}).items() if f in file_set
+    }
+    for f, d in (delta.get("set_dv") or {}).items():
+        if f in file_set:
+            dvs[f] = d
+    state["dvs"] = dvs
     stats_cols = delta.get("stats_cols")
     state["stats_cols"] = stats_cols
     if stats_cols:
@@ -226,6 +245,7 @@ def _as_state(body: dict) -> dict:
         "txns": body.get("txns", {}),
         "stats_cols": body.get("stats_cols"),
         "stats": body.get("stats") if body.get("stats_cols") else None,
+        "dvs": body.get("dvs", {}),
     }
 
 
@@ -275,6 +295,7 @@ def _commit(
     remove: list[str] | None = None,
     add_stats: dict[str, dict] | None = None,
     op: str = "commit",
+    set_dv: dict[str, str] | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -297,6 +318,8 @@ def _commit(
         "schema": schema_ddl,
         "txns": txns or {},
     }
+    if set_dv:
+        body["set_dv"] = dict(sorted(set_dv.items()))
     if stats_cols:
         body["stats_cols"] = list(stats_cols)
         body["add_stats"] = {f: (add_stats or {}).get(f) for f in body["add"]}
@@ -335,6 +358,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         "schema": state["schema"],
         "txns": state["txns"],
     }
+    if state.get("dvs"):
+        body["dvs"] = state["dvs"]
     if state["stats_cols"]:
         body["stats_cols"] = state["stats_cols"]
         body["stats"] = state["stats"]
@@ -859,6 +884,71 @@ def resolve_files(
     return files
 
 
+def _scan_live_rows(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    files: list[str],
+    schema,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Read ``files`` projected through ``schema`` with the snapshot's
+    DELETION VECTORS applied: files carrying a vector are read with
+    Spark's `_metadata` (file_name, row_index) and anti-joined against
+    the broadcast (file, pos) vector rows; vector-free files scan plain
+    (zero overhead on the common path). A newer cumulative vector is a
+    SUPERSET of any older vector rows still present in shared dv files,
+    so loading every referenced dv file and filtering by file name is
+    exact. ``keep_meta=True`` keeps ``__file``/``__pos`` columns on ALL
+    rows (the mutation paths need positions to build new vectors)."""
+    data = _data_dir(path)
+    dvs = {f: d for f, d in (man.get("dvs") or {}).items() if f in set(files)}
+    need_meta = keep_meta or bool(dvs)
+    meta_cols = [
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+
+    def _read(names: list[str]) -> DataFrame:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(data, f) for f in names]
+        )
+        if need_meta:
+            df = df.select("*", *meta_cols)
+        return df
+
+    plain = [f for f in files if f not in dvs]
+    parts = []
+    if plain:
+        parts.append(_read(plain))
+    if dvs:
+        dv_rows = spark.read.parquet(
+            *[os.path.join(data, n) for n in sorted(set(dvs.values()))]
+        ).where(F.col("file").isin(list(dvs)))
+        kept = _read(sorted(dvs)).join(
+            F.broadcast(dv_rows),
+            (F.col("__file") == F.col("file"))
+            & (F.col("__pos") == F.col("pos")),
+            "left_anti",
+        )
+        parts.append(kept)
+    if not parts:
+        df = spark.createDataFrame([], schema)
+        if keep_meta:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__file"),
+                F.lit(None).cast("bigint").alias("__pos"),
+            )
+        return df
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if need_meta and not keep_meta:
+        out = out.drop("__file", "__pos")
+    return out
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -905,23 +995,37 @@ def read_table(
     if not files:
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(_data_dir(path), f) for f in files]
-        )
+        df = _scan_live_rows(spark, path, man, files, schema)
     if where:
         for p in where:
             df = df.where(_predicate_column(p))
     return df
 
 
-def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dict:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: Column | str,
+    mode: str = "rewrite",
+) -> dict:
     """Transactional ``DELETE FROM <path> WHERE condition`` (the engine
     analog of /root/reference/geomesa.py:57-59). SQL DELETE semantics: rows
     where the condition is TRUE are removed; FALSE and NULL rows survive.
 
-    Only files CONTAINING matching rows are rewritten; the rest carry over
-    by reference. Readers see the old snapshot until the single atomic
-    manifest link — never a partial delete. Returns stats."""
+    ``mode="rewrite"`` (default): only files CONTAINING matching rows are
+    rewritten; the rest carry over by reference. ``mode="dv"``: NO data
+    file is rewritten at all — the matching rows' (file, position) pairs
+    are recorded in a DELETION VECTOR (Delta's DV shape: one small
+    sidecar parquet per delete commit, each affected file's manifest
+    entry remapped to its cumulative vector), and every read anti-joins
+    the vector before returning rows. At 100 TB this is the difference
+    between rewriting a 1 GB file to drop 3 rows and writing a
+    3-row sidecar; rewrites (delete/merge/OPTIMIZE) materialize and drop
+    vectors naturally, so a vector's lifetime is bounded by the next
+    touch of its file. Either way readers see the old snapshot until the
+    single atomic manifest link — never a partial delete. Returns stats."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"delete_where mode must be rewrite|dv, got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     version = current_version(path)
     if version < 0:
@@ -937,17 +1041,51 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
     # schemas, and plain inference would pick one file's — the rewrite
     # below must preserve evolved columns (null where a file lacks them)
     schema = StructType.fromJson(json.loads(man["schema"]))
-    abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
-    df = spark.read.schema(schema).parquet(*abs_files)
+    df = _scan_live_rows(
+        spark, path, man, man["files"], schema, keep_meta=True
+    )
+
+    if mode == "dv":
+        hits = df.where(cond).select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        affected = sorted(
+            r["file"] for r in hits.select("file").distinct().collect()
+        )
+        if not affected:
+            return {
+                "version": version, "files_rewritten": 0,
+                "files_carried": len(man["files"]), "rows_deleted": 0,
+            }
+        new_dv = hits
+        old_map = {f: d for f, d in (man.get("dvs") or {}).items()
+                   if f in affected}
+        if old_map:
+            old_rows = spark.read.parquet(
+                *[os.path.join(_data_dir(path), n)
+                  for n in sorted(set(old_map.values()))]
+            ).where(F.col("file").isin(list(old_map)))
+            new_dv = new_dv.unionByName(old_rows).distinct()
+        staged = _stage_files(new_dv.coalesce(1), path)
+        if len(staged) != 1:  # coalesce(1) stages exactly one part file
+            raise RuntimeError(f"dv staging produced {len(staged)} files")
+        _commit(
+            path, version + 1, man["schema"], man.get("txns", {}),
+            man.get("stats_cols"), add=[], remove=[], op="delete",
+            set_dv={f: staged[0] for f in affected},
+        )
+        return {
+            "version": version + 1,
+            "files_rewritten": 0,
+            "files_carried": len(man["files"]),
+            "files_vectored": len(affected),
+            "dv_file": staged[0],
+        }
+
     # locate the files that actually hold matching rows — one scan, and the
     # pushed condition prunes it like any filter
-    hits = (
-        df.where(cond)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    hit_names = {os.path.basename(r["f"]) for r in hits}
+    hits = df.where(cond).select("__file").distinct().collect()
+    hit_names = {r["__file"] for r in hits}
     if not hit_names:
         # zero matching rows: the table is unchanged — returning the
         # CURRENT version instead of committing an identical snapshot
@@ -959,8 +1097,8 @@ def delete_where(spark: SparkSession, path: str, condition: Column | str) -> dic
             "files_carried": len(man["files"]),
         }
     carried = [f for f in man["files"] if f not in hit_names]
-    survivors = spark.read.schema(schema).parquet(
-        *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
+    survivors = _scan_live_rows(
+        spark, path, man, sorted(hit_names), schema
     ).where(~F.coalesce(cond, F.lit(False)))
     new_files = _stage_files(survivors, path)
     stats_cols = man.get("stats_cols")
@@ -1056,26 +1194,27 @@ def merge_upsert(
         )
         return {"version": version + 1, "files_rewritten": 0,
                 "rows_inserted_files": len(new_files)}
-    abs_files = [os.path.join(_data_dir(path), f) for f in man["files"]]
-    table = spark.read.schema(schema).parquet(*abs_files)
+    # dv-filtered scan (a row deleted by a deletion vector must neither
+    # count as a match nor be resurrected by the rewrite); `__file` comes
+    # from `_metadata`, which — unlike input_file_name() — is a real
+    # column and survives above the semi-join
+    table = _scan_live_rows(
+        spark, path, man, man["files"], schema, keep_meta=True
+    )
     # semi-join locates the hit files; AQE broadcasts a small batch's key
     # side at runtime — no forced hint, so a huge CDC batch can't be
-    # collected to the driver. input_file_name() MUST be captured BELOW
-    # the join: above a shuffled join the row no longer belongs to a scan
-    # task and the function returns '' (delete_where's filter-only shape
-    # doesn't hit this; any join shape does).
+    # collected to the driver.
     hits = (
-        table.withColumn("__f", F.input_file_name())
-        .join(keys, key_cols, "left_semi")
-        .select("__f")
+        table.join(keys, key_cols, "left_semi")
+        .select("__file")
         .distinct()
         .collect()
     )
-    hit_names = {os.path.basename(r["__f"]) for r in hits}
+    hit_names = {r["__file"] for r in hits}
     carried = [f for f in man["files"] if f not in hit_names]
     if hit_names:
-        hit_rows = spark.read.schema(schema).parquet(
-            *[os.path.join(_data_dir(path), f) for f in sorted(hit_names)]
+        hit_rows = _scan_live_rows(
+            spark, path, man, sorted(hit_names), schema
         )
         survivors = hit_rows.join(keys, key_cols, "left_anti")
         out = survivors.unionByName(batch.select(*schema.fieldNames()))
@@ -1159,15 +1298,23 @@ def compact_table(
             sizes[f] = os.path.getsize(os.path.join(data, f))
         except FileNotFoundError:
             sizes[f] = target_bytes  # unexpected; treat as not-compactable
-    inputs = sorted(f for f in man["files"] if sizes[f] < target_bytes)
-    if len(inputs) < max(2, min_input_files):
+    dv_map = man.get("dvs") or {}
+    # files carrying a deletion vector are ALWAYS eligible: compaction is
+    # the sanctioned dv-materialization route (rewrite without the
+    # deleted rows, mapping dropped by _apply_delta), Delta's
+    # OPTIMIZE-purges-DVs behavior
+    inputs = sorted(
+        f for f in man["files"] if sizes[f] < target_bytes or f in dv_map
+    )
+    if len(inputs) < max(2, min_input_files) and not any(
+        f in dv_map for f in inputs
+    ):
         return {"version": version, "files_compacted": 0, "files_written": 0}
     schema = StructType.fromJson(json.loads(man["schema"]))
     total = sum(sizes[f] for f in inputs)
     n_out = max(1, -(-total // target_bytes))  # ceil
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(data, f) for f in inputs]
-    )
+    df = _scan_live_rows(spark, path, man, inputs, schema)
+    input_dvs = {f: dv_map.get(f) for f in inputs}
     key = cluster_by or next(iter(man.get("stats_cols") or ()), None)
     if key is not None and key in schema.fieldNames():
         packed = df.repartitionByRange(n_out, F.col(key)).sortWithinPartitions(key)
@@ -1200,6 +1347,17 @@ def compact_table(
                     "version": version, "files_compacted": 0,
                     "files_written": 0,
                     "aborted": "input files rewritten by a concurrent commit",
+                }
+            if any(
+                (man.get("dvs") or {}).get(f) != input_dvs[f] for f in inputs
+            ):
+                # a racing dv-delete marked rows in an input AFTER we
+                # staged its rewrite; committing would resurrect them
+                return {
+                    "version": version, "files_compacted": 0,
+                    "files_written": 0,
+                    "aborted": "input deletion vectors changed by a "
+                               "concurrent delete",
                 }
             # a racing merge_schema append may have evolved the schema: the
             # packed files were written under the OLD schema, which stays
@@ -1325,13 +1483,14 @@ def table_history(path: str) -> list[dict]:
         if "files" in body:  # legacy full-snapshot manifest
             rows.append(
                 {"version": v, "op": body.get("op", "snapshot"),
-                 "n_add": len(body["files"]), "n_remove": 0}
+                 "n_add": len(body["files"]), "n_remove": 0, "n_dv": 0}
             )
         else:
             rows.append(
                 {"version": v, "op": body.get("op", "commit"),
                  "n_add": len(body.get("add", ())),
-                 "n_remove": len(body.get("remove", ()))}
+                 "n_remove": len(body.get("remove", ())),
+                 "n_dv": len(body.get("set_dv") or ())}
             )
     return rows
 
@@ -1413,6 +1572,33 @@ def table_changes(
             *[os.path.join(data, f) for f in files]
         )
 
+    def _prev_state(v: int) -> dict:
+        try:
+            return _read_manifest(path, v - 1) if v > 0 else _empty_state()
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{v - 1} of {path!r} was vacuumed; changes are "
+                "readable only for commits newer than the last VACUUM"
+            ) from None
+
+    def _dv_positions(dv_map: dict[str, str], files: list[str]) -> DataFrame:
+        """(file, pos) rows the given mapping masks for ``files``."""
+        names = sorted({dv_map[f] for f in files if f in dv_map})
+        if not names:
+            return spark.createDataFrame([], "file string, pos bigint")
+        missing = [
+            n for n in names if not os.path.exists(os.path.join(data, n))
+        ]
+        if missing:
+            raise ValueError(
+                f"change feed of {path!r} needs vacuumed deletion-vector "
+                f"file(s) (e.g. {missing[0]!r}); only commits newer than "
+                "the last VACUUM grace window are readable"
+            )
+        return spark.read.parquet(
+            *[os.path.join(data, n) for n in names]
+        ).where(F.col("file").isin([f for f in files if f in dv_map]))
+
     frames: list[DataFrame] = []
     final_schema_json = None
     for v in range(from_version, to_version + 1):
@@ -1430,21 +1616,73 @@ def table_changes(
             now_files = set(body["files"])
             added = sorted(now_files - prev_files)
             removed = sorted(prev_files - now_files)
+            set_dv: dict[str, str] = {}
         else:
             added = sorted(body.get("add", ()))
             removed = sorted(body.get("remove", ()))
+            set_dv = body.get("set_dv") or {}
         final_schema_json = body["schema"]
         schema = StructType.fromJson(json.loads(body["schema"]))
+        if set_dv:
+            # deletion-vector commit: the changed rows are the POSITION
+            # DELTA (new cumulative vector minus the file's previous one)
+            # — pure delete images, nothing inserted
+            prev = _prev_state(v)
+            files = sorted(set_dv)
+            new_pos = _dv_positions(set_dv, files)
+            old_pos = _dv_positions(prev.get("dvs") or {}, files)
+            delta = new_pos.exceptAll(old_pos)
+            rows = _read(files, schema).select(
+                "*",
+                F.col("_metadata.file_name").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            dv_dels = rows.join(
+                F.broadcast(delta),
+                (F.col("__file") == F.col("file"))
+                & (F.col("__pos") == F.col("pos")),
+                "left_semi",
+            ).drop("__file", "__pos")
+            frames.append(
+                dv_dels.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+        if removed:
+            # the removed side reads files AS OF v-1: rows a deletion
+            # vector already masked were deleted by THAT commit, not by
+            # this rewrite — filter them or they surface as spurious
+            # deletes here. The data-file existence check runs FIRST (its
+            # diagnostic names what vacuum actually reclaimed); if only
+            # the v-1 MANIFEST was pruned while the removed files
+            # survive (the thin window edge), fall back to a no-vector
+            # read — pre-DV behavior, exact whenever the file carried no
+            # vector
+            missing = [
+                f for f in removed
+                if not os.path.exists(os.path.join(data, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"change feed of {path!r} needs {len(missing)} vacuumed "
+                    f"data file(s) (e.g. {missing[0]!r}); only commits newer "
+                    "than the last VACUUM grace window are readable"
+                )
+            try:
+                prev = _prev_state(v)
+            except ValueError:
+                prev = _empty_state()
+            _dv_positions(prev.get("dvs") or {}, removed)  # named dv check
+            rems = _scan_live_rows(spark, path, prev, removed, schema)
         if added and removed:
-            adds, rems = _read(added, schema), _read(removed, schema)
+            adds = _read(added, schema)
             ins: DataFrame | None = adds.exceptAll(rems)
             dels: DataFrame | None = rems.exceptAll(adds)
         elif added:
             ins, dels = _read(added, schema), None
         elif removed:
-            ins, dels = None, _read(removed, schema)
+            ins, dels = None, rems
         else:
-            continue  # metadata-only commit (e.g. schema-only evolution)
+            continue  # metadata-only / dv-only commit
         for df, kind in ((ins, "insert"), (dels, "delete")):
             if df is not None:
                 frames.append(
@@ -1498,9 +1736,13 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
     live: set[str] = set()
     for v in range(oldest_kept, version + 1):
         try:
-            live |= set(_read_manifest(path, v)["files"])
+            state = _read_manifest(path, v)
         except FileNotFoundError:
             continue
+        live |= set(state["files"])
+        # deletion-vector sidecars referenced by retained snapshots are
+        # as load-bearing as the data files they mask
+        live |= set((state.get("dvs") or {}).values())
     removed = 0
     data = _data_dir(path)
     now = time.time()

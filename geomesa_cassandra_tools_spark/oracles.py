@@ -3078,6 +3078,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM v1
 """
 
+# q161: the dv lifecycle replayed as set algebra over orders — pre
+# (the % 4 == 2 slice), post (minus % 9 == 0), and the pruned read
+# (BETWEEN over post). Vectors change physical layout, never values.
+ORACLES["q161_manifest_deletion_vectors"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+v1 AS (
+  SELECT * FROM v0 WHERE o_orderkey % 9 <> 0
+)
+SELECT 'pre_delete' AS snapshot, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+       count(DISTINCT o_orderstatus) AS n_status
+FROM v0
+UNION ALL
+SELECT 'post_delete', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM v1
+UNION ALL
+SELECT 'post_delete_pruned', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM v1 WHERE o_orderkey BETWEEN 100 AND 5000
+"""
+
 # q158 fuses the q154 BM25 ranking (cut at 20) with the q19-contract
 # dense cosine ranking for query vec 0 via fixed-point reciprocal rank
 # fusion: floor(1e9/(60+rank)) per system, absent -> 0 — all-integer, so

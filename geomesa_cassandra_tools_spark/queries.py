@@ -5243,6 +5243,81 @@ def q160_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_dv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table certifying DELETION VECTORS (the q161
+    fixture): v0 init with the o_orderkey % 4 == 2 slice of orders
+    (range-clustered, stats on o_orderkey), then ONE
+    `delete_where(mode="dv")` dropping the % 9 == 0 keys — no data file
+    rewritten, the rows masked by a sidecar vector. Idempotent under
+    races: init loses its v0 race gracefully; a racing duplicate dv
+    delete commits the same CUMULATIVE position set, so reads at any
+    version are unchanged (the guard below just stops rebuilding)."""
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_manifest_dv")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 4 == 2)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    if transactional.current_version(path) < 1:
+        try:
+            transactional.delete_where(
+                spark, path, "o_orderkey % 9 = 0", mode="dv"
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder landed the identical dv delete
+    return path
+
+
+def q161_manifest_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors driver-certified (`delete_where(mode="dv")` —
+    Delta's DV shape): the delete commit writes a small (file, position)
+    sidecar and REMAPS the manifest; no data file is rewritten, which at
+    100 TB is the difference between rewriting a 1 GB file to drop 3
+    rows and writing a 3-row sidecar (the zero-rewrite property is
+    pinned by the protocol battery; this query certifies the VALUES).
+    Three reads must agree with plain SQL over orders: the pre-delete
+    snapshot (time travel below the vector), the post-delete snapshot
+    (vector anti-joined), and a stats-pruned read (file skipping composes
+    with vectors — pruning keeps whole files, the vector then masks rows
+    inside survivors). Money stays integer cents."""
+    path = _manifest_dv_path(spark, sf_dir)
+    pre = transactional.read_table(spark, path, version=0)
+    post = transactional.read_table(spark, path)
+    pruned = transactional.read_table(
+        spark, path, where=[("o_orderkey", "between", (100, 5000))]
+    )
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        ).select(
+            "snapshot", "n_rows", "price_cents", "first_key", "last_key",
+            "n_status",
+        )
+
+    return (
+        summarize(pre, "pre_delete")
+        .unionByName(summarize(post, "post_delete"))
+        .unionByName(summarize(pruned, "post_delete_pruned"))
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5336,11 +5411,12 @@ def _with_cache_release(
 # Round-7 window = the round-6 window with q149 (manifest OPTIMIZE
 # lifecycle), q150 (multi-table LSH, the r7 ntables operator), q151
 # (atomic MERGE upsert), q152 (Change Data Feed), q153 (SemDeDup),
-# q154 (BM25), q155 (exact-substring shared runs) and q156 (manifest
-# streaming SOURCE) — all first driver certifications — inserted after
-# q148, displacing as many tail entries below the line; displaced
-# entries' code and values are unchanged since their green rows, so
-# union coverage holds.
+# q154 (BM25), q155 (exact-substring shared runs), q156 (manifest
+# streaming SOURCE), q157 (PQ ADC), q158 (hybrid RRF), q159 (streamed
+# CDF fold), q160 (PQ + exact rerank) and q161 (deletion vectors) —
+# all first driver certifications — inserted after q148, displacing as
+# many tail entries below the line; displaced entries' code and values
+# are unchanged since their green rows, so union coverage holds.
 # No existing query's VALUES changed in round 7 (the q98/q100/q108 job
 # reductions are plan-only — re-verified against their oracles; the
 # manifest delta-log redesign changes the LOG format, not any read
@@ -5390,6 +5466,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q158_hybrid_rrf_retrieval": q158_hybrid_rrf_retrieval,
     "q159_manifest_cdf_stream_fold": q159_manifest_cdf_stream_fold,
     "q160_pq_rerank_topk": q160_pq_rerank_topk,
+    "q161_manifest_deletion_vectors": q161_manifest_deletion_vectors,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -70,14 +70,28 @@ _CDF_COLS = ("_change_type", "_commit_version")
 class FeedFileSlice(InputPartition):
     """One data file of one commit — the executor-side scan unit.
     ``change_type`` is None for the plain append feed, 'insert'/'delete'
-    for the CDF feed."""
+    for the CDF feed. Deletion-vector interplay (CDF feed only):
+    ``dv_new``/``dv_old`` mark a DV-DELTA slice — emit only the rows at
+    positions the commit's new cumulative vector adds over the file's
+    previous one; ``dv_exclude`` masks a REMOVED file's already-deleted
+    positions (as of v-1) so a rewrite doesn't re-emit rows an earlier
+    dv commit deleted."""
 
     def __init__(
-        self, file_path: str, commit_version: int, change_type: str | None = None
+        self,
+        file_path: str,
+        commit_version: int,
+        change_type: str | None = None,
+        dv_new: str | None = None,
+        dv_old: str | None = None,
+        dv_exclude: str | None = None,
     ):
         self.file_path = file_path
         self.commit_version = commit_version
         self.change_type = change_type
+        self.dv_new = dv_new
+        self.dv_old = dv_old
+        self.dv_exclude = dv_exclude
 
 
 def _opt(options, key: str, default: str | None = None) -> str | None:
@@ -142,8 +156,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return None
 
     # -- planning (driver) -----------------------------------------------
-    def _commit_files(self, v: int) -> tuple[list[str], list[str]]:
-        """(added, removed) file names of commit v, legacy snapshots
+    def _commit_files(
+        self, v: int
+    ) -> tuple[list[str], list[str], dict[str, str]]:
+        """(added, removed, set_dv) of commit v, legacy snapshots
         included (diffed against the resolved v-1 state)."""
         try:
             body = tx._read_json(self._path, f"v{v}.json")
@@ -160,41 +176,70 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 else set()
             )
             now = set(body["files"])
-            return sorted(now - prev), sorted(prev - now)
-        return sorted(body.get("add", ())), sorted(body.get("remove", ()))
+            return sorted(now - prev), sorted(prev - now), {}
+        return (
+            sorted(body.get("add", ())),
+            sorted(body.get("remove", ())),
+            body.get("set_dv") or {},
+        )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, removed = self._commit_files(v)
+            added, removed, set_dv = self._commit_files(v)
             if self._feed == "cdf":
                 # file-level change images: every commit is representable
-                # — added files as inserts, removed files as deletes. A
-                # rewrite commit re-emits carried rows as delete+insert
-                # PAIRS that cancel under any fold, so a fold-consumer
-                # nets exactly what the batch table_changes' compacted
-                # feed nets (the EXCEPT ALL cancellation is an
-                # optimization of the same multiset, one a per-file scan
-                # task cannot perform).
+                # — added files as inserts, removed files as deletes
+                # (masked by the file's v-1 deletion vector so an earlier
+                # dv commit's rows aren't re-deleted), dv commits as
+                # position-delta deletes. A rewrite commit re-emits
+                # carried rows as delete+insert PAIRS that cancel under
+                # any fold, so a fold-consumer nets exactly what the
+                # batch table_changes' compacted feed nets (the EXCEPT
+                # ALL cancellation is an optimization of the same
+                # multiset, one a per-file scan task cannot perform).
+                prev_dvs: dict[str, str] = {}
+                if (set_dv or removed) and v > 0:
+                    prev_dvs = (
+                        tx._read_manifest(self._path, v - 1).get("dvs") or {}
+                    )
                 slices.extend(
                     FeedFileSlice(os.path.join(data, f), v, "insert")
                     for f in added
                 )
                 slices.extend(
-                    FeedFileSlice(os.path.join(data, f), v, "delete")
+                    FeedFileSlice(
+                        os.path.join(data, f), v, "delete",
+                        dv_exclude=(
+                            os.path.join(data, prev_dvs[f])
+                            if f in prev_dvs else None
+                        ),
+                    )
                     for f in removed
                 )
+                slices.extend(
+                    FeedFileSlice(
+                        os.path.join(data, f), v, "delete",
+                        dv_new=os.path.join(data, d),
+                        dv_old=(
+                            os.path.join(data, prev_dvs[f])
+                            if f in prev_dvs else None
+                        ),
+                    )
+                    for f, d in sorted(set_dv.items())
+                )
                 continue
-            if removed and self._on_delete == "fail":
+            if (removed or set_dv) and self._on_delete == "fail":
                 raise ValueError(
                     f"commit v{v} of {self._path!r} removed "
-                    f"{len(removed)} file(s); an append stream cannot "
-                    "represent deletes — set onDelete='ignore' to skip "
-                    "delete-only commits or onDelete='additive' to stream "
-                    "added files regardless (may re-emit carried rows)"
+                    f"{len(removed)} file(s) / vectored {len(set_dv)}; an "
+                    "append stream cannot represent deletes — set "
+                    "onDelete='ignore' to skip delete-only commits, "
+                    "onDelete='additive' to stream added files regardless "
+                    "(may re-emit carried rows), or feed='cdf'"
                 )
-            if removed and self._on_delete == "ignore":
+            if (removed or set_dv) and self._on_delete == "ignore":
                 if added:
                     raise ValueError(
                         f"commit v{v} of {self._path!r} REWROTE files "
@@ -226,6 +271,35 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 f"v{partition.commit_version}) was vacuumed between "
                 "planning and read; restart above the retention horizon"
             ) from None
+
+        def _dv_positions(dv_path: str | None) -> set:
+            if not dv_path:
+                return set()
+            name = os.path.basename(partition.file_path)
+            t = pq.read_table(dv_path, columns=["file", "pos"])
+            return {
+                p for f, p in zip(
+                    t.column("file").to_pylist(), t.column("pos").to_pylist()
+                ) if f == name
+            }
+
+        if partition.dv_new is not None:
+            # dv-delta delete images: the rows the commit's cumulative
+            # vector ADDS over the file's previous vector
+            delta = sorted(
+                _dv_positions(partition.dv_new)
+                - _dv_positions(partition.dv_old)
+            )
+            if not delta:
+                return  # this file's vector gained nothing new
+            tbl = tbl.take(pa.array(delta, type=pa.int64()))
+        elif partition.dv_exclude is not None:
+            excl = _dv_positions(partition.dv_exclude)
+            if excl:
+                keep = [i for i in range(len(tbl)) if i not in excl]
+                if not keep:
+                    return  # every row was already vector-deleted
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
         cols = {}
         for field in target:
             if field.name == "_change_type" and partition.change_type:

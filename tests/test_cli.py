@@ -303,7 +303,7 @@ def manifest_table(spark, tmp_path):
 def test_cli_versions_history(manifest_table):
     rc, lines = _run(["versions", "--table-path", manifest_table])
     assert rc == 0
-    assert lines[0] == "version\top\tn_add\tn_remove"
+    assert lines[0] == "version\top\tn_add\tn_remove\tn_dv"
     ops = [ln.split("\t")[1] for ln in lines[1:]]
     assert ops == ["append", "append", "append", "delete"]
 

@@ -282,3 +282,34 @@ def test_feed_cdf_incremental_resume(spark, tmp_path, table):
     # layout-agnostic: the only NET change is the deleted row; any row the
     # rewrite carried (file-layout dependent) must cancel exactly
     assert {kv: v for kv, v in net.items() if v != 0} == {(1, "a"): -1}
+
+
+def test_feed_append_mode_fails_on_dv_commit(spark, tmp_path, table):
+    tx.delete_where(spark, table, "k = 3", mode="dv")
+    with pytest.raises(Exception, match="vectored|onDelete"):
+        _drain(spark, table, str(tmp_path / "c"), str(tmp_path / "o"))
+
+
+def test_feed_cdf_dv_delta_images(spark, tmp_path, table):
+    """Two cumulative vector commits stream as POSITION-DELTA deletes —
+    each row deleted exactly once, and a later rewrite of the vectored
+    file doesn't re-delete the masked rows."""
+    tx.delete_where(spark, table, "k in (2, 4)", mode="dv")
+    tx.delete_where(spark, table, "k in (4, 5)", mode="dv")  # overlap
+    tx.compact_table(spark, table, target_bytes=256 << 20)  # materialize
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"), feed="cdf"
+    )
+    from collections import Counter
+
+    net: Counter = Counter()
+    dv_deletes = []
+    for k, s, change, v in got:
+        net[(k, s)] += 1 if change == "insert" else -1
+        if change == "delete" and v in (3, 4):
+            dv_deletes.append((k, v))
+    assert sorted(dv_deletes) == [(2, 3), (4, 3), (5, 4)]
+    folded = sorted(kv for kv, n in net.items() if n == 1)
+    assert all(n in (0, 1) for n in net.values()), net
+    final = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert folded == final == [(1, "a"), (3, "c")]

@@ -1,5 +1,6 @@
 """Model-based certification of the manifest delta log: a random sequence
-of append / delete / merge / compact / truncate / checkpoint commits is
+of append / delete (rewrite AND deletion-vector modes) / merge /
+compact / truncate / checkpoint commits is
 replayed against a trivial in-memory model (a Counter of rows). After
 EVERY op the table must equal the model; afterwards, every recorded
 version must time-travel back to its model snapshot, and folding the
@@ -29,6 +30,7 @@ _rows = st.lists(
 _op = st.one_of(
     st.tuples(st.just("append"), _rows),
     st.tuples(st.just("delete"), st.tuples(st.integers(0, 12), st.integers(0, 12))),
+    st.tuples(st.just("dvdelete"), st.tuples(st.integers(0, 12), st.integers(0, 12))),
     st.tuples(st.just("merge"), _rows),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("truncate"), st.none()),
@@ -65,10 +67,11 @@ def test_manifest_log_matches_model(spark, tmp_path, ops):
                 spark.createDataFrame(arg, "k bigint, v bigint"), path
             )
             model.update(arg)
-        elif kind == "delete":
+        elif kind in ("delete", "dvdelete"):
             lo, hi = min(arg), max(arg)
             tx.delete_where(
-                spark, path, (F.col("k") >= lo) & (F.col("k") <= hi)
+                spark, path, (F.col("k") >= lo) & (F.col("k") <= hi),
+                mode="dv" if kind == "dvdelete" else "rewrite",
             )
             model = Counter(
                 {r: c for r, c in model.items() if not lo <= r[0] <= hi}

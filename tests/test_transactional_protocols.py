@@ -962,3 +962,209 @@ def test_battery_change_feed_range_and_vacuum_errors(spark, tmp_path, protocol):
     live = tx.table_changes(spark, path, 3, 3).collect()
     assert sorted(r["id"] for r in live) == [8, 9, 10, 11]
     assert {r["_change_type"] for r in live} == {"insert"}
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (delete_where(mode="dv"))
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=10, files=2):
+    path = str(tmp_path / "dvt")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(n)], "k bigint, s string"
+        ).coalesce(files),
+        path,
+    )
+    return path
+
+
+def test_dv_delete_marks_without_rewrite(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    files0 = tx._read_manifest(path, 0)["files"]
+    stats = tx.delete_where(spark, path, "k in (2, 7)", mode="dv")
+    assert stats["files_rewritten"] == 0 and stats["files_vectored"] >= 1
+    st = tx._read_manifest(path, 1)
+    assert st["files"] == files0  # NO data file touched
+    assert set(st["dvs"]) <= set(files0)
+    got = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 8, 9]
+    # time travel below the vector sees every row
+    assert tx.read_table(spark, path, version=0).count() == 10
+
+
+def test_dv_second_delete_unions_cumulatively(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")
+    tx.delete_where(spark, path, "k in (2, 3)", mode="dv")  # overlap ok
+    got = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert got == [0, 1, 4, 5, 6, 7, 8, 9]
+    # v1 still shows exactly the first delete
+    assert sorted(
+        r["k"] for r in tx.read_table(spark, path, version=1).collect()
+    ) == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_dv_no_match_burns_no_version(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    stats = tx.delete_where(spark, path, "k = 999", mode="dv")
+    assert stats["version"] == 0 and tx.current_version(path) == 0
+
+
+def test_dv_rewrite_delete_does_not_resurrect(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")
+    tx.delete_where(spark, path, "k = 3", mode="rewrite")
+    got = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert got == [0, 1, 4, 5, 6, 7, 8, 9]
+    # the rewrite materialized any vector on the files it touched; no
+    # mapping may point at a dead file
+    st = tx._read_manifest(path, tx.current_version(path))
+    assert set(st["dvs"]) <= set(st["files"])
+
+
+def test_dv_merge_does_not_resurrect_and_drops_vector(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k in (2, 7)", mode="dv")
+    tx.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(4, "S4"), (77, "n")], "k bigint, s string"),
+        ["k"],
+    )
+    got = sorted((r["k"], r["s"]) for r in tx.read_table(spark, path).collect())
+    assert (2, "s2") not in got and (7, "s7") not in got
+    assert (4, "S4") in got and (77, "n") in got
+    st = tx._read_manifest(path, tx.current_version(path))
+    assert set(st["dvs"]) <= set(st["files"])
+
+
+def test_dv_compact_materializes_vectors(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k in (1, 8)", mode="dv")
+    before = sorted(
+        (r["k"], r["s"]) for r in tx.read_table(spark, path).collect()
+    )
+    res = tx.compact_table(spark, path, target_bytes=256 << 20)
+    assert res["files_compacted"] >= 1
+    st = tx._read_manifest(path, tx.current_version(path))
+    assert st["dvs"] == {}  # purged
+    after = sorted(
+        (r["k"], r["s"]) for r in tx.read_table(spark, path).collect()
+    )
+    assert after == before
+
+
+def test_dv_compact_aborts_on_racing_vector(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    version = tx.current_version(path)
+    man = tx._read_manifest(path, version)
+    # stage a compaction of the CURRENT state, then land a dv delete
+    # before its commit: the commit must abort, not resurrect k=5
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    packed = tx._scan_live_rows(
+        spark, path, man, man["files"], schema
+    ).coalesce(1)
+    staged = tx._stage_files(packed, path)
+    tx.delete_where(spark, path, "k = 5", mode="dv")
+    with pytest.raises(tx.CommitConflict):
+        tx._commit(
+            path, version + 1, man["schema"], man["txns"],
+            man.get("stats_cols"), add=staged, remove=man["files"],
+            op="compact",
+        )
+    # the real compact_table path sees the conflict and aborts cleanly
+    res = {"aborted": None}
+    # simulate its retry check
+    man2 = tx._read_manifest(path, tx.current_version(path))
+    changed = any(
+        (man2.get("dvs") or {}).get(f) != (man.get("dvs") or {}).get(f)
+        for f in man["files"]
+    )
+    assert changed  # the guard compact_table aborts on
+
+
+def test_dv_stats_skipping_stays_conservative(spark, tmp_path, protocol):
+    path = str(tmp_path / "dvs")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "k bigint, v bigint"
+        ).repartitionByRange(2, "k"),
+        path, stats_cols=["k"],
+    )
+    tx.delete_where(spark, path, "k = 1", mode="dv")
+    got = sorted(
+        r["k"] for r in
+        tx.read_table(spark, path, where=[("k", "<=", 2)]).collect()
+    )
+    assert got == [0, 2]  # pruned read still applies the vector
+
+
+def test_dv_table_changes_emits_position_deltas(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k in (2, 7)", mode="dv")
+    tx.delete_where(spark, path, "k in (2, 3)", mode="dv")
+    ch = [
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in tx.table_changes(spark, path, 1, 2).collect()
+    ]
+    assert sorted(ch) == [
+        (2, "delete", 1), (3, "delete", 2), (7, "delete", 1)
+    ]
+    # fold across the whole history lands on the final state
+    net = {}
+    for r in tx.table_changes(spark, path, 0, 2).collect():
+        d = 1 if r["_change_type"] == "insert" else -1
+        net[(r["k"], r["s"])] = net.get((r["k"], r["s"]), 0) + d
+    live = sorted(kv for kv, n in net.items() if n == 1)
+    want = sorted(
+        (r["k"], r["s"]) for r in tx.read_table(spark, path).collect()
+    )
+    assert live == want
+
+
+def test_dv_rewrite_after_vector_cdf_does_not_double_delete(
+    spark, tmp_path, protocol
+):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")
+    tx.delete_where(spark, path, "k = 3", mode="rewrite")
+    net = {}
+    for r in tx.table_changes(spark, path).collect():
+        d = 1 if r["_change_type"] == "insert" else -1
+        net[r["k"]] = net.get(r["k"], 0) + d
+    assert all(n in (0, 1) for n in net.values()), net
+    assert net[2] == 0 and net[3] == 0  # each deleted EXACTLY once net
+
+
+def test_dv_vacuum_keeps_referenced_sidecar(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    stats = tx.delete_where(spark, path, "k = 2", mode="dv")
+    dv_file = stats["dv_file"]
+    data = os.path.join(path, "data")
+    tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert os.path.exists(os.path.join(data, dv_file))
+    assert sorted(r["k"] for r in tx.read_table(spark, path).collect()) == [
+        0, 1, 3, 4, 5, 6, 7, 8, 9
+    ]
+    # once a rewrite materializes the vector, vacuum reclaims the sidecar
+    tx.delete_where(spark, path, "k = 3", mode="rewrite")
+    tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert not os.path.exists(os.path.join(data, dv_file))
+
+
+def test_dv_checkpoint_carries_vectors(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")
+    tx.checkpoint_table(path)  # force a base above the dv commit
+    # resolution THROUGH the checkpoint must keep masking k=2
+    tx.append_batch(
+        spark.createDataFrame([(100, "x")], "k bigint, s string"), path
+    )
+    got = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert 2 not in got and 100 in got
+    body = tx._read_json(path, f"checkpoint-v1.json")
+    assert body.get("dvs")
