@@ -29,9 +29,11 @@ operations instead of SSH+cqlsh/nodetool calls:
   ``vacuum`` (``--keep-versions``/``--grace-seconds``), and
   ``compact-table`` (the reference pipeline's final compact stage,
   /root/reference/geomesa_cassandra.py:188-191, as one atomic OPTIMIZE
-  commit), ``merge-table`` (atomic upsert by key), and
+  commit), ``merge-table`` (atomic upsert by key),
   ``table-changes`` (row-level change feed between commits —
-  ``--from-version``/``--to-version``).
+  ``--from-version``/``--to-version``), and ``delete-where``
+  (transactional DELETE; ``--delete-mode dv`` marks rows in a
+  deletion-vector sidecar instead of rewriting files).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -129,6 +131,15 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--merge-keys",
         help="merge-table: comma-separated key column names",
+    )
+    p.add_argument(
+        "--where",
+        help="delete-where: SQL boolean condition over the table's columns",
+    )
+    p.add_argument(
+        "--delete-mode", choices=("rewrite", "dv"), default="rewrite",
+        help="delete-where: rewrite hit files, or mark rows in a "
+             "deletion-vector sidecar (no data file rewritten)",
     )
     return p
 
@@ -388,6 +399,32 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             f"{res.get('files_rewritten', 0)} file(s) rewritten",
             file=out,
         )
+        return 0
+
+    if cmd == "delete-where":
+        # transactional DELETE over a manifest table; --delete-mode dv
+        # marks rows in a deletion-vector sidecar instead of rewriting
+        # the hit files (the 100 TB point-delete shape)
+        _require(parser, args, "table-path", "where")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        res = transactional.delete_where(
+            _spark(), args.table_path, args.where, mode=args.delete_mode
+        )
+        if args.delete_mode == "dv":
+            print(
+                f"deleted from {args.table_path} at v{res['version']}: "
+                f"{res.get('files_vectored', 0)} file(s) vectored, "
+                "0 rewritten",
+                file=out,
+            )
+        else:
+            print(
+                f"deleted from {args.table_path} at v{res['version']}: "
+                f"{res.get('files_rewritten', 0)} file(s) rewritten, "
+                f"{res.get('files_carried', 0)} carried",
+                file=out,
+            )
         return 0
 
     if cmd == "remove-schema":

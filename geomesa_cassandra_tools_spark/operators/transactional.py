@@ -902,7 +902,8 @@ def _scan_live_rows(
     exact. ``keep_meta=True`` keeps ``__file``/``__pos`` columns on ALL
     rows (the mutation paths need positions to build new vectors)."""
     data = _data_dir(path)
-    dvs = {f: d for f, d in (man.get("dvs") or {}).items() if f in set(files)}
+    file_set = set(files)
+    dvs = {f: d for f, d in (man.get("dvs") or {}).items() if f in file_set}
     need_meta = keep_meta or bool(dvs)
     meta_cols = [
         F.col("_metadata.file_name").alias("__file"),

@@ -400,3 +400,37 @@ def test_cli_table_changes(manifest_table):
         (int(ln.split("\t")[0]), ln.split("\t")[1]) for ln in lines[1:]
     )
     assert got == [(k, "delete") for k in range(25, 30)]
+
+
+def test_cli_delete_where_modes(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "dw")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(8)], "k bigint, v string"
+        ).coalesce(1),
+        table,
+    )
+    files0 = tx._read_manifest(table, 0)["files"]
+    # dv mode: rows vanish, files untouched
+    rc, lines = _run(
+        ["delete-where", "--table-path", table,
+         "--where", "k IN (2, 5)", "--delete-mode", "dv"]
+    )
+    assert rc == 0 and "vectored" in lines[0]
+    assert tx._read_manifest(table, 1)["files"] == files0
+    assert sorted(r["k"] for r in tx.read_table(spark, table).collect()) == [
+        0, 1, 3, 4, 6, 7
+    ]
+    # rewrite mode: default
+    rc, lines = _run(
+        ["delete-where", "--table-path", table, "--where", "k = 7"]
+    )
+    assert rc == 0 and "rewritten" in lines[0]
+    assert sorted(r["k"] for r in tx.read_table(spark, table).collect()) == [
+        0, 1, 3, 4, 6
+    ]
+    # missing --where is a usage error, not a stack trace
+    with pytest.raises(SystemExit):
+        _run(["delete-where", "--table-path", table])
