@@ -26,6 +26,55 @@ from pyspark.sql import DataFrame
 from geomesa_cassandra_tools_spark.operators import transactional
 
 
+def _apply_cdc_deletes(
+    deletes: DataFrame,
+    table_path: str,
+    merge_keys: list[str],
+    applied: list[int],
+    since_compact: list[int],
+    count_applied: bool = True,
+    max_keys: int = 4096,
+) -> None:
+    """Apply a CDC batch's DELETE events as one deletion-vector delete.
+    Idempotent by value: a replayed batch's keys match zero live rows and
+    `delete_where` burns no version. Deletes against a not-yet-created
+    table are no-ops (nothing to delete)."""
+    from functools import reduce
+    from operator import and_, or_
+
+    from pyspark.sql import functions as F
+
+    if transactional.current_version(table_path) < 0:
+        return
+    rows = deletes.select(*merge_keys).distinct().limit(max_keys + 1).collect()
+    if not rows:
+        return
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"CDC delete batch carries more than {max_keys} distinct keys; "
+            "split the batch (or run a batch delete_where directly)"
+        )
+    if len(merge_keys) == 1:
+        cond = F.col(merge_keys[0]).isin([r[0] for r in rows])
+    else:
+        cond = reduce(
+            or_,
+            (
+                reduce(
+                    and_,
+                    (F.col(k) == F.lit(r[k]) for k in merge_keys),
+                )
+                for r in rows
+            ),
+        )
+    res = transactional.delete_where(
+        deletes.sparkSession, table_path, cond, mode="dv"
+    )
+    if count_applied and res.get("files_vectored"):
+        applied[0] += 1
+        since_compact[0] += 1
+
+
 def stream_to_manifest(
     stream_df: DataFrame,
     table_path: str,
@@ -35,6 +84,7 @@ def stream_to_manifest(
     compact_every: int | None = None,
     compact_target_bytes: int = 128 << 20,
     merge_keys: list[str] | None = None,
+    delete_col: str | None = None,
 ) -> int:
     """Drain a bounded stream (Trigger.AvailableNow) into the manifest
     table at ``table_path`` exactly once, and return how many micro-batch
@@ -59,7 +109,19 @@ def stream_to_manifest(
     keys appended, exactly once under replays — the streaming CDC-upsert
     landing path. The source must emit at most one row per key per
     micro-batch (dedupe upstream, e.g. latest-wins by timestamp);
-    `merge_upsert` refuses duplicate-key batches loudly."""
+    `merge_upsert` refuses duplicate-key batches loudly.
+
+    ``delete_col="..."`` (requires ``merge_keys``) completes the CDC
+    apply: rows whose boolean marker is true are DELETE events — their
+    keys are removed via a deletion-vector delete
+    (`delete_where(mode="dv")`, zero data files rewritten), the rest
+    upsert as usual. Exactly-once composes from two halves: the upsert
+    is watermark-refused on replay, and the key-delete is IDEMPOTENT by
+    value (a replayed delete matches zero live rows and burns no
+    version), so a crash anywhere between the two commits converges on
+    replay. Delete keys are driver-collected per batch (micro-batches
+    are bounded; a 4096-key guard fails loudly rather than building an
+    unbounded predicate)."""
     if checkpoint is None:
         # Default to DURABLE storage next to the table, not a RAM-backed
         # scratch root: the manifest txn watermark persists across host
@@ -74,12 +136,26 @@ def stream_to_manifest(
         checkpoint = os.path.join(
             table_path, "_checkpoints", f"manifest_{query_name}"
         )
+    if delete_col and not merge_keys:
+        raise ValueError("delete_col requires merge_keys (CDC apply is keyed)")
     applied = [0]
     since_compact = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        deletes = None
+        if delete_col:
+            marker = F.coalesce(F.col(delete_col), F.lit(False))
+            deletes = batch_df.where(marker).drop(delete_col)
+            batch_df = batch_df.where(~marker).drop(delete_col)
         if merge_keys:
             if batch_df.isEmpty():
+                if deletes is None:
+                    return
+                _apply_cdc_deletes(
+                    deletes, table_path, merge_keys, applied, since_compact
+                )
                 return
             if transactional.current_version(table_path) < 0:
                 # first batch creates the table (merge needs a base
@@ -113,12 +189,17 @@ def stream_to_manifest(
         if committed is not None:
             applied[0] += 1
             since_compact[0] += 1
-            if compact_every and since_compact[0] >= compact_every:
-                transactional.compact_table(
-                    batch_df.sparkSession, table_path,
-                    target_bytes=compact_target_bytes,
-                )
-                since_compact[0] = 0
+        if deletes is not None:
+            _apply_cdc_deletes(
+                deletes, table_path, merge_keys, applied, since_compact,
+                count_applied=committed is None,
+            )
+        if compact_every and since_compact[0] >= compact_every:
+            transactional.compact_table(
+                batch_df.sparkSession, table_path,
+                target_bytes=compact_target_bytes,
+            )
+            since_compact[0] = 0
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

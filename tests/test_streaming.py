@@ -344,3 +344,58 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     old = drain("stateful_user_totals")
     new = drain("stateful_user_totals_tws")
     assert old == new == batch
+
+
+def test_stream_to_manifest_cdc_delete_mode(spark, tmp_path):
+    """Full CDC apply: upserts AND delete events (delete_col marker) —
+    deletes land as deletion-vector commits (zero data files rewritten),
+    and a replayed drain is a no-op on both halves (watermark-refused
+    merges, value-idempotent deletes — not even a version burned)."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string, _deleted boolean"
+    batches = [
+        [(1, "a", False), (2, "b", False), (3, "c", False)],
+        [(2, "B", False), (1, None, True)],
+        [(3, None, True), (4, "d", False)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return sinks.stream_to_manifest(
+            stream, table, "cdc_full", checkpoint=ckpt,
+            merge_keys=["k"], delete_col="_deleted",
+        )
+
+    drain()
+    got = {r["k"]: r["v"] for r in transactional.read_table(spark, table).collect()}
+    assert got == {2: "B", 4: "d"}
+    # delete commits are deletion-vector commits, not rewrites
+    ops = [
+        (h["op"], h["n_remove"], h["n_dv"])
+        for h in transactional.table_history(table)
+    ]
+    assert any(op == "delete" and nrm == 0 and ndv > 0 for op, nrm, ndv in ops)
+    v_after = transactional.current_version(table)
+
+    # fresh checkpoint replays everything: both halves no-op — same rows,
+    # and the delete side doesn't even burn a version
+    import shutil
+
+    shutil.rmtree(ckpt)
+    drain()
+    assert transactional.current_version(table) == v_after
+    got2 = {r["k"]: r["v"] for r in transactional.read_table(spark, table).collect()}
+    assert got2 == got
