@@ -319,3 +319,26 @@ def test_q147_salted_join_exchanges_on_salt(spark):
         l for l in plan.splitlines() if "Left keys" in l or "Right keys" in l
     ]
     assert key_lines and all("__salt" in l for l in key_lines), key_lines
+
+
+def test_dv_free_manifest_read_plans_no_join(spark, tmp_path):
+    """The deletion-vector read path must cost NOTHING until a vector
+    exists: a dv-free read_table plan is a plain scan (no join, no
+    _metadata projection), and after a dv delete only the vectored
+    files' branch gains the broadcast anti-join."""
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+    from geomesa_cassandra_tools_spark.plans import inspect as pi
+
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(8)], "k bigint, s string"
+        ).coalesce(2),
+        path,
+    )
+    plan = pi.explain_str(tx.read_table(spark, path))
+    assert "Join" not in plan and "_metadata" not in plan
+
+    tx.delete_where(spark, path, "k = 3", mode="dv")
+    plan2 = pi.explain_str(tx.read_table(spark, path))
+    assert "LeftAnti" in plan2 and "BroadcastHashJoin" in plan2
