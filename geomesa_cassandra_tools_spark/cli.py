@@ -31,9 +31,11 @@ operations instead of SSH+cqlsh/nodetool calls:
   /root/reference/geomesa_cassandra.py:188-191, as one atomic OPTIMIZE
   commit), ``merge-table`` (atomic upsert by key),
   ``table-changes`` (row-level change feed between commits —
-  ``--from-version``/``--to-version``), and ``delete-where``
+  ``--from-version``/``--to-version``), ``delete-where``
   (transactional DELETE; ``--delete-mode dv`` marks rows in a
-  deletion-vector sidecar instead of rewriting files).
+  deletion-vector sidecar instead of rewriting files), and
+  ``restore-table`` (Delta RESTORE: roll back to ``--version`` as a
+  new commit, history preserved).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -397,6 +399,21 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         print(
             f"merged into {args.table_path} at v{res['version']}: "
             f"{res.get('files_rewritten', 0)} file(s) rewritten",
+            file=out,
+        )
+        return 0
+
+    if cmd == "restore-table":
+        # Delta RESTORE: the rollback verb an operator reaches for after
+        # a bad write — a NEW commit, so nothing is lost
+        _require(parser, args, "table-path", "version")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        res = transactional.restore_table(args.table_path, args.version)
+        print(
+            f"restored {args.table_path} to v{res.get('restored_to', args.version)} "
+            f"as v{res['version']}: +{res['files_added']} / "
+            f"-{res['files_removed']} file(s)",
             file=out,
         )
         return 0

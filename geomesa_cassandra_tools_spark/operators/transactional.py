@@ -214,7 +214,9 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     state["txns"] = delta.get("txns", {})
     # deletion vectors: a removed/rewritten file's vector dies with it
     # (the rewrite materialized it); added files are born vector-free; a
-    # set_dv entry (CUMULATIVE positions) replaces the file's mapping
+    # set_dv entry (CUMULATIVE positions) replaces the file's mapping;
+    # an unset_dv entry clears it (only RESTORE emits these — rolling
+    # back below a dv commit un-deletes the masked rows)
     file_set = set(files)
     dvs = {
         f: d for f, d in (state.get("dvs") or {}).items() if f in file_set
@@ -222,6 +224,8 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     for f, d in (delta.get("set_dv") or {}).items():
         if f in file_set:
             dvs[f] = d
+    for f in delta.get("unset_dv") or ():
+        dvs.pop(f, None)
     state["dvs"] = dvs
     stats_cols = delta.get("stats_cols")
     state["stats_cols"] = stats_cols
@@ -296,6 +300,7 @@ def _commit(
     add_stats: dict[str, dict] | None = None,
     op: str = "commit",
     set_dv: dict[str, str] | None = None,
+    unset_dv: list[str] | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -320,6 +325,8 @@ def _commit(
     }
     if set_dv:
         body["set_dv"] = dict(sorted(set_dv.items()))
+    if unset_dv:
+        body["unset_dv"] = sorted(unset_dv)
     if stats_cols:
         body["stats_cols"] = list(stats_cols)
         body["add_stats"] = {f: (add_stats or {}).get(f) for f in body["add"]}
@@ -1463,6 +1470,61 @@ def rewrite_table_schema(
     return version + 1
 
 
+def restore_table(path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (the Delta RESTORE
+    shape): roll the table back to an older snapshot AS A NEW COMMIT —
+    history is preserved (the bad commits stay auditable and
+    time-travelable until vacuum), readers flip atomically, and a racing
+    writer conflicts instead of interleaving. The commit re-adds the
+    target's files that were dropped since, removes the ones added
+    since, restores the target's SCHEMA and deletion-vector map (set_dv
+    for files the target masked, unset_dv for files vectored after the
+    target — the masked rows un-delete, which the change feed reports as
+    position-delta INSERT images), and carries the CURRENT txn
+    watermarks forward so replayed producer batches stay refused across
+    the restore. Fails with the time-travel diagnostics if the target's
+    manifests or data files were vacuumed. Returns stats."""
+    latest = current_version(path)
+    if latest < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    if version == latest:
+        return {"version": latest, "files_added": 0, "files_removed": 0}
+    target = _resolve_manifest(path, version)  # named vacuum diagnostics
+    cur = _read_manifest(path, latest)
+    cur_files, tgt_files = set(cur["files"]), set(target["files"])
+    add = sorted(tgt_files - cur_files)
+    remove = sorted(cur_files - tgt_files)
+    tgt_dvs = target.get("dvs") or {}
+    cur_dvs = cur.get("dvs") or {}
+    # shared files whose vector must change: set to the target's mapping
+    # where it differs, clear where the target had none
+    set_dv = {
+        f: d for f, d in tgt_dvs.items() if cur_dvs.get(f) != d
+    }
+    unset_dv = [
+        f for f in cur_dvs
+        if f in tgt_files and f not in tgt_dvs
+    ]
+    stats_cols = target.get("stats_cols")
+    add_stats = (
+        {f: (target.get("stats") or {}).get(f) for f in add}
+        if stats_cols else None
+    )
+    _commit(
+        path, latest + 1, target["schema"], cur.get("txns", {}), stats_cols,
+        add=add, remove=remove, add_stats=add_stats, op="restore",
+        set_dv=set_dv, unset_dv=unset_dv,
+    )
+    return {
+        "version": latest + 1,
+        "restored_to": version,
+        "files_added": len(add),
+        "files_removed": len(remove),
+        "vectors_set": len(set_dv),
+        "vectors_cleared": len(unset_dv),
+    }
+
+
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY analog: one row per still-resolvable commit,
     oldest first — version, operation verb, files added/removed, and
@@ -1618,36 +1680,42 @@ def table_changes(
             added = sorted(now_files - prev_files)
             removed = sorted(prev_files - now_files)
             set_dv: dict[str, str] = {}
+            unset_dv: list[str] = []
         else:
             added = sorted(body.get("add", ()))
             removed = sorted(body.get("remove", ()))
             set_dv = body.get("set_dv") or {}
+            unset_dv = list(body.get("unset_dv") or ())
         final_schema_json = body["schema"]
         schema = StructType.fromJson(json.loads(body["schema"]))
-        if set_dv:
+        if set_dv or unset_dv:
             # deletion-vector commit: the changed rows are the POSITION
-            # DELTA (new cumulative vector minus the file's previous one)
-            # — pure delete images, nothing inserted
+            # DELTAS — vector growth is delete images (a dv delete),
+            # vector shrink/clear is INSERT images (only RESTORE shrinks:
+            # the masked rows un-delete)
             prev = _prev_state(v)
-            files = sorted(set_dv)
+            files = sorted(set(set_dv) | set(unset_dv))
             new_pos = _dv_positions(set_dv, files)
             old_pos = _dv_positions(prev.get("dvs") or {}, files)
-            delta = new_pos.exceptAll(old_pos)
             rows = _read(files, schema).select(
                 "*",
                 F.col("_metadata.file_name").alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
-            dv_dels = rows.join(
-                F.broadcast(delta),
-                (F.col("__file") == F.col("file"))
-                & (F.col("__pos") == F.col("pos")),
-                "left_semi",
-            ).drop("__file", "__pos")
-            frames.append(
-                dv_dels.withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", F.lit(v))
-            )
+            for delta, kind in (
+                (new_pos.exceptAll(old_pos), "delete"),
+                (old_pos.exceptAll(new_pos), "insert"),
+            ):
+                imgs = rows.join(
+                    F.broadcast(delta),
+                    (F.col("__file") == F.col("file"))
+                    & (F.col("__pos") == F.col("pos")),
+                    "left_semi",
+                ).drop("__file", "__pos")
+                frames.append(
+                    imgs.withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v))
+                )
         if removed:
             # the removed side reads files AS OF v-1: rows a deletion
             # vector already masked were deleted by THAT commit, not by

@@ -158,9 +158,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
     # -- planning (driver) -----------------------------------------------
     def _commit_files(
         self, v: int
-    ) -> tuple[list[str], list[str], dict[str, str]]:
-        """(added, removed, set_dv) of commit v, legacy snapshots
-        included (diffed against the resolved v-1 state)."""
+    ) -> tuple[list[str], list[str], dict[str, str], list[str]]:
+        """(added, removed, set_dv, unset_dv) of commit v, legacy
+        snapshots included (diffed against the resolved v-1 state)."""
         try:
             body = tx._read_json(self._path, f"v{v}.json")
         except FileNotFoundError:
@@ -176,18 +176,19 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 else set()
             )
             now = set(body["files"])
-            return sorted(now - prev), sorted(prev - now), {}
+            return sorted(now - prev), sorted(prev - now), {}, []
         return (
             sorted(body.get("add", ())),
             sorted(body.get("remove", ())),
             body.get("set_dv") or {},
+            list(body.get("unset_dv") or ()),
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, removed, set_dv = self._commit_files(v)
+            added, removed, set_dv, unset_dv = self._commit_files(v)
             if self._feed == "cdf":
                 # file-level change images: every commit is representable
                 # — added files as inserts, removed files as deletes
@@ -200,7 +201,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 # ALL cancellation is an optimization of the same
                 # multiset, one a per-file scan task cannot perform).
                 prev_dvs: dict[str, str] = {}
-                if (set_dv or removed) and v > 0:
+                if (set_dv or unset_dv or removed) and v > 0:
                     prev_dvs = (
                         tx._read_manifest(self._path, v - 1).get("dvs") or {}
                     )
@@ -218,19 +219,35 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     )
                     for f in removed
                 )
+                for f, d in sorted(set_dv.items()):
+                    old = (
+                        os.path.join(data, prev_dvs[f])
+                        if f in prev_dvs else None
+                    )
+                    new = os.path.join(data, d)
+                    # growth -> delete images (new - old); shrink (only
+                    # RESTORE) -> insert images via the SWAPPED delta
+                    # (old - new) — read() computes dv_new minus dv_old
+                    slices.append(FeedFileSlice(
+                        os.path.join(data, f), v, "delete",
+                        dv_new=new, dv_old=old,
+                    ))
+                    if old is not None:
+                        slices.append(FeedFileSlice(
+                            os.path.join(data, f), v, "insert",
+                            dv_new=old, dv_old=new,
+                        ))
+                # unset (RESTORE cleared the vector): every previously
+                # masked row un-deletes
                 slices.extend(
                     FeedFileSlice(
-                        os.path.join(data, f), v, "delete",
-                        dv_new=os.path.join(data, d),
-                        dv_old=(
-                            os.path.join(data, prev_dvs[f])
-                            if f in prev_dvs else None
-                        ),
+                        os.path.join(data, f), v, "insert",
+                        dv_new=os.path.join(data, prev_dvs[f]), dv_old=None,
                     )
-                    for f, d in sorted(set_dv.items())
+                    for f in unset_dv if f in prev_dvs
                 )
                 continue
-            if (removed or set_dv) and self._on_delete == "fail":
+            if (removed or set_dv or unset_dv) and self._on_delete == "fail":
                 raise ValueError(
                     f"commit v{v} of {self._path!r} removed "
                     f"{len(removed)} file(s) / vectored {len(set_dv)}; an "
@@ -239,7 +256,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     "onDelete='additive' to stream added files regardless "
                     "(may re-emit carried rows), or feed='cdf'"
                 )
-            if (removed or set_dv) and self._on_delete == "ignore":
+            if (removed or set_dv or unset_dv) and self._on_delete == "ignore":
                 if added:
                     raise ValueError(
                         f"commit v{v} of {self._path!r} REWROTE files "

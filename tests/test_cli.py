@@ -434,3 +434,20 @@ def test_cli_delete_where_modes(spark, tmp_path):
     # missing --where is a usage error, not a stack trace
     with pytest.raises(SystemExit):
         _run(["delete-where", "--table-path", table])
+
+
+def test_cli_restore_table(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "rt")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), table
+    )
+    tx.append_batch(spark.createDataFrame([(3, "c")], "k bigint, v string"), table)
+    rc, lines = _run(
+        ["restore-table", "--table-path", table, "--version", "0"]
+    )
+    assert rc == 0 and lines[0].startswith("restored")
+    assert sorted(r["k"] for r in tx.read_table(spark, table).collect()) == [1, 2]
+    # history preserved
+    assert tx.read_table(spark, table, version=1).count() == 3

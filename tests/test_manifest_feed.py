@@ -313,3 +313,28 @@ def test_feed_cdf_dv_delta_images(spark, tmp_path, table):
     assert all(n in (0, 1) for n in net.values()), net
     final = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
     assert folded == final == [(1, "a"), (3, "c")]
+
+
+def test_feed_cdf_restore_emits_resurrect_inserts(spark, tmp_path, table):
+    """A RESTORE below a dv commit un-deletes the masked rows; the CDF
+    feed must stream those as INSERT images (the swapped position
+    delta), and the full fold must land on the restored state."""
+    tx.delete_where(spark, table, "k in (2, 4)", mode="dv")
+    tx.restore_table(table, tx.current_version(table) - 1)
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"), feed="cdf"
+    )
+    from collections import Counter
+
+    last = tx.current_version(table)
+    restore_rows = sorted(
+        (k, c) for k, s, c, v in got if v == last
+    )
+    assert restore_rows == [(2, "insert"), (4, "insert")]
+    net: Counter = Counter()
+    for k, s, c, _v in got:
+        net[(k, s)] += 1 if c == "insert" else -1
+    folded = sorted(kv for kv, n in net.items() if n == 1)
+    final = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert folded == final
+    assert len(final) == 5  # everything back

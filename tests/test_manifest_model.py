@@ -1,6 +1,6 @@
 """Model-based certification of the manifest delta log: a random sequence
 of append / delete (rewrite AND deletion-vector modes) / merge /
-compact / truncate / checkpoint commits is
+compact / truncate / checkpoint / RESTORE commits is
 replayed against a trivial in-memory model (a Counter of rows). After
 EVERY op the table must equal the model; afterwards, every recorded
 version must time-travel back to its model snapshot, and folding the
@@ -35,6 +35,7 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("truncate"), st.none()),
     st.tuples(st.just("checkpoint"), st.none()),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
 )
 
 
@@ -96,6 +97,11 @@ def test_manifest_log_matches_model(spark, tmp_path, ops):
         elif kind == "checkpoint":
             tx.checkpoint_table(path)
             continue  # no commit happened — no new version to record
+        elif kind == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            tx.restore_table(path, target)
+            model = Counter(history[target])
         history[tx.current_version(path)] = Counter(model)
         assert _snap(spark, path) == model, f"after {kind}"
 

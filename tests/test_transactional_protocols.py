@@ -1168,3 +1168,80 @@ def test_dv_checkpoint_carries_vectors(spark, tmp_path, protocol):
     assert 2 not in got and 100 in got
     body = tx._read_json(path, f"checkpoint-v1.json")
     assert body.get("dvs")
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (restore_table)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path, n=6)
+    tx.append_batch(
+        spark.createDataFrame([(10, "x")], "k bigint, s string"), path
+    )                                                    # v1
+    tx.delete_where(spark, path, "k in (1, 4)", mode="dv")   # v2
+    tx.delete_where(spark, path, "k = 2", mode="rewrite")    # v3
+
+    def rows(v=None):
+        return sorted(
+            r["k"] for r in tx.read_table(spark, path, version=v).collect()
+        )
+
+    res = tx.restore_table(path, 1)
+    assert res["restored_to"] == 1 and res["version"] == 4
+    assert rows() == rows(1) == [0, 1, 2, 3, 4, 5, 10]
+    # the rolled-back commits stay auditable and travelable
+    assert rows(2) == [0, 2, 3, 5, 10] and rows(3) == [0, 3, 5, 10]
+    assert tx.table_history(path)[-1]["op"] == "restore"
+    # the change feed's restore images fold to the restored state
+    net = {}
+    for r in tx.table_changes(spark, path).collect():
+        d = 1 if r["_change_type"] == "insert" else -1
+        net[(r["k"], r["s"])] = net.get((r["k"], r["s"]), 0) + d
+    assert sorted(k for (k, _s), n in net.items() if n == 1) == rows()
+
+
+def test_restore_carries_txn_watermarks(spark, tmp_path, protocol):
+    path = str(tmp_path / "t")
+    tx.init_table(spark.range(3).toDF("id"), path)
+    tx.append_batch(
+        spark.range(3, 6).toDF("id"), path, txn_app="prod", txn_id=7
+    )
+    tx.restore_table(path, 0)
+    # the producer's replayed batch must STILL be refused post-restore
+    assert tx.append_batch(
+        spark.range(3, 6).toDF("id"), path, txn_app="prod", txn_id=7
+    ) is None
+    assert tx.read_table(spark, path).count() == 3
+
+
+def test_restore_to_latest_is_noop(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    v = tx.current_version(path)
+    res = tx.restore_table(path, v)
+    assert res["files_added"] == 0 and tx.current_version(path) == v
+
+
+def test_restore_below_vacuum_horizon_refused(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="rewrite")
+    tx.append_batch(
+        spark.createDataFrame([(20, "y")], "k bigint, s string"), path
+    )
+    tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuum"):
+        tx.restore_table(path, 0)
+
+
+def test_restore_restores_schema(spark, tmp_path, protocol):
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "k bigint, s string"), path
+    )
+    tx.append_batch(
+        spark.createDataFrame([(2, "b", 9)], "k bigint, s string, extra bigint"),
+        path, merge_schema=True,
+    )
+    tx.restore_table(path, 0)
+    assert tx.read_table(spark, path).columns == ["k", "s"]
