@@ -3107,6 +3107,35 @@ SELECT 'post_delete_pruned', count(*),
 FROM v1 WHERE o_orderkey BETWEEN 100 AND 5000
 """
 
+# q162: RESTORE replayed as set algebra — the restored latest equals the
+# v1 state (both slices, every row back after the dv un-delete), the bad
+# v2 snapshot stays travelable (minus % 7 == 0), pruning composes.
+ORACLES["q162_manifest_restore"] = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 IN (1, 3)
+),
+v2 AS (
+  SELECT * FROM v1 WHERE o_orderkey % 7 <> 0
+)
+SELECT 'restored' AS snapshot, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+       count(DISTINCT o_orderstatus) AS n_status
+FROM v1
+UNION ALL
+SELECT 'bad_delete', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM v2
+UNION ALL
+SELECT 'restored_pruned', count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       min(o_orderkey), max(o_orderkey), count(DISTINCT o_orderstatus)
+FROM v1 WHERE o_orderkey BETWEEN 100 AND 5000
+"""
+
 # q158 fuses the q154 BM25 ranking (cut at 20) with the q19-contract
 # dense cosine ranking for query vec 0 via fixed-point reciprocal rank
 # fusion: floor(1e9/(60+rank)) per system, absent -> 0 — all-integer, so

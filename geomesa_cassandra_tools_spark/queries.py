@@ -5318,6 +5318,88 @@ def q161_manifest_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _manifest_restore_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table certifying RESTORE (the q162 fixture):
+    v0 init with the o_orderkey % 4 == 3 slice of orders, v1 appends the
+    % 4 == 1 slice, v2 dv-deletes the % 7 == 0 keys, v3 RESTORES to v1 —
+    the bad-delete rollback story, with the dv un-delete exercised in
+    the committed history. Idempotent under races like the q161 fixture:
+    every step is guarded by the current version, and a racing
+    duplicate of any step commits identical content."""
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_manifest_restore")
+    if transactional.current_version(path) >= 3:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 4 == 3)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    if transactional.current_version(path) < 1:
+        transactional.append_batch(
+            orders.where(F.col("o_orderkey") % 4 == 1)
+            .repartitionByRange(4, "o_orderkey"),
+            path, txn_app="restore-fixture", txn_id=1,
+        )
+    if transactional.current_version(path) < 2:
+        try:
+            transactional.delete_where(
+                spark, path, "o_orderkey % 7 = 0", mode="dv"
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder landed the identical dv delete
+    if transactional.current_version(path) < 3:
+        try:
+            transactional.restore_table(path, 1)
+        except transactional.CommitConflict:
+            pass  # racing builder landed the identical restore
+    return path
+
+
+def q162_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`transactional.restore_table` driver-certified: the bad-delete
+    rollback — a dv delete (v2) is rolled back by RESTORE (v3), as a NEW
+    commit with history preserved. Three reads must agree with plain SQL
+    over orders: the restored latest (== the v1 snapshot, every row
+    back — the vector un-delete path), the still-travelable bad
+    snapshot v2 (minus the % 7 == 0 keys), and a stats-pruned read over
+    the restored state (skipping composes across the restore boundary).
+    Money stays integer cents."""
+    path = _manifest_restore_path(spark, sf_dir)
+    restored = transactional.read_table(spark, path)
+    bad = transactional.read_table(spark, path, version=2)
+    pruned = transactional.read_table(
+        spark, path, where=[("o_orderkey", "between", (100, 5000))]
+    )
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        ).select(
+            "snapshot", "n_rows", "price_cents", "first_key", "last_key",
+            "n_status",
+        )
+
+    return (
+        summarize(restored, "restored")
+        .unionByName(summarize(bad, "bad_delete"))
+        .unionByName(summarize(pruned, "restored_pruned"))
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5413,7 +5495,8 @@ def _with_cache_release(
 # (atomic MERGE upsert), q152 (Change Data Feed), q153 (SemDeDup),
 # q154 (BM25), q155 (exact-substring shared runs), q156 (manifest
 # streaming SOURCE), q157 (PQ ADC), q158 (hybrid RRF), q159 (streamed
-# CDF fold), q160 (PQ + exact rerank) and q161 (deletion vectors) —
+# CDF fold), q160 (PQ + exact rerank), q161 (deletion vectors) and q162
+# (RESTORE) —
 # all first driver certifications — inserted after q148, displacing as
 # many tail entries below the line; displaced entries' code and values
 # are unchanged since their green rows, so union coverage holds.
@@ -5467,6 +5550,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_manifest_cdf_stream_fold": q159_manifest_cdf_stream_fold,
     "q160_pq_rerank_topk": q160_pq_rerank_topk,
     "q161_manifest_deletion_vectors": q161_manifest_deletion_vectors,
+    "q162_manifest_restore": q162_manifest_restore,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
