@@ -147,27 +147,31 @@ def test_transactional_concurrency(spark, tmp_path):
     ct.join(timeout=60)
     assert not errors, errors[:3]
 
-    # racing deletes of disjoint ranges, with retry on conflict
-    def deleter(lo, hi):
+    # racing deletes of disjoint ranges, with retry on conflict — one
+    # rewrite-mode, one DELETION-VECTOR mode (r7: dv joined the storm)
+    v_pre_delete = tx.current_version(path)
+
+    def deleter(lo, hi, mode):
         try:
             _retrying(
                 lambda: tx.delete_where(
-                    spark, path, (F.col("id") >= lo) & (F.col("id") < hi)
+                    spark, path, (F.col("id") >= lo) & (F.col("id") < hi),
+                    mode=mode,
                 )
             )
         except BaseException as e:
             errors.append(e)
 
-    d1 = threading.Thread(target=deleter, args=(0, 10))
-    d2 = threading.Thread(target=deleter, args=(1000, 1010))
+    d1 = threading.Thread(target=deleter, args=(0, 10, "rewrite"))
+    d2 = threading.Thread(target=deleter, args=(1000, 1010, "dv"))
     d1.start(); d2.start(); d1.join(600); d2.join(600)
     assert not errors, errors[:3]
 
-    expected = {-1}
+    expected_all = {-1}
     for tid in range(n_threads):
         for i in range(n_appends):
-            expected.add(tid * 1000 + i)
-    expected -= set(range(0, 10)) | set(range(1000, 1010))
+            expected_all.add(tid * 1000 + i)
+    expected = expected_all - (set(range(0, 10)) | set(range(1000, 1010)))
 
     rows = [r["id"] for r in tx.read_table(spark, path).collect()]
     assert len(rows) == len(set(rows)), "duplicated rows after racing commits"
@@ -179,12 +183,21 @@ def test_transactional_concurrency(spark, tmp_path):
     assert len(set(versions)) == len(versions), "two appends share a version"
     assert tx.current_version(path) >= max(versions)
 
+    # RESTORE joins the aftermath: roll back below BOTH deletes — the
+    # rewritten range and the vector-masked range both come back, and
+    # the rolled-back deletes stay travelable
+    tx.restore_table(path, v_pre_delete)
+    back = {r["id"] for r in tx.read_table(spark, path).collect()}
+    assert back == expected_all, "restore lost or failed to resurrect rows"
+
     # final vacuum with no writers: data/ must hold exactly the live files
+    # (the restore above rolled the deletes back, so the live set is the
+    # FULL pre-delete content)
     tx.vacuum(path, keep_versions=1, grace_seconds=0)
     man = tx._read_manifest(path, tx.current_version(path))
     on_disk = set(os.listdir(os.path.join(path, "data")))
     assert on_disk == set(man["files"]), "orphaned or missing live files"
-    assert {r["id"] for r in tx.read_table(spark, path).collect()} == expected
+    assert {r["id"] for r in tx.read_table(spark, path).collect()} == expected_all
 
 
 def test_time_travel_reads_pre_delete_snapshot(spark, tmp_path, protocol):
