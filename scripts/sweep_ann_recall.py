@@ -177,6 +177,30 @@ def main() -> None:
                 )
             )
 
+    # the two-stage recipe (q160): ADC candidates + exact cosine rerank.
+    # Recall here is measured against the EXACT-L2 baseline on the
+    # candidate-generation axis (what stage 1 can lose); overfetch is the
+    # recall-recovery knob — stage 2 cannot miss a true neighbor that
+    # stage 1 retrieved.
+    cb_t = similarity.pq_train(emb, DIM, 16, 16, rounds=2)
+    codes_t = similarity.pq_encode_blas(emb, cb_t)
+    for overfetch in (2, 4, 8):
+        t0 = time.perf_counter()
+        approx = similarity.pq_adc_topk(
+            codes_t, qv, cb_t, K * overfetch, max_queries=N_QUERIES
+        )
+        r = recall_l2(approx)  # candidate-set recall: did stage 1 keep it?
+        wall = time.perf_counter() - t0
+        rows.append(
+            (
+                "pq+rerank",
+                f"m=16 k=16 trained overfetch={overfetch} "
+                "(candidate-set recall vs exact-L2)",
+                r,
+                wall,
+            )
+        )
+
     exact_l2.unpersist()
 
     sf = os.path.basename(sf_dir.rstrip("/"))
