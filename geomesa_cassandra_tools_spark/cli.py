@@ -396,6 +396,14 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             spark, args.table_path, batch,
             [k.strip() for k in args.merge_keys.split(",") if k.strip()],
         )
+        if res is None:
+            # merge_upsert returns None for an empty batch: no version burned
+            print(
+                f"batch {args.batch_path} is empty; nothing merged into "
+                f"{args.table_path}",
+                file=out,
+            )
+            return 0
         print(
             f"merged into {args.table_path} at v{res['version']}: "
             f"{res.get('files_rewritten', 0)} file(s) rewritten",

@@ -187,6 +187,11 @@ def current_version(path: str) -> int:
 #: commits; reads replay at most this many delta tails past a base.
 CHECKPOINT_INTERVAL = 16
 
+#: Column names the deletion-vector read path claims for itself; a table
+#: schema using one would make every post-dv read ambiguous, so _commit
+#: rejects them up front.
+_RESERVED_META_COLS = {"__file", "__pos", "__dv_file", "__dv_pos"}
+
 _CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
 
 
@@ -313,6 +318,15 @@ def _commit(
     never re-written per commit. After a successful publish, a checkpoint
     is published every `CHECKPOINT_INTERVAL` versions (best-effort: the
     commit is already durable; a racing identical checkpoint is fine)."""
+    reserved = _RESERVED_META_COLS & {
+        f.get("name") for f in json.loads(schema_ddl).get("fields", ())
+    }
+    if reserved:
+        raise ValueError(
+            f"schema for {path!r} uses reserved metadata column name(s) "
+            f"{sorted(reserved)}; __file/__pos/__dv_file/__dv_pos are "
+            "claimed by the deletion-vector read path — rename them"
+        )
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     body = {
@@ -855,9 +869,15 @@ def _resolve_manifest(path: str, version: int | None) -> dict:
             "time-travelable"
         ) from None
     if version != latest:
+        # sweep data files AND deletion-vector sidecars: a pinned read
+        # whose vector was vacuumed must fail with the same up-front
+        # diagnostic, not a task-level FileNotFound mid-job
+        referenced = list(man["files"]) + sorted(
+            set((man.get("dvs") or {}).values())
+        )
         missing = [
             f
-            for f in man["files"]
+            for f in referenced
             if not os.path.exists(os.path.join(_data_dir(path), f))
         ]
         if missing:
@@ -930,13 +950,24 @@ def _scan_live_rows(
     if plain:
         parts.append(_read(plain))
     if dvs:
-        dv_rows = spark.read.parquet(
-            *[os.path.join(data, n) for n in sorted(set(dvs.values()))]
-        ).where(F.col("file").isin(list(dvs)))
+        # sidecar columns renamed BEFORE the join: a table whose own
+        # schema carries a column named `file`/`pos` must not make the
+        # anti-join condition ambiguous (the reserved __dv_* / __file /
+        # __pos names themselves are rejected at commit time)
+        dv_rows = (
+            spark.read.parquet(
+                *[os.path.join(data, n) for n in sorted(set(dvs.values()))]
+            )
+            .where(F.col("file").isin(list(dvs)))
+            .select(
+                F.col("file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            )
+        )
         kept = _read(sorted(dvs)).join(
             F.broadcast(dv_rows),
-            (F.col("__file") == F.col("file"))
-            & (F.col("__pos") == F.col("pos")),
+            (F.col("__file") == F.col("__dv_file"))
+            & (F.col("__pos") == F.col("__dv_pos")),
             "left_anti",
         )
         parts.append(kept)

@@ -133,6 +133,16 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._feed = str(_opt(options, "feed", "append")).lower()
         if self._feed not in _FEEDS:
             raise ValueError(f"feed must be one of {_FEEDS}, got {self._feed!r}")
+        self._max_files = self._pos_int_opt(options, "maxFilesPerTrigger")
+        self._max_bytes = self._pos_int_opt(options, "maxBytesPerTrigger")
+        # self-tracked stream position for admission control: the engine's
+        # Python source API hands the start offset only to partitions(), so
+        # latestOffset() learns it from (a) initialOffset on a fresh
+        # checkpoint, (b) the setLatestSeenOffset handshake on restart
+        # (surfaces here as a partitions(start, start) empty-range call),
+        # (c) every planned batch's end. Monotone max of all three.
+        self._pos: int | None = None
+        self._admission_cache: dict[int, tuple[int, int]] = {}
         if self._feed == "cdf":
             missing = [c for c in _CDF_COLS if c not in schema.fieldNames()]
             if missing:
@@ -142,17 +152,88 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 )
         self._arrow_schema = None  # built lazily, executor-side
 
+    @staticmethod
+    def _pos_int_opt(options, key: str) -> int | None:
+        raw = _opt(options, key)
+        if raw is None:
+            return None
+        v = int(raw)
+        if v <= 0:
+            raise ValueError(f"{key} must be a positive integer, got {v}")
+        return v
+
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        self._track(self._start_after)
         return {"version": self._start_after}
+
+    def _track(self, version: int) -> None:
+        if self._pos is None or version > self._pos:
+            self._pos = version
+
+    def _commit_cost(self, v: int) -> tuple[int, int]:
+        """(file count, byte size) a batch admitting commit ``v`` will
+        scan — the admission-control unit. Cached: a long backlog is
+        re-walked every trigger until it drains."""
+        hit = self._admission_cache.get(v)
+        if hit is not None:
+            return hit
+        added, removed, set_dv, unset_dv = self._commit_files(v)
+        if self._feed == "cdf":
+            names = (
+                list(added) + list(removed) + list(set_dv) + list(unset_dv)
+            )
+        else:
+            names = list(added)
+        data = tx._data_dir(self._path)
+        size = 0
+        for f in names:
+            try:
+                size += os.path.getsize(os.path.join(data, f))
+            except OSError:
+                pass  # vacuumed/renamed mid-walk: planning re-checks
+        cost = (len(names), size)
+        self._admission_cache[v] = cost
+        return cost
 
     def latestOffset(self) -> dict:
         # monotone even if the table vanished mid-stream: never below the
         # initial position
-        return {"version": max(tx.current_version(self._path), self._start_after)}
+        latest = max(tx.current_version(self._path), self._start_after)
+        if self._max_files is None and self._max_bytes is None:
+            return {"version": latest}
+        # admission control (Delta's maxFilesPerTrigger/maxBytesPerTrigger
+        # analog at COMMIT granularity): walk the backlog from the stream's
+        # position and admit whole commits while the cumulative planned
+        # file count / byte size stays under the caps. At least one commit
+        # is always admitted, so a single oversized commit still flows —
+        # the caps bound the batch, they never stall the stream. A cold
+        # start against a long backlog therefore drains in many bounded
+        # micro-batches instead of one unbounded one.
+        pos = self._pos if self._pos is not None else self._start_after
+        end, files, size = pos, 0, 0
+        while end < latest:
+            n, b = self._commit_cost(end + 1)
+            if end > pos and (
+                (self._max_files is not None and files + n > self._max_files)
+                or (self._max_bytes is not None and size + b > self._max_bytes)
+            ):
+                break
+            end += 1
+            files += n
+            size += b
+            if (self._max_files is not None and files >= self._max_files) or (
+                self._max_bytes is not None and size >= self._max_bytes
+            ):
+                break
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
         # retention is vacuum's job; the source holds no state to release
+        self._track(end["version"])
+        for v in list(self._admission_cache):
+            if v <= end["version"]:
+                del self._admission_cache[v]
         return None
 
     # -- planning (driver) -----------------------------------------------
@@ -185,6 +266,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the engine's restart handshake (AcceptsLatestSeenOffset) arrives
+        # as an empty-range call — either way, the end offset is the
+        # stream's position from here on
+        self._track(end["version"])
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -202,9 +287,18 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 # multiset, one a per-file scan task cannot perform).
                 prev_dvs: dict[str, str] = {}
                 if (set_dv or unset_dv or removed) and v > 0:
-                    prev_dvs = (
-                        tx._read_manifest(self._path, v - 1).get("dvs") or {}
-                    )
+                    try:
+                        prev_dvs = (
+                            tx._read_manifest(self._path, v - 1).get("dvs")
+                            or {}
+                        )
+                    except FileNotFoundError:
+                        raise ValueError(
+                            f"commit v{v - 1} of {self._path!r} was vacuumed; "
+                            "the stream's checkpoint is below the retention "
+                            "horizon — restart from a fresh checkpoint (or "
+                            "raise vacuum's keep_versions)"
+                        ) from None
                 slices.extend(
                     FeedFileSlice(os.path.join(data, f), v, "insert")
                     for f in added
@@ -378,6 +472,8 @@ def stream_feed(
     starting_version: int | str = 0,
     on_delete: str = "fail",
     feed: str = "append",
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Open a manifest table as a streaming DataFrame. ``starting_version``
     accepts a commit number or ``"latest"`` (new commits only). ``feed``:
@@ -385,13 +481,29 @@ def stream_feed(
     ``on_delete``); ``"cdf"`` streams file-level change images — every
     commit representable, rows tagged (_change_type, _commit_version),
     rewrite commits emitting carried rows as cancelling delete+insert
-    pairs, so any fold-consumer nets what the batch `table_changes` nets."""
+    pairs, so any fold-consumer nets what the batch `table_changes` nets.
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` are the
+    admission-control caps (Delta readStream's options of the same name,
+    at commit granularity): each micro-batch admits whole commits while
+    its planned file count / byte size stays under the caps, at least one
+    commit per batch — so a backlogged or cold-starting consumer drains
+    in bounded batches instead of planning the entire backlog into one.
+    Note the Python streaming source API has no AvailableNow support, so
+    a ``trigger(availableNow=True)`` drain fixes its target at START and
+    stops after reaching it — a capped drain consumes one bounded batch
+    per run (re-run to continue); use a processingTime trigger for a
+    continuously capped stream."""
     register(spark)
-    return (
+    reader = (
         spark.readStream.format("manifestfeed")
         .option("path", path)
         .option("startingVersion", str(starting_version))
         .option("onDelete", on_delete)
         .option("feed", feed)
-        .load()
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    return reader.load()

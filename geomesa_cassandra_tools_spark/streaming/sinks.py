@@ -49,6 +49,17 @@ def _apply_cdc_deletes(
     rows = deletes.select(*merge_keys).distinct().limit(max_keys + 1).collect()
     if not rows:
         return
+    # NULL keys would compare NULL in the isin()/== predicate below and
+    # silently match nothing — a dropped delete is a correctness bug, so
+    # reject the batch loudly instead
+    null_keyed = [r for r in rows if any(r[k] is None for k in merge_keys)]
+    if null_keyed:
+        raise ValueError(
+            f"CDC delete batch carries {len(null_keyed)} row(s) with NULL "
+            f"key value(s) in {merge_keys}; NULL never equality-matches a "
+            "live row, so these deletes would be silently dropped — clean "
+            "the key column upstream"
+        )
     if len(rows) > max_keys:
         raise ValueError(
             f"CDC delete batch carries more than {max_keys} distinct keys; "

@@ -451,3 +451,21 @@ def test_cli_restore_table(spark, tmp_path):
     assert sorted(r["k"] for r in tx.read_table(spark, table).collect()) == [1, 2]
     # history preserved
     assert tx.read_table(spark, table, version=1).count() == 3
+
+
+def test_cli_merge_table_empty_batch(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "mt_empty")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), table
+    )
+    batch_path = str(tmp_path / "empty_batch")
+    spark.createDataFrame([], "k bigint, v string").write.parquet(batch_path)
+    rc, lines = _run(
+        ["merge-table", "--table-path", table, "--batch-path", batch_path,
+         "--merge-keys", "k"]
+    )
+    assert rc == 0 and "empty" in lines[0]
+    # no version burned, table untouched
+    assert tx.current_version(table) == 0

@@ -10,6 +10,7 @@ diagnostics."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -338,3 +339,159 @@ def test_feed_cdf_restore_emits_resurrect_inserts(spark, tmp_path, table):
     final = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
     assert folded == final
     assert len(final) == 5  # everything back
+
+
+def test_feed_cdf_vacuumed_prev_manifest_is_named(spark, tmp_path, table):
+    """CDF planning resolves v-1's dv map; when that manifest is below the
+    retention horizon the stream fails with the named retention message,
+    never a bare FileNotFoundError."""
+    import os
+
+    tx.delete_where(spark, table, "k = 3", mode="dv")  # v3: set_dv commit
+    os.remove(os.path.join(tx._manifest_dir(table), "v0.json"))
+    with pytest.raises(Exception, match="retention|vacuum"):
+        _drain(
+            spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+            feed="cdf", starting_version=3,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Admission control: maxFilesPerTrigger / maxBytesPerTrigger (r8)
+# ---------------------------------------------------------------------------
+
+
+def _drain_capped(spark, path, ckpt, out, max_runs=10, **feed_kw):
+    """availableNow + a capped feed consumes ONE bounded batch per run
+    (Python sources have no AvailableNow support; the fallback fixes its
+    target at start) — re-run until no new batch is planned. Returns
+    (rows, number of batches)."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    def batches():
+        d = _os.path.join(ckpt, "offsets")
+        return (
+            len([f for f in _os.listdir(d) if not f.startswith(".")])
+            if _os.path.isdir(d)
+            else 0
+        )
+
+    for _ in range(max_runs):
+        before = batches()
+        q = (
+            mf.stream_feed(spark, path, **feed_kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "capped drain run timed out"
+        if batches() == before:
+            break
+    try:
+        rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    except AnalysisException:
+        rows = []
+    return rows, batches()
+
+
+def test_feed_capped_backlog_drains_in_bounded_batches(spark, tmp_path, table):
+    """A 3-commit backlog (4 files) under maxFilesPerTrigger=2 drains in
+    >1 batches with the same final rows as the uncapped drain — and every
+    run is a fresh reader, so the position handshake across restarts is
+    exercised on each hop."""
+    got, n_batches = _drain_capped(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        max_files_per_trigger=2,
+    )
+    want = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert got == want
+    assert n_batches >= 2  # not one unbounded batch
+
+
+def test_feed_capped_single_oversized_commit_still_flows(spark, tmp_path):
+    path = str(tmp_path / "big")
+    tx.init_table(
+        _mk(spark, [(i, f"s{i}") for i in range(8)]).repartition(4), path
+    )
+    got, n_batches = _drain_capped(
+        spark, path, str(tmp_path / "c"), str(tmp_path / "o"),
+        max_files_per_trigger=1,
+    )
+    assert len(got) == 8  # the 4-file commit exceeded the cap but flowed
+    assert n_batches == 1
+
+
+def test_feed_capped_bytes(spark, tmp_path, table):
+    got, n_batches = _drain_capped(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        max_bytes_per_trigger=1,  # every commit exceeds it -> 1 commit/batch
+    )
+    want = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+    assert got == want
+    assert n_batches == 3  # one per commit
+
+
+def test_feed_capped_cdf_matches_uncapped(spark, tmp_path, table):
+    tx.delete_where(spark, table, "k = 3", mode="dv")
+    capped, n_capped = _drain_capped(
+        spark, table, str(tmp_path / "cc"), str(tmp_path / "oc"),
+        feed="cdf", max_files_per_trigger=1,
+    )
+    uncapped, n_uncapped = _drain_capped(
+        spark, table, str(tmp_path / "cu"), str(tmp_path / "ou"),
+        feed="cdf",
+    )
+    assert capped == uncapped
+    assert n_capped > n_uncapped == 1
+
+
+def test_feed_cap_option_validated(spark, table):
+    ds = mf.ManifestFeedDataSource(
+        options={"path": table, "maxFilesPerTrigger": "0"}
+    )
+    with pytest.raises(ValueError, match="positive"):
+        ds.streamReader(ds.schema())
+
+
+def test_feed_capped_continuous_trigger_single_query(spark, tmp_path, table):
+    """Under a processingTime trigger ONE query drains the whole backlog
+    in capped batches (no restarts involved) — the in-flight position
+    tracking, not just the restart handshake."""
+    import time
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        mf.stream_feed(spark, table, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        want = sorted(tuple(r) for r in tx.read_table(spark, table).collect())
+        got = []
+        while time.time() < deadline:
+            from pyspark.errors import AnalysisException
+
+            try:
+                got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+            except AnalysisException:
+                got = []
+            if got == want:
+                break
+            time.sleep(1)
+        assert got == want
+    finally:
+        q.stop()
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "offsets")) if not f.startswith(".")]
+    )
+    assert n_batches >= 3  # 3 commits, 1 file each, cap=1 -> >=3 batches

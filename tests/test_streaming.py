@@ -399,3 +399,21 @@ def test_stream_to_manifest_cdc_delete_mode(spark, tmp_path):
     assert transactional.current_version(table) == v_after
     got2 = {r["k"]: r["v"] for r in transactional.read_table(spark, table).collect()}
     assert got2 == got
+
+
+def test_cdc_delete_with_null_key_fails_loudly(spark, tmp_path):
+    """A NULL-keyed CDC delete can never equality-match a live row — the
+    sink must reject the batch instead of silently dropping the delete."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    table = str(tmp_path / "cdc_null")
+    transactional.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        table,
+    )
+    deletes = spark.createDataFrame([(None,), (1,)], "k bigint")
+    with pytest.raises(ValueError, match="NULL"):
+        sinks._apply_cdc_deletes(deletes, table, ["k"], [0], [0])
+    # nothing applied: the good key must not have been half-applied either
+    assert transactional.current_version(table) == 0

@@ -1258,3 +1258,56 @@ def test_restore_restores_schema(spark, tmp_path, protocol):
     )
     tx.restore_table(path, 0)
     assert tx.read_table(spark, path).columns == ["k", "s"]
+
+
+# ---------------------------------------------------------------------------
+# Reserved metadata names / dv reads over user `file`/`pos` columns (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_read_survives_user_file_pos_columns(spark, tmp_path, protocol):
+    """A table whose OWN schema has columns named `file`/`pos` must still
+    read correctly once a deletion vector exists — the dv sidecar columns
+    are renamed before the anti-join, so nothing is ambiguous."""
+    path = str(tmp_path / "fp")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"f{i}", i * 10) for i in range(10)],
+            "k bigint, file string, pos bigint",
+        ).coalesce(2),
+        path,
+    )
+    tx.delete_where(spark, path, "k in (2, 7)", mode="dv")
+    rows = tx.read_table(spark, path).collect()
+    assert sorted(r["k"] for r in rows) == [0, 1, 3, 4, 5, 6, 8, 9]
+    assert {r["file"] for r in rows} == {f"f{i}" for i in range(10)} - {"f2", "f7"}
+    # the mutation paths (merge / compact / changes) ride the same scan
+    tx.compact_table(spark, path, target_bytes=1 << 30)
+    assert sorted(
+        r["k"] for r in tx.read_table(spark, path).collect()
+    ) == [0, 1, 3, 4, 5, 6, 8, 9]
+
+
+def test_commit_rejects_reserved_meta_columns(spark, tmp_path, protocol):
+    for bad in ("__file", "__pos", "__dv_file", "__dv_pos"):
+        with pytest.raises(ValueError, match="reserved"):
+            tx.init_table(
+                spark.createDataFrame([(1, 2)], f"k bigint, {bad} bigint"),
+                str(tmp_path / f"r_{bad}"),
+            )
+
+
+def test_timetravel_sweep_names_missing_dv_sidecar(spark, tmp_path, protocol):
+    """A pinned-version read whose deletion-vector sidecar was reclaimed
+    fails with the up-front vacuum diagnostic, not a task-level
+    FileNotFound mid-job."""
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")  # v1: sets the vector
+    tx.append_batch(
+        spark.createDataFrame([(20, "y")], "k bigint, s string"), path
+    )  # v2
+    man = tx._read_manifest(path, 1)
+    sidecar = next(iter(man["dvs"].values()))
+    os.remove(os.path.join(path, "data", sidecar))
+    with pytest.raises(ValueError, match="vacuum"):
+        tx.read_table(spark, path, version=1)
