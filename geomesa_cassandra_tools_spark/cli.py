@@ -143,6 +143,13 @@ def _parser() -> argparse.ArgumentParser:
         help="delete-where: rewrite hit files, or mark rows in a "
              "deletion-vector sidecar (no data file rewritten)",
     )
+    p.add_argument(
+        "--manifest-view", action="append", default=[],
+        metavar="NAME=PATH[@VERSION]",
+        help="sql: register a manifest table as view NAME before running "
+             "the statement (repeatable; @VERSION pins a time-travel "
+             "snapshot)",
+    )
     return p
 
 
@@ -258,6 +265,23 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         if args.catalog_path:
             GeoCatalog.load(spark, args.catalog_path).df.createOrReplaceTempView(
                 "catalog"
+            )
+        for spec in args.manifest_view:
+            # NAME=PATH[@VERSION]: the manifest-table face of the escape
+            # hatch — snapshot-pinned, deletion vectors applied
+            from geomesa_cassandra_tools_spark.operators import transactional
+
+            if "=" not in spec:
+                parser.error(
+                    f"--manifest-view needs NAME=PATH[@VERSION], got {spec!r}"
+                )
+            vname, target = spec.split("=", 1)
+            ver = None
+            if "@" in target:
+                target, vraw = target.rsplit("@", 1)
+                ver = int(vraw)
+            transactional.register_manifest_view(
+                spark, target, name=vname, version=ver
             )
         _emit(spark.sql(args.command_sql), out)
         return 0

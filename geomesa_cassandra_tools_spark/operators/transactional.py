@@ -1041,6 +1041,32 @@ def read_table(
     return df
 
 
+def register_manifest_view(
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> str:
+    """Make a manifest table SQL-addressable: register a snapshot-isolated
+    `read_table` frame as a temp view, so ``spark.sql`` (and the CLI's
+    ``sql`` verb) reach transactional tables and time travel the way
+    ``SELECT * FROM t VERSION AS OF n`` does in Delta — the view IS the
+    pinned snapshot (deletion vectors applied, manifest schema projected,
+    optional ``where`` manifest-level skipping baked in). Returns the view
+    name (default: the table directory's basename, non-identifier
+    characters mapped to ``_``). Re-registering the same name repoints it
+    — register once per snapshot you want addressable."""
+    if name is None:
+        base = os.path.basename(os.path.normpath(path))
+        name = "".join(c if c.isalnum() or c == "_" else "_" for c in base)
+        if not name or name[0].isdigit():
+            name = "t_" + name
+    df = read_table(spark, path, version=version, where=where)
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

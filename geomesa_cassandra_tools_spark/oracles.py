@@ -3136,6 +3136,22 @@ SELECT 'restored_pruned', count(*),
 FROM v1 WHERE o_orderkey BETWEEN 100 AND 5000
 """
 
+# q163: the SQL-view face of the q148 lifecycle — v1 EXCEPT v2 is exactly
+# the deleted slice: v1 = keys % 3 IN (0, 1), delete = o_totalprice >
+# 200000 (see _manifest_orders_lifecycle_path).
+ORACLES["q163_manifest_sql_view"] = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_deleted,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS deleted_cents,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice > 200000
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
 # q158 fuses the q154 BM25 ranking (cut at 20) with the q19-contract
 # dense cosine ranking for query vec 0 via fixed-point reciprocal rank
 # fusion: floor(1e9/(60+rank)) per system, absent -> 0 — all-integer, so

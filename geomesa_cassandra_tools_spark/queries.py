@@ -5400,6 +5400,43 @@ def q162_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_manifest_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest tables reached through PLAIN SQL — the escape-hatch gap
+    the round-7 verdict named: `transactional.register_manifest_view`
+    registers snapshot-pinned views (Delta's `VERSION AS OF` as a view),
+    and the whole query then runs as one `spark.sql` statement with no
+    API calls in the data path. Two snapshots of the q148 lifecycle
+    fixture are registered — v1 (after the merge_schema append) and v2
+    (after the delete) — and pure SQL set algebra recovers exactly the
+    DELETED rows (v1 EXCEPT v2), aggregated by status in integer cents.
+    The oracle replays the lifecycle arithmetic on the raw orders table:
+    v1 = keys % 3 IN (0,1), deleted = the o_totalprice > 200000 slice.
+
+    Scale shape: each view is a pinned file-list scan (dv-applied,
+    manifest-schema projected) — Catalyst sees ordinary relations, so
+    EXCEPT plans as a shuffled anti-join over only the two snapshots'
+    files; nothing about the view layer blocks pushdown or AQE."""
+    path = _manifest_orders_lifecycle_path(spark, sf_dir)
+    v1 = transactional.register_manifest_view(
+        spark, path, "orders_lifecycle_v1", version=1
+    )
+    v2 = transactional.register_manifest_view(
+        spark, path, "orders_lifecycle_v2", version=2
+    )
+    return spark.sql(f"""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_deleted,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS deleted_cents,
+               MIN(o_orderkey) AS first_key,
+               MAX(o_orderkey) AS last_key
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM {v1}
+              EXCEPT
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM {v2})
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """)
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5551,6 +5588,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160_pq_rerank_topk": q160_pq_rerank_topk,
     "q161_manifest_deletion_vectors": q161_manifest_deletion_vectors,
     "q162_manifest_restore": q162_manifest_restore,
+    # -- new in round 8 (first driver certification => inside the window)
+    "q163_manifest_sql_view": q163_manifest_sql_view,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

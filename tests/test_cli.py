@@ -469,3 +469,31 @@ def test_cli_merge_table_empty_batch(spark, tmp_path):
     assert rc == 0 and "empty" in lines[0]
     # no version burned, table untouched
     assert tx.current_version(table) == 0
+
+
+def test_cli_sql_over_manifest_view(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "mv")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "k bigint, s string"
+        ),
+        table,
+    )
+    tx.delete_where(spark, table, "k >= 5")  # v1
+    # live view sees the delete; @0 pins the pre-delete snapshot
+    rc, lines = _run(
+        ["sql", "--manifest-view", f"live={table}",
+         "--manifest-view", f"orig={table}@0",
+         "--command-sql",
+         "SELECT (SELECT count(*) FROM live) AS n_live, "
+         "(SELECT count(*) FROM orig) AS n_orig"]
+    )
+    assert rc == 0
+    assert lines[0] == "n_live\tn_orig" and lines[1] == "5\t10"
+
+
+def test_cli_sql_manifest_view_bad_spec(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        _run(["sql", "--manifest-view", "nonsense", "--command-sql", "SELECT 1"])

@@ -1311,3 +1311,32 @@ def test_timetravel_sweep_names_missing_dv_sidecar(spark, tmp_path, protocol):
     os.remove(os.path.join(path, "data", sidecar))
     with pytest.raises(ValueError, match="vacuum"):
         tx.read_table(spark, path, version=1)
+
+
+def test_register_manifest_view_sql_roundtrip(spark, tmp_path, protocol):
+    """SQL over a registered view == read_table at the same snapshot,
+    deletion vectors applied; the default name derives from the dir."""
+    path = str(tmp_path / "sql-view.tbl")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "k bigint, v bigint"
+        ),
+        path,
+    )
+    tx.delete_where(spark, path, "k in (1, 6)", mode="dv")
+    name = tx.register_manifest_view(spark, path)
+    assert name == "sql_view_tbl"
+    got = sorted(
+        r["k"] for r in spark.sql(f"SELECT k FROM {name}").collect()
+    )
+    assert got == [0, 2, 3, 4, 5, 7]
+    # pinned pre-delete snapshot under an explicit name
+    tx.register_manifest_view(spark, path, name="pre", version=0)
+    assert spark.sql("SELECT count(*) AS n FROM pre").collect()[0]["n"] == 8
+    # where= bakes manifest-level skipping into the view
+    tx.register_manifest_view(
+        spark, path, name="low", where=[("k", "<=", 3)]
+    )
+    assert sorted(
+        r["k"] for r in spark.sql("SELECT k FROM low").collect()
+    ) == [0, 2, 3]
