@@ -43,6 +43,90 @@ def _interleave_bits(x: Column, y: Column, res: int) -> Column:
     return z
 
 
+def _interleave_bits_n(cols: list[Column], res: int) -> Column:
+    """N-way Morton interleave: bit ``i`` of dimension ``d`` lands at
+    position ``i*N + d`` — the z2/z3 interleaves generalized to any
+    dimension count (Delta's ``ZORDER BY a, b, ...``)."""
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i in range(res):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (i * n + d))
+    return z
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    res: int | None = None,
+    strategy: str = "minmax",
+) -> Column:
+    """A bigint Z-value interleaving arbitrary NUMERIC stats columns —
+    the general form of z2/z3 for non-geo layouts (Delta's
+    ``OPTIMIZE ... ZORDER BY (a, b)``): cluster files by this column and
+    per-file min/max spans become tight on EVERY participating column, so
+    manifest skipping composes across multi-column predicates.
+
+    Each column is mapped to a ``res``-bit cell index first
+    (``res`` defaults to ``min(12, 62 // len(cols))`` so the interleave
+    fits a bigint): ``strategy="minmax"`` scales linearly between the
+    column's observed min/max (one tiny 2N-scalar aggregate — right for
+    roughly uniform columns); ``strategy="quantile"`` buckets by
+    equi-depth boundaries from `percentile_approx` (the skew-robust
+    form — Delta's range_partition_id analog; boundary arrays are
+    2^res-1 literals, so keep res ≤ 8 there). Cast date/timestamp
+    columns to a numeric epoch upstream."""
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    n = len(cols)
+    res = res or max(1, min(12, 62 // n))
+    if n * res > 62:
+        raise ValueError(
+            f"zorder_by: {n} cols x {res} bits = {n * res} bits "
+            "overflows a bigint; lower res"
+        )
+    if strategy == "minmax":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).cast("double"), F.max(c).cast("double")]
+        row = df.agg(*aggs).collect()[0]  # bounded: 2N scalars
+        scaled = []
+        for d, c in enumerate(cols):
+            lo, hi = row[2 * d], row[2 * d + 1]
+            if lo is None or hi is None or lo == hi:
+                scaled.append(F.lit(0).cast("bigint"))
+                continue
+            # nudge hi so the max value lands in the top cell, not past it
+            span = hi - lo
+            scaled.append(
+                _scale(F.col(c).cast("double"), lo, hi + span * 1e-9, res)
+            )
+    elif strategy == "quantile":
+        cuts = [i / (1 << res) for i in range(1, 1 << res)]
+        aggs = [
+            F.percentile_approx(F.col(c).cast("double"), cuts, 10_000)
+            for c in cols
+        ]
+        row = df.agg(*aggs).collect()[0]  # bounded: N * (2^res - 1)
+        scaled = []
+        for d, c in enumerate(cols):
+            bounds = row[d]
+            if not bounds:
+                scaled.append(F.lit(0).cast("bigint"))
+                continue
+            blit = F.array(*[F.lit(float(b)) for b in bounds])
+            # cell = number of boundaries <= value (equi-depth bucket)
+            scaled.append(
+                F.size(
+                    F.filter(blit, lambda b: b <= F.col(c).cast("double"))
+                ).cast("bigint")
+            )
+    else:
+        raise ValueError(f"unknown zorder strategy {strategy!r}")
+    return _interleave_bits_n(scaled, res)
+
+
 def z2(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
     """z2 cell id of a point at ``res`` bits/dimension."""
     return _interleave_bits(

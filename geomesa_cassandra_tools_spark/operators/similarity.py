@@ -1116,6 +1116,32 @@ def pq_encode_blas(
     return prepped.mapInPandas(compute, f"{id_col} bigint, codes array<int>")
 
 
+def pq_encode_delta(
+    delta: DataFrame,
+    index_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_blas: bool = True,
+) -> DataFrame:
+    """Encode ONLY the batch rows absent from a stored codes index — the
+    incremental maintenance path for a PERSISTED PQ index (the q132
+    incremental-dedup analog for ANN): at 100 TB the codes ARE the index
+    and live in a manifest table; each ingested batch anti-joins the
+    index on id and pays the encode kernel for genuinely new vectors
+    only. Returns just the FRESH codes (same shape as `pq_encode`), ready
+    to `append_batch` into the index table — re-encoding nothing, so an
+    idempotent-writer append keeps the index exactly-once under replays.
+    The anti-join broadcasts nothing by itself: both sides shuffle on id
+    (or co-locate if the index table is bucketed by id), and the encode
+    is map-only after the join — no step is corpus-quadratic."""
+    fresh = delta.join(
+        index_codes.select(id_col), on=id_col, how="left_anti"
+    )
+    enc = pq_encode_blas if use_blas else pq_encode
+    return enc(fresh, codebooks, id_col=id_col, vec_col=vec_col)
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

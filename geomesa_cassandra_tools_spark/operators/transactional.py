@@ -190,7 +190,9 @@ CHECKPOINT_INTERVAL = 16
 #: Column names the deletion-vector read path claims for itself; a table
 #: schema using one would make every post-dv read ambiguous, so _commit
 #: rejects them up front.
-_RESERVED_META_COLS = {"__file", "__pos", "__dv_file", "__dv_pos"}
+_RESERVED_META_COLS = {
+    "__file", "__pos", "__dv_file", "__dv_pos", "__nulls__", "__rows__",
+}
 
 _CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
 
@@ -519,21 +521,27 @@ def _collect_file_stats(
         md = pq.ParquetFile(os.path.join(_data_dir(path), name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         col_stats: dict[str, list | None] = {}
+        nulls: dict[str, int] = {}
         for col in stats_cols:
             if col not in idx:
                 col_stats[col] = None
                 continue
             lo = hi = kind = None
             ok = True
+            n_null: int | None = 0
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[col]).statistics
+                if n_null is not None and st is not None and st.null_count is not None:
+                    n_null += st.null_count
+                else:
+                    n_null = None  # one silent row group poisons the count
                 if st is None or not st.has_min_max:
                     ok = False
-                    break
+                    continue  # keep harvesting null counts from later rgs
                 mn, mx = _norm_stat(st.min, "lo"), _norm_stat(st.max, "hi")
                 if mn is None or mx is None:
                     ok = False
-                    break
+                    continue
                 kind = kind or _stat_kind(st.min)
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
@@ -541,6 +549,16 @@ def _collect_file_stats(
                 col_stats[col] = [lo, hi, kind] if kind else [lo, hi]
             else:
                 col_stats[col] = None
+            if n_null is not None:
+                nulls[col] = n_null
+        if nulls:
+            # per-column null counts + the file's row count (Delta's
+            # nullCount stats): IS NULL prunes files with zero nulls,
+            # IS NOT NULL prunes all-null files. Reserved keys inside the
+            # per-file stats dict — they ride state resolution/checkpoints
+            # like any carried stats.
+            col_stats["__nulls__"] = nulls
+            col_stats["__rows__"] = md.num_rows
         out[name] = col_stats
     return out
 
@@ -549,12 +567,24 @@ def _file_survives(col_stats: dict | None, pred: tuple) -> bool:
     """Interval check: can a file whose ``stats_cols`` span ``col_stats``
     contain a row satisfying ``pred``? Missing/None stats -> True (keep).
     Predicates are the simple pushdown shapes: (col, op, value) with op in
-    {'=', '<', '<=', '>', '>=', 'between', 'in', 'ranges'} — 'between'
-    takes (lo, hi), 'in' a value list, 'ranges' a list of (lo, hi) pairs
-    (the z-cover shape: keep the file if ANY range intersects its span)."""
+    {'=', '<', '<=', '>', '>=', 'between', 'in', 'ranges', 'isnull',
+    'isnotnull'} — 'between' takes (lo, hi), 'in' a value list, 'ranges'
+    a list of (lo, hi) pairs (the z-cover shape: keep the file if ANY
+    range intersects its span); 'isnull'/'isnotnull' take value None and
+    prune on the per-file null counts."""
     col, op, val = pred
     if not col_stats:
         return True
+    if op in ("isnull", "isnotnull"):
+        # null-count skipping is independent of the min/max span: an
+        # all-null column has NO span but a known null count
+        nulls = (col_stats.get("__nulls__") or {}).get(col)
+        rows = col_stats.get("__rows__")
+        if nulls is None:
+            return True  # count unknown -> keep (conservative)
+        if op == "isnull":
+            return nulls > 0
+        return rows is None or nulls < rows
     span = col_stats.get(col)
     if span is None:
         return True
@@ -602,6 +632,10 @@ def _predicate_column(pred: tuple) -> Column:
     identical with or without stats."""
     col, op, val = pred
     c = F.col(col)
+    if op == "isnull":
+        return c.isNull()
+    if op == "isnotnull":
+        return c.isNotNull()
     if op in ("=", "=="):
         return c == F.lit(val)
     if op == "<":
@@ -701,6 +735,46 @@ def init_table_z_ordered(
     clustered = out.repartitionByRange(parts, F.col("z2")).sortWithinPartitions("z2")
     return init_table(
         clustered, path, stats_cols=["z2", *(extra_stats_cols or [])],
+        only_if_absent=only_if_absent,
+    )
+
+
+def init_table_zorder_by(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    res: int | None = None,
+    strategy: str = "minmax",
+    num_files: int | None = None,
+    extra_stats_cols: list[str] | None = None,
+    only_if_absent: bool = False,
+) -> int:
+    """Delta's ``ZORDER BY (a, b, ...)`` for manifest tables: cluster the
+    files by the GENERAL N-column interleave (`geo.zorder_by` — z2/z3
+    generalized to arbitrary numeric columns) and record per-file min/max
+    stats on every participating column. Because the layout co-locates
+    rows that are close on ALL the z-order columns at once, each file's
+    span is tight on each column — a multi-column predicate then prunes
+    files multiplicatively where a single-column sort would only prune on
+    its leading column. The transient z value is layout-only and NOT
+    stored (Delta's choice too): readers skip via the per-COLUMN spans,
+    so no z-range arithmetic ever appears on the read path."""
+    from geomesa_cassandra_tools_spark.operators import geo
+    from geomesa_cassandra_tools_spark.operators.relational import (
+        _estimated_scan_partitions,
+    )
+
+    zcol = geo.zorder_by(df, zorder_cols, res=res, strategy=strategy)
+    parts = num_files or max(_estimated_scan_partitions(df), 1)
+    clustered = (
+        df.withColumn("__zorder", zcol)
+        .repartitionByRange(parts, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+    return init_table(
+        clustered, path,
+        stats_cols=[*zorder_cols, *(extra_stats_cols or [])],
         only_if_absent=only_if_absent,
     )
 

@@ -2933,6 +2933,39 @@ r AS (
 SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
 """
 
+# q164: the incremental index must equal the FULL re-derivation — the
+# oracle is q157's encode + ADC shape with the query window moved to
+# 8..15 and the delta-generation tag (cand_id % 4 = 0, the slice that
+# arrived via pq_encode_delta + append).
+ORACLES["q164_pq_incremental_index"] = f"""
+WITH {_VEC_CTE},
+cb AS (SELECT {_PQ_CB_LIT} AS b),
+enc AS (
+  SELECT v.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_PQ_DLIST}, list_min({_PQ_DLIST})) - 1
+         ) AS codes
+  FROM v, cb
+),
+pairs AS (
+  SELECT v.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, {_PQ_M + 1}), s ->
+           {_PQ_D2(n=_PQ_SUB + 1, a="v", sub=_PQ_SUB, c="c.codes[s] + 1")}
+         )) AS d2
+  FROM v JOIN enc c
+    ON v.vec_id >= 8 AND v.vec_id < 16 AND c.vec_id <> v.vec_id, cb
+),
+r AS (
+  SELECT query_id, cand_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+           AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, round(d2, 6) AS d2,
+       (cand_id % 4 = 0) AS from_delta
+FROM r WHERE rank <= 5
+"""
+
 # q160 replays the two-stage PQ recipe: q157's code/ADC CTEs cut at
 # k*overfetch = 20 candidates, then the q19-contract cosine over exactly
 # that candidate set, top-5 per query.
@@ -3310,4 +3343,21 @@ SELECT 'post_merge', count(*),
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
        min(o_orderkey), max(o_orderkey)
 FROM v1
+"""
+
+# q165: the multi-column z-order read is cover-and-refine, so the oracle
+# is the plain 2-predicate filter + aggregate over raw orders — any
+# pruning divergence would change the values.
+ORACLES["q165_zorder_multicol_scan"] = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus
 """

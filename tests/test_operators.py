@@ -2148,6 +2148,41 @@ def test_pq_encode_blas_equals_jvm_fold(spark):
         assert jvm == blas
 
 
+def test_pq_encode_delta_encodes_only_fresh_rows(spark):
+    """Incremental index maintenance: rows already in the stored codes
+    index are NOT re-encoded; fresh rows' codes equal the full encode."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    cb = similarity.pq_codebooks(8, 2, 4, seed=5)
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) / 5.0 - 1.0 for j in range(8)])
+        for i in range(20)
+    ]
+    ddl = "vec_id bigint, embedding array<double>"
+    full = spark.createDataFrame(rows, ddl)
+    index = similarity.pq_encode_blas(
+        full.where("vec_id % 3 != 0"), cb
+    )
+    # the delta batch OVERLAPS the index (ids 0..9): only %3==0 are fresh
+    delta = full.where("vec_id < 10")
+    fresh = similarity.pq_encode_delta(delta, index, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in fresh.collect()}
+    assert sorted(got) == [0, 3, 6, 9]
+    want = {r["vec_id"]: list(r["codes"]) for r in
+            similarity.pq_encode(full.where("vec_id in (0,3,6,9)"), cb).collect()}
+    assert got == want
+    # union(index, fresh) == full encode: the convergence contract
+    union = {**{r["vec_id"]: list(r["codes"]) for r in index.collect()},
+             **got}
+    missing_delta = similarity.pq_encode_delta(
+        full.where("vec_id >= 10 and vec_id % 3 = 0"), index, cb
+    )
+    union.update({r["vec_id"]: list(r["codes"]) for r in missing_delta.collect()})
+    want_full = {r["vec_id"]: list(r["codes"]) for r in
+                 similarity.pq_encode(full, cb).collect()}
+    assert union == want_full
+
+
 def test_gram_windows_udtf_matches_jvm_builder(spark):
     """The UDTF escape hatch reproduces the JVM transform-over-sequence
     window builder row for row (same windows `dedup.shared_run_pairs`

@@ -120,3 +120,35 @@ def test_naive_literal_never_prunes_instant_span(values, naive, op):
     span = [tx._norm_stat(min(values), "lo"), tx._norm_stat(max(values), "hi"),
             "instant"]
     assert tx._file_survives({"ts": span}, ("ts", op, naive))
+
+
+# ---------------------------------------------------------------------------
+# Null-count skipping (r8): conservativeness over random null layouts
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        min_size=1, max_size=12,
+    ),
+    known=st.booleans(),
+    op=st.sampled_from(["isnull", "isnotnull"]),
+)
+def test_nullcount_pruning_is_conservative(vals, known, op):
+    """Whatever the null layout, a file containing a satisfying row is
+    NEVER dropped; unknown counts always keep."""
+    n_null = sum(1 for v in vals if v is None)
+    non_null = [v for v in vals if v is not None]
+    span = [min(non_null), max(non_null)] if non_null else None
+    col_stats = {"k": span}
+    if known:
+        col_stats["__nulls__"] = {"k": n_null}
+        col_stats["__rows__"] = len(vals)
+    truth = n_null > 0 if op == "isnull" else len(non_null) > 0
+    kept = tx._file_survives(col_stats, ("k", op, None))
+    if truth:
+        assert kept  # the invariant: matching file must survive
+    if not known:
+        assert kept  # unknown counts never prune

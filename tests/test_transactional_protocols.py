@@ -1340,3 +1340,122 @@ def test_register_manifest_view_sql_roundtrip(spark, tmp_path, protocol):
     assert sorted(
         r["k"] for r in spark.sql("SELECT k FROM low").collect()
     ) == [0, 2, 3]
+
+
+def test_nullcount_stats_skip_is_null_files(spark, tmp_path, protocol):
+    """Files whose stats column has ZERO nulls are pruned for IS NULL;
+    an all-null file is pruned for IS NOT NULL; results stay identical
+    to the unskipped read + filter (cover-and-refine)."""
+    path = str(tmp_path / "nulls")
+    dense = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(5)], "k bigint, s string"
+    ).coalesce(1)
+    sparse = spark.createDataFrame(
+        [(None, "x5"), (6, "s6")], "k bigint, s string"
+    ).coalesce(1)
+    allnull = spark.createDataFrame(
+        [(None, "y0"), (None, "y1")], "k bigint, s string"
+    ).coalesce(1)
+    tx.init_table(dense, path, stats_cols=["k"])
+    tx.append_batch(sparse, path)
+    tx.append_batch(allnull, path)
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert len(man["files"]) == 3
+    is_null = tx.resolve_files(path, where=[("k", "isnull", None)])
+    not_null = tx.resolve_files(path, where=[("k", "isnotnull", None)])
+    assert len(is_null) == 2   # dense file (0 nulls) pruned
+    assert len(not_null) == 2  # all-null file pruned
+    got_null = sorted(
+        r["s"]
+        for r in tx.read_table(spark, path, where=[("k", "isnull", None)]).collect()
+    )
+    assert got_null == ["x5", "y0", "y1"]
+    got_vals = sorted(
+        r["k"]
+        for r in tx.read_table(
+            spark, path, where=[("k", "isnotnull", None)]
+        ).collect()
+    )
+    assert got_vals == [0, 1, 2, 3, 4, 6]
+
+
+def test_nullcount_stats_survive_carry_and_checkpoint(spark, tmp_path, protocol):
+    """Null counts ride the carried-stats resolution like min/max: after
+    unrelated commits, the original files still prune for IS NULL."""
+    path = str(tmp_path / "nulls_carry")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+        .coalesce(1),
+        path,
+        stats_cols=["k"],
+    )
+    for i in range(3):
+        tx.append_batch(
+            spark.createDataFrame([(10 + i, "z")], "k bigint, s string"),
+            path,
+        )
+    files = tx.resolve_files(path, where=[("k", "isnull", None)])
+    assert files == []  # every file has zero nulls -> all pruned
+
+
+def test_zorder_by_multicol_prunes_both_dimensions(spark, tmp_path, protocol):
+    """A 2-col z-order layout prunes files on EITHER column's predicate
+    and multiplicatively on both; results equal the unskipped filter."""
+    import itertools
+
+    rows = [(a, b, a * 100 + b) for a, b in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, payload bigint")
+    path = str(tmp_path / "z2col")
+    tx.init_table_zorder_by(df, path, ["a", "b"], num_files=16)
+    total = len(tx._read_manifest(path, 0)["files"])
+    assert total == 16
+    only_a = tx.resolve_files(path, where=[("a", "between", (4, 7))])
+    only_b = tx.resolve_files(path, where=[("b", "between", (4, 7))])
+    both = tx.resolve_files(
+        path,
+        where=[("a", "between", (4, 7)), ("b", "between", (4, 7))],
+    )
+    # each single-column predicate prunes (the whole point vs a sort by a)
+    assert len(only_a) < total and len(only_b) < total
+    assert len(both) <= min(len(only_a), len(only_b))
+    got = sorted(
+        (r["a"], r["b"])
+        for r in tx.read_table(
+            spark, path,
+            where=[("a", "between", (4, 7)), ("b", "between", (4, 7))],
+        ).collect()
+    )
+    assert got == sorted(
+        (a, b) for a, b in itertools.product(range(4, 8), range(4, 8))
+    )
+
+
+def test_zorder_by_quantile_handles_skew(spark, tmp_path, protocol):
+    """Equi-depth bucketing keeps pruning selective when a column is
+    heavily skewed (minmax scaling would dump everything in cell 0)."""
+    rows = [(i, (i % 97) ** 3, i) for i in range(2000)]  # b skewed cubic
+    df = spark.createDataFrame(rows, "a bigint, b bigint, payload bigint")
+    path = str(tmp_path / "zskew")
+    tx.init_table_zorder_by(
+        df, path, ["a", "b"], res=4, strategy="quantile", num_files=8
+    )
+    total = len(tx._read_manifest(path, 0)["files"])
+    kept = tx.resolve_files(path, where=[("b", "<=", 1000)])
+    assert len(kept) < total
+    got = {
+        r["payload"]
+        for r in tx.read_table(spark, path, where=[("b", "<=", 1000)]).collect()
+    }
+    assert got == {i for i in range(2000) if (i % 97) ** 3 <= 1000}
+
+
+def test_zorder_by_validations(spark):
+    from geomesa_cassandra_tools_spark.operators import geo
+
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    with pytest.raises(ValueError, match="at least one"):
+        geo.zorder_by(df, [])
+    with pytest.raises(ValueError, match="overflows"):
+        geo.zorder_by(df, ["a", "b"], res=40)
+    with pytest.raises(ValueError, match="strategy"):
+        geo.zorder_by(df, ["a"], strategy="nope")
