@@ -3361,3 +3361,33 @@ WHERE o_custkey BETWEEN 100 AND 500
   AND o_totalprice BETWEEN 50000.0 AND 150000.0
 GROUP BY o_orderstatus
 """
+
+# q166: q122's production twin — fine grid (divisor 720), hot-cell cap
+# (cells with > 64 users dropped from the pairing join only; sizes stay
+# exact, jaccard a lower bound), deterministic global top-20.
+ORACLES["q166_trajectory_join_finegrid"] = """
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 7919 % 36000) // 720) * 1000
+           + ((event_id * 104729 % 18000) // 720) AS cell
+  FROM events
+),
+sizes AS (SELECT user_id, count(*) AS n_cells FROM cells GROUP BY user_id),
+hot AS (SELECT cell FROM cells GROUP BY cell HAVING count(*) > 64),
+joinable AS (
+  SELECT * FROM cells WHERE cell NOT IN (SELECT cell FROM hot)
+),
+inter AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+  FROM joinable a JOIN joinable b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT user_a, user_b, n_common,
+       round(n_common / (sa.n_cells + sb.n_cells - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.user_id = user_a
+JOIN sizes sb ON sb.user_id = user_b
+ORDER BY jaccard DESC, user_a, user_b
+LIMIT 20
+"""

@@ -3519,7 +3519,9 @@ def q122_trajectory_similarity_join(spark: SparkSession, sf_dir: str) -> DataFra
     same resolution lever q22/q77 expose), optionally plus a hot-cell
     cap (the q16 `max_df` stopword analog) for pathological cells. The
     certified query keeps the coarse grid: it is the calibration shape
-    that MAKES the quadratic visible."""
+    that MAKES the quadratic visible. q166 is the production twin with
+    both knobs applied — measured 10× slope 1.2× vs this query's 33×
+    (BENCH.md Appendix B)."""
     ev = load_tables(spark, sf_dir)["events"]
     cells = ev.select(
         "user_id",
@@ -5566,6 +5568,79 @@ def q165_zorder_multicol_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_trajectory_join_finegrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q122's PRODUCTION shape: the same index→co-group→verify trajectory
+    join with the two knobs its scale audit named actually applied —
+
+    - **grid resolution**: 50×25 cells (divisor 720) instead of the
+      deliberately coarse 10×10, bounding E[users/cell] (~7.8 at sf0.01
+      vs ~100+ on the coarse grid) so per-cell candidate generation stays
+      near-linear as corpus density grows;
+    - **hot-cell cap** (q16's ``max_df`` analog): cells visited by > 64
+      users are dropped from the PAIRING join only — one pathological
+      cell otherwise contributes C(f,2) pairs. Set sizes stay exact, so
+      jaccard is a certified LOWER bound for pairs sharing capped cells
+      (the standard precision/scale trade, same contract as
+      `dedup.exact_jaccard_pairs(max_df=)`).
+
+    At this resolution no pair reaches q122's 0.5 threshold (finer cells
+    = stricter similarity), so the certified output is the deterministic
+    global top-20 by (jaccard desc, user_a, user_b) — planned as
+    TakeOrdered, never a global sort. The oracle replays grid, cap, and
+    tie order exactly; the 10× scale measurement for this shape lives in
+    BENCH.md Appendix B next to q122's calibration slope."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.select(
+        "user_id",
+        (
+            (F.col("event_id") * 7919 % 36000).cast("bigint") / 720
+        ).cast("bigint").alias("cx"),
+        (
+            (F.col("event_id") * 104729 % 18000).cast("bigint") / 720
+        ).cast("bigint").alias("cy"),
+    ).select(
+        "user_id", (F.col("cx") * 1000 + F.col("cy")).alias("cell")
+    ).distinct().withColumn(
+        "n_cells", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    _cache(cells)
+    hot = (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") > 64)
+        .select("cell")
+    )
+    joinable = cells.join(hot, "cell", "left_anti")
+    inter = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), "cell")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max(F.col("a.n_cells")).alias("na"),
+            F.max(F.col("b.n_cells")).alias("nb"),
+        )
+    )
+    return (
+        inter.select(
+            "user_a",
+            "user_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "user_a", "user_b")
+        .limit(20)
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5721,6 +5796,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q163_manifest_sql_view": q163_manifest_sql_view,
     "q164_pq_incremental_index": q164_pq_incremental_index,
     "q165_zorder_multicol_scan": q165_zorder_multicol_scan,
+    "q166_trajectory_join_finegrid": q166_trajectory_join_finegrid,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

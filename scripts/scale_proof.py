@@ -23,8 +23,11 @@ Small dimension tables are hard-linked from the source sf dir. Timings are
 per-query minima over SPARK_GRAFT_RUNS (default 2) noop-sink runs; DuckDB
 runs each query's oracle_sql() on views over the same parquet.
 
-Usage: python scripts/scale_proof.py [base_sf_dir] [copies]
-Writes bench_data/scale_proof_<copies>x.tsv.
+Usage: python scripts/scale_proof.py [base_sf_dir] [copies] [only_query ...]
+Writes bench_data/scale_proof_<copies>x.tsv. With ``only_query`` args the
+run is restricted to those queries and their rows are MERGED into the
+existing TSV (other rows kept) — re-measure one query without paying the
+full battery.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ QUERIES_UNDER_TEST = [
     "q58_neardup_clusters",
     "q77_spatial_join",
     "q122_trajectory_similarity_join",
+    "q166_trajectory_join_finegrid",
     "q129_spatial_dwithin_join",
     "q132_incremental_lsh_dedup",
     "q133_cms_heavy_hitters",
@@ -198,6 +202,12 @@ def time_duckdb(sf_dir: str, runs: int) -> dict[str, float]:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = sys.argv[3:]
+    if only:
+        missing = [q for q in only if q not in QUERIES_UNDER_TEST]
+        if missing:
+            QUERIES_UNDER_TEST.extend(missing)
+        QUERIES_UNDER_TEST[:] = [q for q in QUERIES_UNDER_TEST if q in only]
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
     scaled = build_scaled_dir(base, copies)
     print(f"# scaled corpus: {scaled}", file=sys.stderr)
@@ -236,6 +246,11 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_data", f"scale_proof_{copies}x.tsv",
     )
+    if only and os.path.exists(path):
+        # merge: keep other queries' rows, replace/append the measured ones
+        old = [ln for ln in open(path).read().splitlines() if ln]
+        kept = [ln for ln in old[1:] if ln.split("\t")[0] not in only]
+        out = "\n".join([header] + kept + lines[1:])
     with open(path, "w") as fh:
         fh.write(out + "\n")
     print(f"# written: {path}", file=sys.stderr)
