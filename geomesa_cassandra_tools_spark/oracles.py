@@ -3391,3 +3391,32 @@ JOIN sizes sb ON sb.user_id = user_b
 ORDER BY jaccard DESC, user_a, user_b
 LIMIT 20
 """
+
+# q167: the whole bronze->CDF->silver chain folds to set algebra — base
+# slice % 5 = 0, even keys +1.00 by the merge, % 5 = 1 added, % 7 = 0
+# dv-deleted; silver must equal that live state exactly.
+ORACLES["q167_multihop_cdf_pipeline"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1
+),
+live AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key,
+       COUNT(DISTINCT o_orderkey) AS n_keys
+FROM live
+GROUP BY o_orderstatus
+"""

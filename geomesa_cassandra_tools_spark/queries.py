@@ -5641,6 +5641,90 @@ def q166_trajectory_join_finegrid(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _multihop_silver_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once BRONZE→SILVER multi-hop fixture — the full ingestion
+    loop the engine is for, end to end:
+
+    bronze (manifest table, 3-commit lifecycle):
+      v0 init: orders % 5 == 0 slice;
+      v1 MERGE upsert: even-key prices bumped +1.00, plus the % 5 == 1
+         slice as new keys (a REWRITE commit — cancelling CDF pairs);
+      v2 dv DELETE: keys % 7 == 0 (delete images from the vector delta).
+
+    silver: `apply_cdf_to_manifest` consumes bronze's CDF stream
+    (`stream_feed(feed="cdf")`) and maintains the downstream table by
+    keyed final-image apply — upserts via atomic MERGE (watermark
+    exactly-once), deletes via value-idempotent dv deletes. Re-running
+    the fixture drains zero new commits (checkpoint co-located with
+    silver), so builders converge like every other manifest fixture."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    bronze = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_multihop_bronze")
+    silver = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_multihop_silver")
+    if transactional.current_version(bronze) < 2:
+        orders = load_tables(spark, sf_dir)["orders"]
+        base = orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).where(F.col("o_orderkey") % 5 == 0)
+        if transactional.current_version(bronze) < 0:
+            try:
+                transactional.init_table(base, bronze, only_if_absent=True)
+            except transactional.CommitConflict:
+                pass  # racing builder committed the identical v0
+        upd = base.where(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        new = orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).where(F.col("o_orderkey") % 5 == 1)
+        transactional.merge_upsert(
+            spark, bronze, upd.unionByName(new), ["o_orderkey"],
+            txn_app="q167_bronze", txn_id=1,
+        )
+        transactional.delete_where(
+            spark, bronze, F.col("o_orderkey") % 7 == 0, mode="dv"
+        )
+    # the silver hop: always (re)drain — caught-up checkpoints no-op
+    feed = manifestfeed.stream_feed(spark, bronze, feed="cdf")
+    sinks.apply_cdf_to_manifest(
+        feed, silver, ["o_orderkey"], "q167_silver", timeout_sec=180
+    )
+    return silver
+
+
+def q167_multihop_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship multi-hop ingestion loop driver-certified END TO END:
+    a bronze manifest table's full lifecycle (init → atomic MERGE with a
+    rewrite → deletion-vector DELETE) streamed as CDF change images and
+    APPLIED into a silver table (`sinks.apply_cdf_to_manifest` — Delta
+    Live Tables' APPLY CHANGES INTO), then the SILVER table read back and
+    aggregated. The oracle never sees any of the machinery: it replays
+    the lifecycle as pure set algebra over raw orders — a hash match
+    therefore certifies the whole chain at once: CDF image emission
+    (cancelling rewrite pairs, dv position deltas), per-key final-image
+    resolution, exactly-once upsert/delete apply, and silver's dv-masked
+    read. Money stays integer cents."""
+    silver = _multihop_silver_path(spark, sf_dir)
+    df = transactional.read_table(spark, silver)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("price_cents"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "price_cents", "first_key",
+            "last_key", "n_keys",
+        )
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5797,6 +5881,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_pq_incremental_index": q164_pq_incremental_index,
     "q165_zorder_multicol_scan": q165_zorder_multicol_scan,
     "q166_trajectory_join_finegrid": q166_trajectory_join_finegrid,
+    "q167_multihop_cdf_pipeline": q167_multihop_cdf_pipeline,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

@@ -230,3 +230,91 @@ def stream_to_manifest(
             spark, table_path, target_bytes=compact_target_bytes
         )
     return applied[0]
+
+
+def apply_cdf_to_manifest(
+    cdf_stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    query_name: str,
+    checkpoint: str | None = None,
+    timeout_sec: int = 120,
+) -> int:
+    """APPLY CHANGES INTO (Delta Live Tables' verb) for the manifest
+    feed's CDF stream: maintain a downstream manifest table as a keyed
+    MATERIALIZATION of an upstream table's change images — the full
+    multi-hop loop: upstream commits → ``stream_feed(feed="cdf")`` →
+    this sink → downstream converges to the upstream's live rows.
+
+    Per micro-batch, each key's FINAL image decides its fate (the
+    standard CDF-consumer rule): batches align with whole upstream
+    commits (versions are the feed's offsets), so ordering by
+    ``(_commit_version, insert-over-delete)`` per key is exact —
+    a rewrite commit's cancelling delete+insert pair resolves to the
+    insert (an idempotent same-value upsert), an update's old-delete /
+    new-insert pair resolves to the new row, a dv or rewrite delete
+    leaves a delete image only (→ key removed), and a RESTORE's
+    resurrect-insert upserts the row back.
+
+    Exactly-once composes from the established halves: upserts commit
+    through `merge_upsert(txn_app=query_name, txn_id=batch_id)` (replays
+    watermark-refused), deletes are value-idempotent dv deletes (a
+    replayed delete matches nothing and burns no version). Returns the
+    number of batches that changed the table."""
+    if checkpoint is None:
+        checkpoint = os.path.join(
+            table_path, "_checkpoints", f"cdfapply_{query_name}"
+        )
+    applied = [0]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(),
+            (F.col("_change_type") == "insert").desc(),
+        )
+        picked = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = picked.where(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        deletes = picked.where(F.col("_change_type") == "delete").select(*keys)
+        committed = None
+        if transactional.current_version(table_path) < 0:
+            # first batch creates the table; `picked` is one-row-per-key
+            # by construction, so the merge duplicate contract holds
+            committed = transactional.append_batch(
+                upserts, table_path, txn_app=query_name, txn_id=batch_id
+            )
+        else:
+            res = transactional.merge_upsert(
+                upserts.sparkSession, table_path, upserts, keys,
+                txn_app=query_name, txn_id=batch_id,
+            )
+            committed = None if res is None else res["version"]
+        if committed is not None:
+            applied[0] += 1
+        _apply_cdc_deletes(
+            deletes, table_path, keys, applied, [0],
+            count_applied=committed is None,
+        )
+
+    q = (
+        cdf_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"cdf apply {query_name!r} did not finish within {timeout_sec}s"
+        )
+    return applied[0]

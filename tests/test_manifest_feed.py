@@ -495,3 +495,86 @@ def test_feed_capped_continuous_trigger_single_query(spark, tmp_path, table):
         [f for f in os.listdir(os.path.join(ckpt, "offsets")) if not f.startswith(".")]
     )
     assert n_batches >= 3  # 3 commits, 1 file each, cap=1 -> >=3 batches
+
+
+# ---------------------------------------------------------------------------
+# apply_cdf_to_manifest: the APPLY CHANGES INTO consumer (r8)
+# ---------------------------------------------------------------------------
+
+
+def _apply(spark, bronze, silver, name, **kw):
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    feed = mf.stream_feed(spark, bronze, feed="cdf")
+    return sinks.apply_cdf_to_manifest(
+        feed, silver, ["k"], name, timeout_sec=180, **kw
+    )
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+
+
+def test_cdf_apply_converges_and_resumes(spark, tmp_path):
+    bronze = str(tmp_path / "b")
+    silver = str(tmp_path / "s")
+    tx.init_table(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), bronze)
+    _apply(spark, bronze, silver, "t1")
+    assert _rows(spark, silver) == _rows(spark, bronze)
+    # more lifecycle: update via merge (rewrite pairs), dv delete, append
+    tx.merge_upsert(spark, bronze, _mk(spark, [(2, "B"), (9, "z")]), ["k"])
+    tx.delete_where(spark, bronze, "k = 1", mode="dv")
+    tx.append_batch(_mk(spark, [(7, "g")]), bronze)
+    # incremental resume on the same checkpoint: only new commits apply
+    _apply(spark, bronze, silver, "t1")
+    assert _rows(spark, silver) == _rows(spark, bronze) == [
+        (2, "B"), (3, "c"), (7, "g"), (9, "z"),
+    ]
+    # caught-up re-drain is a no-op (exactly-once under replays)
+    v = tx.current_version(silver)
+    assert _apply(spark, bronze, silver, "t1") == 0
+    assert tx.current_version(silver) == v
+
+
+def test_cdf_apply_delete_then_reinsert_across_commits(spark, tmp_path):
+    bronze = str(tmp_path / "b")
+    silver = str(tmp_path / "s")
+    tx.init_table(_mk(spark, [(1, "a"), (2, "b")]), bronze)
+    tx.delete_where(spark, bronze, "k = 1", mode="dv")
+    tx.append_batch(_mk(spark, [(1, "a2")]), bronze)  # resurrect with new value
+    _apply(spark, bronze, silver, "t2")
+    # latest image per key wins even when one batch spans all commits
+    assert _rows(spark, silver) == [(1, "a2"), (2, "b")]
+
+
+def test_cdf_apply_restore_resurrects_rows(spark, tmp_path):
+    bronze = str(tmp_path / "b")
+    silver = str(tmp_path / "s")
+    tx.init_table(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), bronze)
+    tx.delete_where(spark, bronze, "k <= 2", mode="dv")  # v1
+    _apply(spark, bronze, silver, "t3")
+    assert _rows(spark, silver) == [(3, "c")]
+    tx.restore_table(bronze, 0)  # un-deletes via unset_dv
+    _apply(spark, bronze, silver, "t3")
+    assert _rows(spark, silver) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_cdf_apply_capped_feed_same_result(spark, tmp_path):
+    """Admission control composes with the apply consumer: a capped feed
+    applies the same commits over more batches, same final table."""
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    bronze = str(tmp_path / "b")
+    tx.init_table(_mk(spark, [(1, "a")]), bronze)
+    tx.append_batch(_mk(spark, [(2, "b")]), bronze)
+    tx.merge_upsert(spark, bronze, _mk(spark, [(1, "A"), (4, "d")]), ["k"])
+    tx.delete_where(spark, bronze, "k = 2", mode="dv")
+    uncapped = str(tmp_path / "s1")
+    _apply(spark, bronze, uncapped, "t4")
+    capped = str(tmp_path / "s2")
+    for _ in range(8):  # availableNow + cap = one bounded batch per run
+        feed = mf.stream_feed(
+            spark, bronze, feed="cdf", max_files_per_trigger=1
+        )
+        sinks.apply_cdf_to_manifest(feed, capped, ["k"], "t4c", timeout_sec=180)
+    assert _rows(spark, capped) == _rows(spark, uncapped) == [(1, "A"), (4, "d")]
