@@ -2622,66 +2622,46 @@ def q98_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profiler: null count, EXACT distinct count, and
     min/max per profiled column, one output row per column.
 
-    Plan shape: ONE pass — a typed `stack` lane per profiled column
-    ((column_name, long-lane, string-lane, timestamp-lane), exactly one
-    lane non-null per row), a (column_name, value) partial-agg shuffle,
-    then a per-column rollup. Same bytes as per-column scans (the scan
-    reads only the profiled columns once, vs N single-column rescans)
-    but 1/5 the passes and 2 shuffles total instead of 2 per column —
-    at sf0.1 this dropped the query from 11 driver jobs to 3. Unlike
-    fusing countDistincts into one agg (whose Expand replicates the scan
-    rows n+1 times over ALL agg columns), the stack emits only the lane
-    each row profiles, and the first-phase map-side aggregation collapses
-    it before any wire traffic. The exact-distinct contract stays; a
-    profiler that tolerates error should swap approx_count_distinct into
-    the same single pass."""
+    Plan shape: one per-column aggregate per profiled column, unioned.
+    Fusing several exact countDistincts into a single agg makes Catalyst
+    Expand-multiply the scan by (n_distincts + 1) — at 100 TB that is a 5×
+    read amplification. Per-column passes instead prune the parquet scan to
+    exactly one column each (total bytes touched = one full-width scan) and
+    each single-distinct agg plans as an ordinary two-phase partial
+    aggregation with NO Expand. A profiler that tolerates error should use
+    approx_count_distinct and fuse everything into one pass; this one's
+    contract is exact.
+
+    Plan history (the wall A/B decides — r7 discipline): round 7 shipped
+    a typed-`stack` single-pass replan (11 -> 3 driver jobs) on an
+    interleaved A/B reading 0.61 -> 0.58 s; the r7 driver bench then
+    measured the stack pass at 0.948 s (1.74x its r6 number), and the
+    round-8 re-measure — interleaved min-of-5 on one session — came back
+    stack 1.045 s vs this shape 0.674 s. The job-count win did not
+    survive the wall; REVERTED to per-column passes. The stack lane's
+    wide (column_name, lv, sv, dv) shuffle rows cost more than the five
+    independent partial aggs they replaced."""
     o = load_tables(spark, sf_dir)["orders"]
-    dv_type = dict(o.dtypes)["o_orderdate"]
-    lanes = o.selectExpr(
-        "stack(5, "
-        f"'o_orderkey', o_orderkey, CAST(NULL AS STRING), CAST(NULL AS {dv_type}), "
-        f"'o_custkey', o_custkey, CAST(NULL AS STRING), CAST(NULL AS {dv_type}), "
-        f"'o_orderstatus', CAST(NULL AS BIGINT), o_orderstatus, CAST(NULL AS {dv_type}), "
-        f"'o_orderpriority', CAST(NULL AS BIGINT), o_orderpriority, CAST(NULL AS {dv_type}), "
-        f"'o_orderdate', CAST(NULL AS BIGINT), CAST(NULL AS STRING), o_orderdate"
-        ") AS (column_name, lv, sv, dv)"
-    )
-    per_value = lanes.groupBy("column_name", "lv", "sv", "dv").agg(
-        F.count("*").alias("cnt")
-    )
-    lane_null = F.col("lv").isNull() & F.col("sv").isNull() & F.col("dv").isNull()
-    agg = per_value.groupBy("column_name").agg(
-        F.sum(F.when(lane_null, F.col("cnt")).otherwise(F.lit(0))).alias("n_nulls"),
-        F.count(F.when(~lane_null, F.lit(1))).alias("n_distinct"),
-        F.coalesce(
-            F.min("lv").cast("string"),
-            F.min("sv"),
-            F.date_format(F.min("dv"), "yyyy-MM-dd HH:mm:ss"),
-        ).alias("min_value"),
-        F.coalesce(
-            F.max("lv").cast("string"),
-            F.max("sv"),
-            F.date_format(F.max("dv"), "yyyy-MM-dd HH:mm:ss"),
-        ).alias("max_value"),
-    )
-    # spine join keeps the contract on an EMPTY table: the profiler (and
-    # the oracle's no-groupBy branches) still emit one row per column
-    # with zero counts and NULL extremes — a groupBy over zero stacked
-    # rows would emit nothing
-    spine = spark.createDataFrame(
-        [(c,) for c in [
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-            "o_orderdate",
-        ]],
-        "column_name string",
-    )
-    return spine.join(agg, "column_name", "left").select(
-        "column_name",
-        F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
-        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
-        "min_value",
-        "max_value",
-    )
+
+    def profile(c: str, value_fmt) -> DataFrame:
+        return o.select(c).agg(
+            F.lit(c).alias("column_name"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            value_fmt(F.min(c)).alias("min_value"),
+            value_fmt(F.max(c)).alias("max_value"),
+        ).select("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
+
+    as_str = lambda col: col.cast("string")
+    as_date = lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    parts = [
+        profile(c, as_str)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ] + [profile("o_orderdate", as_date)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def q99_scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3022,19 +3002,20 @@ def q107_rolling_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: violation counts for each declared FK
-    edge, one result row per check — the data-quality gate a pipeline runs
-    before publishing a snapshot. Each check is ONE pass over its fact
-    side: left-join the deduped dim keys, count rows and misses in a
-    single aggregate (the r6 shape scanned every fact twice — anti-join +
-    separate count + crossJoin — for 13 driver jobs; this is 3 branches ×
-    1 scan, ~10 jobs, A/B-measured at wall parity). A fully fused
-    union-of-all-checks pipeline was ALSO measured and REJECTED: tagging
-    facts (fk_check, k) and deduping the union forces real shuffles where
-    AQE would broadcast each small deduped dim — 2× the wall for a 4-job
-    count. The dim-side dedup keeps the count exact even if the audited
-    "primary" key is itself corrupt — an integrity audit must not assume
-    the integrity it checks."""
+    """Referential-integrity audit: anti-join violation counts for each
+    declared FK edge, one result row per check — the data-quality gate a
+    pipeline runs before publishing a snapshot. Anti joins broadcast the
+    key-only dim side; each check is an independent scan so the three
+    union branches parallelize as separate stages.
+
+    Plan history (the wall A/B decides): round 7 tried a fully fused
+    union-of-checks (halved jobs, DOUBLED wall — rejected) and shipped a
+    per-check single-scan left-join+conditional-count middle shape at
+    claimed parity; the round-8 interleaved min-of-5 re-measure put that
+    middle shape at 0.699 s vs 0.468 s for this anti-join form — AQE
+    broadcasts the key-only dim side of the anti join and the fact scans
+    stay column-pruned, while the left-join shape pays a wider join
+    output for nothing the aggregate needs. REVERTED to the r6 shape."""
     t = load_tables(spark, sf_dir)
     checks = [
         (
@@ -3055,19 +3036,14 @@ def q108_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     frames = []
     for name, fact, dim in checks:
-        marked = fact.join(
-            dim.dropDuplicates(["k"]).withColumn("hit", F.lit(1)), "k", "left"
-        )
+        viol = fact.join(dim, "k", "left_anti")
         frames.append(
-            marked.agg(
-                F.lit(name).alias("fk_check"),
-                F.count("*").alias("n_checked"),
-                F.count(F.when(F.col("hit").isNull(), F.lit(1))).alias(
-                    "n_violations"
-                ),
-            ).select("fk_check", "n_checked", "n_violations")
+            fact.agg(F.count("*").alias("n_checked")).crossJoin(
+                viol.agg(F.count("*").alias("n_violations"))
+            ).select(F.lit(name).alias("fk_check"), "n_checked", "n_violations")
         )
     return relational.union_all(frames)
+
 
 
 def q109_timed_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
