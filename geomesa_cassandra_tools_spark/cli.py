@@ -144,6 +144,12 @@ def _parser() -> argparse.ArgumentParser:
              "deletion-vector sidecar (no data file rewritten)",
     )
     p.add_argument(
+        "--zorder-by", default=None, metavar="COL[,COL...]",
+        help="compact-table: rewrite EVERY live file clustered by the "
+             "multi-column z-order interleave and add the columns to the "
+             "table's stats (OPTIMIZE ... ZORDER BY)",
+    )
+    p.add_argument(
         "--manifest-view", action="append", default=[],
         metavar="NAME=PATH[@VERSION]",
         help="sql: register a manifest table as view NAME before running "
@@ -395,8 +401,13 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         _require(parser, args, "table-path")
         from geomesa_cassandra_tools_spark.operators import transactional
 
+        zcols = (
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if args.zorder_by else None
+        )
         res = transactional.compact_table(
-            _spark(), args.table_path, target_bytes=args.target_bytes
+            _spark(), args.table_path, target_bytes=args.target_bytes,
+            zorder_by=zcols,
         )
         if res.get("aborted"):
             print(f"compact aborted: {res['aborted']}", file=out)

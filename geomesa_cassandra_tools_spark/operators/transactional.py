@@ -1398,6 +1398,9 @@ def compact_table(
     target_bytes: int = 128 << 20,
     min_input_files: int = 2,
     cluster_by: str | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_res: int | None = None,
+    zorder_strategy: str = "minmax",
     max_commit_retries: int = 40,
 ) -> dict:
     """OPTIMIZE: bin-pack live files smaller than ``target_bytes`` into
@@ -1415,6 +1418,14 @@ def compact_table(
     compaction also REPAIRS data-skipping locality — interleaved small
     appends each spanning the whole key range become tight disjoint
     spans. With no cluster key the inputs are coalesced (no shuffle).
+
+    ``zorder_by=[a, b, ...]`` turns the compaction into Delta's
+    ``OPTIMIZE ... ZORDER BY``: EVERY live file is rewritten, clustered
+    by the general N-column interleave (`geo.zorder_by`), and the named
+    columns are added to the table's declared stats columns — an
+    append-only table accumulated in arrival order becomes multi-column
+    skippable in one atomic commit (deletion vectors materialize and
+    drop on the way, like any rewrite).
 
     Concurrency: data files are staged once; only the metadata commit
     retries. A conflicting commit is re-read and checked — if any input
@@ -1442,11 +1453,18 @@ def compact_table(
     # the sanctioned dv-materialization route (rewrite without the
     # deleted rows, mapping dropped by _apply_delta), Delta's
     # OPTIMIZE-purges-DVs behavior
-    inputs = sorted(
-        f for f in man["files"] if sizes[f] < target_bytes or f in dv_map
-    )
-    if len(inputs) < max(2, min_input_files) and not any(
-        f in dv_map for f in inputs
+    if zorder_by:
+        # OPTIMIZE ZORDER: a re-layout, not a bin-pack — every live file
+        # participates so the whole table ends up curve-clustered
+        inputs = sorted(man["files"])
+    else:
+        inputs = sorted(
+            f for f in man["files"] if sizes[f] < target_bytes or f in dv_map
+        )
+    if not inputs or (
+        not zorder_by
+        and len(inputs) < max(2, min_input_files)
+        and not any(f in dv_map for f in inputs)
     ):
         return {"version": version, "files_compacted": 0, "files_written": 0}
     schema = StructType.fromJson(json.loads(man["schema"]))
@@ -1454,15 +1472,36 @@ def compact_table(
     n_out = max(1, -(-total // target_bytes))  # ceil
     df = _scan_live_rows(spark, path, man, inputs, schema)
     input_dvs = {f: dv_map.get(f) for f in inputs}
-    key = cluster_by or next(iter(man.get("stats_cols") or ()), None)
-    if key is not None and key in schema.fieldNames():
-        packed = df.repartitionByRange(n_out, F.col(key)).sortWithinPartitions(key)
-    else:
-        # no cluster key: pure bin-packing — coalesce is shuffle-free (the
-        # scan already groups small files into ~maxPartitionBytes splits)
-        packed = df.coalesce(n_out)
-    staged = _stage_files(packed, path)
     stats_cols = man.get("stats_cols")
+    if zorder_by:
+        from geomesa_cassandra_tools_spark.operators import geo
+
+        missing_z = [c for c in zorder_by if c not in schema.fieldNames()]
+        if missing_z:
+            raise ValueError(
+                f"zorder_by column(s) {missing_z} not in table schema"
+            )
+        zcol = geo.zorder_by(
+            df, zorder_by, res=zorder_res, strategy=zorder_strategy
+        )
+        packed = (
+            df.withColumn("__zorder", zcol)
+            .repartitionByRange(n_out, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+        stats_cols = list(
+            dict.fromkeys([*(stats_cols or []), *zorder_by])
+        )
+    else:
+        key = cluster_by or next(iter(man.get("stats_cols") or ()), None)
+        if key is not None and key in schema.fieldNames():
+            packed = df.repartitionByRange(n_out, F.col(key)).sortWithinPartitions(key)
+        else:
+            # no cluster key: pure bin-packing — coalesce is shuffle-free (the
+            # scan already groups small files into ~maxPartitionBytes splits)
+            packed = df.coalesce(n_out)
+    staged = _stage_files(packed, path)
     new_stats = (
         _collect_file_stats(path, staged, stats_cols) if stats_cols else None
     )

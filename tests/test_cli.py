@@ -497,3 +497,22 @@ def test_cli_sql_over_manifest_view(spark, tmp_path):
 def test_cli_sql_manifest_view_bad_spec(spark, tmp_path):
     with pytest.raises(SystemExit):
         _run(["sql", "--manifest-view", "nonsense", "--command-sql", "SELECT 1"])
+
+
+def test_cli_compact_table_zorder(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "optz")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, i % 9, i) for i in range(200)],
+            "a bigint, b bigint, payload bigint",
+        ).coalesce(2),
+        table,
+    )
+    rc, lines = _run(
+        ["compact-table", "--table-path", table, "--zorder-by", "a,b"]
+    )
+    assert rc == 0 and lines[0].startswith("compacted")
+    man = tx._read_manifest(table, tx.current_version(table))
+    assert man["stats_cols"] == ["a", "b"]

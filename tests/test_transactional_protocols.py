@@ -1459,3 +1459,71 @@ def test_zorder_by_validations(spark):
         geo.zorder_by(df, ["a", "b"], res=40)
     with pytest.raises(ValueError, match="strategy"):
         geo.zorder_by(df, ["a"], strategy="nope")
+
+
+def test_compact_zorder_relayouts_and_extends_stats(spark, tmp_path, protocol):
+    """OPTIMIZE ZORDER: an arrival-ordered table becomes multi-column
+    skippable in one atomic commit — every live file rewritten, the
+    z-order columns added to stats_cols, rows byte-identical."""
+    import itertools
+
+    path = str(tmp_path / "optz")
+    rows = [(a, b, a * 100 + b) for a, b in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, payload bigint")
+    # arrival order: clustered by payload (== row index), useless for (a, b)
+    tx.init_table(df.orderBy("payload").coalesce(1), path)
+    for i in range(3):
+        tx.append_batch(
+            spark.createDataFrame(
+                [(40 + i, 40 + i, 9000 + i)], "a bigint, b bigint, payload bigint"
+            ),
+            path,
+        )
+    before = sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    n_live = len(tx._read_manifest(path, tx.current_version(path))["files"])
+    res = tx.compact_table(
+        spark, path, target_bytes=1 << 11, zorder_by=["a", "b"]
+    )
+    assert res["files_compacted"] == n_live and res["files_written"] >= 4
+    man = tx._read_manifest(path, res["version"])
+    assert man["stats_cols"] == ["a", "b"]
+    after = sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    assert after == before
+    total = len(man["files"])
+    both = tx.resolve_files(
+        path, where=[("a", "between", (4, 7)), ("b", "between", (4, 7))]
+    )
+    assert len(both) < total  # the layout now prunes on both columns
+    got = sorted(
+        (r["a"], r["b"])
+        for r in tx.read_table(
+            spark, path,
+            where=[("a", "between", (4, 7)), ("b", "between", (4, 7))],
+        ).collect()
+    )
+    assert got == sorted(
+        (a, b) for a, b in itertools.product(range(4, 8), range(4, 8))
+    )
+
+
+def test_compact_zorder_purges_deletion_vectors(spark, tmp_path, protocol):
+    path = str(tmp_path / "optz_dv")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, i % 7, f"s{i}") for i in range(100)],
+            "a bigint, b bigint, s string",
+        ).coalesce(2),
+        path,
+    )
+    tx.delete_where(spark, path, "a in (3, 50)", mode="dv")
+    res = tx.compact_table(spark, path, zorder_by=["a", "b"])
+    man = tx._read_manifest(path, res["version"])
+    assert man.get("dvs") in (None, {})  # vectors materialized and dropped
+    got = sorted(r["a"] for r in tx.read_table(spark, path).collect())
+    assert got == [i for i in range(100) if i not in (3, 50)]
+
+
+def test_compact_zorder_rejects_unknown_column(spark, tmp_path, protocol):
+    path = _dv_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in table schema"):
+        tx.compact_table(spark, path, zorder_by=["nope"])
