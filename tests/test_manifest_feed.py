@@ -578,3 +578,43 @@ def test_cdf_apply_capped_feed_same_result(spark, tmp_path):
         )
         sinks.apply_cdf_to_manifest(feed, capped, ["k"], "t4c", timeout_sec=180)
     assert _rows(spark, capped) == _rows(spark, uncapped) == [(1, "A"), (4, "d")]
+
+
+def test_feed_pq_encode_on_ingest(spark, tmp_path):
+    """Encode-on-ingest: the PQ codes index rides the streaming feed —
+    new embedding batches stream out of the bronze manifest table,
+    encode via the BLAS kernel (stateless mapInPandas composes with the
+    streaming frame), and land exactly-once in the codes table. The
+    stored index equals a batch full-encode after every hop."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    cb = similarity.pq_codebooks(8, 2, 4, seed=5)
+    bronze = str(tmp_path / "emb")
+    codes_path = str(tmp_path / "codes")
+
+    def emb_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, [((i * 7 + j * 3) % 11) / 5.0 - 1.0 for j in range(8)])
+             for i in range(lo, hi)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    tx.init_table(emb_df(0, 10), bronze)
+
+    def hop():
+        feed = mf.stream_feed(spark, bronze)
+        codes = similarity.pq_encode_blas(feed, cb)
+        sinks.stream_to_manifest(
+            codes, codes_path, "pq_ingest",
+            checkpoint=str(tmp_path / "ck"), timeout_sec=180,
+        )
+
+    hop()
+    tx.append_batch(emb_df(10, 16), bronze)
+    hop()  # incremental: only the new commit's files encode
+    got = {r["vec_id"]: list(r["codes"])
+           for r in tx.read_table(spark, codes_path).collect()}
+    want = {r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(emb_df(0, 16), cb).collect()}
+    assert got == want
