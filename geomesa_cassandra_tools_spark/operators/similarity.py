@@ -1116,6 +1116,112 @@ def pq_encode_blas(
     return prepped.mapInPandas(compute, f"{id_col} bigint, codes array<int>")
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (the FAISS IVFPQ shape):
+    the IVF coarse quantizer fences the search to each query's ``nprobe``
+    nearest cells (cosine assignment, `ivf_topk`'s contract), and WITHIN
+    the probed cells candidates rank by PQ asymmetric distance over the
+    m-byte codes (`pq_adc_topk`'s contract) — the raw embedding column is
+    never read on the scoring path. At 100 TB this is the whole economics
+    of ANN serving: the cell fence cuts the scanned fraction to
+    ~nprobe/n_cells, and the PQ codes cut the bytes per scanned row 32×;
+    both levers compose multiplicatively.
+
+    Plan shape: one broadcast centroid assign per side (map-only), the
+    bounded (query, cell) probe list broadcast against the coded corpus
+    (candidates filtered BEFORE any distance math), then the ADC fold
+    evaluated only on survivors via a per-query distance-table map
+    literal; one window top-k on query_id finishes. All folds are the
+    sequential index-order contracts the SQL oracle reproduces
+    bit-for-bit; ties break (d2, cand_id)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cent = F.broadcast(
+        centroids.select("cid", as_double(F.col("centroid")).alias("cv0"))
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
+        scored = df.join(cent).select(
+            idc, vecc, "cid", cosine(F.col(vecc), F.col("cv0")).alias("csim")
+        )
+        return top_k_per_group(
+            scored, [idc], [F.col("csim").desc(), F.col("cid")], n
+        ).drop("csim")
+
+    cells = assign(
+        _prep(corpus, id_col, vec_col, "cand_id", "cv"), "cand_id", "cv", 1
+    ).select("cand_id", "cid")
+    codes = pq_encode_blas(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed(id_col, "cand_id")
+    indexed = codes.join(cells, "cand_id")
+
+    qp = _prep(queries, id_col, vec_col, "query_id", "__q")
+    qrows = qp.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk: query side exceeds max_queries={max_queries}; "
+            "ADC ships one m*k literal table per query into the plan — "
+            "batch large query sets"
+        )
+    probe_rows = [
+        (int(r["query_id"]), int(r["cid"]))
+        for r in assign(qp, "query_id", "__q", nprobe)
+        .select("query_id", "cid").collect()
+    ]
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, cid bigint")
+
+    # per-query ADC distance tables (the same sequential-fold build as
+    # pq_adc_topk), shipped as ONE map literal query_id -> m x k doubles
+    map_args = []
+    for r in qrows:
+        qv = [float(x) for x in r["__q"]]
+        table = []
+        for s in range(m):
+            row = []
+            for w in codebooks[s]:
+                d = 0.0
+                for i in range(sub):
+                    diff = qv[s * sub + i] - w[i]
+                    d += diff * diff
+                row.append(d)
+            table.append(row)
+        map_args.append(F.lit(int(r["query_id"])))
+        map_args.append(
+            F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
+        )
+    qmap = F.create_map(*map_args)
+
+    cand = indexed.join(F.broadcast(probe_df), "cid").where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.element_at(qmap, F.col("query_id")), s),
+            F.element_at(F.col("codes"), s) + F.lit(1),
+        ),
+    )
+    scored = cand.select("query_id", "cand_id", dist.alias("d2"))
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("d2").asc(), F.col("cand_id")], k,
+        keep_rank=True,
+    ).withColumnRenamed("rn", "rank").select("query_id", "cand_id", "rank", "d2")
+
+
 def pq_encode_delta(
     delta: DataFrame,
     index_codes: DataFrame,

@@ -2966,6 +2966,39 @@ SELECT query_id, cand_id, rank, round(d2, 6) AS d2,
 FROM r WHERE rank <= 5
 """
 
+# q168: IVF-PQ — q27's centroid-assign CTEs composed with q157's
+# code/ADC CTEs; candidates fenced to each query's 2 probed cells, then
+# ranked by the same index-order ADC fold.
+ORACLES["q168_ivfpq_topk"] = f"""
+WITH {_VEC_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+ca AS {_centroid_assign_sql("", 1)},
+qa AS {_centroid_assign_sql("WHERE a.vec_id >= 16 AND a.vec_id < 24", 2)},
+cb AS (SELECT {_PQ_CB_LIT} AS b),
+enc AS (
+  SELECT v.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_PQ_DLIST}, list_min({_PQ_DLIST})) - 1
+         ) AS codes
+  FROM v, cb
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, {_PQ_M + 1}), s ->
+           {_PQ_D2(n=_PQ_SUB + 1, a="q", sub=_PQ_SUB, c="e2.codes[s] + 1")}
+         )) AS d2
+  FROM qa q JOIN ca c USING (cid) JOIN enc e2 ON e2.vec_id = c.vec_id, cb
+  WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, cand_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+           AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
+"""
+
 # q160 replays the two-stage PQ recipe: q157's code/ADC CTEs cut at
 # k*overfetch = 20 candidates, then the q19-contract cosine over exactly
 # that candidate set, top-5 per query.

@@ -5718,6 +5718,36 @@ def q167_multihop_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q168_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (`similarity.ivf_pq_topk`) — the production ANN
+    composition: q27's coarse cosine fence (4 centroid cells, nprobe=2)
+    multiplied by q157's compressed-domain ADC scoring (m=8 one-byte
+    codes, raw embeddings never read while scoring). The two levers'
+    scan-cost product — probed fraction × 32× byte compression — is the
+    FAISS-IVFPQ economics at 100 TB. The oracle composes the exact CTEs
+    of both certified parents: centroid assignment (cosine,
+    row_number-capped) and code derivation + index-order ADC folds from
+    the same literals, so every distance is bit-identical before the
+    6-decimal display rounding. Queries 16..23 keep the window disjoint
+    from q157 (0..7) and q164 (8..15)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cb = similarity.pq_codebooks(64, 8, 16)
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    top = similarity.ivf_pq_topk(
+        emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)),
+        emb,
+        centroids,
+        cb,
+        k=5,
+        nprobe=2,
+    )
+    return top.select(
+        "query_id", "cand_id", "rank", F.round("d2", 6).alias("d2")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5875,6 +5905,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q165_zorder_multicol_scan": q165_zorder_multicol_scan,
     "q166_trajectory_join_finegrid": q166_trajectory_join_finegrid,
     "q167_multihop_cdf_pipeline": q167_multihop_cdf_pipeline,
+    "q168_ivfpq_topk": q168_ivfpq_topk,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,

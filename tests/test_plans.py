@@ -157,6 +157,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q19_cosine_topk",          # brute-force baseline vs broadcast queries
         "q23_ttl_surviving_events", # single-row broadcast of max(ts)
         "q27_ivf_topk",             # corpus × 4 broadcast centroids
+        "q168_ivfpq_topk",          # composes q27's centroid assign (corpus × 4 broadcast centroids)
         "q59_tfidf_top_terms",      # single-row broadcast of count(*) as N
         "q83_fuzzy_name_match",     # dirty names × broadcast clean dim (candidate gen)
         "q86_nearest_hub_assignment",  # points × 8 broadcast hub centroids
