@@ -1222,6 +1222,129 @@ def ivf_pq_topk(
     ).withColumnRenamed("rn", "rank").select("query_id", "cand_id", "rank", "d2")
 
 
+def sq8_calibrate(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [lo, hi] over the corpus — the SQ8 training step
+    (FAISS ScalarQuantizer's rangestat): ONE aggregate pass producing
+    2·dim scalars (driver-bounded), no shuffle beyond the agg."""
+    prepped = _prep(df, id_col, vec_col, id_col, "__v")
+    aggs = []
+    for i in range(dim):
+        aggs += [F.min(F.col("__v")[i]), F.max(F.col("__v")[i])]
+    row = prepped.agg(*aggs).collect()[0]
+    los = [float(row[2 * i]) for i in range(dim)]
+    his = [float(row[2 * i + 1]) for i in range(dim)]
+    return los, his
+
+
+def sq8_encode(
+    df: DataFrame,
+    los: list[float],
+    his: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8-per-dimension scalar quantization (FAISS SQ8): code_i =
+    clamp(floor((x_i − lo_i) / (hi_i − lo_i) · 255 + 0.5), 0, 255) — 4×
+    compression at dim-independent recall cost, the simpler sibling of
+    PQ (no codebook; per-dim linear grid). floor(x + 0.5) instead of
+    round() so both engines snap identically (no round-half tie rules).
+    Map-only, no UDF; output (id, codes array<int>)."""
+    dim = len(los)
+    lo_lit = F.array(*[F.lit(x) for x in los])
+    # guard zero spans JVM-side (ANSI mode aborts on div-by-zero); a
+    # zero-span dim encodes 0 and reconstructs lo exactly
+    span_lit = F.array(
+        *[F.lit((his[i] - los[i]) if his[i] > los[i] else 1.0)
+          for i in range(dim)]
+    )
+    prepped = _prep(df, id_col, vec_col, id_col, "__v")
+    codes = F.transform(
+        F.col("__v"),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (x - F.element_at(lo_lit, i + 1))
+                    / F.element_at(span_lit, i + 1)
+                    * 255
+                    + F.lit(0.5)
+                ),
+            ),
+        ).cast("int"),
+    )
+    return prepped.select(id_col, codes.alias("codes"))
+
+
+def sq8_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    los: list[float],
+    his: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: each candidate reconstructs as
+    lo_i + code_i · span_i/255 and scores against the RAW query vector —
+    the compressed column is the only corpus data read (4× less I/O than
+    float32). The reconstruction arithmetic is mirrored term-for-term by
+    the SQL oracle (q_i − (lo_i + code_i · s255_i), index-order folds),
+    so distances are bit-identical. Ties break (d2, cand_id); query side
+    driver-collected under ``max_queries`` like every ADC path."""
+    dim = len(los)
+    lo_lit = F.array(*[F.lit(x) for x in los])
+    s255 = [(his[i] - los[i]) / 255 for i in range(dim)]
+    s255_lit = F.array(*[F.lit(x) for x in s255])
+    qrows = (
+        _prep(queries, id_col, vec_col, "query_id", "__q")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"sq8_adc_topk: query side exceeds max_queries={max_queries}; "
+            "batch large query sets"
+        )
+    structs = []
+    for r in qrows:
+        q_lit = F.array(*[F.lit(float(x)) for x in r["__q"]])
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.pow(
+                F.element_at(q_lit, i)
+                - (
+                    F.element_at(lo_lit, i)
+                    + F.element_at(F.col("codes"), i) * F.element_at(s255_lit, i)
+                ),
+                F.lit(2),
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(r["query_id"])).alias("query_id"), dist.alias("d2")
+            )
+        )
+    scored = (
+        corpus_codes.withColumnRenamed(id_col, "cand_id")
+        .select("cand_id", F.explode(F.array(*structs)).alias("__s"))
+        .select("cand_id", "__s.query_id", "__s.d2")
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("d2").asc(), F.col("cand_id")], k,
+        keep_rank=True,
+    ).withColumnRenamed("rn", "rank").select("query_id", "cand_id", "rank", "d2")
+
+
 def pq_encode_delta(
     delta: DataFrame,
     index_codes: DataFrame,

@@ -3453,3 +3453,42 @@ SELECT o_orderstatus,
 FROM live
 GROUP BY o_orderstatus
 """
+
+
+# q169: SQ8 replayed end to end — per-dim [lo, hi] calibration (cross
+# join v x dims, group by dim), floor(x+0.5) code snapping, and the
+# term-for-term reconstruction distance (q_i - (lo_i + code_i*s255_i)),
+# all index-order folds.
+ORACLES["q169_sq8_adc_topk"] = f"""
+WITH {_VEC_CTE},
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cal AS (SELECT i, min(e[i]) AS lo, max(e[i]) AS hi FROM v, dims GROUP BY i),
+arrs AS (
+  SELECT list(lo ORDER BY i) AS lo_a,
+         list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY i)
+           AS span_a,
+         list((hi - lo) / 255 ORDER BY i) AS s255_a
+  FROM cal
+),
+enc AS (
+  SELECT v.vec_id,
+         list_transform(range(1, 65), i ->
+           least(255, greatest(0, CAST(floor(
+             (e[i] - lo_a[i]) / span_a[i] * 255 + 0.5) AS INT)))) AS codes
+  FROM v, arrs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, 65), i ->
+           pow(q.e[i] - (lo_a[i] + c.codes[i] * s255_a[i]), 2))) AS d2
+  FROM v q JOIN enc c ON c.vec_id <> q.vec_id, arrs
+  WHERE q.vec_id >= 24 AND q.vec_id < 32
+),
+r AS (
+  SELECT query_id, cand_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+           AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
+"""

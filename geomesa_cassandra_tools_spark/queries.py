@@ -5748,6 +5748,35 @@ def q168_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 SCALAR quantization ANN (`similarity.sq8_*` — FAISS SQ8, the
+    other production embedding-compression tier): per-dimension [lo, hi]
+    calibrated in one aggregate pass, each vector snapped to 64 one-byte
+    codes (4× less scan I/O than float32, no codebook to train), and
+    top-5 ranked by asymmetric distance — the RAW query against each
+    candidate's reconstruction lo_i + code_i·span_i/255, the compressed
+    column the only corpus data read. floor(x+0.5) snapping and
+    term-for-term reconstruction arithmetic keep the oracle bit-lockstep
+    (no round-half tie rules cross the engine boundary). Queries 24..31
+    keep the window disjoint from q157/q164/q168. Where PQ (q157) buys
+    32× compression with a trained codebook, SQ8 buys 4× with none —
+    the two tiers bracket the compression/recall trade a 100 TB corpus
+    chooses per column."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    los, his = similarity.sq8_calibrate(emb, 64)
+    codes = similarity.sq8_encode(emb, los, his)
+    top = similarity.sq8_adc_topk(
+        codes,
+        emb.where((F.col("vec_id") >= 24) & (F.col("vec_id") < 32)),
+        los,
+        his,
+        k=5,
+    )
+    return top.select(
+        "query_id", "cand_id", "rank", F.round("d2", 6).alias("d2")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -5906,6 +5935,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_trajectory_join_finegrid": q166_trajectory_join_finegrid,
     "q167_multihop_cdf_pipeline": q167_multihop_cdf_pipeline,
     "q168_ivfpq_topk": q168_ivfpq_topk,
+    "q169_sq8_adc_topk": q169_sq8_adc_topk,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
     "q04_order_priorities": q04_order_priorities,
