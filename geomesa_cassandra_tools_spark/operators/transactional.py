@@ -1144,8 +1144,10 @@ def register_manifest_view(
 def delete_where(
     spark: SparkSession,
     path: str,
-    condition: Column | str,
+    condition: Column | str | None = None,
     mode: str = "rewrite",
+    keys: DataFrame | None = None,
+    key_cols: list[str] | None = None,
 ) -> dict:
     """Transactional ``DELETE FROM <path> WHERE condition`` (the engine
     analog of /root/reference/geomesa.py:57-59). SQL DELETE semantics: rows
@@ -1162,10 +1164,48 @@ def delete_where(
     3-row sidecar; rewrites (delete/merge/OPTIMIZE) materialize and drop
     vectors naturally, so a vector's lifetime is bounded by the next
     touch of its file. Either way readers see the old snapshot until the
-    single atomic manifest link — never a partial delete. Returns stats."""
+    single atomic manifest link — never a partial delete. Returns stats.
+
+    ``keys=`` + ``key_cols=`` (instead of ``condition``) is the
+    DISTRIBUTED key-set delete — ``DELETE ... WHERE key IN (SELECT ...)``
+    as a semi-join against the keys frame, never a driver-collected
+    predicate: the CDC/CDF apply path deletes arbitrary-size key batches
+    this way (a million-key delete is one shuffle join, not a million-
+    term IN list). NULL-keyed rows in ``keys`` are rejected loudly — a
+    NULL never equality-matches, so the delete would silently drop."""
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"delete_where mode must be rewrite|dv, got {mode!r}")
-    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if (condition is None) == (keys is None):
+        raise ValueError("delete_where takes exactly one of condition= or keys=")
+    if keys is not None:
+        if not key_cols:
+            raise ValueError("keys= requires key_cols=")
+        kdf = keys.select(*key_cols).distinct()
+        null_cond = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_cond = c if null_cond is None else (null_cond | c)
+        if kdf.where(null_cond).limit(1).count() > 0:
+            raise ValueError(
+                f"delete keys frame carries NULL value(s) in {key_cols}; "
+                "NULL never equality-matches a live row — clean the key "
+                "column upstream"
+            )
+
+        def _hit_filter(frame: DataFrame) -> DataFrame:
+            return frame.join(kdf, key_cols, "left_semi")
+
+        def _survivor_filter(frame: DataFrame) -> DataFrame:
+            return frame.join(kdf, key_cols, "left_anti")
+
+    else:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def _hit_filter(frame: DataFrame) -> DataFrame:
+            return frame.where(cond)
+
+        def _survivor_filter(frame: DataFrame) -> DataFrame:
+            return frame.where(~F.coalesce(cond, F.lit(False)))
     version = current_version(path)
     if version < 0:
         raise ValueError(f"no committed manifest under {path!r}")
@@ -1185,7 +1225,7 @@ def delete_where(
     )
 
     if mode == "dv":
-        hits = df.where(cond).select(
+        hits = _hit_filter(df).select(
             F.col("__file").alias("file"), F.col("__pos").alias("pos")
         )
         affected = sorted(
@@ -1223,7 +1263,7 @@ def delete_where(
 
     # locate the files that actually hold matching rows — one scan, and the
     # pushed condition prunes it like any filter
-    hits = df.where(cond).select("__file").distinct().collect()
+    hits = _hit_filter(df).select("__file").distinct().collect()
     hit_names = {r["__file"] for r in hits}
     if not hit_names:
         # zero matching rows: the table is unchanged — returning the
@@ -1236,9 +1276,9 @@ def delete_where(
             "files_carried": len(man["files"]),
         }
     carried = [f for f in man["files"] if f not in hit_names]
-    survivors = _scan_live_rows(
-        spark, path, man, sorted(hit_names), schema
-    ).where(~F.coalesce(cond, F.lit(False)))
+    survivors = _survivor_filter(
+        _scan_live_rows(spark, path, man, sorted(hit_names), schema)
+    )
     new_files = _stage_files(survivors, path)
     stats_cols = man.get("stats_cols")
     # carried files keep their recorded spans BY REFERENCE (the delta

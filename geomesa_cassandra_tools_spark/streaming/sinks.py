@@ -33,53 +33,24 @@ def _apply_cdc_deletes(
     applied: list[int],
     since_compact: list[int],
     count_applied: bool = True,
-    max_keys: int = 4096,
 ) -> None:
-    """Apply a CDC batch's DELETE events as one deletion-vector delete.
-    Idempotent by value: a replayed batch's keys match zero live rows and
-    `delete_where` burns no version. Deletes against a not-yet-created
-    table are no-ops (nothing to delete)."""
-    from functools import reduce
-    from operator import and_, or_
-
-    from pyspark.sql import functions as F
-
+    """Apply a CDC batch's DELETE events as one deletion-vector delete —
+    the DISTRIBUTED key-set form (`delete_where(keys=)`): the delete keys
+    semi-join the live rows, never a driver-collected predicate, so batch
+    size is unbounded (a backlogged CDF drain can carry a whole table's
+    deletes in one micro-batch). Idempotent by value: a replayed batch's
+    keys match zero live rows and `delete_where` burns no version.
+    Deletes against a not-yet-created table are no-ops (nothing to
+    delete). NULL-keyed delete rows are rejected loudly inside
+    `delete_where` — NULL never equality-matches, so the delete would
+    otherwise silently drop."""
     if transactional.current_version(table_path) < 0:
         return
-    rows = deletes.select(*merge_keys).distinct().limit(max_keys + 1).collect()
-    if not rows:
+    if deletes.isEmpty():
         return
-    # NULL keys would compare NULL in the isin()/== predicate below and
-    # silently match nothing — a dropped delete is a correctness bug, so
-    # reject the batch loudly instead
-    null_keyed = [r for r in rows if any(r[k] is None for k in merge_keys)]
-    if null_keyed:
-        raise ValueError(
-            f"CDC delete batch carries {len(null_keyed)} row(s) with NULL "
-            f"key value(s) in {merge_keys}; NULL never equality-matches a "
-            "live row, so these deletes would be silently dropped — clean "
-            "the key column upstream"
-        )
-    if len(rows) > max_keys:
-        raise ValueError(
-            f"CDC delete batch carries more than {max_keys} distinct keys; "
-            "split the batch (or run a batch delete_where directly)"
-        )
-    if len(merge_keys) == 1:
-        cond = F.col(merge_keys[0]).isin([r[0] for r in rows])
-    else:
-        cond = reduce(
-            or_,
-            (
-                reduce(
-                    and_,
-                    (F.col(k) == F.lit(r[k]) for k in merge_keys),
-                )
-                for r in rows
-            ),
-        )
     res = transactional.delete_where(
-        deletes.sparkSession, table_path, cond, mode="dv"
+        deletes.sparkSession, table_path, mode="dv",
+        keys=deletes, key_cols=merge_keys,
     )
     if count_applied and res.get("files_vectored"):
         applied[0] += 1

@@ -1527,3 +1527,38 @@ def test_compact_zorder_rejects_unknown_column(spark, tmp_path, protocol):
     path = _dv_table(spark, tmp_path)
     with pytest.raises(ValueError, match="not in table schema"):
         tx.compact_table(spark, path, zorder_by=["nope"])
+
+
+def test_delete_where_keys_distributed(spark, tmp_path, protocol):
+    """Key-set DELETE: a semi-join against the keys frame (no driver
+    predicate), both modes, NULL keys rejected, exactly one of
+    condition/keys enforced."""
+    path = str(tmp_path / "delkeys")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(50)], "k bigint, s string"
+        ).coalesce(2),
+        path,
+    )
+    keys = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k bigint")
+    res = tx.delete_where(spark, path, mode="dv", keys=keys, key_cols=["k"])
+    assert res["files_vectored"] >= 1 and res["files_rewritten"] == 0
+    got = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert got == [i for i in range(50) if i % 5 != 0]
+    # rewrite mode over keys too
+    res2 = tx.delete_where(
+        spark, path, mode="rewrite",
+        keys=spark.createDataFrame([(1,), (2,)], "k bigint"), key_cols=["k"],
+    )
+    assert res2["files_rewritten"] >= 1
+    got2 = sorted(r["k"] for r in tx.read_table(spark, path).collect())
+    assert got2 == [i for i in range(50) if i % 5 != 0 and i not in (1, 2)]
+    with pytest.raises(ValueError, match="NULL"):
+        tx.delete_where(
+            spark, path, mode="dv",
+            keys=spark.createDataFrame([(None,)], "k bigint"), key_cols=["k"],
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        tx.delete_where(spark, path, "k = 1", keys=keys, key_cols=["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        tx.delete_where(spark, path, mode="dv", keys=keys)
