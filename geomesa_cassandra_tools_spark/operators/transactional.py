@@ -320,9 +320,11 @@ def _commit(
     never re-written per commit. After a successful publish, a checkpoint
     is published every `CHECKPOINT_INTERVAL` versions (best-effort: the
     commit is already durable; a racing identical checkpoint is fine)."""
-    reserved = _RESERVED_META_COLS & {
-        f.get("name") for f in json.loads(schema_ddl).get("fields", ())
-    }
+    try:
+        fields = json.loads(schema_ddl).get("fields", ())
+    except (TypeError, ValueError, AttributeError):
+        fields = ()  # non-standard schema payload: nothing to screen
+    reserved = _RESERVED_META_COLS & {f.get("name") for f in fields}
     if reserved:
         raise ValueError(
             f"schema for {path!r} uses reserved metadata column name(s) "

@@ -52,6 +52,9 @@ QUERIES_UNDER_TEST = [
     "q135_chunk_dedup_retention",
     "q142_bloom_decontaminate_audit",
     "q144_manifest_skipping_scan",
+    "q164_pq_incremental_index",
+    "q168_ivfpq_topk",
+    "q169_sq8_adc_topk",
 ]
 
 

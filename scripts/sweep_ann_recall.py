@@ -201,6 +201,47 @@ def main() -> None:
             )
         )
 
+    # IVF-PQ (q168's operator): the coarse fence multiplies the PQ
+    # compression — nprobe recovers what the fence loses. Recall vs
+    # exact-L2 (the ADC metric), wall incl. encode + assigns.
+    centroids4 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    for m, kc in ((8, 16), (16, 16)):
+        for nprobe in (1, 2, 4):
+            t0 = time.perf_counter()
+            cb = similarity.pq_codebooks(DIM, m, kc)
+            approx = similarity.ivf_pq_topk(
+                qv, emb, centroids4, cb, k=K, nprobe=nprobe,
+                max_queries=N_QUERIES,
+            )
+            r = recall_l2(approx)
+            wall = time.perf_counter() - t0
+            rows.append(
+                (
+                    "ivfpq",
+                    f"ncentroids=8 nprobe={nprobe} m={m} k={kc} random "
+                    "(recall vs exact-L2; wall incl. encode+assign)",
+                    r,
+                    wall,
+                )
+            )
+
+    # SQ8 (q169's operator): codebook-free per-dim bytes — the recall a
+    # 4x compression keeps on this corpus, vs PQ's 32x.
+    t0 = time.perf_counter()
+    los, his = similarity.sq8_calibrate(emb, DIM)
+    sq_codes = similarity.sq8_encode(emb, los, his)
+    approx = similarity.sq8_adc_topk(
+        sq_codes, qv, los, his, k=K, max_queries=N_QUERIES
+    )
+    r = recall_l2(approx)
+    wall = time.perf_counter() - t0
+    rows.append(
+        ("sq8", "per-dim int8 (recall vs exact-L2; wall incl. calibrate+encode)",
+         r, wall)
+    )
+
     exact_l2.unpersist()
 
     sf = os.path.basename(sf_dir.rstrip("/"))
