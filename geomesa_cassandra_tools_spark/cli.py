@@ -144,6 +144,11 @@ def _parser() -> argparse.ArgumentParser:
              "deletion-vector sidecar (no data file rewritten)",
     )
     p.add_argument(
+        "--dry-run", action="store_true",
+        help="vacuum: report what would be reclaimed without removing "
+             "anything",
+    )
+    p.add_argument(
         "--zorder-by", default=None, metavar="COL[,COL...]",
         help="compact-table: rewrite EVERY live file clustered by the "
              "multi-column z-order interleave and add the columns to the "
@@ -382,6 +387,22 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         _require(parser, args, "table-path")
         from geomesa_cassandra_tools_spark.operators import transactional
 
+        if args.dry_run:
+            rep = transactional.vacuum_report(
+                args.table_path,
+                keep_versions=args.keep_versions,
+                grace_seconds=args.grace_seconds,
+            )
+            print(
+                f"dry run: would remove {len(rep['data_files'])} data "
+                f"file(s) and {len(rep['manifests'])} manifest(s); "
+                f"{len(rep['grace_protected'])} file(s) grace-protected "
+                f"(oldest kept version v{rep['oldest_kept']})",
+                file=out,
+            )
+            for f in rep["data_files"]:
+                print(f"would-remove	{f}", file=out)
+            return 0
         removed = transactional.vacuum(
             args.table_path,
             keep_versions=args.keep_versions,
@@ -417,6 +438,23 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             f"{res['files_written']} at v{res['version']}",
             file=out,
         )
+        return 0
+
+    if cmd == "describe-table":
+        # Delta's DESCRIBE DETAIL: the one-call operational summary
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        d = transactional.describe_table(args.table_path)
+        print("key\tvalue", file=out)
+        for k in (
+            "version", "num_files", "size_bytes", "num_dvs", "stats_cols",
+            "columns", "oldest_version", "num_commits_retained",
+        ):
+            v = d[k]
+            if isinstance(v, list):
+                v = ",".join(str(x) for x in v)
+            print(f"{k}\t{v}", file=out)
         return 0
 
     if cmd == "merge-table":

@@ -1985,6 +1985,96 @@ def table_changes(
     return union.select(*cols)
 
 
+def vacuum_report(
+    path: str, keep_versions: int = 1, grace_seconds: int = 600
+) -> dict:
+    """DRY-RUN vacuum (Delta's ``VACUUM ... DRY RUN``): the reclaim
+    report — which data files / manifests a real vacuum with the same
+    parameters would remove, and which unreferenced files the grace
+    window is still protecting — with NO filesystem mutation. The
+    operator's pre-flight before an irreversible retention cut."""
+    version = current_version(path)
+    if version < 0:
+        return {
+            "version": -1, "oldest_kept": None, "data_files": [],
+            "grace_protected": [], "manifests": [],
+        }
+    oldest_kept = max(0, version - keep_versions + 1)
+    live: set[str] = set()
+    for v in range(oldest_kept, version + 1):
+        try:
+            state = _read_manifest(path, v)
+        except FileNotFoundError:
+            continue
+        live |= set(state["files"])
+        live |= set((state.get("dvs") or {}).values())
+    removable, protected = [], []
+    data = _data_dir(path)
+    now = time.time()
+    if os.path.isdir(data):
+        for f in sorted(os.listdir(data)):
+            if f in live:
+                continue
+            full = os.path.join(data, f)
+            try:
+                young = (
+                    grace_seconds > 0
+                    and now - os.path.getmtime(full) < grace_seconds
+                )
+            except FileNotFoundError:
+                continue
+            (protected if young else removable).append(f)
+    manifests = []
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            m = _MANIFEST_RE.match(f) or _CHECKPOINT_RE.match(f)
+            if m and int(m.group(1)) < oldest_kept:
+                manifests.append(f)
+    return {
+        "version": version,
+        "oldest_kept": oldest_kept,
+        "data_files": removable,
+        "grace_protected": protected,
+        "manifests": manifests,
+    }
+
+
+def describe_table(path: str) -> dict:
+    """DESCRIBE DETAIL for a manifest table: current version, live
+    file/byte counts, deletion-vector count, declared stats columns,
+    schema field names, and total addressable history — the one-call
+    operational summary (Delta's DESCRIBE DETAIL shape)."""
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    man = _read_manifest(path, version)
+    data = _data_dir(path)
+    size = 0
+    for f in man["files"]:
+        try:
+            size += os.path.getsize(os.path.join(data, f))
+        except FileNotFoundError:
+            pass
+    fields = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    mdir = _manifest_dir(path)
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := _MANIFEST_RE.match(f))
+    )
+    return {
+        "version": version,
+        "num_files": len(man["files"]),
+        "size_bytes": size,
+        "num_dvs": len(man.get("dvs") or {}),
+        "stats_cols": list(man.get("stats_cols") or []),
+        "columns": fields,
+        "oldest_version": versions[0] if versions else version,
+        "num_commits_retained": len(versions),
+    }
+
+
 def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
     """Physically remove data files unreferenced by the ``keep_versions``
     most recent manifests, and the superseded manifests themselves.

@@ -516,3 +516,39 @@ def test_cli_compact_table_zorder(spark, tmp_path):
     assert rc == 0 and lines[0].startswith("compacted")
     man = tx._read_manifest(table, tx.current_version(table))
     assert man["stats_cols"] == ["a", "b"]
+
+
+def test_cli_vacuum_dry_run_and_describe(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "ops")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+        .coalesce(1),
+        table,
+    )
+    tx.delete_where(spark, table, "k = 1")  # v1 rewrite: v0 file superseded
+    rc, lines = _run(
+        ["vacuum", "--table-path", table, "--keep-versions", "1",
+         "--grace-seconds", "0", "--dry-run"]
+    )
+    assert rc == 0 and lines[0].startswith("dry run: would remove 1 data")
+    # dry run mutated nothing: the superseded file is still on disk
+    import os as _os
+
+    n_before = len(_os.listdir(_os.path.join(table, "data")))
+    assert n_before == 2
+    rc2, lines2 = _run(
+        ["describe-table", "--table-path", table]
+    )
+    assert rc2 == 0 and lines2[0] == "key\tvalue"
+    d = dict(ln.split("\t") for ln in lines2[1:])
+    assert d["version"] == "1" and d["num_files"] == "1"
+    assert d["columns"] == "k,v" and d["num_dvs"] == "0"
+    # the real vacuum then removes exactly what the dry run promised
+    rc3, lines3 = _run(
+        ["vacuum", "--table-path", table, "--keep-versions", "1",
+         "--grace-seconds", "0"]
+    )
+    assert rc3 == 0 and "vacuumed 1 data file(s)" in lines3[0]
+    assert len(_os.listdir(_os.path.join(table, "data"))) == 1

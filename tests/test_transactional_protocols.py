@@ -1562,3 +1562,25 @@ def test_delete_where_keys_distributed(spark, tmp_path, protocol):
         tx.delete_where(spark, path, "k = 1", keys=keys, key_cols=["k"])
     with pytest.raises(ValueError, match="key_cols"):
         tx.delete_where(spark, path, mode="dv", keys=keys)
+
+
+def test_vacuum_report_matches_real_vacuum(spark, tmp_path, protocol):
+    """The dry run's promise equals the real vacuum's action, and dv
+    sidecars referenced by retained snapshots are never listed."""
+    path = _dv_table(spark, tmp_path)
+    tx.delete_where(spark, path, "k = 2", mode="dv")  # v1: sidecar live
+    tx.delete_where(spark, path, "k = 3", mode="rewrite")  # v2: supersedes
+    rep = tx.vacuum_report(path, keep_versions=1, grace_seconds=0)
+    man = tx._read_manifest(path, tx.current_version(path))
+    live = set(man["files"]) | set((man.get("dvs") or {}).values())
+    assert live.isdisjoint(rep["data_files"])
+    assert rep["grace_protected"] == []
+    n = tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert n == len(rep["data_files"])
+    # grace window protects young files in the report too
+    tx.append_batch(
+        spark.createDataFrame([(99, "z")], "k bigint, s string"), path
+    )
+    tx.delete_where(spark, path, "k = 99", mode="rewrite")
+    rep2 = tx.vacuum_report(path, keep_versions=1, grace_seconds=3600)
+    assert rep2["data_files"] == [] and len(rep2["grace_protected"]) >= 1
