@@ -162,16 +162,32 @@ def test_transactional_concurrency(spark, tmp_path):
         except BaseException as e:
             errors.append(e)
 
+    # r8: the KEY-SET delete joins the race (distributed semi-join form)
+    def key_deleter(ids):
+        try:
+            kdf = spark.createDataFrame([(i,) for i in ids], "id bigint")
+            _retrying(
+                lambda: tx.delete_where(
+                    spark, path, mode="dv", keys=kdf, key_cols=["id"]
+                )
+            )
+        except BaseException as e:
+            errors.append(e)
+
     d1 = threading.Thread(target=deleter, args=(0, 10, "rewrite"))
     d2 = threading.Thread(target=deleter, args=(1000, 1010, "dv"))
-    d1.start(); d2.start(); d1.join(600); d2.join(600)
+    d3 = threading.Thread(target=key_deleter, args=(list(range(2000, 2010)),))
+    d1.start(); d2.start(); d3.start()
+    d1.join(600); d2.join(600); d3.join(600)
     assert not errors, errors[:3]
 
     expected_all = {-1}
     for tid in range(n_threads):
         for i in range(n_appends):
             expected_all.add(tid * 1000 + i)
-    expected = expected_all - (set(range(0, 10)) | set(range(1000, 1010)))
+    expected = expected_all - (
+        set(range(0, 10)) | set(range(1000, 1010)) | set(range(2000, 2010))
+    )
 
     rows = [r["id"] for r in tx.read_table(spark, path).collect()]
     assert len(rows) == len(set(rows)), "duplicated rows after racing commits"
@@ -189,6 +205,11 @@ def test_transactional_concurrency(spark, tmp_path):
     tx.restore_table(path, v_pre_delete)
     back = {r["id"] for r in tx.read_table(spark, path).collect()}
     assert back == expected_all, "restore lost or failed to resurrect rows"
+
+    # r8: OPTIMIZE ZORDER over the restored table — a full re-layout must
+    # preserve the row multiset exactly
+    tx.compact_table(spark, path, target_bytes=1 << 20, zorder_by=["id"])
+    assert {r["id"] for r in tx.read_table(spark, path).collect()} == expected_all
 
     # final vacuum with no writers: data/ must hold exactly the live files
     # (the restore above rolled the deletes back, so the live set is the
