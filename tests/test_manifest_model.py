@@ -1,6 +1,7 @@
 """Model-based certification of the manifest delta log: a random sequence
-of append / delete (rewrite AND deletion-vector modes) / merge /
-compact / truncate / checkpoint / RESTORE commits is
+of append / delete (rewrite AND deletion-vector modes) / key-set delete /
+merge / compact (bin-pack AND zorder re-layout) / truncate / checkpoint /
+RESTORE commits is
 replayed against a trivial in-memory model (a Counter of rows). After
 EVERY op the table must equal the model; afterwards, every recorded
 version must time-travel back to its model snapshot, and folding the
@@ -36,6 +37,8 @@ _op = st.one_of(
     st.tuples(st.just("truncate"), st.none()),
     st.tuples(st.just("checkpoint"), st.none()),
     st.tuples(st.just("restore"), st.integers(0, 100)),
+    st.tuples(st.just("keysdelete"), st.lists(st.integers(0, 12), min_size=1, max_size=4)),
+    st.tuples(st.just("zorder"), st.none()),
 )
 
 
@@ -91,6 +94,19 @@ def test_manifest_log_matches_model(spark, tmp_path, ops):
             model.update(batch)
         elif kind == "compact":
             tx.compact_table(spark, path, target_bytes=1 << 30)
+        elif kind == "zorder":
+            # OPTIMIZE ZORDER: content-identity re-layout (r8)
+            tx.compact_table(
+                spark, path, target_bytes=1 << 30, zorder_by=["k", "v"]
+            )
+        elif kind == "keysdelete":
+            # r8 distributed key-set delete (dv mode)
+            kdf = spark.createDataFrame([(k,) for k in set(arg)], "k bigint")
+            tx.delete_where(spark, path, mode="dv", keys=kdf, key_cols=["k"])
+            keys = set(arg)
+            model = Counter(
+                {r: c for r, c in model.items() if r[0] not in keys}
+            )
         elif kind == "truncate":
             tx.truncate_table(path)
             model = Counter()
