@@ -144,6 +144,11 @@ def _parser() -> argparse.ArgumentParser:
              "deletion-vector sidecar (no data file rewritten)",
     )
     p.add_argument(
+        "--as-of", default=None, metavar="ISO_DATETIME|EPOCH",
+        help="read-table: TIMESTAMP AS OF — read the latest snapshot "
+             "committed at or before this instant",
+    )
+    p.add_argument(
         "--dry-run", action="store_true",
         help="vacuum: report what would be reclaimed without removing "
              "anything",
@@ -346,11 +351,18 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         _require(parser, args, "table-path")
         from geomesa_cassandra_tools_spark.operators import transactional
 
-        print("version\top\tn_add\tn_remove\tn_dv", file=out)
+        print("version\top\tn_add\tn_remove\tn_dv\tcommitted_at", file=out)
+        import datetime as _dt
+
         for h in transactional.table_history(args.table_path):
+            ts = h.get("ts")
+            when = (
+                _dt.datetime.fromtimestamp(ts).isoformat(timespec="seconds")
+                if ts else ""
+            )
             print(
                 f"{h['version']}\t{h['op']}\t{h['n_add']}\t{h['n_remove']}"
-                f"\t{h.get('n_dv', 0)}",
+                f"\t{h.get('n_dv', 0)}\t{when}",
                 file=out,
             )
         return 0
@@ -360,8 +372,14 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         _require(parser, args, "table-path")
         from geomesa_cassandra_tools_spark.operators import transactional
 
+        as_of = args.as_of
+        if as_of is not None:
+            try:
+                as_of = float(as_of)
+            except ValueError:
+                pass  # ISO datetime string: parsed downstream
         df = transactional.read_table(
-            _spark(), args.table_path, version=args.version
+            _spark(), args.table_path, version=args.version, as_of=as_of
         )
         if args.limit:
             df = df.limit(args.limit)

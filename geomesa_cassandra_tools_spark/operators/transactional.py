@@ -336,6 +336,7 @@ def _commit(
     body = {
         "version": version,
         "op": op,
+        "ts": time.time(),
         "add": sorted(add or []),
         "remove": sorted(remove or []),
         "schema": schema_ddl,
@@ -923,6 +924,41 @@ def append_batch(
     )
 
 
+def version_as_of(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's semantics): the LATEST commit
+    whose timestamp is <= ``ts``. Commit timestamps are stamped at
+    publish (``ts`` in the delta body); legacy commits without one fall
+    back to the manifest file's mtime — same contract Delta has (commit
+    file modification time), same caveat (wall clocks, not a logical
+    clock; a skewed writer can reorder neighbors). Raises if ``ts``
+    predates the table."""
+    latest = current_version(path)
+    if latest < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    mdir = _manifest_dir(path)
+    best = None
+    for f in os.listdir(mdir):
+        m = _MANIFEST_RE.match(f)
+        if not m:
+            continue
+        v = int(m.group(1))
+        try:
+            body = _read_json(path, f"v{v}.json")
+            commit_ts = body.get("ts")
+            if commit_ts is None:
+                commit_ts = os.path.getmtime(os.path.join(mdir, f))
+        except FileNotFoundError:
+            continue  # vacuumed between listdir and read
+        if commit_ts <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates every resolvable commit of {path!r} "
+            "(or the older commits were vacuumed)"
+        )
+    return best
+
+
 def _resolve_manifest(path: str, version: int | None) -> dict:
     """Resolve ONE manifest (latest or pinned), with the vacuumed-snapshot
     diagnostics read_table documents."""
@@ -1064,17 +1100,30 @@ def _scan_live_rows(
     return out
 
 
+def _parse_as_of(as_of: float | str) -> float:
+    """Accept epoch seconds or an ISO datetime string (naive = local)."""
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    from datetime import datetime
+
+    return datetime.fromisoformat(as_of).timestamp()
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     where: list[tuple] | None = None,
+    as_of: float | str | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: resolve one manifest once; the returned
     frame is pinned to that file list no matter what commits after.
 
     ``version`` pins the read to an OLDER snapshot (time travel — audit a
-    DELETE, reproduce exactly the corpus a training run consumed). Every
+    DELETE, reproduce exactly the corpus a training run consumed);
+    ``as_of`` (epoch seconds or an ISO datetime string) is TIMESTAMP AS
+    OF — resolved to the latest commit at-or-before that instant via
+    `version_as_of`, mutually exclusive with ``version``. Every
     version since table creation is addressable until VACUUM reclaims the
     files an old manifest references; a time-travel read whose files were
     vacuumed fails here with the missing list rather than mid-job with a
@@ -1097,6 +1146,10 @@ def read_table(
     committed."""
     from pyspark.sql.types import StructType
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("read_table takes at most one of version=/as_of=")
+        version = version_as_of(path, _parse_as_of(as_of))
     man = _resolve_manifest(path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
     files = man["files"]
@@ -1123,6 +1176,7 @@ def register_manifest_view(
     name: str | None = None,
     version: int | None = None,
     where: list[tuple] | None = None,
+    as_of: float | str | None = None,
 ) -> str:
     """Make a manifest table SQL-addressable: register a snapshot-isolated
     `read_table` frame as a temp view, so ``spark.sql`` (and the CLI's
@@ -1138,7 +1192,7 @@ def register_manifest_view(
         name = "".join(c if c.isalnum() or c == "_" else "_" for c in base)
         if not name or name[0].isdigit():
             name = "t_" + name
-    df = read_table(spark, path, version=version, where=where)
+    df = read_table(spark, path, version=version, where=where, as_of=as_of)
     df.createOrReplaceTempView(name)
     return name
 
@@ -1755,17 +1809,20 @@ def table_history(path: str) -> list[dict]:
             body = _read_json(path, f"v{v}.json")
         except FileNotFoundError:
             continue  # vacuumed between listdir and read
+        ts = body.get("ts")
         if "files" in body:  # legacy full-snapshot manifest
             rows.append(
                 {"version": v, "op": body.get("op", "snapshot"),
-                 "n_add": len(body["files"]), "n_remove": 0, "n_dv": 0}
+                 "n_add": len(body["files"]), "n_remove": 0, "n_dv": 0,
+                 "ts": ts}
             )
         else:
             rows.append(
                 {"version": v, "op": body.get("op", "commit"),
                  "n_add": len(body.get("add", ())),
                  "n_remove": len(body.get("remove", ())),
-                 "n_dv": len(body.get("set_dv") or ())}
+                 "n_dv": len(body.get("set_dv") or ()),
+                 "ts": ts}
             )
     return rows
 

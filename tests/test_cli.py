@@ -303,7 +303,7 @@ def manifest_table(spark, tmp_path):
 def test_cli_versions_history(manifest_table):
     rc, lines = _run(["versions", "--table-path", manifest_table])
     assert rc == 0
-    assert lines[0] == "version\top\tn_add\tn_remove\tn_dv"
+    assert lines[0] == "version\top\tn_add\tn_remove\tn_dv\tcommitted_at"
     ops = [ln.split("\t")[1] for ln in lines[1:]]
     assert ops == ["append", "append", "append", "delete"]
 
@@ -552,3 +552,24 @@ def test_cli_vacuum_dry_run_and_describe(spark, tmp_path):
     )
     assert rc3 == 0 and "vacuumed 1 data file(s)" in lines3[0]
     assert len(_os.listdir(_os.path.join(table, "data"))) == 1
+
+
+def test_cli_read_table_as_of_and_versions_ts(spark, tmp_path):
+    import time as _time
+
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "asof_cli")
+    tx.init_table(spark.createDataFrame([(1,)], "k bigint"), table)
+    _time.sleep(0.05)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    tx.append_batch(spark.createDataFrame([(2,)], "k bigint"), table)
+    rc, lines = _run(
+        ["read-table", "--table-path", table, "--as-of", str(t_between)]
+    )
+    assert rc == 0 and lines[1:] == ["1"]
+    rc2, lines2 = _run(["versions", "--table-path", table])
+    assert rc2 == 0
+    assert lines2[0].endswith("committed_at")
+    assert all(len(ln.split("\t")) == 6 for ln in lines2[1:])

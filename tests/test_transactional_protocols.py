@@ -1605,3 +1605,39 @@ def test_vacuum_report_matches_real_vacuum(spark, tmp_path, protocol):
     tx.delete_where(spark, path, "k = 99", mode="rewrite")
     rep2 = tx.vacuum_report(path, keep_versions=1, grace_seconds=3600)
     assert rep2["data_files"] == [] and len(rep2["grace_protected"]) >= 1
+
+
+def test_timestamp_as_of(spark, tmp_path, protocol):
+    """TIMESTAMP AS OF: commits are stamped at publish; reads resolve to
+    the latest commit at-or-before the instant, mutually exclusive with
+    version=, and a pre-table timestamp fails loudly."""
+    import time as _time
+
+    path = str(tmp_path / "asof")
+    tx.init_table(spark.createDataFrame([(1,)], "k bigint"), path)
+    _time.sleep(0.05)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    tx.append_batch(spark.createDataFrame([(2,)], "k bigint"), path)
+    assert tx.version_as_of(path, t_between) == 0
+    assert tx.version_as_of(path, _time.time()) == 1
+    got = sorted(
+        r["k"] for r in tx.read_table(spark, path, as_of=t_between).collect()
+    )
+    assert got == [1]
+    # ISO string form
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(t_between).isoformat()
+    assert tx.read_table(spark, path, as_of=iso).count() == 1
+    with pytest.raises(ValueError, match="at most one"):
+        tx.read_table(spark, path, version=0, as_of=t_between)
+    with pytest.raises(ValueError, match="predates"):
+        tx.version_as_of(path, 1.0)
+    # history carries the stamps, monotone here
+    hist = tx.table_history(path)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["ts"] <= hist[1]["ts"]
+    # view face
+    tx.register_manifest_view(spark, path, name="asof_v", as_of=t_between)
+    assert spark.sql("SELECT count(*) AS n FROM asof_v").collect()[0]["n"] == 1
