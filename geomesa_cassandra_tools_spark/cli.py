@@ -294,8 +294,17 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             vname, target = spec.split("=", 1)
             ver = None
             if "@" in target:
-                target, vraw = target.rsplit("@", 1)
-                ver = int(vraw)
+                head, vraw = target.rsplit("@", 1)
+                # only treat the suffix as a version if it parses — a
+                # path may legitimately contain '@'
+                try:
+                    ver = int(vraw)
+                    target = head
+                except ValueError:
+                    parser.error(
+                        f"--manifest-view: {spec!r} has a non-integer "
+                        "@VERSION suffix (quote the path or drop the @)"
+                    )
             transactional.register_manifest_view(
                 spark, target, name=vname, version=ver
             )

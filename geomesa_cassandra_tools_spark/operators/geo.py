@@ -80,7 +80,9 @@ def zorder_by(
     if not cols:
         raise ValueError("zorder_by needs at least one column")
     n = len(cols)
-    res = res or max(1, min(12, 62 // n))
+    # quantile ships 2^res - 1 boundary literals per column into the
+    # plan, so its safe default is lower than minmax's
+    res = res or max(1, min(8 if strategy == "quantile" else 12, 62 // n))
     if n * res > 62:
         raise ValueError(
             f"zorder_by: {n} cols x {res} bits = {n * res} bits "

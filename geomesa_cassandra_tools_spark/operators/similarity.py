@@ -1126,6 +1126,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 4096,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (the FAISS IVFPQ shape):
     the IVF coarse quantizer fences the search to each query's ``nprobe``
@@ -1143,7 +1144,13 @@ def ivf_pq_topk(
     evaluated only on survivors via a per-query distance-table map
     literal; one window top-k on query_id finishes. All folds are the
     sequential index-order contracts the SQL oracle reproduces
-    bit-for-bit; ties break (d2, cand_id)."""
+    bit-for-bit; ties break (d2, cand_id).
+
+    ``corpus_codes`` (a (id, codes) frame, e.g. the q164 persisted
+    manifest index) skips the internal encode — the production path: at
+    100 TB the raw corpus is scanned once for the centroid assign and
+    the codes come from the index, instead of paying a second full
+    encode scan per query batch."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     cent = F.broadcast(
@@ -1161,9 +1168,11 @@ def ivf_pq_topk(
     cells = assign(
         _prep(corpus, id_col, vec_col, "cand_id", "cv"), "cand_id", "cv", 1
     ).select("cand_id", "cid")
-    codes = pq_encode_blas(
-        corpus, codebooks, id_col=id_col, vec_col=vec_col
-    ).withColumnRenamed(id_col, "cand_id")
+    if corpus_codes is None:
+        corpus_codes = pq_encode_blas(
+            corpus, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    codes = corpus_codes.withColumnRenamed(id_col, "cand_id")
     indexed = codes.join(cells, "cand_id")
 
     qp = _prep(queries, id_col, vec_col, "query_id", "__q")

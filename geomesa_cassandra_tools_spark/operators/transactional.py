@@ -742,6 +742,27 @@ def init_table_z_ordered(
     )
 
 
+def _zorder_cluster(
+    df: DataFrame,
+    zorder_cols: list[str],
+    res: int | None,
+    strategy: str,
+    n_parts: int,
+) -> DataFrame:
+    """The one clustering recipe both init_table_zorder_by and
+    compact_table(zorder_by=) use: materialize the transient interleave,
+    range-cluster + sort by it, drop it."""
+    from geomesa_cassandra_tools_spark.operators import geo
+
+    zcol = geo.zorder_by(df, zorder_cols, res=res, strategy=strategy)
+    return (
+        df.withColumn("__zorder", zcol)
+        .repartitionByRange(n_parts, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+
+
 def init_table_zorder_by(
     df: DataFrame,
     path: str,
@@ -762,19 +783,12 @@ def init_table_zorder_by(
     its leading column. The transient z value is layout-only and NOT
     stored (Delta's choice too): readers skip via the per-COLUMN spans,
     so no z-range arithmetic ever appears on the read path."""
-    from geomesa_cassandra_tools_spark.operators import geo
     from geomesa_cassandra_tools_spark.operators.relational import (
         _estimated_scan_partitions,
     )
 
-    zcol = geo.zorder_by(df, zorder_cols, res=res, strategy=strategy)
     parts = num_files or max(_estimated_scan_partitions(df), 1)
-    clustered = (
-        df.withColumn("__zorder", zcol)
-        .repartitionByRange(parts, F.col("__zorder"))
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder")
-    )
+    clustered = _zorder_cluster(df, zorder_cols, res, strategy, parts)
     return init_table(
         clustered, path,
         stats_cols=[*zorder_cols, *(extra_stats_cols or [])],
@@ -1570,22 +1584,12 @@ def compact_table(
     input_dvs = {f: dv_map.get(f) for f in inputs}
     stats_cols = man.get("stats_cols")
     if zorder_by:
-        from geomesa_cassandra_tools_spark.operators import geo
-
         missing_z = [c for c in zorder_by if c not in schema.fieldNames()]
         if missing_z:
             raise ValueError(
                 f"zorder_by column(s) {missing_z} not in table schema"
             )
-        zcol = geo.zorder_by(
-            df, zorder_by, res=zorder_res, strategy=zorder_strategy
-        )
-        packed = (
-            df.withColumn("__zorder", zcol)
-            .repartitionByRange(n_out, F.col("__zorder"))
-            .sortWithinPartitions("__zorder")
-            .drop("__zorder")
-        )
+        packed = _zorder_cluster(df, zorder_by, zorder_res, zorder_strategy, n_out)
         stats_cols = list(
             dict.fromkeys([*(stats_cols or []), *zorder_by])
         )
@@ -2042,14 +2046,15 @@ def table_changes(
     return union.select(*cols)
 
 
-def vacuum_report(
-    path: str, keep_versions: int = 1, grace_seconds: int = 600
+def _reclaim_plan(
+    path: str, keep_versions: int, grace_seconds: int
 ) -> dict:
-    """DRY-RUN vacuum (Delta's ``VACUUM ... DRY RUN``): the reclaim
-    report — which data files / manifests a real vacuum with the same
-    parameters would remove, and which unreferenced files the grace
-    window is still protecting — with NO filesystem mutation. The
-    operator's pre-flight before an irreversible retention cut."""
+    """The ONE retention computation `vacuum` acts on and `vacuum_report`
+    prints: live set = every file (and dv sidecar) referenced by the
+    retained versions; removable = unreferenced data files older than the
+    grace window; manifests = deltas/checkpoints strictly below the
+    window. Keeping this in one place is the dry-run contract — the
+    report can never drift from the action."""
     version = current_version(path)
     if version < 0:
         return {
@@ -2064,6 +2069,8 @@ def vacuum_report(
         except FileNotFoundError:
             continue
         live |= set(state["files"])
+        # deletion-vector sidecars referenced by retained snapshots are
+        # as load-bearing as the data files they mask
         live |= set((state.get("dvs") or {}).values())
     removable, protected = [], []
     data = _data_dir(path)
@@ -2096,6 +2103,17 @@ def vacuum_report(
         "manifests": manifests,
     }
 
+
+def vacuum_report(
+    path: str, keep_versions: int = 1, grace_seconds: int = 600
+) -> dict:
+    """DRY-RUN vacuum (Delta's ``VACUUM ... DRY RUN``): the reclaim
+    report — which data files / manifests a real vacuum with the same
+    parameters would remove, and which unreferenced files the grace
+    window is still protecting — with NO filesystem mutation. The
+    operator's pre-flight before an irreversible retention cut; computed
+    by the same `_reclaim_plan` the real vacuum executes."""
+    return _reclaim_plan(path, keep_versions, grace_seconds)
 
 def describe_table(path: str) -> dict:
     """DESCRIBE DETAIL for a manifest table: current version, live
@@ -2161,40 +2179,22 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
             # deltas below its own (higher) pin — our retained versions
             # resolve from that newer checkpoint; nothing to pin here
             pass
-    live: set[str] = set()
-    for v in range(oldest_kept, version + 1):
-        try:
-            state = _read_manifest(path, v)
-        except FileNotFoundError:
-            continue
-        live |= set(state["files"])
-        # deletion-vector sidecars referenced by retained snapshots are
-        # as load-bearing as the data files they mask
-        live |= set((state.get("dvs") or {}).values())
+    plan = _reclaim_plan(path, keep_versions, grace_seconds)
     removed = 0
     data = _data_dir(path)
-    now = time.time()
-    if os.path.isdir(data):
-        for f in os.listdir(data):
-            if f in live:
-                continue
-            full = os.path.join(data, f)
-            try:
-                if grace_seconds > 0 and now - os.path.getmtime(full) < grace_seconds:
-                    continue  # possibly staged by an in-flight commit
-                os.unlink(full)
-            except FileNotFoundError:
-                continue
-            removed += 1
+    for f in plan["data_files"]:
+        try:
+            os.unlink(os.path.join(data, f))
+        except FileNotFoundError:
+            continue
+        removed += 1
     mdir = _manifest_dir(path)
     # only SUPERSEDED manifests (strictly older than the retention window)
     # are removed — a manifest committed concurrently AFTER this vacuum's
     # version snapshot is a live transaction, and deleting it would revert
     # the table and orphan its data files (permanent loss). Checkpoints
     # older than the window are superseded by the one pinned above.
-    for f in os.listdir(mdir):
-        m = _MANIFEST_RE.match(f) or _CHECKPOINT_RE.match(f)
-        if m and int(m.group(1)) < oldest_kept:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(os.path.join(mdir, f))
+    for f in plan["manifests"]:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(mdir, f))
     return removed

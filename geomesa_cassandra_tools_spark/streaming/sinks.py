@@ -96,14 +96,14 @@ def stream_to_manifest(
     ``delete_col="..."`` (requires ``merge_keys``) completes the CDC
     apply: rows whose boolean marker is true are DELETE events — their
     keys are removed via a deletion-vector delete
-    (`delete_where(mode="dv")`, zero data files rewritten), the rest
-    upsert as usual. Exactly-once composes from two halves: the upsert
-    is watermark-refused on replay, and the key-delete is IDEMPOTENT by
-    value (a replayed delete matches zero live rows and burns no
-    version), so a crash anywhere between the two commits converges on
-    replay. Delete keys are driver-collected per batch (micro-batches
-    are bounded; a 4096-key guard fails loudly rather than building an
-    unbounded predicate)."""
+    (`delete_where(mode="dv", keys=)`, zero data files rewritten), the
+    rest upsert as usual. Exactly-once composes from two halves: the
+    upsert is watermark-refused on replay, and the key-delete is
+    IDEMPOTENT by value (a replayed delete matches zero live rows and
+    burns no version), so a crash anywhere between the two commits
+    converges on replay. Delete batches are UNBOUNDED: the keys
+    semi-join the live rows distributed-side (never a driver-collected
+    predicate); NULL-keyed deletes are rejected loudly."""
     if checkpoint is None:
         # Default to DURABLE storage next to the table, not a RAM-backed
         # scratch root: the manifest txn watermark persists across host
@@ -244,6 +244,23 @@ def apply_cdf_to_manifest(
 
         if batch_df.isEmpty():
             return
+        # a key with TWO insert images in one commit has no well-defined
+        # final image (Delta's APPLY CHANGES requires SEQUENCE BY for the
+        # same reason) — reject loudly instead of materializing an
+        # arbitrary pick that replays could flip
+        dup = (
+            batch_df.where(F.col("_change_type") == "insert")
+            .groupBy(*keys, "_commit_version")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "CDF batch carries duplicate insert images for one key "
+                "within a single commit — the upstream table is not "
+                f"key-unique on {keys}; dedupe upstream before applying"
+            )
         w = Window.partitionBy(*keys).orderBy(
             F.col("_commit_version").desc(),
             (F.col("_change_type") == "insert").desc(),

@@ -618,3 +618,17 @@ def test_feed_pq_encode_on_ingest(spark, tmp_path):
     want = {r["vec_id"]: list(r["codes"])
             for r in similarity.pq_encode(emb_df(0, 16), cb).collect()}
     assert got == want
+
+
+def test_cdf_apply_rejects_duplicate_key_inserts(spark, tmp_path):
+    """A non-key-unique upstream commit has no well-defined final image
+    per key — the apply must reject loudly, not pick arbitrarily."""
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    bronze = str(tmp_path / "b")
+    tx.init_table(_mk(spark, [(1, "a"), (1, "A"), (2, "b")]), bronze)
+    feed = mf.stream_feed(spark, bronze, feed="cdf")
+    with pytest.raises(Exception, match="duplicate insert images|key-unique"):
+        sinks.apply_cdf_to_manifest(
+            feed, str(tmp_path / "s"), ["k"], "tdup", timeout_sec=180
+        )
