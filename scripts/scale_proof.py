@@ -225,24 +225,38 @@ def main() -> None:
     s_base = time_spark(spark, base, runs)
     print("# timing spark @ scaled", file=sys.stderr, flush=True)
     s_scaled = time_spark(spark, scaled, runs)
-    print("# timing duckdb @ base", file=sys.stderr, flush=True)
-    d_base = time_duckdb(base, runs)
-    print("# timing duckdb @ scaled", file=sys.stderr, flush=True)
-    d_scaled = time_duckdb(scaled, runs)
+    spark_only = os.environ.get("SCALE_PROOF_SPARK_ONLY") == "1"
+    if spark_only:
+        # DuckDB's quadratic shapes need HOURS at 100x — the spark-only
+        # mode measures just the engine under test and writes a reduced
+        # TSV (duck columns blank)
+        d_base = {q: float("nan") for q in QUERIES_UNDER_TEST}
+        d_scaled = dict(d_base)
+    else:
+        print("# timing duckdb @ base", file=sys.stderr, flush=True)
+        d_base = time_duckdb(base, runs)
+        print("# timing duckdb @ scaled", file=sys.stderr, flush=True)
+        d_scaled = time_duckdb(scaled, runs)
 
     header = (
-        "query\tspark_base_s\tspark_10x_s\tspark_slope\t"
-        "duck_base_s\tduck_10x_s\tduck_slope\tratio_base\tratio_10x"
+        f"query\tspark_base_s\tspark_{copies}x_s\tspark_slope\t"
+        f"duck_base_s\tduck_{copies}x_s\tduck_slope\tratio_base\t"
+        f"ratio_{copies}x"
     )
     lines = [header]
     for name in QUERIES_UNDER_TEST:
         sb, ss = s_base[name], s_scaled[name]
         db, ds = d_base[name], d_scaled[name]
-        lines.append(
-            f"{name}\t{sb:.2f}\t{ss:.2f}\t{ss / sb:.1f}\t"
-            f"{db:.2f}\t{ds:.2f}\t{ds / db:.1f}\t"
-            f"{sb / db:.2f}\t{ss / ds:.2f}"
-        )
+        if spark_only:
+            lines.append(
+                f"{name}\t{sb:.2f}\t{ss:.2f}\t{ss / sb:.1f}\t\t\t\t\t"
+            )
+        else:
+            lines.append(
+                f"{name}\t{sb:.2f}\t{ss:.2f}\t{ss / sb:.1f}\t"
+                f"{db:.2f}\t{ds:.2f}\t{ds / db:.1f}\t"
+                f"{sb / db:.2f}\t{ss / ds:.2f}"
+            )
     out = "\n".join(lines)
     print(out)
     path = os.path.join(
