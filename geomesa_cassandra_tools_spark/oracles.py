@@ -3492,3 +3492,23 @@ r AS (
 )
 SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
 """
+
+# q170: the recorded instant resolves to v0 (the % 11 slice); live = v0
+# minus the o_totalprice > 150000 delete.
+ORACLES["q170_timestamp_asof_read"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+live AS (SELECT * FROM v0 WHERE NOT (o_totalprice > 150000.0))
+SELECT 'as_of' AS snapshot, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+FROM v0
+UNION ALL
+SELECT 'live', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM live
+"""
