@@ -116,7 +116,21 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 f"no committed manifest table under {self._path!r}"
             )
         start_raw = _opt(options, "startingVersion", "0")
-        if str(start_raw).lower() == "latest":
+        start_ts = _opt(options, "startingTimestamp")
+        if start_ts is not None:
+            # Delta's startingTimestamp: stream from the FIRST commit at
+            # or after the instant — i.e. everything newer than the
+            # snapshot version_as_of resolves for it. A pre-table
+            # timestamp streams from the beginning.
+            try:
+                ts_val = float(start_ts)
+            except ValueError:
+                ts_val = tx._parse_as_of(start_ts)  # ISO form
+            try:
+                self._start_after = tx.version_as_of(self._path, ts_val)
+            except ValueError:
+                self._start_after = -1  # predates the table: stream all
+        elif str(start_raw).lower() == "latest":
             # new-data-only subscription: everything already committed at
             # stream DEFINITION time is skipped
             self._start_after = latest
@@ -474,6 +488,7 @@ def stream_feed(
     feed: str = "append",
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
+    starting_timestamp: float | str | None = None,
 ):
     """Open a manifest table as a streaming DataFrame. ``starting_version``
     accepts a commit number or ``"latest"`` (new commits only). ``feed``:
@@ -506,4 +521,8 @@ def stream_feed(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    if starting_timestamp is not None:
+        # Delta's startingTimestamp: commits AFTER the instant stream
+        # (the snapshot AT the instant belongs to batch time travel)
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
     return reader.load()

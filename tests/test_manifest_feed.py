@@ -632,3 +632,24 @@ def test_cdf_apply_rejects_duplicate_key_inserts(spark, tmp_path):
         sinks.apply_cdf_to_manifest(
             feed, str(tmp_path / "s"), ["k"], "tdup", timeout_sec=180
         )
+
+
+def test_feed_starting_timestamp(spark, tmp_path, table):
+    """startingTimestamp (Delta semantics): commits strictly AFTER the
+    instant stream; a pre-table instant streams everything."""
+    import time as _time
+
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    tx.append_batch(_mk(spark, [(9, "z")]), table)
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        starting_timestamp=t_mid,
+    )
+    assert got == [(9, "z")]
+    got_all = _drain(
+        spark, table, str(tmp_path / "c2"), str(tmp_path / "o2"),
+        starting_timestamp=1.0,
+    )
+    assert len(got_all) == 6  # pre-table instant -> the whole history
