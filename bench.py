@@ -21,6 +21,30 @@ from geomesa_cassandra_tools_spark.queries import QUERIES
 from geomesa_cassandra_tools_spark.session import get_spark
 
 
+def run_query_timed(fn, spark, sf_dir, retries: int = 1):
+    """Time one query through the noop sink, fault-isolated.
+
+    Returns (elapsed_seconds, None) on success or (None, short_error) after
+    `retries` re-attempts. One transient failure (e.g. a Python worker
+    spawn flake inside a streaming drain) must cost ONE query's number,
+    never the whole bench artifact — round 8's driver run died at q159 and
+    shipped zero timings because the loop was unprotected.
+    """
+    last_err = None
+    for attempt in range(retries + 1):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3), None
+        except KeyboardInterrupt:
+            raise
+        except BaseException as exc:  # noqa: BLE001 — Py4J raises broadly
+            last_err = f"{type(exc).__name__}: {exc}"[:300]
+            if attempt < retries:
+                time.sleep(1.0)
+    return None, last_err
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +96,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         # drop the shared signature index at the top of EVERY pass: the
         # index is session-persistent by design, but leaving it across
@@ -84,11 +109,16 @@ def main() -> None:
             # otherwise the registry wrapper charges query N's unpersist
             # round-trips to query N+1's wall clock
             release_query_caches()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            elapsed, err = run_query_timed(fn, spark, sf_dir)
+            if elapsed is not None:
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+                errors.pop(name, None)
+            elif name not in timings:
+                # only record an error if NO pass ever timed this query —
+                # a later-pass success clears it (transient flake, not a
+                # broken query)
+                errors[name] = err or "unknown"
 
     # drop the shared signature index + the final query's caches
     release_query_caches()
@@ -99,20 +129,22 @@ def main() -> None:
     # in QUERIES/BENCH.md) and compact separators, so the single JSON line
     # stays within log-tail capture limits of whatever harness runs this.
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": short,
-                "sf": sf,
-                "runs": runs,
-                "stat": "min_per_query",
-            },
-            separators=(",", ":"),
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        "runs": runs,
+        "stat": "min_per_query",
+    }
+    if errors:
+        # queries that failed EVERY pass (after per-attempt retry); the
+        # summary still ships — partial numbers beat no numbers
+        out["errors"] = {
+            name.split("_", 1)[0]: msg for name, msg in sorted(errors.items())
+        }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -2047,15 +2047,28 @@ def table_changes(
 
 
 def _reclaim_plan(
-    path: str, keep_versions: int, grace_seconds: int
+    path: str, keep_versions: int, grace_seconds: int,
+    at_version: int | None = None,
 ) -> dict:
     """The ONE retention computation `vacuum` acts on and `vacuum_report`
     prints: live set = every file (and dv sidecar) referenced by the
     retained versions; removable = unreferenced data files older than the
     grace window; manifests = deltas/checkpoints strictly below the
     window. Keeping this in one place is the dry-run contract — the
-    report can never drift from the action."""
-    version = current_version(path)
+    report can never drift from the action.
+
+    ``at_version`` pins the whole computation to a caller-supplied
+    version snapshot. `vacuum` MUST pass the version it pinned its
+    checkpoint for: if the plan re-read current_version and a commit
+    landed between the pin and the plan, oldest_kept would rise above the
+    pinned checkpoint and the plan would delete checkpoint-v{pin} plus
+    every delta below the new horizon — with no surviving base in the
+    retained window, NO retained version could be resolved (permanent
+    metadata loss under exactly the concurrent-writer conditions the
+    storm tests exercise). `vacuum_report` keeps the self-reading form
+    (it mutates nothing, so a racing commit only staleness-shifts the
+    report)."""
+    version = current_version(path) if at_version is None else at_version
     if version < 0:
         return {
             "version": -1, "oldest_kept": None, "data_files": [],
@@ -2179,7 +2192,10 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
             # deltas below its own (higher) pin — our retained versions
             # resolve from that newer checkpoint; nothing to pin here
             pass
-    plan = _reclaim_plan(path, keep_versions, grace_seconds)
+    # the plan is computed from the SAME version snapshot the checkpoint
+    # was pinned for — a commit racing in between must not raise the
+    # plan's horizon above the pin (see _reclaim_plan's at_version note)
+    plan = _reclaim_plan(path, keep_versions, grace_seconds, at_version=version)
     removed = 0
     data = _data_dir(path)
     for f in plan["data_files"]:

@@ -195,6 +195,44 @@ def _drain(
     state_partitions: int | None,
     no_data_batch: bool = True,
 ):
+    """Fault-isolated wrapper over `_drain_once`: retry EXACTLY once, and
+    only for the transient Python-worker spawn failure ("Python worker
+    failed to connect back" / "Python worker exited unexpectedly") — an
+    environmental fork/connect flake, not a query property (it killed the
+    round-8 driver bench at q159 and did not reproduce). Every attempt is
+    a fresh drain with a fresh checkpoint and a fresh memory-sink name, so
+    a retry can never consume a partial first attempt. All other failures
+    propagate unchanged on the first throw."""
+    try:
+        return _drain_once(
+            stream_df, query_name, output_mode, timeout_sec,
+            state_partitions, no_data_batch,
+        )
+    except Exception as exc:  # noqa: BLE001 — classify then re-raise
+        msg = str(exc)
+        transient = (
+            "failed to connect back" in msg
+            or "Python worker exited unexpectedly" in msg
+        )
+        if not transient:
+            raise
+        import time as _time
+
+        _time.sleep(1.0)
+        return _drain_once(
+            stream_df, query_name, output_mode, timeout_sec,
+            state_partitions, no_data_batch,
+        )
+
+
+def _drain_once(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    timeout_sec: int,
+    state_partitions: int | None,
+    no_data_batch: bool = True,
+):
     """Start an AvailableNow drain to a memory sink and block until done.
 
     ``state_partitions`` temporarily overrides shuffle partitions for the

@@ -524,6 +524,46 @@ def test_battery_vacuum_pins_checkpoint_and_prunes(spark, tmp_path, protocol):
     assert all(h["op"] == "append" for h in hist)
 
 
+def test_battery_vacuum_plan_pinned_against_racing_commit(
+    spark, tmp_path, protocol, monkeypatch
+):
+    """r8-ADVICE regression: vacuum pins a checkpoint at oldest_kept from
+    its own version read, then computes the reclaim plan. A commit landing
+    BETWEEN the pin and the plan must not raise the plan's horizon above
+    the pinned checkpoint — that would delete checkpoint-v{pin} and every
+    delta below the new horizon, leaving no resolvable base for ANY
+    retained version (permanent metadata loss). The plan must be computed
+    from the same snapshot the checkpoint was pinned for."""
+    path = str(tmp_path / "t")
+    for i in range(6):
+        tx.append_batch(spark.createDataFrame([(i,)], "id bigint"), path)
+    assert tx.current_version(path) == 5
+
+    real_checkpoint = tx.checkpoint_table
+
+    def checkpoint_then_racing_commit(p, v):
+        out = real_checkpoint(p, v)
+        # the race: another writer commits right after the pin, before
+        # vacuum computes its reclaim plan
+        tx.append_batch(spark.createDataFrame([(99,)], "id bigint"), p)
+        return out
+
+    # grace=600 is the real-world setting: it protects the racing
+    # commit's young DATA file (the documented in-flight-commit guard);
+    # the metadata race under test is grace-independent — superseded
+    # manifests are pruned purely by version horizon
+    monkeypatch.setattr(tx, "checkpoint_table", checkpoint_then_racing_commit)
+    tx.vacuum(path, keep_versions=2, grace_seconds=600)
+    monkeypatch.undo()
+
+    # pinned checkpoint survives; every version retained BY THE SNAPSHOT
+    # vacuum acted on still resolves, as does the racing commit
+    names = set(os.listdir(os.path.join(path, "_manifest")))
+    assert "checkpoint-v4.json" in names
+    for v, n in ((4, 5), (5, 6), (6, 7)):
+        assert tx.read_table(spark, path, version=v).count() == n
+
+
 def test_battery_legacy_full_snapshot_migration(spark, tmp_path, protocol):
     """A v1-era manifest carrying the full `files` list acts as its own
     base: new delta commits stack on top and resolve correctly."""
