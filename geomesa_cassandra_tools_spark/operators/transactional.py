@@ -192,6 +192,10 @@ CHECKPOINT_INTERVAL = 16
 #: rejects them up front.
 _RESERVED_META_COLS = {
     "__file", "__pos", "__dv_file", "__dv_pos", "__nulls__", "__rows__",
+    # transient clustering key _zorder_cluster materializes during
+    # ZORDER rewrites — a user column of this name would be silently
+    # overwritten by the interleave and dropped from the rewritten files
+    "__zorder",
 }
 
 _CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
@@ -322,14 +326,23 @@ def _commit(
     commit is already durable; a racing identical checkpoint is fine)."""
     try:
         fields = json.loads(schema_ddl).get("fields", ())
+        # the whole extraction stays inside the tolerance try: a payload
+        # like {"fields": "abc"} or {"fields": [1]} must skip the screen,
+        # not raise from the comprehension
+        names = {
+            f.get("name")
+            for f in fields
+            if isinstance(f, dict)
+        } if isinstance(fields, (list, tuple)) else set()
     except (TypeError, ValueError, AttributeError):
-        fields = ()  # non-standard schema payload: nothing to screen
-    reserved = _RESERVED_META_COLS & {f.get("name") for f in fields}
+        names = set()  # non-standard schema payload: nothing to screen
+    reserved = _RESERVED_META_COLS & names
     if reserved:
         raise ValueError(
             f"schema for {path!r} uses reserved metadata column name(s) "
             f"{sorted(reserved)}; __file/__pos/__dv_file/__dv_pos are "
-            "claimed by the deletion-vector read path — rename them"
+            "claimed by the deletion-vector read path and __zorder by "
+            "the ZORDER rewrite — rename them"
         )
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
@@ -938,39 +951,51 @@ def append_batch(
     )
 
 
-def version_as_of(path: str, ts: float) -> int:
+def version_as_of(path: str, ts: float, inclusive: bool = True) -> int:
     """TIMESTAMP AS OF resolution (Delta's semantics): the LATEST commit
-    whose timestamp is <= ``ts``. Commit timestamps are stamped at
+    whose timestamp is <= ``ts`` (``inclusive=False`` resolves strictly
+    < ``ts`` — the boundary the streaming feed's startingTimestamp needs
+    so a commit stamped exactly at the instant still STREAMS, matching
+    Delta's inclusive 'changes committed at or after the timestamp'). Commit timestamps are stamped at
     publish (``ts`` in the delta body); legacy commits without one fall
     back to the manifest file's mtime — same contract Delta has (commit
     file modification time), same caveat (wall clocks, not a logical
     clock; a skewed writer can reorder neighbors). Raises if ``ts``
-    predates the table."""
+    predates the table.
+
+    Cost: O(commits newer than ``ts``), not O(history) — versions are
+    walked from latest DOWNWARD and the walk stops at the first commit
+    stamped <= ``ts``. Timestamps are effectively monotone in version
+    order (the same wall-clock caveat above bounds how much they aren't);
+    under heavy skew the early stop resolves by the same
+    commit-file-time contract Delta documents, it just picks the highest
+    version at-or-before the instant along the monotone prefix."""
     latest = current_version(path)
     if latest < 0:
         raise ValueError(f"no committed manifest under {path!r}")
     mdir = _manifest_dir(path)
-    best = None
-    for f in os.listdir(mdir):
-        m = _MANIFEST_RE.match(f)
-        if not m:
-            continue
-        v = int(m.group(1))
+    versions = sorted(
+        (
+            int(m.group(1))
+            for f in os.listdir(mdir)
+            if (m := _MANIFEST_RE.match(f))
+        ),
+        reverse=True,
+    )
+    for v in versions:
         try:
             body = _read_json(path, f"v{v}.json")
             commit_ts = body.get("ts")
             if commit_ts is None:
-                commit_ts = os.path.getmtime(os.path.join(mdir, f))
+                commit_ts = os.path.getmtime(os.path.join(mdir, f"v{v}.json"))
         except FileNotFoundError:
             continue  # vacuumed between listdir and read
-        if commit_ts <= ts and (best is None or v > best):
-            best = v
-    if best is None:
-        raise ValueError(
-            f"timestamp {ts} predates every resolvable commit of {path!r} "
-            "(or the older commits were vacuumed)"
-        )
-    return best
+        if (commit_ts <= ts) if inclusive else (commit_ts < ts):
+            return v
+    raise ValueError(
+        f"timestamp {ts} predates every resolvable commit of {path!r} "
+        "(or the older commits were vacuumed)"
+    )
 
 
 def _resolve_manifest(path: str, version: int | None) -> dict:

@@ -118,16 +118,19 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         start_raw = _opt(options, "startingVersion", "0")
         start_ts = _opt(options, "startingTimestamp")
         if start_ts is not None:
-            # Delta's startingTimestamp: stream from the FIRST commit at
-            # or after the instant — i.e. everything newer than the
-            # snapshot version_as_of resolves for it. A pre-table
+            # Delta's startingTimestamp is INCLUSIVE ('changes committed
+            # at or after the timestamp'): stream everything after the
+            # latest commit stamped STRICTLY BEFORE the instant, so a
+            # commit stamped exactly at the instant streams. A pre-table
             # timestamp streams from the beginning.
             try:
                 ts_val = float(start_ts)
             except ValueError:
                 ts_val = tx._parse_as_of(start_ts)  # ISO form
             try:
-                self._start_after = tx.version_as_of(self._path, ts_val)
+                self._start_after = tx.version_as_of(
+                    self._path, ts_val, inclusive=False
+                )
             except ValueError:
                 self._start_after = -1  # predates the table: stream all
         elif str(start_raw).lower() == "latest":

@@ -653,3 +653,16 @@ def test_feed_starting_timestamp(spark, tmp_path, table):
         starting_timestamp=1.0,
     )
     assert len(got_all) == 6  # pre-table instant -> the whole history
+
+
+def test_feed_starting_timestamp_boundary_is_inclusive(spark, tmp_path, table):
+    """r8-ADVICE regression: Delta's startingTimestamp is INCLUSIVE —
+    'changes committed at or after the timestamp'. A commit stamped
+    EXACTLY at the given instant must stream."""
+    v = tx.append_batch(_mk(spark, [(9, "z")]), table)
+    exact_ts = tx._read_json(table, f"v{v}.json")["ts"]
+    got = _drain(
+        spark, table, str(tmp_path / "c"), str(tmp_path / "o"),
+        starting_timestamp=exact_ts,
+    )
+    assert got == [(9, "z")]

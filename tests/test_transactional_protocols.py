@@ -1350,12 +1350,50 @@ def test_dv_read_survives_user_file_pos_columns(spark, tmp_path, protocol):
 
 
 def test_commit_rejects_reserved_meta_columns(spark, tmp_path, protocol):
-    for bad in ("__file", "__pos", "__dv_file", "__dv_pos"):
+    for bad in ("__file", "__pos", "__dv_file", "__dv_pos", "__zorder"):
         with pytest.raises(ValueError, match="reserved"):
             tx.init_table(
                 spark.createDataFrame([(1, 2)], f"k bigint, {bad} bigint"),
                 str(tmp_path / f"r_{bad}"),
             )
+
+
+def test_reserved_screen_tolerates_malformed_schema_payloads(tmp_path, protocol):
+    """r8-ADVICE regression: the tolerance try must cover the NAME
+    EXTRACTION too — {"fields": "abc"} / {"fields": [1]} payloads skip
+    the screen instead of raising from the comprehension."""
+    import json as _json
+
+    for i, payload in enumerate(
+        ('{"fields": "abc"}', '{"fields": [1]}', '"notadict"', "[]")
+    ):
+        p = str(tmp_path / f"junk{i}")
+        tx._commit(p, 0, payload, add=[], remove=[], op="init")
+        assert tx._read_json(p, "v0.json")["schema"] == payload
+
+
+def test_version_as_of_walks_tail_not_history(spark, tmp_path, protocol, monkeypatch):
+    """r8-ADVICE regression: version_as_of walks versions from latest
+    DOWNWARD and stops at the first commit stamped <= ts — O(commits
+    newer than ts) delta reads, not a full O(history) log walk."""
+    path = str(tmp_path / "t")
+    for i in range(10):
+        tx.append_batch(spark.createDataFrame([(i,)], "id bigint"), path)
+    t8 = tx._read_json(path, "v8.json")["ts"]
+
+    reads = []
+    real = tx._read_json
+
+    def counting(p, name):
+        reads.append(name)
+        return real(p, name)
+
+    monkeypatch.setattr(tx, "_read_json", counting)
+    assert tx.version_as_of(path, t8) == 8
+    delta_reads = [n for n in reads if n.startswith("v")]
+    assert delta_reads == ["v9.json", "v8.json"]
+    # strict bound: an exactly-equal stamp is EXCLUDED when inclusive=False
+    assert tx.version_as_of(path, t8, inclusive=False) == 7
 
 
 def test_timetravel_sweep_names_missing_dv_sidecar(spark, tmp_path, protocol):
