@@ -2183,6 +2183,93 @@ def test_pq_encode_delta_encodes_only_fresh_rows(spark):
     assert union == want_full
 
 
+def test_ivf_residuals_reconstruct_and_assign(spark):
+    """residual + assigned centroid == original vector (exact double
+    arithmetic), and the assignment is the nearest-by-cosine cell with
+    ties to the smaller cid — ivf_topk's contract."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),   # nearer cell 0
+        (11, [0.2, 0.8, 0.0, 0.0]),   # nearer cell 1
+        (12, [0.5, 0.5, 0.0, 0.0]),   # exact tie -> cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid bigint, centroid array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], list(r["residual"]))
+        for r in similarity.ivf_residuals(df, cent).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {0: 0, 1: 1, 10: 0, 11: 1, 12: 0}
+    cents = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0]}
+    for vid, emb in rows:
+        cid, res = got[vid]
+        assert [res[i] + cents[cid][i] for i in range(4)] == emb
+
+
+def test_ivf_pq_residual_topk_matches_python_reference(spark):
+    """Residual ADC end to end on a hand-checkable set: codes are
+    residual codes, distance tables are per-(query, cell), and the
+    result equals a sequential-fold Python replay."""
+    from geomesa_cassandra_tools_spark.operators import similarity
+
+    dim, m, k = 8, 2, 4
+    rows = [
+        (i, [((i * 13 + j * 5) % 17) / 8.0 - 1.0 for j in range(dim)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent_rows = [(0, rows[0][1]), (1, rows[1][1])]
+    cent = spark.createDataFrame(
+        cent_rows, "cid bigint, centroid array<double>"
+    )
+    res = similarity.ivf_residuals(df, cent)
+    books = similarity.pq_train(res, dim, m, k, rounds=1, vec_col="residual")
+    codes = similarity.pq_encode(res, books, vec_col="residual").join(
+        res.select("vec_id", "cid"), "vec_id"
+    )
+    got = similarity.ivf_pq_residual_topk(
+        df.where("vec_id >= 10"), cent, books, codes, k=3, nprobe=2
+    ).collect()
+
+    # python reference over the collected pieces
+    resl = {r["vec_id"]: (r["cid"], list(r["residual"])) for r in res.collect()}
+    codl = {r["vec_id"]: list(r["codes"]) for r in
+            similarity.pq_encode(res, books, vec_col="residual").collect()}
+    cents = dict(cent_rows)
+    sub = dim // m
+    expect = {}
+    for qid, qv in rows:
+        if qid < 10:
+            continue
+        cand_d = []
+        for cid in (0, 1):  # nprobe=2 of 2 cells
+            qres = [qv[i] - cents[cid][i] for i in range(dim)]
+            for vid, (vcid, _r) in resl.items():
+                if vcid != cid or vid == qid:
+                    continue
+                d = 0.0
+                for s in range(m):  # per-subspace partial, then fold — the
+                    w = books[s][codl[vid][s]]  # table-lookup grouping
+                    ds = 0.0
+                    for i in range(sub):
+                        diff = qres[s * sub + i] - w[i]
+                        ds += diff * diff
+                    d += ds
+                cand_d.append((d, vid))
+        cand_d.sort()
+        expect[qid] = [vid for _d, vid in cand_d[:3]]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert got_by_q == expect
+
+
 def test_gram_windows_udtf_matches_jvm_builder(spark):
     """The UDTF escape hatch reproduces the JVM transform-over-sequence
     window builder row for row (same windows `dedup.shared_run_pairs`

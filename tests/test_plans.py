@@ -158,6 +158,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q23_ttl_surviving_events", # single-row broadcast of max(ts)
         "q27_ivf_topk",             # corpus × 4 broadcast centroids
         "q168_ivfpq_topk",          # composes q27's centroid assign (corpus × 4 broadcast centroids)
+        "q171_ivfpq_residual_topk",  # query slice × 4 broadcast centroids (probe assign; corpus side reads the index)
         "q59_tfidf_top_terms",      # single-row broadcast of count(*) as N
         "q83_fuzzy_name_match",     # dirty names × broadcast clean dim (candidate gen)
         "q86_nearest_hub_assignment",  # points × 8 broadcast hub centroids
@@ -202,6 +203,24 @@ def test_q57_reuses_q26_persisted_signatures(spark):
     finally:
         Q.release_shared_caches()
         Q.release_query_caches()
+
+
+def test_q168_q171_serve_from_persisted_codes_index(spark):
+    """The r8-verdict wiring contract: the certified IVF-PQ paths must
+    SERVE from the persisted manifest codes index, not re-encode the
+    corpus per run — no MapInPandas (the BLAS encode pass) anywhere in
+    either plan, and the manifest codes table's data files in the scan.
+    q171 additionally never scans the raw corpus for candidates at all
+    (its cell fence comes from the index's cid column)."""
+    from geomesa_cassandra_tools_spark import queries as Q
+
+    plan168 = inspect.explain_str(QUERIES["q168_ivfpq_topk"](spark, SF))
+    assert "MapInPandas" not in plan168, "q168 must not re-encode the corpus"
+    assert "gcts_pq_codes" in plan168, "q168 must scan the manifest index"
+
+    plan171 = inspect.explain_str(QUERIES["q171_ivfpq_residual_topk"](spark, SF))
+    assert "MapInPandas" not in plan171, "q171 must not re-encode the corpus"
+    assert "gcts_ivfpq_res" in plan171, "q171 must scan the manifest index"
 
 
 def test_dedup_family_reuses_persisted_document_index(spark):
