@@ -476,7 +476,8 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         print("key\tvalue", file=out)
         for k in (
             "version", "num_files", "size_bytes", "num_dvs", "stats_cols",
-            "columns", "oldest_version", "num_commits_retained",
+            "partition_cols", "not_null", "check_constraints", "columns",
+            "oldest_version", "num_commits_retained",
         ):
             v = d[k]
             if isinstance(v, list):

@@ -63,6 +63,7 @@ import contextlib
 import json
 import os
 import re
+import shutil
 import threading
 import time
 import uuid
@@ -200,6 +201,10 @@ _RESERVED_META_COLS = {
 
 _CHECKPOINT_RE = re.compile(r"^checkpoint-v(\d+)\.json$")
 
+#: sentinel distinguishing "not an init commit: carry the table's
+#: constraints" from "init with no constraints: reset to null"
+_UNSET = object()
+
 
 def _read_json(path: str, name: str) -> dict:
     with open(os.path.join(_manifest_dir(path), name)) as fh:
@@ -210,6 +215,7 @@ def _empty_state() -> dict:
     return {
         "version": -1, "files": [], "schema": None, "txns": {},
         "stats_cols": None, "stats": None, "dvs": {},
+        "partition_cols": None, "constraints": None,
     }
 
 
@@ -238,6 +244,13 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     for f in delta.get("unset_dv") or ():
         dvs.pop(f, None)
     state["dvs"] = dvs
+    # partition layout and constraints are IMMUTABLE after init: only
+    # the init delta writes them, later deltas omit them and the state
+    # values carry
+    if "partition_cols" in delta:
+        state["partition_cols"] = delta["partition_cols"]
+    if "constraints" in delta:
+        state["constraints"] = delta["constraints"]
     stats_cols = delta.get("stats_cols")
     state["stats_cols"] = stats_cols
     if stats_cols:
@@ -261,6 +274,8 @@ def _as_state(body: dict) -> dict:
         "stats_cols": body.get("stats_cols"),
         "stats": body.get("stats") if body.get("stats_cols") else None,
         "dvs": body.get("dvs", {}),
+        "partition_cols": body.get("partition_cols"),
+        "constraints": body.get("constraints"),
     }
 
 
@@ -312,6 +327,8 @@ def _commit(
     op: str = "commit",
     set_dv: dict[str, str] | None = None,
     unset_dv: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    constraints: dict | None = _UNSET,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -362,6 +379,12 @@ def _commit(
     if stats_cols:
         body["stats_cols"] = list(stats_cols)
         body["add_stats"] = {f: (add_stats or {}).get(f) for f in body["add"]}
+    if partition_cols is not None:
+        # written by init/overwrite only (None elsewhere => the resolved
+        # state carries); an explicit [] RESETS a prior layout on overwrite
+        body["partition_cols"] = list(partition_cols) or None
+    if constraints is not _UNSET:
+        body["constraints"] = constraints  # null on overwrite = reset
     payload = json.dumps(body).encode()
     try:
         _PROTOCOL.publish(d, f"v{version}.json", payload)
@@ -402,6 +425,10 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
     if state["stats_cols"]:
         body["stats_cols"] = state["stats_cols"]
         body["stats"] = state["stats"]
+    if state.get("partition_cols"):
+        body["partition_cols"] = state["partition_cols"]
+    if state.get("constraints"):
+        body["constraints"] = state["constraints"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -412,15 +439,72 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
     return version
 
 
-def _stage_files(df: DataFrame, path: str) -> list[str]:
-    """Write ``df`` as new immutable data files; return their names.
-    Files land under data/ with a commit-unique prefix, so a failed commit
-    leaves only unreferenced files (cleaned by vacuum), never a torn table."""
+def _stage_files(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[str]:
+    """Write ``df`` as new immutable data files; return their names
+    (data/-relative paths). Files land under data/ with a commit-unique
+    prefix, so a failed commit leaves only unreferenced files (cleaned by
+    vacuum), never a torn table.
+
+    ``partition_by=None`` self-wires: the table's declared
+    ``partition_cols`` (if any) are looked up from the current manifest,
+    so every rewrite path (append/delete/merge/compact/sink) preserves
+    the hive layout without threading the list through each caller. Pass
+    ``[]`` to force a flat write. A frame MISSING one of the partition
+    columns (a dv sidecar's (file, pos) shape) stages flat — sidecars
+    are commit metadata, not table data.
+
+    Layout note: files are partitioned hive-style
+    (``data/col=value/…parquet``) but the partition columns STAY IN the
+    data files (written through ``__part_``-prefixed duplicates that
+    name the directories, then stripped from the dir names) — unlike
+    Delta's column-stripping layout. That choice keeps every reader
+    (snapshot scan, dv anti-join, CDF, the Arrow streaming feed)
+    byte-compatible with unpartitioned tables, and makes partition
+    pruning ride the SAME per-file stats machinery: a one-value file's
+    footer min==max==value, an exact span."""
+    if partition_by is None:
+        v = current_version(path)
+        if v >= 0:
+            try:
+                partition_by = _read_manifest(path, v).get("partition_cols")
+            except FileNotFoundError:
+                partition_by = None
+    cols = list(partition_by or [])
+    if cols and not set(cols) <= set(df.columns):
+        cols = []  # metadata/sidecar frame: stage flat
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{token}")
+    names: list[str] = []
+    if cols:
+        dup = [f"__part_{c}" for c in cols]
+        out = df
+        for c, d in zip(cols, dup):
+            out = out.withColumn(d, F.col(c))
+        out.write.mode("overwrite").partitionBy(*dup).parquet(staging)
+        os.makedirs(_data_dir(path), exist_ok=True)
+        for root, _dirs, fs in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            relparts = [] if rel == "." else rel.split(os.sep)
+            clean = [
+                p[len("__part_"):] if p.startswith("__part_") else p
+                for p in relparts
+            ]
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                destdir = os.path.join(_data_dir(path), *clean)
+                os.makedirs(destdir, exist_ok=True)
+                name = "/".join([*clean, f"{token}-{f}"])
+                os.rename(
+                    os.path.join(root, f), os.path.join(destdir, f"{token}-{f}")
+                )
+                names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return sorted(names)
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(path), exist_ok=True)
-    names = []
     for f in sorted(os.listdir(staging)):
         if f.endswith(".parquet"):
             name = f"{token}-{f}"
@@ -675,11 +759,84 @@ def _predicate_column(pred: tuple) -> Column:
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
+class ConstraintViolation(ValueError):
+    """A write-time constraint (NOT NULL / CHECK) refused a batch."""
+
+
+def _normalize_constraints(
+    not_null: list[str] | None, check_constraints: dict[str, str] | None
+) -> dict | None:
+    if not not_null and not check_constraints:
+        return None
+    return {
+        "not_null": sorted(not_null or []),
+        "checks": dict(sorted((check_constraints or {}).items())),
+    }
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict | None, path: str):
+    """The write-time gate (Delta's NOT NULL / CHECK invariants): ONE
+    aggregate pass over the batch counts every constraint's violations
+    before a single byte stages; any violation refuses the whole batch
+    loudly — naming the constraint and the count — and burns no version.
+    A NOT NULL column missing from the batch frame entirely is refused
+    the same way (evolution would null-backfill it, i.e. every row
+    violates). CHECK follows the SQL standard: a NULL predicate result
+    passes (compose with NOT NULL to refuse nulls) — violation means the
+    expression is definitively FALSE."""
+    if not constraints:
+        return
+    aggs, labels = [], []
+    for c in constraints.get("not_null") or []:
+        if c not in df.columns:
+            raise ConstraintViolation(
+                f"batch for {path!r} omits NOT NULL column {c!r} "
+                "(every row would null-backfill) — refused"
+            )
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__nn_{len(labels)}"
+            )
+        )
+        labels.append(f"NOT NULL {c}")
+    for name, expr in (constraints.get("checks") or {}).items():
+        aggs.append(
+            F.sum(
+                F.when(F.expr(expr) == F.lit(False), 1).otherwise(0)
+            ).alias(f"__ck_{len(labels)}")
+        )
+        labels.append(f"CHECK {name} ({expr})")
+    if not aggs:
+        return
+    counts = list(df.agg(*aggs).collect()[0])
+    bad = [
+        f"{label}: {int(n)} violating row(s)"
+        for label, n in zip(labels, counts)
+        if n  # None (empty batch) and 0 both pass
+    ]
+    if bad:
+        raise ConstraintViolation(
+            f"write to {path!r} refused by table constraints — "
+            + "; ".join(bad)
+        )
+
+
+def table_constraints(path: str) -> dict | None:
+    """The table's declared write-time constraints (or None)."""
+    v = current_version(path)
+    if v < 0:
+        return None
+    return _read_manifest(path, v).get("constraints")
+
+
 def init_table(
     df: DataFrame,
     path: str,
     stats_cols: list[str] | None = None,
     only_if_absent: bool = False,
+    partition_by: list[str] | None = None,
+    not_null: list[str] | None = None,
+    check_constraints: dict[str, str] | None = None,
 ) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
     frame. Returns the committed version. ``stats_cols`` declares the
@@ -690,20 +847,60 @@ def init_table(
     clustering columns (z2/z3, event date, tenant id) — stats on a column
     the layout does not cluster by skip nothing.
 
+    ``partition_by`` declares PARTITION COLUMNS (Delta/hive
+    ``partitionBy``): files land under ``data/col=value/`` directories,
+    every file holds exactly one value per partition column, the layout
+    is recorded in the manifest (immutable after init) and PRESERVED by
+    append/merge/delete-rewrite/compact/the streaming sink. Partition
+    columns are automatically prepended to ``stats_cols``, so their
+    per-file spans are exact points ([v, v]) and a ``where=`` equality
+    or range predicate on them prunes at the manifest level BEFORE the
+    scan plans — directory-level pruning semantics through the one
+    skipping code path (see `_stage_files` for why the columns also stay
+    IN the files). Date-partitioned event tables — the default 100 TB
+    shape — then pay one partition's I/O for one partition's query.
+
+    ``not_null`` / ``check_constraints`` declare WRITE-TIME constraints
+    (Delta's NOT NULL and named CHECK invariants): every later
+    `append_batch` / `merge_upsert` / streaming-sink batch passes one
+    aggregate violation-count gate before staging; a violating batch is
+    refused loudly — constraint named, count reported — with no version
+    burned. Constraints are immutable after init, survive checkpoints,
+    and keep enforcing across `merge_schema` evolution. Without them a
+    CDC sink admits poison rows silently; with them the refusal happens
+    at the table boundary, where it is attributable.
+
     ``only_if_absent=True`` commits at version 0 UNCONDITIONALLY — if the
     table exists (any version), the publish conflicts instead of
     overwriting. This closes the check-then-init race for idempotent
     build-once fixtures: a racing builder that already committed v0 (and
     possibly more) can never be silently overwritten by a stale second
     builder whose existence check passed moments earlier."""
+    if partition_by:
+        missing = set(partition_by) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"partition_by columns {sorted(missing)} not in frame "
+                f"columns {df.columns}"
+            )
+        stats_cols = [
+            *partition_by,
+            *[c for c in (stats_cols or []) if c not in set(partition_by)],
+        ]
+    constraints = _normalize_constraints(not_null, check_constraints)
+    # the initial data passes through the same gate every later write
+    # does (Delta validates existing data when a constraint is added)
+    _enforce_constraints(df, constraints, path)
     if only_if_absent:
-        files = _stage_files(df, path)
+        files = _stage_files(df, path, partition_by=list(partition_by or []))
         stats = (
             _collect_file_stats(path, files, stats_cols) if stats_cols else None
         )
         _commit(
             path, 0, df.schema.json(), {}, stats_cols,
             add=files, add_stats=stats, op="init",
+            partition_cols=list(partition_by or []),
+            constraints=constraints,
         )
         return 0
     prior = current_version(path)
@@ -713,12 +910,14 @@ def init_table(
     else:
         txns, remove = {}, []
     version = prior + 1
-    files = _stage_files(df, path)
+    files = _stage_files(df, path, partition_by=list(partition_by or []))
     stats = _collect_file_stats(path, files, stats_cols) if stats_cols else None
     _commit(
         path, version, df.schema.json(), txns, stats_cols,
         add=files, remove=remove, add_stats=stats,
         op="overwrite" if prior >= 0 else "init",
+        partition_cols=list(partition_by or []),
+        constraints=constraints,
     )
     return version
 
@@ -894,6 +1093,17 @@ def append_batch(
         # version and store a zero-row file per source hiccup; skipping is
         # replay-safe (a replayed empty batch is equally a no-op)
         return None
+    # write-time constraints gate ONCE, before any staging: constraints
+    # are immutable after init, so the one read outside the retry loop is
+    # race-free; a refused batch burns no version and stages no file
+    _v0 = current_version(path)
+    if _v0 >= 0:
+        try:
+            _enforce_constraints(
+                df, _read_manifest(path, _v0).get("constraints"), path
+            )
+        except FileNotFoundError:
+            pass  # vacuumed under us — the loop below re-resolves
     staged: list[str] | None = None  # staged lazily, exactly once
     staged_stats: dict[str, dict] | None = None  # footer stats, read once
     for _ in range(max_commit_retries):
@@ -1054,11 +1264,25 @@ def resolve_files(
     files = man["files"]
     if where and man.get("stats_cols"):
         stats = man.get("stats") or {}
-        files = [
-            f
-            for f in files
-            if all(_file_survives(stats.get(f), p) for p in where)
-        ]
+        part_cols = set(man.get("partition_cols") or ())
+        # partition predicates prune FIRST (Delta's partition-pruning
+        # tier): their spans are exact points, so the check is cheap and
+        # maximally selective; the surviving files then go through the
+        # ordinary min/max stats checks
+        part_preds = [p for p in where if p[0] in part_cols]
+        stat_preds = [p for p in where if p[0] not in part_cols]
+        if part_preds:
+            files = [
+                f
+                for f in files
+                if all(_file_survives(stats.get(f), p) for p in part_preds)
+            ]
+        if stat_preds:
+            files = [
+                f
+                for f in files
+                if all(_file_survives(stats.get(f), p) for p in stat_preds)
+            ]
     return files
 
 
@@ -1084,7 +1308,15 @@ def _scan_live_rows(
     dvs = {f: d for f, d in (man.get("dvs") or {}).items() if f in file_set}
     need_meta = keep_meta or bool(dvs)
     meta_cols = [
-        F.col("_metadata.file_name").alias("__file"),
+        # data/-RELATIVE name, not the basename: partitioned tables key
+        # manifest entries (and dv rows) as "col=value/file.parquet", so
+        # every (file, pos) identity must carry the partition dirs. The
+        # last "/data/" in the path is always the table's data root —
+        # hive dir components are "col=value" (never a bare "data") and
+        # Spark %-escapes "/" inside partition values.
+        F.substring_index(
+            F.col("_metadata.file_path"), "/data/", -1
+        ).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     ]
 
@@ -1448,6 +1680,9 @@ def merge_upsert(
             f"merge batch schema does not match table schema at {path!r}; "
             "align the frame's columns/types before merging"
         )
+    # same write-time gate as append_batch: a poison CDC batch is refused
+    # before any scan or staging, no version burned
+    _enforce_constraints(batch, man.get("constraints"), path)
     dup = batch.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1)
     if dup.count() > 0:
         raise ValueError(
@@ -1997,7 +2232,10 @@ def table_changes(
             old_pos = _dv_positions(prev.get("dvs") or {}, files)
             rows = _read(files, schema).select(
                 "*",
-                F.col("_metadata.file_name").alias("__file"),
+                # data/-relative, matching _scan_live_rows' __file contract
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/data/", -1
+                ).alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
             for delta, kind in (
@@ -2114,7 +2352,14 @@ def _reclaim_plan(
     data = _data_dir(path)
     now = time.time()
     if os.path.isdir(data):
-        for f in sorted(os.listdir(data)):
+        # recursive walk with data/-relative names: partitioned tables
+        # nest files under col=value/ directories
+        rel_files = []
+        for root, _dirs, fs in os.walk(data):
+            rel = os.path.relpath(root, data)
+            prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            rel_files.extend(prefix + f for f in fs)
+        for f in sorted(rel_files):
             if f in live:
                 continue
             full = os.path.join(data, f)
@@ -2182,6 +2427,12 @@ def describe_table(path: str) -> dict:
         "size_bytes": size,
         "num_dvs": len(man.get("dvs") or {}),
         "stats_cols": list(man.get("stats_cols") or []),
+        "partition_cols": list(man.get("partition_cols") or []),
+        "not_null": list((man.get("constraints") or {}).get("not_null") or []),
+        "check_constraints": [
+            f"{n}: {e}"
+            for n, e in ((man.get("constraints") or {}).get("checks") or {}).items()
+        ],
         "columns": fields,
         "oldest_version": versions[0] if versions else version,
         "num_commits_retained": len(versions),

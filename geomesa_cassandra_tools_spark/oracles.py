@@ -2868,6 +2868,20 @@ FROM news
 # reproduce events exactly (its 4 slices partition events completely),
 # so the oracle is the plain batch aggregate — the q37 integer-cents rule
 # for the one float column.
+# q172: one partition of the date-partitioned events manifest table ==
+# a plain WHERE over the raw parquet — the layout changes I/O, never
+# values (cover-and-refine: manifest partition pruning, then the exact
+# row filter).
+ORACLES["q172_partitioned_events_day"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+"""
+
 ORACLES["q156_manifest_stream_feed"] = """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -5966,6 +5966,60 @@ def q171_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DATE-PARTITIONED events manifest table — the default
+    100 TB event-table shape (Delta `partitionBy`): one hive directory
+    per event_date, partition values recorded as exact per-file spans,
+    plus ordinary min/max stats on user_id so partition and stats
+    pruning compose. Same (size, mtime) staleness key and v0-race
+    discipline as the other manifest fixtures."""
+    path = _corpus_keyed_tmp_path(sf_dir, "events", "gcts_part_events")
+    if transactional.current_version(path) >= 0:
+        return path
+    ev = load_tables(spark, sf_dir)["events"]
+    out = ev.withColumn("event_date", F.to_date("ts")).repartition(
+        4, "event_date"
+    )
+    try:
+        transactional.init_table(
+            out, path, partition_by=["event_date"], stats_cols=["user_id"],
+            only_if_absent=True,
+        )
+    except transactional.CommitConflict:
+        pass  # racing builder committed the identical v0
+    return path
+
+
+def q172_partitioned_events_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partition of the date-partitioned events table, through the
+    driver gate: the read carries an equality predicate on the partition
+    column, so `resolve_files` drops every other day's files at the
+    MANIFEST level before Spark plans the scan (30 partitions -> 1; at
+    100 TB this is the difference between one day's I/O and a month's),
+    and the same predicate re-applies as the exact row refine — values
+    byte-identical to the oracle's plain WHERE over the raw parquet.
+    The pruning itself is pinned by the partition protocol battery and
+    the plan test; this query certifies the VALUES through the layout."""
+    import datetime as _dt
+
+    path = _partitioned_events_path(spark, sf_dir)
+    day = _dt.date(2024, 1, 15)
+    df = transactional.read_table(
+        spark, path, where=[("event_date", "=", day)]
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("event_type", "n_events", "value_cents", "n_users")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6082,7 +6136,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
-    "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
     "q76_stream_session_expiry": q76_stream_session_expiry,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
@@ -6126,6 +6179,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_timestamp_asof_read": q170_timestamp_asof_read,
     # -- new in round 9 (first driver certification => inside the window)
     "q171_ivfpq_residual_topk": q171_ivfpq_residual_topk,
+    "q172_partitioned_events_day": q172_partitioned_events_day,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged)
@@ -6155,9 +6209,10 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_media_features": q29_media_features,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     # ---- end of the 50-entry verification window ----
-    # (q80/q33/q34 displaced for q171: all green in earlier rounds with
-    # unchanged values -> union coverage holds)
+    # (q80/q81/q33/q34 displaced for q171/q172: all green in earlier
+    # rounds with unchanged values -> union coverage holds)
     "q80_stream_view_click_join": q80_stream_view_click_join,
+    "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
     "q33_stream_user_sessions": q33_stream_user_sessions,
     "q34_catalog_missing_tables": q34_catalog_missing_tables,
     "q35_parse_compactions": q35_parse_compactions,

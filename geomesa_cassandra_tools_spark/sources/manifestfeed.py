@@ -142,6 +142,22 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             if start < 0:
                 raise ValueError(f"startingVersion must be >= 0, got {start}")
             self._start_after = start - 1
+        end_raw = _opt(options, "endingVersion")
+        if end_raw is None:
+            self._end_at: int | None = None
+        elif str(end_raw).lower() == "latest":
+            # Delta Trigger.AvailableNow's contract, engine-independent:
+            # the drain target is pinned at QUERY START (reader
+            # construction, same anchor as startingVersion='latest') —
+            # commits landing during the drain are NOT consumed by it;
+            # the next run (same checkpoint) picks them up exactly once
+            self._end_at = latest
+        else:
+            self._end_at = int(end_raw)
+            if self._end_at < 0:
+                raise ValueError(
+                    f"endingVersion must be >= 0 or 'latest', got {end_raw}"
+                )
         self._on_delete = str(_opt(options, "onDelete", "fail")).lower()
         if self._on_delete not in _ON_DELETE:
             raise ValueError(
@@ -217,6 +233,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         # monotone even if the table vanished mid-stream: never below the
         # initial position
         latest = max(tx.current_version(self._path), self._start_after)
+        if self._end_at is not None:
+            # bounded-drain pin: never report past the anchored version
+            latest = min(latest, max(self._end_at, self._start_after))
         if self._max_files is None and self._max_bytes is None:
             return {"version": latest}
         # admission control (Delta's maxFilesPerTrigger/maxBytesPerTrigger
@@ -492,6 +511,7 @@ def stream_feed(
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
     starting_timestamp: float | str | None = None,
+    ending_version: int | str | None = None,
 ):
     """Open a manifest table as a streaming DataFrame. ``starting_version``
     accepts a commit number or ``"latest"`` (new commits only). ``feed``:
@@ -511,7 +531,15 @@ def stream_feed(
     a ``trigger(availableNow=True)`` drain fixes its target at START and
     stops after reaching it — a capped drain consumes one bounded batch
     per run (re-run to continue); use a processingTime trigger for a
-    continuously capped stream."""
+    continuously capped stream.
+
+    ``ending_version`` gives Delta's ``Trigger.AvailableNow`` CONTRACT
+    engine-independently: ``"latest"`` pins the drain target at QUERY
+    START (reader construction), a number pins it explicitly — the feed
+    never reports offsets past the pin, so commits landing DURING the
+    drain are not consumed by it; a later run on the same checkpoint
+    picks them up exactly once. Composes with the admission caps: a
+    capped re-run loop drains bounded batches and STOPS at the pin."""
     register(spark)
     reader = (
         spark.readStream.format("manifestfeed")
@@ -528,4 +556,6 @@ def stream_feed(
         # Delta's startingTimestamp: commits AFTER the instant stream
         # (the snapshot AT the instant belongs to batch time travel)
         reader = reader.option("startingTimestamp", str(starting_timestamp))
+    if ending_version is not None:
+        reader = reader.option("endingVersion", str(ending_version))
     return reader.load()

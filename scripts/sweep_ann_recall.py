@@ -227,6 +227,47 @@ def main() -> None:
                 )
             )
 
+    # RESIDUAL IVF-PQ (q171's operator, the FAISS-proper form): codes
+    # quantize (x - cell centroid) against codebooks TRAINED on the
+    # residuals — the recall lift over the raw-vector/random-book rows
+    # above is the whole point of residual encoding (the codebook budget
+    # resolves the small residual ball, not the full embedding span).
+    # Wall includes residual computation, training, and encode — the
+    # one-shot index-build cost ingestion amortizes (q171 serves from
+    # the persisted index and pays none of it).
+    res = similarity.ivf_residuals(emb, centroids4)
+    res.persist().count()
+    for m, kc in ((8, 16), (16, 16)):
+        t_train0 = time.perf_counter()
+        cb_r = similarity.pq_train(
+            res, DIM, m, kc, rounds=2, vec_col="residual"
+        )
+        codes_r = similarity.pq_encode_blas(
+            res, cb_r, vec_col="residual"
+        ).join(res.select("vec_id", "cid"), "vec_id")
+        codes_r.persist().count()
+        build_wall = time.perf_counter() - t_train0
+        for nprobe in (1, 2, 4):
+            t0 = time.perf_counter()
+            approx = similarity.ivf_pq_residual_topk(
+                qv, centroids4, cb_r, codes_r, k=K, nprobe=nprobe,
+                max_queries=N_QUERIES,
+            )
+            r = recall_l2(approx)
+            wall = time.perf_counter() - t0
+            rows.append(
+                (
+                    "ivfpq-residual",
+                    f"ncentroids=8 nprobe={nprobe} m={m} k={kc} "
+                    f"residual-trained r2 (recall vs exact-L2; serve wall; "
+                    f"build {build_wall:.1f}s amortized)",
+                    r,
+                    wall,
+                )
+            )
+        codes_r.unpersist()
+    res.unpersist()
+
     # SQ8 (q169's operator): codebook-free per-dim bytes — the recall a
     # 4x compression keeps on this corpus, vs PQ's 32x.
     t0 = time.perf_counter()

@@ -545,6 +545,7 @@ def test_cli_vacuum_dry_run_and_describe(spark, tmp_path):
     d = dict(ln.split("\t") for ln in lines2[1:])
     assert d["version"] == "1" and d["num_files"] == "1"
     assert d["columns"] == "k,v" and d["num_dvs"] == "0"
+    assert d["partition_cols"] == ""  # flat table -> empty list renders ""
     # the real vacuum then removes exactly what the dry run promised
     rc3, lines3 = _run(
         ["vacuum", "--table-path", table, "--keep-versions", "1",

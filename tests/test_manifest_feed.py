@@ -655,6 +655,54 @@ def test_feed_starting_timestamp(spark, tmp_path, table):
     assert len(got_all) == 6  # pre-table instant -> the whole history
 
 
+def test_feed_ending_version_available_now_contract(spark, tmp_path, table):
+    """endingVersion (r8 VERDICT #6 — Delta Trigger.AvailableNow's
+    contract): the drain target pins at query start; commits landing
+    after the pin are NOT consumed; the drain terminates at the pin;
+    a later run on the same checkpoint picks up the rest exactly once;
+    composes with the admission caps."""
+    ckpt, out = str(tmp_path / "c"), str(tmp_path / "o")
+    pin = tx.current_version(table)
+
+    # reader-level: the pin caps latestOffset even as commits land
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+
+    reader = mfm.ManifestFeedStreamReader(
+        tx.read_table(spark, table).schema,
+        {"path": table, "endingVersion": "latest"},
+    )
+    tx.append_batch(_mk(spark, [(50, "later")]), table)  # lands AFTER pin
+    assert reader.latestOffset() == {"version": pin}
+
+    # query-level: drain stops at the pin — the during-drain commit
+    # stays unconsumed on this checkpoint run
+    got = _drain(
+        spark, table, ckpt, out, ending_version=pin,
+    )
+    assert (50, "later") not in got and len(got) == 5
+
+    # exactly-once across runs: the next pinned drain on the SAME
+    # checkpoint consumes only the newer commit
+    got2 = _drain(spark, table, ckpt, out, ending_version="latest")
+    assert sorted(got2) == sorted(got + [(50, "later")])
+
+    # composes with caps: capped re-run loop terminates at the pin even
+    # as yet another commit lands between runs
+    pin2 = tx.current_version(table)
+    ck2, out2 = str(tmp_path / "c2"), str(tmp_path / "o2")
+    rows, batches = _drain_capped(
+        spark, table, ck2, out2, max_files_per_trigger=1,
+        ending_version=pin2,
+    )
+    tx.append_batch(_mk(spark, [(60, "even later")]), table)
+    rows2, _ = _drain_capped(
+        spark, table, ck2, out2, max_files_per_trigger=1,
+        ending_version=pin2,
+    )
+    assert (60, "even later") not in rows2
+    assert sorted(rows2) == sorted(got2)
+
+
 def test_feed_starting_timestamp_boundary_is_inclusive(spark, tmp_path, table):
     """r8-ADVICE regression: Delta's startingTimestamp is INCLUSIVE —
     'changes committed at or after the timestamp'. A commit stamped

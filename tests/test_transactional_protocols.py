@@ -564,6 +564,212 @@ def test_battery_vacuum_plan_pinned_against_racing_commit(
         assert tx.read_table(spark, path, version=v).count() == n
 
 
+def test_battery_partitioned_table_lifecycle(spark, tmp_path, protocol):
+    """partition_by (r8 VERDICT #4): hive layout on disk, partition
+    values as exact manifest spans, resolve_files pruning BEFORE the
+    scan, layout preserved by append / dv delete / rewrite delete /
+    compact, vacuum reclaiming nested files, describe surface."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "id bigint, cat string, v double",
+    )
+    tx.init_table(df.repartition(2), path, partition_by=["cat"],
+                  stats_cols=["id"])
+    man = tx._read_manifest(path, 0)
+    assert man["partition_cols"] == ["cat"]
+    assert man["stats_cols"][0] == "cat"  # auto-prepended
+    assert all(f.startswith("cat=") and "/" in f for f in man["files"])
+    assert sorted(os.listdir(os.path.join(path, "data"))) == [
+        "cat=a", "cat=b", "cat=c"
+    ]
+
+    # partition pruning: equality keeps only that dir's files
+    kept = tx.resolve_files(path, where=[("cat", "=", "b")])
+    assert kept and all(f.startswith("cat=b/") for f in kept)
+    assert len(kept) < len(man["files"])
+    got = sorted(
+        r["id"] for r in
+        tx.read_table(spark, path, where=[("cat", "=", "b")]).collect()
+    )
+    assert got == [i for i in range(30) if i % 3 == 1]
+
+    # partition + stats composition: both tiers prune together
+    both = tx.resolve_files(
+        path, where=[("cat", "=", "b"), ("id", ">", 10_000)]
+    )
+    assert both == []
+
+    # append preserves the layout (no partition args passed)
+    tx.append_batch(
+        spark.createDataFrame([(100, "b", 1.0)], "id bigint, cat string, v double"),
+        path,
+    )
+    new = set(tx._read_manifest(path, 1)["files"]) - set(man["files"])
+    assert new and all(f.startswith("cat=b/") for f in new)
+
+    # dv delete: (file, pos) identities carry the partition dirs
+    tx.delete_where(spark, path, "id = 4", mode="dv")
+    man2 = tx._read_manifest(path, 2)
+    assert all("/" in k for k in man2["dvs"])
+    assert tx.read_table(spark, path).count() == 30
+    # rewrite delete restages survivors INTO the hive layout
+    tx.delete_where(spark, path, "id = 7", mode="rewrite")
+    man3 = tx._read_manifest(path, 3)
+    assert all(f.split("/")[0].startswith("cat=") for f in man3["files"])
+    assert tx.read_table(spark, path).count() == 29
+
+    # compaction rewrites clustered but keeps the layout
+    tx.compact_table(spark, path, target_bytes=1 << 30)
+    man4 = tx._read_manifest(path, tx.current_version(path))
+    assert all(f.split("/")[0].startswith("cat=") for f in man4["files"])
+    assert tx.read_table(spark, path).count() == 29
+
+    # vacuum walks the nested dirs: report == action, reads survive
+    rep = tx.vacuum_report(path, keep_versions=1, grace_seconds=0)
+    removed = tx.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert removed == len(rep["data_files"]) > 0
+    assert tx.read_table(spark, path).count() == 29
+    assert tx.describe_table(path)["partition_cols"] == ["cat"]
+
+
+def test_battery_partitioned_evolution_and_reset(spark, tmp_path, protocol):
+    """partition_by × schema evolution: a merge_schema append lands in
+    the hive layout with the new column readable across the boundary;
+    an overwrite WITHOUT partition_by resets the table to flat."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, cat string"
+        ),
+        path, partition_by=["cat"],
+    )
+    tx.append_batch(
+        spark.createDataFrame(
+            [(3, "b", "x")], "id bigint, cat string, note string"
+        ),
+        path, merge_schema=True,
+    )
+    man = tx._read_manifest(path, 1)
+    assert man["partition_cols"] == ["cat"]
+    new = [f for f in man["files"] if f.startswith("cat=b/")]
+    assert len(new) >= 1
+    rows = {r["id"]: r["note"] for r in tx.read_table(spark, path).collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+
+    # overwrite without partition_by: layout resets to flat
+    tx.init_table(spark.createDataFrame([(9, "z")], "id bigint, cat string"), path)
+    man2 = tx._read_manifest(path, tx.current_version(path))
+    assert man2["partition_cols"] is None
+    assert all("/" not in f for f in man2["files"])
+    # old hive-pathed files still resolve for time travel
+    assert tx.read_table(spark, path, version=1).count() == 3
+
+
+def test_battery_write_time_constraints(spark, tmp_path, protocol):
+    """NOT NULL / CHECK constraints (r8 VERDICT #5): declared at init,
+    enforced as a one-pass gate in append and merge — violating batches
+    refused loudly with the constraint named, NO version burned; clean
+    batches flow; constraints survive checkpoints and evolution."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a", 10.0)], "k bigint, s string, price double"),
+        path,
+        not_null=["k", "s"],
+        check_constraints={"price_positive": "price > 0"},
+    )
+    assert tx.table_constraints(path) == {
+        "not_null": ["k", "s"],
+        "checks": {"price_positive": "price > 0"},
+    }
+
+    ddl = "k bigint, s string, price double"
+    # clean append flows
+    assert tx.append_batch(spark.createDataFrame([(2, "b", 1.0)], ddl), path) == 1
+
+    # NOT NULL violation: refused, named, version not burned
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        tx.append_batch(
+            spark.createDataFrame([(3, None, 1.0)], ddl), path
+        )
+    assert tx.current_version(path) == 1
+
+    # CHECK violation: named with the expression; NULL price PASSES the
+    # CHECK (SQL semantics) since price is not in not_null
+    with pytest.raises(tx.ConstraintViolation, match="price_positive"):
+        tx.append_batch(spark.createDataFrame([(3, "c", -5.0)], ddl), path)
+    assert tx.append_batch(
+        spark.createDataFrame([(3, "c", None)], ddl), path
+    ) == 2
+
+    # merge gate: a poison CDC batch is refused before any scan
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        tx.merge_upsert(
+            spark, path, spark.createDataFrame([(2, None, 2.0)], ddl), ["k"]
+        )
+    assert tx.merge_upsert(
+        spark, path, spark.createDataFrame([(2, "B", 2.0)], ddl), ["k"]
+    )["version"] == 3
+
+    # a batch OMITTING a NOT NULL column under evolution is refused
+    with pytest.raises(tx.ConstraintViolation, match="omits NOT NULL"):
+        tx.append_batch(
+            spark.createDataFrame([(9, 1.0)], "k bigint, price double"),
+            path, merge_schema=True,
+        )
+    # evolution that keeps the constrained columns still enforces
+    assert tx.append_batch(
+        spark.createDataFrame(
+            [(4, "d", 1.0, "x")], "k bigint, s string, price double, note string"
+        ),
+        path, merge_schema=True,
+    ) == 4
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        tx.append_batch(
+            spark.createDataFrame(
+                [(5, None, 1.0, "y")],
+                "k bigint, s string, price double, note string",
+            ),
+            path, merge_schema=True,
+        )
+
+    # constraints survive a checkpoint boundary
+    tx.checkpoint_table(path)
+    assert tx.table_constraints(path)["not_null"] == ["k", "s"]
+    d = tx.describe_table(path)
+    assert d["not_null"] == ["k", "s"]
+    assert d["check_constraints"] == ["price_positive: price > 0"]
+
+    # init WITHOUT constraints resets them (Delta DROP CONSTRAINT analog
+    # is an explicit overwrite here)
+    tx.init_table(spark.createDataFrame([(1, None, -1.0)], ddl), path)
+    assert tx.table_constraints(path) is None
+
+
+def test_battery_constraints_gate_streaming_sink(spark, tmp_path, protocol):
+    """The exactly-once streaming sink inherits the write gate: a poison
+    micro-batch fails the STREAM loudly instead of landing silently."""
+    from geomesa_cassandra_tools_spark.streaming import sinks as ssinks
+
+    src_tbl = str(tmp_path / "src")
+    sink_tbl = str(tmp_path / "sink")
+    ddl = "k bigint, s string"
+    tx.init_table(spark.createDataFrame([(0, "seed")], ddl), sink_tbl,
+                  not_null=["s"])
+    # bounded source: one good file, one poison file
+    src = str(tmp_path / "files")
+    spark.createDataFrame([(1, "ok"), (2, None)], ddl).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    with pytest.raises(Exception, match="NOT NULL s|ConstraintViolation"):
+        ssinks.stream_to_manifest(
+            stream, sink_tbl, "constraint_gate_sink",
+            checkpoint=str(tmp_path / "ckpt"), timeout_sec=120,
+        )
+    # nothing landed: the seed row is still the whole table
+    assert tx.read_table(spark, sink_tbl).count() == 1
+    assert tx.current_version(sink_tbl) == 0
+
+
 def test_battery_legacy_full_snapshot_migration(spark, tmp_path, protocol):
     """A v1-era manifest carrying the full `files` list acts as its own
     base: new delta commits stack on top and resolve correctly."""
