@@ -499,7 +499,15 @@ class ManifestFeedDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the source ONCE per SparkSession: every registration
+    pickles and ships the class to the JVM, and `stream_feed` runs per
+    query — the guard keeps repeated drains (bench loops, multi-hop
+    pipelines) from re-shipping it each time."""
+    key = "_gcts_manifestfeed_registered"
+    if getattr(spark, key, False):
+        return
     spark.dataSource.register(ManifestFeedDataSource)
+    setattr(spark, key, True)
 
 
 def stream_feed(
