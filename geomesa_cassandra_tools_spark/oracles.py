@@ -2882,6 +2882,18 @@ WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 GROUP BY event_type
 """
 
+# q173: the partition-pruned FEED nets the same rows as a plain WHERE —
+# pruning is I/O-only (superset + exact refine), streaming adds nothing.
+ORACLES["q173_partitioned_feed_day"] = """
+SELECT EXTRACT(hour FROM ts) AS hour, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY 1
+"""
+
 ORACLES["q156_manifest_stream_feed"] = """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

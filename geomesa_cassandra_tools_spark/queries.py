@@ -6020,6 +6020,43 @@ def q172_partitioned_events_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_partitioned_feed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned STREAMING read — subscribe to ONE partition of a
+    date-partitioned manifest table (`stream_feed(where=)`): the feed
+    applies the same tier-1 file pruning as the batch `where=` read, so
+    only the matching day's files ever become scan tasks (30 → 1 on the
+    q172 fixture — at 100 TB, a consumer following one tenant/day pays
+    one partition's I/O, not the table's). Superset semantics: the
+    consumer applies the exact row filter (the refine), so the drained
+    aggregate is byte-identical to the oracle's plain WHERE over raw
+    events. Aggregation is hour-of-day × event buckets to keep the shape
+    disjoint from q172's per-type rollup."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+
+    import datetime as _dt
+
+    path = _partitioned_events_path(spark, sf_dir)
+    day = _dt.date(2024, 1, 15)
+    feed = manifestfeed.stream_feed(
+        spark, path, where=[("event_date", "=", day)]
+    )
+    name = stream_win.run_appendmode(
+        feed, "partitioned_feed", state_partitions=None
+    )
+    return (
+        spark.table(name)
+        .where(F.col("event_date") == F.lit(day))  # the exact refine
+        .groupBy(F.hour("ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select("hour", "n_events", "n_users", "first_event", "last_event")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6136,7 +6173,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
-    "q76_stream_session_expiry": q76_stream_session_expiry,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     # -- new this round (must be driver-certified in their first round)
@@ -6180,6 +6216,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 9 (first driver certification => inside the window)
     "q171_ivfpq_residual_topk": q171_ivfpq_residual_topk,
     "q172_partitioned_events_day": q172_partitioned_events_day,
+    "q173_partitioned_feed_day": q173_partitioned_feed_day,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged)
@@ -6209,8 +6246,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_media_features": q29_media_features,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     # ---- end of the 50-entry verification window ----
-    # (q80/q81/q33/q34 displaced for q171/q172: all green in earlier
-    # rounds with unchanged values -> union coverage holds)
+    # (q76/q80/q81/q33/q34 displaced for q171/q172/q173: all green in
+    # earlier rounds with unchanged values -> union coverage holds)
+    "q76_stream_session_expiry": q76_stream_session_expiry,
     "q80_stream_view_click_join": q80_stream_view_click_join,
     "q81_stream_dedup_watermark": q81_stream_dedup_watermark,
     "q33_stream_user_sessions": q33_stream_user_sessions,

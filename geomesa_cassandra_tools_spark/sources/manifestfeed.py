@@ -94,6 +94,53 @@ class FeedFileSlice(InputPartition):
         self.dv_exclude = dv_exclude
 
 
+def _encode_where(where) -> str:
+    """Serialize `read_table`-shape predicates ((col, op, value) tuples)
+    into the option string: temporal literals carry a type tag so the
+    reader can rebuild the exact Python objects `_file_survives`
+    normalizes (JSON itself has no date/timestamp)."""
+    import datetime
+
+    def enc(v):
+        if isinstance(v, datetime.datetime):
+            return {"t": "ts", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"t": "date", "v": v.isoformat()}
+        return v
+
+    out = []
+    for col, op, val in where:
+        if isinstance(val, (list, tuple)):
+            val = [enc(x) for x in val]
+        else:
+            val = enc(val)
+        out.append([col, op, val])
+    return json.dumps(out)
+
+
+def _decode_where(raw: str) -> list[tuple]:
+    import datetime
+
+    def dec(v):
+        if isinstance(v, dict) and "t" in v:
+            if v["t"] == "ts":
+                return datetime.datetime.fromisoformat(v["v"])
+            if v["t"] == "date":
+                return datetime.date.fromisoformat(v["v"])
+        return v
+
+    preds = []
+    for col, op, val in json.loads(raw):
+        if isinstance(val, list):
+            val = tuple(dec(x) for x in val) if op == "between" else [
+                dec(x) for x in val
+            ]
+        else:
+            val = dec(val)
+        preds.append((col, op, val))
+    return preds
+
+
 def _opt(options, key: str, default: str | None = None) -> str | None:
     """Case-insensitive option lookup (callers write startingVersion,
     the harness may hand keys through lowercased)."""
@@ -168,6 +215,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             raise ValueError(f"feed must be one of {_FEEDS}, got {self._feed!r}")
         self._max_files = self._pos_int_opt(options, "maxFilesPerTrigger")
         self._max_bytes = self._pos_int_opt(options, "maxBytesPerTrigger")
+        where_raw = _opt(options, "where")
+        self._where = _decode_where(where_raw) if where_raw else None
+        if self._where and str(_opt(options, "feed", "append")).lower() == "cdf":
+            raise ValueError(
+                "where= file pruning is append-feed only: a pruned CDF "
+                "stream would emit asymmetric delete/insert images"
+            )
         # self-tracked stream position for admission control: the engine's
         # Python source API hands the start offset only to partitions(), so
         # latestOffset() learns it from (a) initialOffset on a fresh
@@ -211,7 +265,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         hit = self._admission_cache.get(v)
         if hit is not None:
             return hit
-        added, removed, set_dv, unset_dv = self._commit_files(v)
+        added, removed, set_dv, unset_dv, _stats = self._commit_files(v)
         if self._feed == "cdf":
             names = (
                 list(added) + list(removed) + list(set_dv) + list(unset_dv)
@@ -275,9 +329,11 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
     # -- planning (driver) -----------------------------------------------
     def _commit_files(
         self, v: int
-    ) -> tuple[list[str], list[str], dict[str, str], list[str]]:
-        """(added, removed, set_dv, unset_dv) of commit v, legacy
-        snapshots included (diffed against the resolved v-1 state)."""
+    ) -> tuple[list[str], list[str], dict[str, str], list[str], dict]:
+        """(added, removed, set_dv, unset_dv, add_stats) of commit v,
+        legacy snapshots included (diffed against the resolved v-1
+        state; legacy commits carry no per-file stats — conservative
+        empty map, `where=` then prunes nothing)."""
         try:
             body = tx._read_json(self._path, f"v{v}.json")
         except FileNotFoundError:
@@ -293,12 +349,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 else set()
             )
             now = set(body["files"])
-            return sorted(now - prev), sorted(prev - now), {}, []
+            return sorted(now - prev), sorted(prev - now), {}, [], {}
         return (
             sorted(body.get("add", ())),
             sorted(body.get("remove", ())),
             body.get("set_dv") or {},
             list(body.get("unset_dv") or ()),
+            body.get("add_stats") or {},
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -309,7 +366,22 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, removed, set_dv, unset_dv = self._commit_files(v)
+            added, removed, set_dv, unset_dv, add_stats = self._commit_files(v)
+            if self._where and self._feed != "cdf":
+                # tier-1 file pruning INSIDE the stream (the batch
+                # `where=` contract at commit granularity): a file whose
+                # recorded span cannot contain a match never becomes a
+                # scan task — subscribe-to-one-partition of a
+                # date-partitioned table costs one partition's I/O.
+                # Missing stats keep the file (superset semantics; the
+                # consumer's exact row filter refines).
+                added = [
+                    f for f in added
+                    if all(
+                        tx._file_survives(add_stats.get(f), p)
+                        for p in self._where
+                    )
+                ]
             if self._feed == "cdf":
                 # file-level change images: every commit is representable
                 # — added files as inserts, removed files as deletes
@@ -520,6 +592,7 @@ def stream_feed(
     max_bytes_per_trigger: int | None = None,
     starting_timestamp: float | str | None = None,
     ending_version: int | str | None = None,
+    where: list[tuple] | None = None,
 ):
     """Open a manifest table as a streaming DataFrame. ``starting_version``
     accepts a commit number or ``"latest"`` (new commits only). ``feed``:
@@ -566,4 +639,10 @@ def stream_feed(
         reader = reader.option("startingTimestamp", str(starting_timestamp))
     if ending_version is not None:
         reader = reader.option("endingVersion", str(ending_version))
+    if where is not None:
+        # tier-1 file pruning inside the stream (append feed only): the
+        # same (col, op, value) predicates read_table takes; files whose
+        # recorded span cannot match never become scan tasks. SUPERSET
+        # semantics — the consumer still applies the exact row filter.
+        reader = reader.option("where", _encode_where(where))
     return reader.load()

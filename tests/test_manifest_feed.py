@@ -703,6 +703,54 @@ def test_feed_ending_version_available_now_contract(spark, tmp_path, table):
     assert sorted(rows2) == sorted(got2)
 
 
+def test_feed_where_prunes_files_before_planning(spark, tmp_path):
+    """where= on the feed (tier-1 pruning inside the stream): only files
+    whose recorded span can match become scan tasks; missing stats keep
+    the file; CDF + where refused; rows are the SUPERSET contract."""
+    import datetime as _dt
+
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+
+    path = str(tmp_path / "pt")
+    rows = [
+        (i, _dt.date(2024, 1, 1 + (i % 3)), float(i)) for i in range(30)
+    ]
+    tx.init_table(
+        spark.createDataFrame(rows, "id bigint, d date, v double")
+        .repartition(3, "d"),
+        path, partition_by=["d"],
+    )
+    day = _dt.date(2024, 1, 2)
+    schema = tx.read_table(spark, path).schema
+
+    reader = mfm.ManifestFeedStreamReader(
+        schema,
+        {"path": path, "where": mfm._encode_where([("d", "=", day)])},
+    )
+    slices = reader.partitions({"version": -1}, {"version": 0})
+    all_slices = mfm.ManifestFeedStreamReader(
+        schema, {"path": path}
+    ).partitions({"version": -1}, {"version": 0})
+    assert 0 < len(slices) < len(all_slices)
+    assert all("d=2024-01-02" in s.file_path for s in slices)
+
+    # CDF + where is refused loudly
+    with pytest.raises(ValueError, match="append-feed only"):
+        mfm.ManifestFeedStreamReader(
+            schema,
+            {"path": path, "feed": "cdf",
+             "where": mfm._encode_where([("d", "=", day)])},
+        )
+
+    # end-to-end: drained rows == exactly the matching day (each file
+    # holds one day here, so the superset IS the exact set)
+    got = _drain(
+        spark, path, str(tmp_path / "c"), str(tmp_path / "o"),
+        where=[("d", "=", day)],
+    )
+    assert sorted(r[0] for r in got) == [i for i in range(30) if i % 3 == 1]
+
+
 def test_feed_starting_timestamp_boundary_is_inclusive(spark, tmp_path, table):
     """r8-ADVICE regression: Delta's startingTimestamp is INCLUSIVE —
     'changes committed at or after the timestamp'. A commit stamped
