@@ -1095,15 +1095,28 @@ def append_batch(
         return None
     # write-time constraints gate ONCE, before any staging: constraints
     # are immutable after init, so the one read outside the retry loop is
-    # race-free; a refused batch burns no version and stages no file
+    # race-free; a refused batch burns no version and stages no file.
+    # The partition-column check rides the same read: a batch missing a
+    # partition column would stage FLAT and silently degrade the hive
+    # layout (evolution would null-backfill the value) — refuse loudly,
+    # Delta's rule.
     _v0 = current_version(path)
     if _v0 >= 0:
         try:
-            _enforce_constraints(
-                df, _read_manifest(path, _v0).get("constraints"), path
-            )
+            _man0 = _read_manifest(path, _v0)
         except FileNotFoundError:
-            pass  # vacuumed under us — the loop below re-resolves
+            _man0 = None  # vacuumed under us — the loop below re-resolves
+        if _man0 is not None:
+            missing_parts = set(_man0.get("partition_cols") or ()) - set(
+                df.columns
+            )
+            if missing_parts:
+                raise ValueError(
+                    f"append to {path!r} omits partition column(s) "
+                    f"{sorted(missing_parts)}; partition columns are part "
+                    "of the table layout and every batch must carry them"
+                )
+            _enforce_constraints(df, _man0.get("constraints"), path)
     staged: list[str] | None = None  # staged lazily, exactly once
     staged_stats: dict[str, dict] | None = None  # footer stats, read once
     for _ in range(max_commit_retries):
@@ -1772,6 +1785,7 @@ def compact_table(
     zorder_res: int | None = None,
     zorder_strategy: str = "minmax",
     max_commit_retries: int = 40,
+    where: list[tuple] | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack live files smaller than ``target_bytes`` into
     ~target-sized rewrites, published as ONE atomic commit (remove the
@@ -1796,6 +1810,18 @@ def compact_table(
     append-only table accumulated in arrival order becomes multi-column
     skippable in one atomic commit (deletion vectors materialize and
     drop on the way, like any rewrite).
+
+    ``where`` scopes the compaction (Delta's ``OPTIMIZE ... WHERE``):
+    only files whose recorded span can match the predicates — same
+    (col, op, value) shapes as `read_table(where=)` — are eligible
+    inputs; everything else carries by reference. The operational shape
+    at 100 TB: a streamed date-partitioned table compacts TODAY'S
+    partition each night without touching the other ten thousand, so
+    the rewrite cost is O(day), not O(table). Composes with
+    ``zorder_by`` (re-layout just the scoped slice) and with partition
+    columns (whose spans are exact, so a partition predicate scopes
+    exactly). Rows never change — the scope changes only which files
+    rewrite.
 
     Concurrency: data files are staged once; only the metadata commit
     retries. A conflicting commit is re-read and checked — if any input
@@ -1823,13 +1849,24 @@ def compact_table(
     # the sanctioned dv-materialization route (rewrite without the
     # deleted rows, mapping dropped by _apply_delta), Delta's
     # OPTIMIZE-purges-DVs behavior
+    scope = man["files"]
+    if where and man.get("stats_cols"):
+        # OPTIMIZE ... WHERE: only span-matching files are inputs; the
+        # check is the same conservative _file_survives the reads use,
+        # so a file with missing stats stays IN scope (superset — it may
+        # hold matching rows, and rewriting it is always value-safe)
+        stats = man.get("stats") or {}
+        scope = [
+            f for f in scope
+            if all(_file_survives(stats.get(f), p) for p in where)
+        ]
     if zorder_by:
-        # OPTIMIZE ZORDER: a re-layout, not a bin-pack — every live file
-        # participates so the whole table ends up curve-clustered
-        inputs = sorted(man["files"])
+        # OPTIMIZE ZORDER: a re-layout, not a bin-pack — every scoped
+        # live file participates so the slice ends up curve-clustered
+        inputs = sorted(scope)
     else:
         inputs = sorted(
-            f for f in man["files"] if sizes[f] < target_bytes or f in dv_map
+            f for f in scope if sizes[f] < target_bytes or f in dv_map
         )
     if not inputs or (
         not zorder_by

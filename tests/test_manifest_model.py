@@ -39,6 +39,7 @@ _op = st.one_of(
     st.tuples(st.just("restore"), st.integers(0, 100)),
     st.tuples(st.just("keysdelete"), st.lists(st.integers(0, 12), min_size=1, max_size=4)),
     st.tuples(st.just("zorder"), st.none()),
+    st.tuples(st.just("scopedcompact"), st.integers(0, 5)),
 )
 
 
@@ -56,11 +57,31 @@ def _snap(spark, path, version=None):
 )
 @given(ops=st.lists(_op, min_size=1, max_size=6))
 def test_manifest_log_matches_model(spark, tmp_path, ops):
+    _run_model(spark, tmp_path, ops, partition_by=None)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+def test_manifest_log_matches_model_partitioned(spark, tmp_path, ops):
+    """The same random-interleaving property on a PARTITIONED table
+    (partition_by=["v"]): every op preserves the hive layout through the
+    self-wiring staging, partition-valued spans ride the stats map, and
+    time travel / the change feed stay exact across re-partitioned
+    rewrites (a merge can MOVE a row between partitions)."""
+    _run_model(spark, tmp_path, ops, partition_by=["v"])
+
+
+def _run_model(spark, tmp_path, ops, partition_by):
     path = str(tmp_path / f"t{next(_seq)}")
     tx.init_table(
         spark.createDataFrame([(0, 0), (1, 1)], "k bigint, v bigint")
         .repartitionByRange(2, "k"),
         path,
+        partition_by=partition_by,
     )
     model: Counter = Counter({(0, 0): 1, (1, 1): 1})
     history = {0: Counter(model)}
@@ -94,6 +115,11 @@ def test_manifest_log_matches_model(spark, tmp_path, ops):
             model.update(batch)
         elif kind == "compact":
             tx.compact_table(spark, path, target_bytes=1 << 30)
+        elif kind == "scopedcompact":
+            # OPTIMIZE ... WHERE (r9): content-identity, scope-only
+            tx.compact_table(
+                spark, path, target_bytes=1 << 30, where=[("v", "=", arg)]
+            )
         elif kind == "zorder":
             # OPTIMIZE ZORDER: content-identity re-layout (r8)
             tx.compact_table(
@@ -120,6 +146,12 @@ def test_manifest_log_matches_model(spark, tmp_path, ops):
             model = Counter(history[target])
         history[tx.current_version(path)] = Counter(model)
         assert _snap(spark, path) == model, f"after {kind}"
+        if partition_by:
+            # layout invariant: every live data file sits in a hive dir
+            man = tx._read_manifest(path, tx.current_version(path))
+            assert all(
+                f.split("/")[0].startswith("v=") for f in man["files"]
+            ), f"layout broken after {kind}"
 
     # every committed version time-travels back to its model snapshot
     # (compact commits burn a version without changing rows — resolve

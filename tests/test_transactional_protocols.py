@@ -666,6 +666,52 @@ def test_battery_partitioned_evolution_and_reset(spark, tmp_path, protocol):
     assert tx.read_table(spark, path, version=1).count() == 3
 
 
+def test_battery_partition_scoped_compaction(spark, tmp_path, protocol):
+    """OPTIMIZE ... WHERE (partition-scoped compaction): only files whose
+    span matches the predicate rewrite; out-of-scope files carry by
+    reference (same names); rows unchanged; composes with zorder_by.
+    Appends omitting a partition column are refused loudly."""
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, day string, v double")  # noqa: E731
+    tx.init_table(mk([(0, "d1", 0.0), (1, "d2", 1.0)]).coalesce(1), path,
+                  partition_by=["day"])
+    for i in range(2, 8):
+        tx.append_batch(mk([(i, "d1" if i % 2 == 0 else "d2", float(i))]), path)
+    man = tx._read_manifest(path, tx.current_version(path))
+    d1_before = {f for f in man["files"] if f.startswith("day=d1/")}
+    d2_before = {f for f in man["files"] if f.startswith("day=d2/")}
+    assert len(d1_before) >= 3 and len(d2_before) >= 3
+
+    res = tx.compact_table(
+        spark, path, target_bytes=1 << 30, where=[("day", "=", "d1")]
+    )
+    assert res["files_compacted"] == len(d1_before)
+    man2 = tx._read_manifest(path, tx.current_version(path))
+    d2_after = {f for f in man2["files"] if f.startswith("day=d2/")}
+    assert d2_after == d2_before  # out-of-scope files untouched
+    assert len([f for f in man2["files"] if f.startswith("day=d1/")]) == 1
+    assert sorted(
+        r["id"] for r in tx.read_table(spark, path).collect()
+    ) == list(range(8))
+
+    # scoped ZORDER: re-layout just the d2 slice
+    res2 = tx.compact_table(
+        spark, path, target_bytes=1 << 30, zorder_by=["id", "v"],
+        where=[("day", "=", "d2")],
+    )
+    assert res2["files_compacted"] == len(d2_before)
+    assert sorted(
+        r["id"] for r in tx.read_table(spark, path).collect()
+    ) == list(range(8))
+
+    # a batch omitting the partition column is refused loudly
+    with pytest.raises(ValueError, match="omits partition column"):
+        tx.append_batch(
+            spark.createDataFrame([(99, 9.0)], "id bigint, v double"),
+            path, merge_schema=True,
+        )
+
+
 def test_battery_write_time_constraints(spark, tmp_path, protocol):
     """NOT NULL / CHECK constraints (r8 VERDICT #5): declared at init,
     enforced as a one-pass gate in append and merge — violating batches
