@@ -35,7 +35,9 @@ operations instead of SSH+cqlsh/nodetool calls:
   (transactional DELETE; ``--delete-mode dv`` marks rows in a
   deletion-vector sidecar instead of rewriting files), and
   ``restore-table`` (Delta RESTORE: roll back to ``--version`` as a
-  new commit, history preserved).
+  new commit, history preserved), and ``add-constraint`` /
+  ``drop-constraint`` (ALTER TABLE ADD/DROP CONSTRAINT — ``--not-null
+  COL`` or ``--check NAME=EXPR``; ADD validates existing data first).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -152,6 +154,15 @@ def _parser() -> argparse.ArgumentParser:
         "--dry-run", action="store_true",
         help="vacuum: report what would be reclaimed without removing "
              "anything",
+    )
+    p.add_argument(
+        "--not-null", default=None, metavar="COL",
+        help="add-constraint/drop-constraint: NOT NULL column",
+    )
+    p.add_argument(
+        "--check", default=None, metavar="NAME=EXPR",
+        help="add-constraint: named CHECK constraint (SQL boolean "
+             "expression); drop-constraint takes just NAME",
     )
     p.add_argument(
         "--zorder-by", default=None, metavar="COL[,COL...]",
@@ -483,6 +494,48 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             if isinstance(v, list):
                 v = ",".join(str(x) for x in v)
             print(f"{k}\t{v}", file=out)
+        return 0
+
+    if cmd == "add-constraint":
+        # ALTER TABLE ADD CONSTRAINT: validates existing data first
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if args.check:
+            name, _, expr = args.check.partition("=")
+            if not name or not expr:
+                parser.error("--check takes NAME=EXPR")
+            v = transactional.add_table_constraint(
+                _spark(), args.table_path,
+                check_name=name.strip(), check_expr=expr.strip(),
+            )
+            print(f"CHECK {name.strip()} added at v{v}", file=out)
+        elif args.not_null:
+            v = transactional.add_table_constraint(
+                _spark(), args.table_path, not_null=args.not_null
+            )
+            print(f"NOT NULL {args.not_null} added at v{v}", file=out)
+        else:
+            parser.error("add-constraint needs --not-null or --check")
+        return 0
+
+    if cmd == "drop-constraint":
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if args.check:
+            name = args.check.partition("=")[0].strip()
+            v = transactional.drop_table_constraint(
+                args.table_path, check_name=name
+            )
+            print(f"CHECK {name} dropped at v{v}", file=out)
+        elif args.not_null:
+            v = transactional.drop_table_constraint(
+                args.table_path, not_null=args.not_null
+            )
+            print(f"NOT NULL {args.not_null} dropped at v{v}", file=out)
+        else:
+            parser.error("drop-constraint needs --not-null or --check")
         return 0
 
     if cmd == "merge-table":

@@ -244,9 +244,9 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     for f in delta.get("unset_dv") or ():
         dvs.pop(f, None)
     state["dvs"] = dvs
-    # partition layout and constraints are IMMUTABLE after init: only
-    # the init delta writes them, later deltas omit them and the state
-    # values carry
+    # partition layout is IMMUTABLE after init and constraints change
+    # only through the explicit ALTER verbs: ordinary deltas omit both
+    # keys and the state values carry; a delta that carries one sets it
     if "partition_cols" in delta:
         state["partition_cols"] = delta["partition_cols"]
     if "constraints" in delta:
@@ -829,6 +829,119 @@ def table_constraints(path: str) -> dict | None:
     return _read_manifest(path, v).get("constraints")
 
 
+def add_table_constraint(
+    spark: SparkSession,
+    path: str,
+    not_null: str | None = None,
+    check_name: str | None = None,
+    check_expr: str | None = None,
+    max_commit_retries: int = 40,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta semantics): validate the
+    EXISTING data against the new constraint first — adding a constraint
+    the current rows violate is refused with the violation named, no
+    version burned — then publish a metadata-only commit carrying the
+    updated constraint set. Pass either ``not_null=`` (a column name) or
+    ``check_name=`` + ``check_expr=``. Existing-data validation is one
+    aggregate pass over the live snapshot (dv-applied), the same gate
+    every write already runs.
+
+    Concurrency: per retry the CURRENT state is re-read and re-validated
+    — a row landing between validation and publish could otherwise
+    smuggle a violation under the new constraint."""
+    if (not_null is None) == (check_name is None):
+        raise ValueError(
+            "pass exactly one of not_null= or check_name=/check_expr="
+        )
+    if (check_name is None) != (check_expr is None):
+        raise ValueError("check_name and check_expr go together")
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        cons = man.get("constraints") or {"not_null": [], "checks": {}}
+        cons = {
+            "not_null": list(cons.get("not_null") or []),
+            "checks": dict(cons.get("checks") or {}),
+        }
+        if not_null is not None:
+            if not_null in cons["not_null"]:
+                return version  # already declared — idempotent
+            trial = _normalize_constraints(
+                [*cons["not_null"], not_null], cons["checks"]
+            )
+        else:
+            if cons["checks"].get(check_name) == check_expr:
+                return version  # identical constraint — idempotent
+            if check_name in cons["checks"]:
+                raise ValueError(
+                    f"constraint {check_name!r} already exists with a "
+                    "different expression; drop it first"
+                )
+            trial = _normalize_constraints(
+                cons["not_null"], {**cons["checks"], check_name: check_expr}
+            )
+        # existing data must satisfy the new constraint (Delta validates
+        # on ADD) — the snapshot pinned to the version we will CAS over
+        _enforce_constraints(read_table(spark, path, version=version), trial, path)
+        try:
+            _commit(
+                path, version + 1, man["schema"], man.get("txns", {}),
+                man.get("stats_cols"), add=[], remove=[],
+                op="add_constraint", constraints=trial,
+            )
+            return version + 1
+        except CommitConflict:
+            continue  # racing commit: re-read, re-validate, retry
+    raise CommitConflict(
+        f"add_table_constraint on {path!r} lost {max_commit_retries} "
+        "consecutive commit races; back off and retry"
+    )
+
+
+def drop_table_constraint(
+    path: str,
+    not_null: str | None = None,
+    check_name: str | None = None,
+    max_commit_retries: int = 40,
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    named constraint (missing constraint -> no-op returning the current
+    version — DROP IF EXISTS semantics, idempotent under replays)."""
+    if (not_null is None) == (check_name is None):
+        raise ValueError("pass exactly one of not_null= or check_name=")
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        cons = man.get("constraints") or {"not_null": [], "checks": {}}
+        nn = [c for c in (cons.get("not_null") or []) if c != not_null]
+        checks = {
+            n: e for n, e in (cons.get("checks") or {}).items()
+            if n != check_name
+        }
+        if nn == list(cons.get("not_null") or []) and checks == dict(
+            cons.get("checks") or {}
+        ):
+            return version  # nothing to drop
+        try:
+            _commit(
+                path, version + 1, man["schema"], man.get("txns", {}),
+                man.get("stats_cols"), add=[], remove=[],
+                op="drop_constraint",
+                constraints=_normalize_constraints(nn, checks),
+            )
+            return version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"drop_table_constraint on {path!r} lost {max_commit_retries} "
+        "consecutive commit races; back off and retry"
+    )
+
+
 def init_table(
     df: DataFrame,
     path: str,
@@ -868,7 +981,9 @@ def init_table(
     burned. Constraints are immutable after init, survive checkpoints,
     and keep enforcing across `merge_schema` evolution. Without them a
     CDC sink admits poison rows silently; with them the refusal happens
-    at the table boundary, where it is attributable.
+    at the table boundary, where it is attributable. Constraints evolve
+    only through `add_table_constraint` (which validates existing data
+    first, Delta's ADD CONSTRAINT) / `drop_table_constraint`.
 
     ``only_if_absent=True`` commits at version 0 UNCONDITIONALLY — if the
     table exists (any version), the publish conflicts instead of

@@ -574,3 +574,36 @@ def test_cli_read_table_as_of_and_versions_ts(spark, tmp_path):
     assert rc2 == 0
     assert lines2[0].endswith("committed_at")
     assert all(len(ln.split("\t")) == 6 for ln in lines2[1:])
+
+
+def test_cli_constraint_verbs(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "cons")
+    tx.init_table(
+        spark.createDataFrame([(1, 2.0)], "k bigint, price double"), table
+    )
+    rc, lines = _run(
+        ["add-constraint", "--table-path", table, "--check",
+         "price_positive=price > 0"]
+    )
+    assert rc == 0 and "CHECK price_positive added at v1" in lines[0]
+    with __import__("pytest").raises(tx.ConstraintViolation):
+        tx.append_batch(
+            spark.createDataFrame([(2, -1.0)], "k bigint, price double"),
+            table,
+        )
+    rc2, lines2 = _run(
+        ["add-constraint", "--table-path", table, "--not-null", "k"]
+    )
+    assert rc2 == 0 and "NOT NULL k added at v2" in lines2[0]
+    rc3, lines3 = _run(["describe-table", "--table-path", table])
+    d = dict(ln.split("\t") for ln in lines3[1:])
+    assert d["not_null"] == "k"
+    assert d["check_constraints"] == "price_positive: price > 0"
+    rc4, lines4 = _run(
+        ["drop-constraint", "--table-path", table, "--check",
+         "price_positive"]
+    )
+    assert rc4 == 0 and "dropped at v3" in lines4[0]
+    assert tx.table_constraints(table)["checks"] == {}

@@ -792,6 +792,59 @@ def test_battery_write_time_constraints(spark, tmp_path, protocol):
     assert tx.table_constraints(path) is None
 
 
+def test_battery_alter_constraints(spark, tmp_path, protocol):
+    """ADD/DROP CONSTRAINT (Delta semantics): ADD validates existing
+    data first (violating data refuses the ALTER, no version burned);
+    the new constraint then gates writes; DROP re-admits; both verbs are
+    idempotent; history records the metadata-only commits."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, s string, price double"
+    tx.init_table(spark.createDataFrame([(1, "a", 10.0)], ddl), path)
+
+    # ADD CHECK over clean data -> gates subsequent writes
+    v = tx.add_table_constraint(
+        spark, path, check_name="price_positive", check_expr="price > 0"
+    )
+    assert v == 1
+    with pytest.raises(tx.ConstraintViolation, match="price_positive"):
+        tx.append_batch(spark.createDataFrame([(2, "b", -1.0)], ddl), path)
+    # idempotent replay: same (name, expr) is a no-op
+    assert tx.add_table_constraint(
+        spark, path, check_name="price_positive", check_expr="price > 0"
+    ) == 1
+    # a DIFFERENT expression under the same name is refused
+    with pytest.raises(ValueError, match="already exists"):
+        tx.add_table_constraint(
+            spark, path, check_name="price_positive", check_expr="price > 1"
+        )
+
+    # ADD over VIOLATING existing data refuses, burns no version
+    tx.append_batch(spark.createDataFrame([(3, None, 5.0)], ddl), path)  # v2
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        tx.add_table_constraint(spark, path, not_null="s")
+    assert tx.current_version(path) == 2
+
+    # clean the data, then the ADD lands and gates
+    tx.delete_where(spark, path, "s IS NULL")  # v3
+    assert tx.add_table_constraint(spark, path, not_null="s") == 4
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        tx.append_batch(spark.createDataFrame([(4, None, 5.0)], ddl), path)
+
+    # DROP re-admits; dropping a missing constraint is a no-op
+    assert tx.drop_table_constraint(path, not_null="s") == 5
+    assert tx.drop_table_constraint(path, not_null="s") == 5
+    assert tx.append_batch(
+        spark.createDataFrame([(4, None, 5.0)], ddl), path
+    ) == 6
+    assert tx.table_constraints(path) == {
+        "not_null": [], "checks": {"price_positive": "price > 0"},
+    }
+    # metadata-only commits are in history and time travel still works
+    ops = [h["op"] for h in tx.table_history(path)]
+    assert "add_constraint" in ops and "drop_constraint" in ops
+    assert tx.read_table(spark, path, version=1).count() == 1
+
+
 def test_battery_constraints_gate_streaming_sink(spark, tmp_path, protocol):
     """The exactly-once streaming sink inherits the write gate: a poison
     micro-batch fails the STREAM loudly instead of landing silently."""
