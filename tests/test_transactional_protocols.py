@@ -88,8 +88,31 @@ def test_transactional_concurrency(spark, tmp_path):
       resurrects deleted rows or drops appended ones (r7: compact_table
       joined the storm);
     - after a final grace-0 vacuum, data/ holds exactly the live files."""
+    _storm_impl(spark, tmp_path, partitioned=False)
+
+
+def test_transactional_concurrency_partitioned(spark, tmp_path):
+    """The same storm on a PARTITIONED table (r9): concurrent appenders
+    stage into SHARED hive directories (makedirs/rename races), deletes
+    rewrite survivors back into the layout, compaction/zorder/restore/
+    vacuum all walk nested dirs — same invariants, plus the layout one
+    (every live file in a hive dir at the end)."""
+    _storm_impl(spark, tmp_path, partitioned=True)
+
+
+def _storm_impl(spark, tmp_path, partitioned: bool):
     path = str(tmp_path / "t")
-    tx.init_table(spark.createDataFrame([(-1,)], "id bigint"), path)
+    ddl = "id bigint, p string" if partitioned else "id bigint"
+
+    def mk(ids):
+        rows = [(i, f"p{i % 3}") for i in ids] if partitioned else [
+            (i,) for i in ids
+        ]
+        return spark.createDataFrame(rows, ddl)
+
+    tx.init_table(
+        mk([-1]), path, partition_by=["p"] if partitioned else None
+    )
 
     n_threads, n_appends = 4, 30  # 120 racing append commits + deletes
     versions: list[int] = []
@@ -99,7 +122,7 @@ def test_transactional_concurrency(spark, tmp_path):
     def appender(tid: int):
         try:
             for i in range(n_appends):
-                batch = spark.createDataFrame([(tid * 1000 + i,)], "id bigint")
+                batch = mk([tid * 1000 + i])
                 v = _retrying(lambda: tx.append_batch(batch, path))
                 assert v is not None
                 with vlock:
@@ -165,7 +188,7 @@ def test_transactional_concurrency(spark, tmp_path):
     # r8: the KEY-SET delete joins the race (distributed semi-join form)
     def key_deleter(ids):
         try:
-            kdf = spark.createDataFrame([(i,) for i in ids], "id bigint")
+            kdf = spark.createDataFrame([(i,) for i in ids], "id bigint")  # noqa: E501 — key frame carries just the key col
             _retrying(
                 lambda: tx.delete_where(
                     spark, path, mode="dv", keys=kdf, key_cols=["id"]
@@ -216,8 +239,17 @@ def test_transactional_concurrency(spark, tmp_path):
     # FULL pre-delete content)
     tx.vacuum(path, keep_versions=1, grace_seconds=0)
     man = tx._read_manifest(path, tx.current_version(path))
-    on_disk = set(os.listdir(os.path.join(path, "data")))
+    data_root = os.path.join(path, "data")
+    on_disk = set()
+    for root, _dirs, fs in os.walk(data_root):
+        rel = os.path.relpath(root, data_root)
+        prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+        on_disk |= {prefix + f for f in fs}
     assert on_disk == set(man["files"]), "orphaned or missing live files"
+    if partitioned:
+        assert all(
+            f.split("/")[0].startswith("p=") for f in man["files"]
+        ), "hive layout degraded during the storm"
     assert {r["id"] for r in tx.read_table(spark, path).collect()} == expected_all
 
 
