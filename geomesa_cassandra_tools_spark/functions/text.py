@@ -199,3 +199,44 @@ def lang_id_heuristic(text: Column, marker_words: dict[str, tuple[str, ...]]) ->
     # old chain's winner
     best = F.array_max(packed)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+#: PII patterns, deliberately restricted to the regex subset Java
+#: (Spark) and RE2 (DuckDB) evaluate identically — plain character
+#: classes, explicit quantifiers, no \d/\w/\b shorthands, no
+#: backtracking constructs. Redaction order matters and is fixed:
+#: email first (its domain would otherwise feed the IP pattern), then
+#: ip, then phone.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone numbers to typed placeholder tokens —
+    the standard pre-training text-cleaning stage, as a pure JVM
+    regexp_replace chain (whole-stage codegen, no UDF; at 100 TB this is
+    a map-only column rewrite riding whatever scan already runs). The
+    pattern subset is dialect-portable by construction (see
+    PII_PATTERNS), so a SQL oracle replays every byte."""
+    out = text
+    for _kind, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Per-kind match counts BEFORE redaction, as a struct(email, ip,
+    phone) — the audit side of `redact_pii` (how much was scrubbed,
+    reportable per source/language slice). Counts apply the same
+    in-order masking as the redaction chain, so an IP inside an email's
+    domain is counted as email only — counts always sum to the number
+    of replacements `redact_pii` performs."""
+    fields = []
+    masked = text
+    for kind, pat, token in PII_PATTERNS:
+        fields.append(F.regexp_count(masked, F.lit(pat)).alias(kind))
+        masked = F.regexp_replace(masked, pat, token)
+    return F.struct(*fields)

@@ -2882,6 +2882,51 @@ WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 GROUP BY event_type
 """
 
+# q174: PII redaction replayed byte-for-byte — same injected message
+# construction, same in-order masking chain (email -> ip -> phone), same
+# dialect-portable patterns (PII_PATTERNS: no \\d/\\w/\\b shorthands, so
+# Java and RE2 agree on every match). DuckDB regexp_replace needs the
+# explicit 'g' flag (Spark's is global by default); counts =
+# len(regexp_extract_all(...)) over the progressively masked string.
+from geomesa_cassandra_tools_spark.functions.text import PII_PATTERNS
+
+_PII_MSG = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.org from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql() -> str:
+    masked = "m"
+    count_cols = []
+    for kind, pat, token in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({masked}, '{pat}')) AS n_{kind}"
+        )
+        masked = f"regexp_replace({masked}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT lang,
+         CASE WHEN doc_id % 4 = 0 THEN text ELSE {_PII_MSG} END AS m
+  FROM documents
+),
+aud AS (
+  SELECT lang, {', '.join(count_cols)}, len({masked}) AS rlen FROM inj
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ip) AS BIGINT) AS ips,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(rlen) AS BIGINT) AS redacted_chars
+FROM aud GROUP BY lang
+"""
+
+
+ORACLES["q174_pii_redaction_audit"] = _pii_sql()
+
 # q173: the partition-pruned FEED nets the same rows as a plain WHERE —
 # pruning is I/O-only (superset + exact refine), streaming adds nothing.
 ORACLES["q173_partitioned_feed_day"] = """

@@ -6057,6 +6057,52 @@ def q173_partitioned_feed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (`functions/text.redact_pii` / `pii_counts`) —
+    the standard pre-training cleaning stage: emails / IPv4s / phone
+    numbers replaced by typed placeholder tokens in one JVM
+    regexp_replace chain (map-only, codegen, no UDF), with per-kind
+    match counts audited per language slice. The synthetic corpus
+    carries no PII, so the fixture INJECTS it deterministically from
+    doc_id (3 of every 4 docs get an email + ip + phone built from
+    arithmetic on the id; the fourth stays clean to exercise zeros) —
+    the same LCG-style kernel-certification discipline as the
+    codebook/fingerprint queries: what the oracle certifies is the
+    redaction engine byte-for-byte (counts AND the total redacted
+    length), on patterns deliberately restricted to the regex subset
+    Java and RE2 evaluate identically (see PII_PATTERNS)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id")
+    injected = F.when(did % 4 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), did.cast("string"),
+            F.lit("@example.org from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+            F.lit(" or 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        )
+    )
+    audited = docs.select(
+        "lang",
+        T.pii_counts(injected).alias("c"),
+        F.length(T.redact_pii(injected)).alias("rlen"),
+    )
+    return (
+        audited.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c.email").alias("emails"),
+            F.sum("c.ip").alias("ips"),
+            F.sum("c.phone").alias("phones"),
+            F.sum("rlen").alias("redacted_chars"),
+        )
+        .select("lang", "n_docs", "emails", "ips", "phones", "redacted_chars")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6173,7 +6219,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
-    "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     # -- new this round (must be driver-certified in their first round)
     "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
@@ -6217,6 +6262,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_ivfpq_residual_topk": q171_ivfpq_residual_topk,
     "q172_partitioned_events_day": q172_partitioned_events_day,
     "q173_partitioned_feed_day": q173_partitioned_feed_day,
+    "q174_pii_redaction_audit": q174_pii_redaction_audit,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged)
@@ -6246,8 +6292,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_media_features": q29_media_features,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     # ---- end of the 50-entry verification window ----
-    # (q76/q80/q81/q33/q34 displaced for q171/q172/q173: all green in
+    # (q131/q76/q80/q81/q33/q34 displaced for q171-q174: all green in
     # earlier rounds with unchanged values -> union coverage holds)
+    "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q76_stream_session_expiry": q76_stream_session_expiry,
     "q80_stream_view_click_join": q80_stream_view_click_join,
     "q81_stream_dedup_watermark": q81_stream_dedup_watermark,

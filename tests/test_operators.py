@@ -2309,3 +2309,33 @@ def test_gram_windows_udtf_matches_jvm_builder(spark):
         .collect()
     )
     assert got == jvm and len(got) == 4
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Redaction masks IN ORDER (email first: its domain never feeds the
+    IP pattern), counts match replacements, clean text is untouched."""
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.functions import text as T
+
+    rows = [
+        (1, "mail a.b@x.io or c@d-e.org now"),
+        (2, "ip 10.1.2.3 and phone 555-123-4567"),
+        (3, "clean words only"),
+        (4, "weird user9@10.1.2.3.example.com tail 10.9.8.7"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        r["id"]: (r["red"], (r["c"]["email"], r["c"]["ip"], r["c"]["phone"]))
+        for r in df.select(
+            "id",
+            T.redact_pii(F.col("t")).alias("red"),
+            T.pii_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> or <EMAIL> now", (2, 0, 0))
+    assert got[2] == ("ip <IP> and phone <PHONE>", (0, 1, 1))
+    assert got[3] == ("clean words only", (0, 0, 0))
+    # the email eats its whole dotted domain (leftmost-first greedy in
+    # BOTH dialects), so only the standalone IP remains for the IP pass
+    assert got[4] == ("weird <EMAIL> tail <IP>", (1, 1, 0))
