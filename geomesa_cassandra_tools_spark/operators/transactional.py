@@ -2632,6 +2632,13 @@ def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:
         except FileNotFoundError:
             continue
         removed += 1
+    # hive partition dirs the reclaim emptied: sweep bottom-up; a racing
+    # writer staging into the dir makes rmdir fail non-empty — ignored,
+    # the dir is simply live again (never an error, never data touched)
+    for root, dirs, _fs in os.walk(data, topdown=False):
+        for d in dirs:
+            with contextlib.suppress(OSError):
+                os.rmdir(os.path.join(root, d))
     mdir = _manifest_dir(path)
     # only SUPERSEDED manifests (strictly older than the retention window)
     # are removed — a manifest committed concurrently AFTER this vacuum's

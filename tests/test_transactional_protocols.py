@@ -824,6 +824,39 @@ def test_battery_write_time_constraints(spark, tmp_path, protocol):
     assert tx.table_constraints(path) is None
 
 
+def test_battery_streaming_sink_into_partitioned_table(spark, tmp_path, protocol):
+    """The exactly-once streaming sink preserves a partitioned table's
+    hive layout (the self-wiring staging lookup), and vacuum sweeps
+    partition dirs a delete emptied."""
+    from geomesa_cassandra_tools_spark.streaming import sinks as ssinks
+
+    sink_tbl = str(tmp_path / "sink")
+    ddl = "k bigint, day string"
+    tx.init_table(
+        spark.createDataFrame([(0, "d1")], ddl), sink_tbl,
+        partition_by=["day"],
+    )
+    src = str(tmp_path / "files")
+    spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (3, "d2")], ddl
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    ssinks.stream_to_manifest(
+        stream, sink_tbl, "partitioned_sink",
+        checkpoint=str(tmp_path / "ckpt"), timeout_sec=120,
+    )
+    man = tx._read_manifest(sink_tbl, tx.current_version(sink_tbl))
+    assert all(f.split("/")[0].startswith("day=") for f in man["files"])
+    assert {
+        tuple(r) for r in tx.read_table(spark, sink_tbl).collect()
+    } == {(0, "d1"), (1, "d1"), (2, "d2"), (3, "d2")}
+
+    # delete the whole d2 partition, vacuum: its dir disappears
+    tx.delete_where(spark, sink_tbl, "day = 'd2'")
+    tx.vacuum(sink_tbl, keep_versions=1, grace_seconds=0)
+    assert sorted(os.listdir(os.path.join(sink_tbl, "data"))) == ["day=d1"]
+
+
 def test_battery_alter_constraints(spark, tmp_path, protocol):
     """ADD/DROP CONSTRAINT (Delta semantics): ADD validates existing
     data first (violating data refuses the ALTER, no version burned);
