@@ -57,6 +57,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _parse_date(s: str):
+    """ISO date literal for --scope typed equality (raises ValueError
+    on non-dates, letting the conversion chain fall through)."""
+    import datetime
+
+    return datetime.date.fromisoformat(s)
+
+
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="geomesa-cassandra-tools-spark",
@@ -154,6 +162,12 @@ def _parser() -> argparse.ArgumentParser:
         "--dry-run", action="store_true",
         help="vacuum: report what would be reclaimed without removing "
              "anything",
+    )
+    p.add_argument(
+        "--scope", default=None, metavar="COL=VALUE",
+        help="compact-table: OPTIMIZE ... WHERE — only files whose "
+             "recorded span matches the equality rewrite (compact one "
+             "partition of a date-partitioned table)",
     )
     p.add_argument(
         "--not-null", default=None, metavar="COL",
@@ -464,9 +478,22 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             [c.strip() for c in args.zorder_by.split(",") if c.strip()]
             if args.zorder_by else None
         )
+        where = None
+        if args.scope:
+            col, _, val = args.scope.partition("=")
+            if not col or not val:
+                parser.error("--scope takes COL=VALUE")
+            # typed equality: int, then float, then date, else string —
+            # matching how the span was recorded for common column types
+            for conv in (int, float, _parse_date, str):
+                try:
+                    where = [(col.strip(), "=", conv(val.strip()))]
+                    break
+                except ValueError:
+                    continue
         res = transactional.compact_table(
             _spark(), args.table_path, target_bytes=args.target_bytes,
-            zorder_by=zcols,
+            zorder_by=zcols, where=where,
         )
         if res.get("aborted"):
             print(f"compact aborted: {res['aborted']}", file=out)

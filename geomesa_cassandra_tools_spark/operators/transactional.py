@@ -495,11 +495,22 @@ def _stage_files(
                 if not f.endswith(".parquet"):
                     continue
                 destdir = os.path.join(_data_dir(path), *clean)
-                os.makedirs(destdir, exist_ok=True)
                 name = "/".join([*clean, f"{token}-{f}"])
-                os.rename(
-                    os.path.join(root, f), os.path.join(destdir, f"{token}-{f}")
-                )
+                # a concurrent vacuum may rmdir a just-created EMPTY hive
+                # dir between our makedirs and the rename — re-create and
+                # retry; once the rename lands the dir is non-empty and
+                # immune to the sweep
+                for attempt in (0, 1):
+                    os.makedirs(destdir, exist_ok=True)
+                    try:
+                        os.rename(
+                            os.path.join(root, f),
+                            os.path.join(destdir, f"{token}-{f}"),
+                        )
+                        break
+                    except FileNotFoundError:
+                        if attempt:
+                            raise
                 names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
         return sorted(names)

@@ -607,3 +607,30 @@ def test_cli_constraint_verbs(spark, tmp_path):
     )
     assert rc4 == 0 and "dropped at v3" in lines4[0]
     assert tx.table_constraints(table)["checks"] == {}
+
+
+def test_cli_compact_scope(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "scoped")
+    ddl = "id bigint, day string"
+    tx.init_table(
+        spark.createDataFrame([(0, "d1"), (1, "d2")], ddl).coalesce(1),
+        table, partition_by=["day"],
+    )
+    for i in range(2, 6):
+        tx.append_batch(
+            spark.createDataFrame([(i, "d1" if i % 2 == 0 else "d2")], ddl),
+            table,
+        )
+    man = tx._read_manifest(table, tx.current_version(table))
+    d2_before = {f for f in man["files"] if f.startswith("day=d2/")}
+    rc, lines = _run(
+        ["compact-table", "--table-path", table, "--scope", "day=d1"]
+    )
+    assert rc == 0 and "compacted 3 file(s) into 1" in lines[0]
+    man2 = tx._read_manifest(table, tx.current_version(table))
+    assert {f for f in man2["files"] if f.startswith("day=d2/")} == d2_before
+    assert sorted(r["id"] for r in tx.read_table(spark, table).collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
