@@ -53,6 +53,7 @@ QUERIES_UNDER_TEST = [
     "q142_bloom_decontaminate_audit",
     "q144_manifest_skipping_scan",
     "q164_pq_incremental_index",
+    "q172_partitioned_events_day",
     "q168_ivfpq_topk",
     "q169_sq8_adc_topk",
 ]
