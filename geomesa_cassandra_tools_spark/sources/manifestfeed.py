@@ -110,7 +110,10 @@ def _encode_where(where) -> str:
 
     out = []
     for col, op, val in where:
-        if isinstance(val, (list, tuple)):
+        if op == "ranges":
+            # list of (lo, hi) pairs: tag each endpoint
+            val = [[enc(lo), enc(hi)] for lo, hi in val]
+        elif isinstance(val, (list, tuple)):
             val = [enc(x) for x in val]
         else:
             val = enc(val)
@@ -131,10 +134,12 @@ def _decode_where(raw: str) -> list[tuple]:
 
     preds = []
     for col, op, val in json.loads(raw):
-        if isinstance(val, list):
-            val = tuple(dec(x) for x in val) if op == "between" else [
-                dec(x) for x in val
-            ]
+        if op == "between":
+            val = tuple(dec(x) for x in val)
+        elif op == "ranges":
+            val = [(dec(lo), dec(hi)) for lo, hi in val]
+        elif isinstance(val, list):
+            val = [dec(x) for x in val]
         else:
             val = dec(val)
         preds.append((col, op, val))
