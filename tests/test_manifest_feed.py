@@ -762,3 +762,22 @@ def test_feed_starting_timestamp_boundary_is_inclusive(spark, tmp_path, table):
         starting_timestamp=exact_ts,
     )
     assert got == [(9, "z")]
+
+
+def test_feed_where_encoding_roundtrip():
+    """Tagged-JSON predicate transport: temporal literals survive the
+    option string for every op shape, incl. nested 'ranges' pairs."""
+    import datetime
+
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 5)
+    ts = datetime.datetime(2024, 1, 3, 12, 0)
+    w = [
+        ("d", "ranges", [(d1, d2), (d2, d2)]),
+        ("ts", "between", (ts, ts)),
+        ("k", "in", [1, 2]),
+        ("s", "=", "x"),
+        ("d", "<=", d2),
+    ]
+    assert mfm._decode_where(mfm._encode_where(w)) == w
