@@ -2882,6 +2882,86 @@ WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 GROUP BY event_type
 """
 
+# q175: q58's cluster CTEs + q17's quality arithmetic; keeper =
+# (quality-bp, -doc_id) max per cluster. FLOORED basis points (no
+# half-way rounding rule crosses engines; the doubles underneath are
+# bit-identical — q17's proven contract).
+ORACLES["q175_cluster_keeper_by_quality"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_VOCAB_CTE},
+  sigs AS (
+    SELECT doc_id,
+           {_minhash_select(16)}
+    FROM sid GROUP BY doc_id
+  ),
+  bands AS (
+    {_bands_union(8, 2)}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  pair_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  verified AS (
+    SELECT doc_a, doc_b
+    FROM pair_inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.1
+  ),
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b, doc_a FROM verified
+  ),
+  reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+  ),
+  clusters AS (
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+  ),
+  qual AS (
+    SELECT doc_id,
+           CAST(floor(
+             ((least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' '))
+               + (1 - list_sum(list_transform(string_split(text, ' '),
+                     t -> CASE WHEN t IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END))
+                     / len(string_split(text, ' ')))) / 3) * 10000
+           ) AS BIGINT) AS qbp
+    FROM documents
+  ),
+  members AS (
+    SELECT c.cluster_id, c.node, q.qbp
+    FROM clusters c JOIN qual q ON q.doc_id = c.node
+  ),
+  ranked AS (
+    SELECT cluster_id, node, qbp,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY qbp DESC, node
+           ) AS rn
+    FROM members
+  )
+SELECT m.cluster_id,
+       count(*) AS n_docs,
+       max(CASE WHEN r.rn = 1 THEN r.node END) AS keeper_doc,
+       max(CASE WHEN r.rn = 1 THEN r.qbp END) AS keeper_qbp,
+       min(m.qbp) AS worst_qbp
+FROM members m
+JOIN ranked r ON r.cluster_id = m.cluster_id AND r.node = m.node
+GROUP BY m.cluster_id
+"""
+
 # q174: PII redaction replayed byte-for-byte — same injected message
 # construction, same in-order masking chain (email -> ip -> phone), same
 # dialect-portable patterns (PII_PATTERNS: no \\d/\\w/\\b shorthands, so

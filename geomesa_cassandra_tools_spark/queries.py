@@ -6103,6 +6103,57 @@ def q174_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_cluster_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision AFTER dedup clustering: which duplicate do you KEEP?
+    q58's pipeline (LSH candidates → exact-Jaccard verify → connected
+    components) picks its keeper by min-id — deterministic but blind;
+    production pipelines keep the highest-QUALITY member (Penedo 2023's
+    RefinedWeb keeps by heuristic score). Composition: the shared
+    shingle/MinHash index feeds clustering, each member scores via
+    `text.quality_score`, and the keeper is the (quality, -doc_id)
+    struct-max per cluster. Quality is compared in FLOORED basis points
+    (floor(q·10⁴) — floor, not round: no half-way tie rule crosses the
+    engine boundary; the underlying doubles are bit-identical both
+    sides, q17's contract). Plan shape: the cluster frame is small
+    (members of verified pairs only), quality is a map-side column over
+    the docs scan, one hash join + one agg — nothing new shuffles at
+    scale beyond what q58 already paid."""
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands).where(
+        F.col("jaccard") >= 0.1
+    )
+    comp = dedup.connected_components(pairs)
+    docs = load_tables(spark, sf_dir)["documents"]
+    qual = docs.select(
+        F.col("doc_id"),
+        F.floor(T.quality_score(F.col("text")) * 10000)
+        .cast("bigint")
+        .alias("qbp"),
+    )
+    members = comp.join(qual, comp["node"] == qual["doc_id"]).select(
+        "cluster_id", "node", "qbp"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(
+                F.struct(F.col("qbp"), (-F.col("node")).alias("negid"))
+            ).alias("best"),
+            F.min("qbp").alias("worst_qbp"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("best.negid")).alias("keeper_doc"),
+            F.col("best.qbp").alias("keeper_qbp"),
+            "worst_qbp",
+        )
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6219,7 +6270,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
     "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
-    "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     # -- new this round (must be driver-certified in their first round)
     "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
     "q136_prefix_family_keeper": q136_prefix_family_keeper,
@@ -6263,6 +6313,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_partitioned_events_day": q172_partitioned_events_day,
     "q173_partitioned_feed_day": q173_partitioned_feed_day,
     "q174_pii_redaction_audit": q174_pii_redaction_audit,
+    "q175_cluster_keeper_by_quality": q175_cluster_keeper_by_quality,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged)
@@ -6292,8 +6343,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_media_features": q29_media_features,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     # ---- end of the 50-entry verification window ----
-    # (q131/q76/q80/q81/q33/q34 displaced for q171-q174: all green in
-    # earlier rounds with unchanged values -> union coverage holds)
+    # (q134/q131/q76/q80/q81/q33/q34 displaced for q171-q175: all green
+    # in earlier rounds with unchanged values -> union coverage holds)
+    "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q76_stream_session_expiry": q76_stream_session_expiry,
     "q80_stream_view_click_join": q80_stream_view_click_join,
