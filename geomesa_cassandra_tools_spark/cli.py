@@ -65,6 +65,37 @@ def _parse_date(s: str):
     return datetime.date.fromisoformat(s)
 
 
+def _typed_scope_literal(table_path: str, col: str, raw: str):
+    """Resolve a --scope literal's Python type from the TABLE SCHEMA, not
+    from its spelling: a numeric-looking value on a string-typed column
+    must stay a string, or the file-skipping comparison turns mixed-type
+    (int vs str span). Unknown columns and nested types pass the raw
+    string through — `_file_survives` keeps files conservatively when a
+    literal doesn't order against a span."""
+    import datetime
+    import json as _json
+
+    from geomesa_cassandra_tools_spark.operators import transactional
+
+    t = None
+    v = transactional.current_version(table_path)
+    if v >= 0:
+        man = transactional._read_manifest(table_path, v)
+        for f in _json.loads(man["schema"])["fields"]:
+            if f["name"] == col and isinstance(f.get("type"), str):
+                t = f["type"]
+                break
+    if t in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if t in ("float", "double") or (t or "").startswith("decimal"):
+        return float(raw)
+    if t == "date":
+        return _parse_date(raw)
+    if t in ("timestamp", "timestamp_ntz"):
+        return datetime.datetime.fromisoformat(raw)
+    return raw  # string / boolean-as-text / unknown: verbatim
+
+
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="geomesa-cassandra-tools-spark",
@@ -296,6 +327,9 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         # cluster.py:232, node.py:312) — here the statement is Spark SQL
         # over the registered views instead of CQL over the wire. q53
         # certifies the passthrough semantics; this verb is its CLI face.
+        # DML verbs (INSERT/UPDATE/DELETE/MERGE) against --manifest-view
+        # names route through the transactional layer (operators/sqldml)
+        # — the CQL hatch was read-write, so is this one.
         _require(parser, args, "command-sql")
         spark = _spark()
         if args.data_dir:
@@ -333,7 +367,15 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             transactional.register_manifest_view(
                 spark, target, name=vname, version=ver
             )
-        _emit(spark.sql(args.command_sql), out)
+        from geomesa_cassandra_tools_spark.operators import sqldml
+
+        res = sqldml.execute(spark, args.command_sql)
+        if isinstance(res, dict):
+            print("key\tvalue", file=out)
+            for k, v in res.items():
+                print(f"{k}\t{v}", file=out)
+        else:
+            _emit(res, out)
         return 0
 
     if cmd == "table-exists":
@@ -483,14 +525,15 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             col, _, val = args.scope.partition("=")
             if not col or not val:
                 parser.error("--scope takes COL=VALUE")
-            # typed equality: int, then float, then date, else string —
-            # matching how the span was recorded for common column types
-            for conv in (int, float, _parse_date, str):
-                try:
-                    where = [(col.strip(), "=", conv(val.strip()))]
-                    break
-                except ValueError:
-                    continue
+            # typed equality, resolved from the table schema so the
+            # literal's Python type matches the recorded span's
+            col = col.strip()
+            try:
+                lit = _typed_scope_literal(args.table_path, col, val.strip())
+            except ValueError as e:
+                parser.error(f"--scope value {val.strip()!r} does not parse "
+                             f"as column {col!r}'s type: {e}")
+            where = [(col, "=", lit)]
         res = transactional.compact_table(
             _spark(), args.table_path, target_bytes=args.target_bytes,
             zorder_by=zcols, where=where,

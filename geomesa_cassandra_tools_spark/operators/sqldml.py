@@ -1,0 +1,382 @@
+"""SQL DML router for manifest tables: INSERT / UPDATE / DELETE / MERGE
+as *statements* against registered manifest views.
+
+`register_manifest_view` makes a manifest table SQL-*readable*; this
+module makes it SQL-*writable* — the four DML verbs are parsed and
+dispatched to the transactional primitives (`append_batch`,
+`update_where`, `delete_where`, `merge_upsert`), so a SQL user drives
+the same atomic, constraint-gated, partition-aware commit path the
+Python API does. This is the interface shape Delta users actually live
+in (``MERGE INTO`` / ``DELETE FROM`` as SQL text), re-expressed over the
+manifest layer; the reference's analogous surface is its one-statement
+CQL escape hatch (/root/reference/geomesa.py:17, node.py:312), which
+the CLI `sql` verb already mirrors for reads.
+
+Design decisions:
+
+- Statements resolve table names through `transactional._VIEW_REGISTRY`
+  (written by `register_manifest_view`). A name not registered falls
+  through to ``spark.sql`` verbatim — so SELECTs, DDL on real temp
+  views, and DML against Spark-native tables keep working through one
+  entry point. A *pinned* registration (version= / as_of= / where=) is
+  a read-only face: DML against it is refused loudly rather than
+  writing "through" a time-travel view.
+- After a successful write the view is RE-REGISTERED to the new
+  snapshot, so a follow-up SELECT through the same entry point sees the
+  write — the session behaves like a normal SQL database.
+- The parser is a deliberately small top-level scanner (quote-aware:
+  ``'...'`` with ``''`` escape, ``"..."``, backticks), not a full SQL
+  grammar. Everything INSIDE a clause (a WHERE condition, a SET
+  expression, an INSERT source query) is handed to Spark SQL untouched
+  — Spark parses the expressions, this module only finds the clause
+  boundaries. Unsupported shapes refuse loudly naming the supported
+  subset; nothing is silently misread.
+
+MERGE supports the three production shapes:
+  * ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    (the CDC upsert) -> `merge_upsert`
+  * ``WHEN NOT MATCHED THEN INSERT *`` alone (insert-if-absent) ->
+    anti-join + `append_batch`
+  * ``WHEN MATCHED THEN DELETE`` alone (key-set purge) ->
+    `delete_where(keys=...)`
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+__all__ = ["execute"]
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _quote_mask(s: str) -> list[bool]:
+    """True at positions inside a quoted region ('' escapes inside
+    single quotes; double quotes / backticks quote identifiers)."""
+    mask = [False] * len(s)
+    i, q = 0, None
+    while i < len(s):
+        c = s[i]
+        if q is not None:
+            mask[i] = True
+            if c == q:
+                if q == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 2
+                    continue
+                q = None
+            i += 1
+        else:
+            if c in ("'", '"', "`"):
+                q = c
+                mask[i] = True
+            i += 1
+    return mask
+
+
+def _find_kw(s: str, mask: list[bool], kw: str, start: int = 0):
+    """First top-level (unquoted) match of a keyword phrase; words in
+    ``kw`` are separated by arbitrary whitespace. Returns the match or
+    None."""
+    pat = r"\b" + r"\s+".join(re.escape(w) for w in kw.split()) + r"\b"
+    for m in re.finditer(pat, s, re.IGNORECASE):
+        if not mask[m.start()]:
+            return m
+    return None
+
+
+def _split_toplevel_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0 outside quotes."""
+    mask = _quote_mask(s)
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(s):
+        if mask[i]:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve(view: str) -> str:
+    """View name -> table path; refuses pinned (read-only) views and
+    unknown names (the caller falls through to spark.sql for those)."""
+    entry = tx._VIEW_REGISTRY.get(view)
+    if entry is None:
+        raise KeyError(view)
+    if entry["pinned"]:
+        raise ValueError(
+            f"view {view!r} is a pinned snapshot (version=/as_of=/where= "
+            "registration) — a time-travel face is read-only; register "
+            "the live table to write"
+        )
+    return entry["path"]
+
+
+def _table_schema(path: str):
+    from pyspark.sql.types import StructType
+    import json
+
+    man = tx._read_manifest(path, tx.current_version(path))
+    return StructType.fromJson(json.loads(man["schema"]))
+
+
+def _align_to_schema(batch: DataFrame, schema, what: str) -> DataFrame:
+    """Project a source frame to the table schema: columns matched BY
+    NAME, cast to the table's types, missing nullable columns
+    null-filled (standard INSERT column-list semantics), extra columns
+    refused loudly."""
+    extra = set(batch.columns) - {f.name for f in schema.fields}
+    if extra:
+        raise ValueError(
+            f"{what} carries column(s) {sorted(extra)} the table lacks; "
+            "the DML router never evolves schema — use "
+            "append_batch(merge_schema=True) for evolution"
+        )
+    cols = []
+    for f in schema.fields:
+        if f.name in batch.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return batch.select(*cols)
+
+
+def _repoint(spark: SparkSession, view: str, path: str) -> None:
+    tx.register_manifest_view(spark, path, name=view)
+
+
+def execute(spark: SparkSession, statement: str):
+    """Execute one SQL statement. DML verbs (INSERT INTO / DELETE FROM /
+    UPDATE / MERGE INTO) whose target is a live registered manifest view
+    dispatch to the transactional layer and return a stats dict;
+    everything else returns ``spark.sql(statement)``'s DataFrame."""
+    s = statement.strip().rstrip(";").strip()
+    mask = _quote_mask(s)
+
+    m = re.match(
+        rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and not mask[0]:
+        view, _, collist, query = m.groups()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        q = query.strip()
+        if not re.match(r"(VALUES|SELECT|TABLE|WITH|FROM|\()", q, re.IGNORECASE):
+            raise ValueError(
+                f"INSERT INTO {view}: source must be VALUES/SELECT/TABLE/"
+                f"WITH, got {q[:40]!r}"
+            )
+        batch = spark.sql(q)
+        if collist is not None:
+            names = [c.strip().strip('`"') for c in collist.split(",")]
+            if len(names) != len(batch.columns):
+                raise ValueError(
+                    f"INSERT column list names {len(names)} column(s) but "
+                    f"the source produces {len(batch.columns)}"
+                )
+            batch = batch.toDF(*names)
+        else:
+            schema = _table_schema(path)
+            if len(batch.columns) != len(schema.fields):
+                raise ValueError(
+                    f"INSERT without a column list must provide all "
+                    f"{len(schema.fields)} table column(s); the source "
+                    f"produces {len(batch.columns)} — name the columns"
+                )
+            batch = batch.toDF(*(f.name for f in schema.fields))
+        batch = _align_to_schema(batch, _table_schema(path), "INSERT source")
+        v = tx.append_batch(batch, path)
+        _repoint(spark, view, path)
+        return {"op": "insert", "table": view, "version": v}
+
+    m = re.match(rf"DELETE\s+FROM\s+({_IDENT})\s*(.*)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m and not mask[0]:
+        view, rest = m.group(1), m.group(2).strip()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        if rest:
+            wm = re.match(r"WHERE\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+            if not wm:
+                raise ValueError(
+                    f"DELETE FROM {view}: expected WHERE <condition>, got "
+                    f"{rest[:40]!r}"
+                )
+            res = tx.delete_where(spark, path, wm.group(1).strip())
+        else:
+            # DELETE without WHERE removes every row — the metadata-only
+            # truncate, not a full rewrite of files about to be dropped
+            res = {"version": tx.truncate_table(path), "files_rewritten": 0}
+        _repoint(spark, view, path)
+        return {"op": "delete", "table": view, **res}
+
+    m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+(.+)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m and not mask[0]:
+        view, rest = m.group(1), m.group(2)
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        rmask = _quote_mask(rest)
+        wm = _find_kw(rest, rmask, "WHERE")
+        if wm is not None:
+            set_part, cond = rest[: wm.start()], rest[wm.end():].strip()
+        else:
+            set_part, cond = rest, None
+        assignments = {}
+        for a in _split_toplevel_commas(set_part):
+            am = re.match(rf"({_IDENT})\s*=\s*(.+)$", a.strip(), re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"UPDATE {view}: cannot parse assignment {a!r} "
+                    "(expected col = <expression>)"
+                )
+            col = am.group(1)
+            if col in assignments:
+                raise ValueError(f"UPDATE {view}: column {col!r} assigned twice")
+            assignments[col] = am.group(2).strip()
+        res = tx.update_where(spark, path, assignments, cond)
+        _repoint(spark, view, path)
+        return {"op": "update", "table": view, **res}
+
+    m = re.match(
+        rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
+        rf"\s+USING\s+", s, re.IGNORECASE,
+    )
+    if m and not mask[0]:
+        return _merge(spark, s, mask, m)
+
+    return spark.sql(statement)
+
+
+def _merge(spark: SparkSession, s: str, mask: list[bool], head):
+    """MERGE INTO tgt [AS t] USING (src | (subquery)) [AS s]
+    ON <equi-conjunction> WHEN ... — the three supported clause shapes
+    are documented in the module docstring."""
+    view = head.group(1)
+    tgt_alias = head.group(2) or head.group(3) or view
+    try:
+        path = _resolve(view)
+    except KeyError:
+        return spark.sql(s)
+    rest = s[head.end():]
+    rmask = _quote_mask(rest)
+
+    # source: bare identifier or parenthesized subquery
+    if rest.lstrip().startswith("("):
+        start = rest.index("(")
+        depth, i = 0, start
+        while i < len(rest):
+            if not rmask[i]:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i += 1
+        if depth != 0:
+            raise ValueError("MERGE: unbalanced parens in USING subquery")
+        src_sql = rest[start + 1:i]
+        src_df = spark.sql(src_sql)
+        after = rest[i + 1:]
+        src_alias = None
+    else:
+        sm = re.match(rf"\s*({_IDENT})", rest)
+        if not sm:
+            raise ValueError("MERGE: cannot parse USING source")
+        src_df = spark.table(sm.group(1))
+        src_alias = sm.group(1)
+        after = rest[sm.end():]
+    am = re.match(rf"\s+(?:AS\s+)?({_IDENT})\s+(?=ON\b)", after,
+                  re.IGNORECASE)
+    if am:
+        src_alias = am.group(1)
+        after = after[am.end():]
+    if src_alias is None:
+        raise ValueError("MERGE: a USING (subquery) needs an alias")
+
+    amask = _quote_mask(after)
+    om = _find_kw(after, amask, "ON")
+    wm = _find_kw(after, amask, "WHEN")
+    if om is None or wm is None or om.start() > wm.start():
+        raise ValueError("MERGE: expected ON <condition> WHEN ...")
+    on_sql = after[om.end():wm.start()].strip()
+    clauses_sql = after[wm.start():].strip()
+
+    # the ON condition must be an equi-conjunction naming both aliases —
+    # that's what keys a manifest merge (and what makes it a shuffle
+    # join, not a cross product, at 100 TB)
+    key_cols = []
+    for term in re.split(r"\bAND\b", on_sql, flags=re.IGNORECASE):
+        tm = re.match(
+            rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+            term,
+        )
+        if not tm:
+            raise ValueError(
+                f"MERGE ON: supported terms are t.col = s.col ANDed; got "
+                f"{term.strip()!r}"
+            )
+        a1, c1, a2, c2 = tm.groups()
+        if {a1, a2} != {tgt_alias, src_alias}:
+            raise ValueError(
+                f"MERGE ON term {term.strip()!r} must reference both "
+                f"{tgt_alias!r} and {src_alias!r}"
+            )
+        tcol = c1 if a1 == tgt_alias else c2
+        scol = c2 if a1 == tgt_alias else c1
+        key_cols.append((tcol, scol))
+
+    # rename source key columns to the target's names, then align
+    for tcol, scol in key_cols:
+        if scol != tcol:
+            if tcol in src_df.columns:
+                src_df = src_df.drop(tcol)
+            src_df = src_df.withColumnRenamed(scol, tcol)
+    keys = [t for t, _ in key_cols]
+
+    c = re.sub(r"\s+", " ", clauses_sql).strip().upper().rstrip(";").strip()
+    upsert = "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    insert_only = "WHEN NOT MATCHED THEN INSERT *"
+    delete_only = "WHEN MATCHED THEN DELETE"
+    schema = _table_schema(path)
+    if c == upsert:
+        batch = _align_to_schema(src_df, schema, "MERGE source")
+        res = tx.merge_upsert(spark, path, batch, keys)
+        _repoint(spark, view, path)
+        return {"op": "merge_upsert", "table": view, **(res or {})}
+    if c == insert_only:
+        batch = _align_to_schema(src_df, schema, "MERGE source")
+        existing = tx.read_table(spark, path).select(*keys)
+        fresh = batch.join(existing, keys, "left_anti")
+        v = tx.append_batch(fresh, path)
+        _repoint(spark, view, path)
+        return {"op": "merge_insert_only", "table": view, "version": v}
+    if c == delete_only:
+        res = tx.delete_where(
+            spark, path, keys=src_df.select(*keys), key_cols=keys
+        )
+        _repoint(spark, view, path)
+        return {"op": "merge_delete", "table": view, **res}
+    raise ValueError(
+        "MERGE clause shape not supported; use one of: "
+        f"{upsert!r} | {insert_only!r} | {delete_only!r}"
+    )

@@ -707,32 +707,40 @@ def _file_survives(col_stats: dict | None, pred: tuple) -> bool:
         v_lo, v_hi = _norm_literal(v, kind, "lo"), _norm_literal(v, kind, "hi")
         return v_lo is None or v_hi is None or (lo <= v_hi and v_lo <= hi)
 
-    if op in ("=", "=="):
-        return interval_hits(val)
-    if op == "<":
-        v = _norm_literal(val, kind, "hi")  # vs lower bound: round UP
-        return v is None or lo < v
-    if op == "<=":
-        v = _norm_literal(val, kind, "hi")
-        return v is None or lo <= v
-    if op == ">":
-        v = _norm_literal(val, kind, "lo")  # vs upper bound: round DOWN
-        return v is None or hi > v
-    if op == ">=":
-        v = _norm_literal(val, kind, "lo")
-        return v is None or hi >= v
-    if op == "between":
-        a, b = _norm_literal(val[0], kind, "lo"), _norm_literal(val[1], kind, "hi")
-        return a is None or b is None or (hi >= a and lo <= b)
-    if op == "in":
-        return any(interval_hits(v) for v in val)
-    if op == "ranges":
-        return any(
-            _norm_literal(a, kind, "lo") is None
-            or _norm_literal(b, kind, "hi") is None
-            or (hi >= _norm_literal(a, kind, "lo") and lo <= _norm_literal(b, kind, "hi"))
-            for a, b in val
-        )
+    try:
+        if op in ("=", "=="):
+            return interval_hits(val)
+        if op == "<":
+            v = _norm_literal(val, kind, "hi")  # vs lower bound: round UP
+            return v is None or lo < v
+        if op == "<=":
+            v = _norm_literal(val, kind, "hi")
+            return v is None or lo <= v
+        if op == ">":
+            v = _norm_literal(val, kind, "lo")  # vs upper bound: round DOWN
+            return v is None or hi > v
+        if op == ">=":
+            v = _norm_literal(val, kind, "lo")
+            return v is None or hi >= v
+        if op == "between":
+            a, b = _norm_literal(val[0], kind, "lo"), _norm_literal(val[1], kind, "hi")
+            return a is None or b is None or (hi >= a and lo <= b)
+        if op == "in":
+            return any(interval_hits(v) for v in val)
+        if op == "ranges":
+            return any(
+                _norm_literal(a, kind, "lo") is None
+                or _norm_literal(b, kind, "hi") is None
+                or (hi >= _norm_literal(a, kind, "lo") and lo <= _norm_literal(b, kind, "hi"))
+                for a, b in val
+            )
+    except TypeError:
+        # a literal whose Python type doesn't order against the stored
+        # span (e.g. an int literal against a string column's span, from
+        # an untyped caller like the CLI): undecidable -> keep the file,
+        # the same conservative-superset rule as missing stats — the
+        # row-level refine filter on top keeps results exact
+        return True
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
@@ -811,6 +819,21 @@ def _enforce_constraints(df: DataFrame, constraints: dict | None, path: str):
         )
         labels.append(f"NOT NULL {c}")
     for name, expr in (constraints.get("checks") or {}).items():
+        # pre-screen: a CHECK referencing a column the batch omits (legal
+        # under merge_schema evolution — it would null-backfill) must be
+        # a loud ConstraintViolation naming the constraint, not an
+        # unresolved-column AnalysisException from the aggregate below.
+        # The select is analysis-only — no job runs.
+        try:
+            df.select(F.expr(expr))
+        except Exception as e:
+            raise ConstraintViolation(
+                f"batch for {path!r} cannot evaluate CHECK {name} ({expr}) "
+                f"— a referenced column is missing from the batch "
+                f"(evolution would null-backfill it, leaving the check "
+                f"unverifiable at write time) — refused "
+                f"[{e.__class__.__name__}]"
+            ) from None
         aggs.append(
             F.sum(
                 F.when(F.expr(expr) == F.lit(False), 1).otherwise(0)
@@ -1219,13 +1242,19 @@ def append_batch(
         # version and store a zero-row file per source hiccup; skipping is
         # replay-safe (a replayed empty batch is equally a no-op)
         return None
-    # write-time constraints gate ONCE, before any staging: constraints
-    # are immutable after init, so the one read outside the retry loop is
-    # race-free; a refused batch burns no version and stages no file.
+    # write-time constraints gate BEFORE any staging: a refused batch
+    # burns no version and stages no file. Constraints are MUTABLE
+    # (ALTER TABLE ADD CONSTRAINT), so the set validated here is
+    # remembered and the retry loop re-runs the gate whenever the
+    # resolved manifest carries a DIFFERENT set — otherwise a constraint
+    # added between this read and our publish would let the retry
+    # re-commit an already-staged violating batch past the gate.
     # The partition-column check rides the same read: a batch missing a
     # partition column would stage FLAT and silently degrade the hive
     # layout (evolution would null-backfill the value) — refuse loudly,
     # Delta's rule.
+    _UNCHECKED = object()
+    validated_cons = _UNCHECKED  # sentinel: no gate has run yet
     _v0 = current_version(path)
     if _v0 >= 0:
         try:
@@ -1243,6 +1272,7 @@ def append_batch(
                     "of the table layout and every batch must carry them"
                 )
             _enforce_constraints(df, _man0.get("constraints"), path)
+            validated_cons = _man0.get("constraints")
     staged: list[str] | None = None  # staged lazily, exactly once
     staged_stats: dict[str, dict] | None = None  # footer stats, read once
     for _ in range(max_commit_retries):
@@ -1263,6 +1293,15 @@ def append_batch(
             # swept the version we resolved — re-read the new current
             # version (vacuum() guards the same race on its side)
             continue
+        if validated_cons is _UNCHECKED or man.get("constraints") != validated_cons:
+            # the constraint set changed under us (ADD/DROP CONSTRAINT
+            # raced this append), or this attempt follows the v0-race
+            # path where another writer created the table and we never
+            # read its constraints: re-run the gate against the winner's
+            # set before (re)committing. Cheap dict compare per attempt;
+            # the aggregate pass only re-runs on actual change.
+            _enforce_constraints(df, man.get("constraints"), path)
+            validated_cons = man.get("constraints")
         if merge_schema:
             # evolution is validated (and re-merged) per attempt: a racing
             # append may itself have evolved the schema we merge into
@@ -1604,7 +1643,20 @@ def register_manifest_view(
             name = "t_" + name
     df = read_table(spark, path, version=version, where=where, as_of=as_of)
     df.createOrReplaceTempView(name)
+    # record the binding so the SQL DML router (operators/sqldml.py) can
+    # resolve INSERT/UPDATE/DELETE/MERGE statements against this view to
+    # the underlying table path. Pinned registrations (version / as_of /
+    # where) are read-only faces — DML against them is refused there.
+    _VIEW_REGISTRY[name] = {
+        "path": path,
+        "pinned": version is not None or as_of is not None or where is not None,
+    }
     return name
+
+
+#: view name -> {"path": table path, "pinned": bool}; written by
+#: `register_manifest_view`, read by the SQL DML router.
+_VIEW_REGISTRY: dict[str, dict] = {}
 
 
 def delete_where(
@@ -1756,6 +1808,101 @@ def delete_where(
         path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
         add=new_files, remove=sorted(hit_names), add_stats=new_stats,
         op="delete",
+    )
+    return {
+        "version": version + 1,
+        "files_rewritten": len(hit_names),
+        "files_carried": len(carried),
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, "str | Column"],
+    condition: "Column | str | None" = None,
+) -> dict:
+    """Transactional ``UPDATE <path> SET col = expr, ... [WHERE cond]``
+    (Delta's UPDATE): only files CONTAINING matched rows are rewritten —
+    each matched row gets every assignment applied (expressions evaluate
+    against the row's OLD values, SQL semantics, so ``SET a = b, b = a``
+    swaps); unmatched rows in those files carry through the rewrite
+    verbatim; untouched files carry by reference. ``condition=None``
+    updates every row. FALSE and NULL condition rows are untouched.
+
+    Assignments cast to the column's EXISTING type (Delta's rule: an
+    UPDATE never changes the table schema). Write-time constraints gate
+    the rewritten frame before staging — an UPDATE that would break a
+    CHECK/NOT NULL refuses loudly, no version burned. Assigning a
+    PARTITION column is legal: the staged rewrite re-buckets rows into
+    their new ``col=value`` directories (the hive layout is self-wired
+    in `_stage_files`), so rows move partitions atomically with the
+    commit. Zero matched rows -> no version burned, same contract as
+    `delete_where`."""
+    if not assignments:
+        raise ValueError("update_where needs at least one SET assignment")
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    man = _read_manifest(path, version)
+    if not man["files"]:
+        return {"version": version, "files_rewritten": 0, "files_carried": 0}
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    by_name = {f.name: f for f in schema.fields}
+    for col in assignments:
+        if col in _RESERVED_META_COLS:
+            raise ValueError(f"cannot assign reserved metadata column {col!r}")
+        if col not in by_name:
+            raise ValueError(
+                f"UPDATE assigns unknown column {col!r}; table columns are "
+                f"{sorted(by_name)}"
+            )
+    cond = (
+        F.lit(True) if condition is None
+        else F.expr(condition) if isinstance(condition, str) else condition
+    )
+    matched = F.coalesce(cond, F.lit(False))  # NULL rows stay untouched
+    df = _scan_live_rows(spark, path, man, man["files"], schema, keep_meta=True)
+    hits = df.where(matched).select("__file").distinct().collect()
+    hit_names = {r["__file"] for r in hits}
+    if not hit_names:
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_carried": len(man["files"]),
+        }
+    carried = [f for f in man["files"] if f not in hit_names]
+    hit_rows = _scan_live_rows(spark, path, man, sorted(hit_names), schema)
+    # one projection applies every assignment simultaneously against the
+    # old row (all when() branches read the SOURCE columns)
+    out = hit_rows.select(
+        *(
+            F.when(
+                matched,
+                (
+                    F.expr(a) if isinstance((a := assignments[f.name]), str)
+                    else a
+                ).cast(f.dataType),
+            ).otherwise(F.col(f.name)).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        )
+    )
+    # the rewritten frame (updated + carried-through rows of hit files)
+    # must satisfy the table's invariants — same gate as append/merge
+    _enforce_constraints(out, man.get("constraints"), path)
+    new_files = _stage_files(out, path)
+    stats_cols = man.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(path, new_files, stats_cols) if stats_cols else None
+    )
+    _commit(
+        path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
+        add=new_files, remove=sorted(hit_names), add_stats=new_stats,
+        op="update",
     )
     return {
         "version": version + 1,

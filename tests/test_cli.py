@@ -634,3 +634,65 @@ def test_cli_compact_scope(spark, tmp_path):
     assert sorted(r["id"] for r in tx.read_table(spark, table).collect()) == [
         0, 1, 2, 3, 4, 5,
     ]
+
+
+def test_cli_compact_scope_numeric_string_partition(spark, tmp_path):
+    """r9-ADVICE regression: --scope COL=VALUE resolves the literal's type
+    from the TABLE SCHEMA — a numeric-looking value on a string-typed
+    partition column stays a string and prunes correctly, instead of
+    producing a mixed-type predicate that crashed planning with
+    TypeError."""
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "scoped_num")
+    ddl = "id bigint, shard string"
+    tx.init_table(
+        spark.createDataFrame([(0, "7"), (1, "8")], ddl).coalesce(1),
+        table, partition_by=["shard"],
+    )
+    for i in range(2, 6):
+        tx.append_batch(
+            spark.createDataFrame([(i, "7" if i % 2 == 0 else "8")], ddl),
+            table,
+        )
+    man = tx._read_manifest(table, tx.current_version(table))
+    s8_before = {f for f in man["files"] if f.startswith("shard=8/")}
+    rc, lines = _run(
+        ["compact-table", "--table-path", table, "--scope", "shard=7"]
+    )
+    assert rc == 0 and "compacted 3 file(s) into 1" in lines[0]
+    man2 = tx._read_manifest(table, tx.current_version(table))
+    assert {f for f in man2["files"] if f.startswith("shard=8/")} == s8_before
+    assert sorted(r["id"] for r in tx.read_table(spark, table).collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
+
+
+def test_cli_sql_dml_roundtrip(spark, tmp_path):
+    """The sql verb is read-WRITE now (r9 VERDICT #1): DML statements
+    against --manifest-view names dispatch to the transactional layer;
+    a follow-up SELECT through the same verb sees the write."""
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "k bigint, s string"), table
+    )
+    rc, lines = _run([
+        "sql", "--manifest-view", f"acct_cli={table}",
+        "--command-sql", "INSERT INTO acct_cli VALUES (2, 'b')",
+    ])
+    assert rc == 0
+    assert any("insert" in ln for ln in lines)
+    rc, lines = _run([
+        "sql", "--manifest-view", f"acct_cli={table}",
+        "--command-sql", "UPDATE acct_cli SET s = upper(s) WHERE k = 2",
+    ])
+    assert rc == 0 and any("update" in ln for ln in lines)
+    rc, lines = _run([
+        "sql", "--manifest-view", f"acct_cli={table}",
+        "--command-sql", "SELECT k, s FROM acct_cli ORDER BY k",
+    ])
+    assert rc == 0
+    assert any("2\tB" in ln for ln in lines)
+    assert tx.current_version(table) == 2

@@ -1,0 +1,219 @@
+"""SQL DML router (operators/sqldml): INSERT / UPDATE / DELETE / MERGE
+statements against registered manifest views dispatch to the
+transactional verbs — one entry point for reads AND writes, views
+repointed after every write so the session behaves like a SQL database.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geomesa_cassandra_tools_spark.operators import sqldml
+from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+
+def _mk(spark, tmp_path, name="acct", **init_kw):
+    path = str(tmp_path / name)
+    ddl = "k bigint, s string, price double"
+    tx.init_table(
+        spark.createDataFrame([(1, "a", 10.0)], ddl), path, **init_kw
+    )
+    tx.register_manifest_view(spark, path, name=name)
+    return path
+
+
+def test_insert_values_and_select_roundtrip(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    res = sqldml.execute(
+        spark, "INSERT INTO acct VALUES (2, 'b', 20.0), (3, 'c', 30.0)"
+    )
+    assert res["op"] == "insert" and res["version"] == 1
+    # the view was repointed: a plain SELECT sees the write
+    got = sqldml.execute(spark, "SELECT count(*) AS n FROM acct").collect()
+    assert got[0]["n"] == 3
+    assert tx.current_version(path) == 1
+
+
+def test_insert_column_list_null_fills_and_casts(spark, tmp_path):
+    _mk(spark, tmp_path)
+    sqldml.execute(spark, "INSERT INTO acct (price, k) VALUES (5, 9)")
+    row = [
+        r for r in sqldml.execute(spark, "SELECT * FROM acct").collect()
+        if r["k"] == 9
+    ][0]
+    assert row["s"] is None and row["price"] == 5.0  # int literal cast
+
+
+def test_insert_select_source(spark, tmp_path):
+    _mk(spark, tmp_path)
+    spark.createDataFrame([(4, "d", 1.0)], "k bigint, s string, price double"
+                          ).createOrReplaceTempView("stage_src")
+    sqldml.execute(spark, "INSERT INTO acct SELECT * FROM stage_src")
+    assert sqldml.execute(spark, "SELECT * FROM acct").count() == 2
+
+
+def test_insert_without_column_list_requires_all_columns(spark, tmp_path):
+    _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="all 3 table column"):
+        sqldml.execute(spark, "INSERT INTO acct VALUES (2, 'b')")
+
+
+def test_update_and_delete_where(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    sqldml.execute(spark, "INSERT INTO acct VALUES (2, 'b', 20.0)")
+    res = sqldml.execute(
+        spark, "UPDATE acct SET price = price * 2, s = upper(s) WHERE k = 2"
+    )
+    assert res["op"] == "update" and res["files_rewritten"] == 1
+    res = sqldml.execute(spark, "DELETE FROM acct WHERE k = 1")
+    assert res["op"] == "delete"
+    got = [tuple(r) for r in sqldml.execute(spark, "SELECT * FROM acct").collect()]
+    assert got == [(2, "B", 40.0)]
+    # DELETE without WHERE is the metadata-only truncate
+    sqldml.execute(spark, "DELETE FROM acct")
+    assert sqldml.execute(spark, "SELECT * FROM acct").count() == 0
+    assert tx.current_version(path) == 4
+
+
+def test_update_where_clause_inside_string_literal_not_split(spark, tmp_path):
+    """The clause scanner is quote-aware: a ' WHERE ' inside a string
+    literal is data, not a clause boundary."""
+    _mk(spark, tmp_path)
+    sqldml.execute(spark, "UPDATE acct SET s = 'a WHERE b' WHERE k = 1")
+    got = sqldml.execute(spark, "SELECT s FROM acct").collect()
+    assert got[0]["s"] == "a WHERE b"
+
+
+def test_merge_upsert_insert_only_and_delete(spark, tmp_path):
+    _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, "A1", 99.0), (7, "g", 7.0)], "k bigint, s string, price double"
+    ).createOrReplaceTempView("stage")
+    res = sqldml.execute(
+        spark,
+        "MERGE INTO acct t USING stage s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert res["op"] == "merge_upsert"
+    got = sorted(
+        tuple(r) for r in sqldml.execute(spark, "SELECT * FROM acct").collect()
+    )
+    assert got == [(1, "A1", 99.0), (7, "g", 7.0)]
+
+    # insert-only: existing key 7 skipped, new key 8 lands
+    spark.createDataFrame(
+        [(7, "dup", 0.0), (8, "h", 8.0)], "k bigint, s string, price double"
+    ).createOrReplaceTempView("stage2")
+    res = sqldml.execute(
+        spark,
+        "MERGE INTO acct t USING stage2 s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert res["op"] == "merge_insert_only"
+    got = sorted(
+        r["k"] for r in sqldml.execute(spark, "SELECT * FROM acct").collect()
+    )
+    assert got == [1, 7, 8]
+    assert [
+        r["s"] for r in sqldml.execute(
+            spark, "SELECT s FROM acct WHERE k = 7"
+        ).collect()
+    ] == ["g"]  # not overwritten
+
+    # delete: purge the staged keys
+    res = sqldml.execute(
+        spark,
+        "MERGE INTO acct t USING stage2 s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert res["op"] == "merge_delete"
+    assert sorted(
+        r["k"] for r in sqldml.execute(spark, "SELECT * FROM acct").collect()
+    ) == [1]
+
+
+def test_merge_subquery_source_and_key_rename(spark, tmp_path):
+    """USING (subquery) AS alias; ON columns with DIFFERENT names rename
+    the source key to the target's."""
+    _mk(spark, tmp_path)
+    res = sqldml.execute(
+        spark,
+        "MERGE INTO acct AS t USING "
+        "(SELECT 1 AS kk, 'via_sub' AS s, 0.5 AS price) AS src "
+        "ON t.k = src.kk "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert res["op"] == "merge_upsert"
+    got = [tuple(r) for r in sqldml.execute(spark, "SELECT * FROM acct").collect()]
+    assert got == [(1, "via_sub", 0.5)]
+
+
+def test_merge_unsupported_clause_named_loudly(spark, tmp_path):
+    _mk(spark, tmp_path)
+    spark.createDataFrame([(1,)], "k bigint").createOrReplaceTempView("s1")
+    with pytest.raises(ValueError, match="clause shape not supported"):
+        sqldml.execute(
+            spark,
+            "MERGE INTO acct t USING s1 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET price = 0",
+        )
+    with pytest.raises(ValueError, match="supported terms"):
+        sqldml.execute(
+            spark,
+            "MERGE INTO acct t USING s1 s ON t.k > s.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_constraints_gate_sql_writes(spark, tmp_path):
+    path = _mk(spark, tmp_path, not_null=["s"],
+               check_constraints={"price_pos": "price > 0"})
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL s"):
+        sqldml.execute(spark, "INSERT INTO acct VALUES (2, NULL, 1.0)")
+    with pytest.raises(tx.ConstraintViolation, match="price_pos"):
+        sqldml.execute(spark, "UPDATE acct SET price = -1 WHERE k = 1")
+    assert tx.current_version(path) == 0  # nothing burned
+
+
+def test_partitioned_layout_preserved_by_sql_dml(spark, tmp_path):
+    path = str(tmp_path / "events")
+    ddl = "id bigint, day string"
+    tx.init_table(
+        spark.createDataFrame([(1, "d1"), (2, "d2")], ddl), path,
+        partition_by=["day"],
+    )
+    tx.register_manifest_view(spark, path, name="events")
+    sqldml.execute(spark, "INSERT INTO events VALUES (3, 'd1')")
+    sqldml.execute(spark, "UPDATE events SET day = 'd3' WHERE id = 2")
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert all(f.split("/")[0].startswith("day=") for f in man["files"])
+    assert {f.split("/")[0] for f in man["files"]} == {"day=d1", "day=d3"}
+
+
+def test_pinned_view_is_readonly(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.register_manifest_view(spark, path, name="acct_v0", version=0)
+    with pytest.raises(ValueError, match="read-only"):
+        sqldml.execute(spark, "DELETE FROM acct_v0")
+    # but SELECT through it still works
+    assert sqldml.execute(spark, "SELECT * FROM acct_v0").count() == 1
+
+
+def test_unregistered_names_pass_through_to_spark(spark, tmp_path):
+    spark.createDataFrame([(1,)], "x bigint").createOrReplaceTempView(
+        "plain_view"
+    )
+    got = sqldml.execute(spark, "SELECT x + 1 AS y FROM plain_view").collect()
+    assert got[0]["y"] == 2
+
+
+def test_exactly_once_history_ops(spark, tmp_path):
+    """The SQL verbs land as ordinary manifest commits: history records
+    them and time travel crosses them."""
+    path = _mk(spark, tmp_path)
+    sqldml.execute(spark, "INSERT INTO acct VALUES (2, 'b', 2.0)")
+    sqldml.execute(spark, "UPDATE acct SET price = 0 WHERE k = 2")
+    sqldml.execute(spark, "DELETE FROM acct WHERE k = 1")
+    ops = [h["op"] for h in tx.table_history(path)]
+    assert ops[-3:] == ["append", "update", "delete"]
+    assert tx.read_table(spark, path, version=1).count() == 2

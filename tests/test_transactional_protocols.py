@@ -2089,3 +2089,195 @@ def test_timestamp_as_of(spark, tmp_path, protocol):
     # view face
     tx.register_manifest_view(spark, path, name="asof_v", as_of=t_between)
     assert spark.sql("SELECT count(*) AS n FROM asof_v").collect()[0]["n"] == 1
+
+
+def test_battery_append_retry_reenforces_added_constraint(
+    spark, tmp_path, protocol, monkeypatch
+):
+    """r9-ADVICE regression (medium): constraints are MUTABLE now (ALTER
+    TABLE ADD CONSTRAINT), so an append's one-shot pre-staging gate is not
+    enough — an ADD CONSTRAINT committing between the append's constraint
+    read and its publish forces the append into its CommitConflict retry,
+    and the retry must re-check the batch against the WINNER's constraint
+    set instead of re-committing the already-staged violating batch."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, price double"
+    tx.init_table(spark.createDataFrame([(1, 10.0)], ddl), path)
+
+    real_commit = tx._commit
+    fired = {"done": False}
+
+    def commit_with_racing_alter(p, version, *a, **kw):
+        if kw.get("op") == "append" and not fired["done"]:
+            fired["done"] = True
+            # the race: ADD CONSTRAINT lands after the append validated
+            # (no constraints then) but before its publish
+            tx.add_table_constraint(
+                spark, p, check_name="price_positive", check_expr="price > 0"
+            )
+        return real_commit(p, version, *a, **kw)
+
+    monkeypatch.setattr(tx, "_commit", commit_with_racing_alter)
+    with pytest.raises(tx.ConstraintViolation, match="price_positive"):
+        tx.append_batch(spark.createDataFrame([(2, -5.0)], ddl), path)
+    monkeypatch.undo()
+
+    # only the ALTER committed; the violating batch never landed
+    assert tx.current_version(path) == 1
+    assert tx.read_table(spark, path).count() == 1
+    # a clean batch flows under the new constraint
+    assert tx.append_batch(spark.createDataFrame([(2, 5.0)], ddl), path) == 2
+
+
+def test_battery_append_v0_race_reads_winner_constraints(
+    spark, tmp_path, protocol, monkeypatch
+):
+    """r9-ADVICE regression (medium, second path): an append that loses
+    the CREATE-TABLE race ('another writer created the table — append to
+    it') must read the WINNER's constraints before appending, not skip
+    the gate because the table didn't exist at its own pre-read."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, price double"
+    real_commit = tx._commit
+    fired = {"done": False}
+
+    def commit_with_racing_create(p, version, *a, **kw):
+        if kw.get("op") == "append" and version == 0 and not fired["done"]:
+            fired["done"] = True
+            tx.init_table(
+                spark.createDataFrame([(1, 10.0)], ddl), p,
+                check_constraints={"price_positive": "price > 0"},
+            )
+        return real_commit(p, version, *a, **kw)
+
+    monkeypatch.setattr(tx, "_commit", commit_with_racing_create)
+    with pytest.raises(tx.ConstraintViolation, match="price_positive"):
+        tx.append_batch(spark.createDataFrame([(2, -5.0)], ddl), path)
+    monkeypatch.undo()
+    assert tx.read_table(spark, path).count() == 1  # the winner's row only
+
+
+def test_battery_check_on_omitted_column_is_named_violation(
+    spark, tmp_path, protocol
+):
+    """r9-ADVICE regression (low): under merge_schema evolution a batch
+    may legally omit a table column — but a CHECK referencing it must
+    refuse the batch as a ConstraintViolation NAMING the constraint, not
+    leak an unresolved-column AnalysisException from the aggregate gate."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "k bigint, s string, price double"
+        ),
+        path,
+        check_constraints={"price_positive": "price > 0"},
+    )
+    with pytest.raises(tx.ConstraintViolation, match="price_positive"):
+        tx.append_batch(
+            spark.createDataFrame([(2, "b")], "k bigint, s string"),
+            path, merge_schema=True,
+        )
+    assert tx.current_version(path) == 0  # no version burned
+
+
+def test_file_survives_mixed_type_literal_keeps_file():
+    """r9-ADVICE regression (low): a literal whose Python type doesn't
+    order against the stored span (int literal vs string span) keeps the
+    file conservatively instead of raising TypeError mid-planning."""
+    stats = {"day": ["d1", "d9"]}
+    for op, val in [
+        ("=", 7), ("<", 7), ("<=", 7), (">", 7), (">=", 7),
+        ("between", (1, 9)), ("in", [1, 2]), ("ranges", [(1, 9)]),
+    ]:
+        assert tx._file_survives(stats, ("day", op, val)) is True
+    # typed predicates still prune exactly
+    assert tx._file_survives(stats, ("day", "=", "d5")) is True
+    assert tx._file_survives(stats, ("day", "=", "x0")) is False
+
+
+def test_battery_update_where(spark, tmp_path, protocol):
+    """Transactional UPDATE (r9 VERDICT #1 substrate): only hit files
+    rewritten, assignments see OLD values (swap works), casts to the
+    column's existing type, zero matches burns no version, constraints
+    gate the rewrite, and assigning a PARTITION column moves rows to
+    their new hive directory atomically."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, a bigint, b bigint, s string"
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, 10, 20, "x"), (2, 30, 40, "y"), (3, 50, 60, "z")], ddl
+        ),
+        path, stats_cols=["k"], check_constraints={"a_pos": "a > 0"},
+    )
+    # swap: SET a = b, b = a (old values on the right-hand side)
+    r = tx.update_where(spark, path, {"a": "b", "b": "a"}, "k <= 2")
+    assert r["version"] == 1 and r["files_rewritten"] >= 1
+    rows = {t[0]: t[1:] for t in (
+        tuple(x) for x in tx.read_table(spark, path).collect()
+    )}
+    assert rows[1] == (20, 10, "x") and rows[2] == (40, 30, "y")
+    assert rows[3] == (50, 60, "z")
+
+    # int-literal assignment casts to bigint (schema unchanged)
+    tx.update_where(spark, path, {"a": "7"}, "k = 3")
+    assert tx.read_table(spark, path).schema["a"].dataType.typeName() == "long"
+
+    # zero matches: no version burned
+    v = tx.current_version(path)
+    assert tx.update_where(spark, path, {"a": "1"}, "k = 999")["version"] == v
+
+    # constraint gates the rewrite, no version burned
+    with pytest.raises(tx.ConstraintViolation, match="a_pos"):
+        tx.update_where(spark, path, {"a": "-1"}, "k = 1")
+    assert tx.current_version(path) == v
+
+    # unknown / reserved columns refused
+    with pytest.raises(ValueError, match="unknown column"):
+        tx.update_where(spark, path, {"nope": "1"}, None)
+    with pytest.raises(ValueError, match="reserved"):
+        tx.update_where(spark, path, {"__file": "1"}, None)
+
+    # time travel still serves the pre-update snapshot
+    old = {t[0]: t[1:] for t in (
+        tuple(x) for x in tx.read_table(spark, path, version=0).collect()
+    )}
+    assert old[1] == (10, 20, "x")
+
+
+def test_battery_update_moves_partition_rows(spark, tmp_path, protocol):
+    """Assigning a partition column re-buckets the row into its new
+    col=value directory in the same atomic commit."""
+    path = str(tmp_path / "t")
+    ddl = "id bigint, day string"
+    tx.init_table(
+        spark.createDataFrame([(1, "d1"), (2, "d2")], ddl), path,
+        partition_by=["day"],
+    )
+    tx.update_where(spark, path, {"day": "'d3'"}, "id = 1")
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert {f.split("/")[0] for f in man["files"]} == {"day=d2", "day=d3"}
+    assert {tuple(r) for r in tx.read_table(spark, path).collect()} == {
+        (1, "d3"), (2, "d2")
+    }
+    # partition-pruned read finds the moved row under its new value
+    got = tx.read_table(spark, path, where=[("day", "=", "d3")]).collect()
+    assert [tuple(r) for r in got] == [(1, "d3")]
+
+
+def test_battery_update_after_dv_delete_does_not_resurrect(
+    spark, tmp_path, protocol
+):
+    """An UPDATE rewriting a file that carries a deletion vector
+    materializes the vector: dv-deleted rows stay deleted."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(i, 0) for i in range(6)], "k bigint, v bigint")
+        .coalesce(1),
+        path,
+    )
+    tx.delete_where(spark, path, "k = 2", mode="dv")
+    tx.update_where(spark, path, {"v": "99"}, "k >= 4")
+    got = sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    assert got == [(0, 0), (1, 0), (3, 0), (4, 99), (5, 99)]
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert not (man.get("dvs") or {})  # vector materialized by the rewrite
