@@ -3767,3 +3767,44 @@ SELECT 'live', COUNT(*),
        MIN(o_orderkey), MAX(o_orderkey)
 FROM live
 """
+
+# q176: the SQL DML lifecycle as set algebra — insert = union, update =
+# CASE, merge upsert = anti-join + union of the source, delete = filter.
+# The *2 and +10 arithmetic are single IEEE double ops both engines
+# compute bit-identically from the same parquet doubles.
+ORACLES["q176_sql_dml_lifecycle"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+inserted AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+v1 AS (SELECT * FROM base UNION ALL SELECT * FROM inserted),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1
+),
+src AS (
+  SELECT o_orderkey, 'M' AS o_orderstatus,
+         o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 8 IN (1, 3)
+),
+v3 AS (
+  SELECT * FROM v2
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL SELECT * FROM src
+),
+final AS (SELECT * FROM v3 WHERE o_orderkey % 5 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key
+FROM final GROUP BY o_orderstatus
+"""

@@ -6154,6 +6154,89 @@ def q175_cluster_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _sql_dml_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table driven ENTIRELY by SQL statements after
+    init (the q176 fixture): v0 init with the o_orderkey % 4 == 1 slice
+    of orders; then pure SQL through the DML router — v1 `INSERT INTO
+    ... SELECT` (the % 4 == 2 slice), v2 `UPDATE ... SET price * 2 WHERE
+    status = 'F'`, v3 `MERGE INTO ... USING (subquery)` (keys % 8 IN
+    (1, 3): the % 8 == 1 half UPDATES existing rows, the % 8 == 3 half
+    INSERTS), v4 `DELETE FROM ... WHERE key % 5 = 0`. Idempotent under
+    races like the q162 fixture: every step is version-guarded and a
+    racing duplicate commits identical content."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_sql_dml")
+    if transactional.current_version(path) >= 4:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.createOrReplaceTempView("q176_stage")
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 4 == 1)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    transactional.register_manifest_view(spark, path, name="q176_acct")
+    steps = [
+        "INSERT INTO q176_acct "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM q176_stage "
+        "WHERE o_orderkey % 4 = 2",
+        "UPDATE q176_acct SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderstatus = 'F'",
+        "MERGE INTO q176_acct AS t USING ("
+        "SELECT o_orderkey, 'M' AS o_orderstatus, "
+        "o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice "
+        "FROM q176_stage WHERE o_orderkey % 8 IN (1, 3)"
+        ") AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "DELETE FROM q176_acct WHERE o_orderkey % 5 = 0",
+    ]
+    for i, stmt in enumerate(steps, start=1):
+        if transactional.current_version(path) < i:
+            try:
+                sqldml.execute(spark, stmt)
+            except transactional.CommitConflict:
+                pass  # racing builder landed the identical step
+    return path
+
+
+def q176_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML router driver-certified (operators/sqldml — the
+    `MERGE INTO` / `DELETE FROM` / `UPDATE` / `INSERT INTO` statement
+    surface Delta users live in, dispatched to the manifest layer's
+    transactional verbs): a table whose every post-init commit was a SQL
+    STATEMENT must hash-match plain set algebra over orders. The final
+    snapshot (v4) is summarized per status; the oracle re-derives the
+    four statements as CTEs — insert = union, update = CASE, merge =
+    anti-join + union, delete = filter. Money stays integer cents; the
+    MERGE arithmetic (+10) and UPDATE arithmetic (*2) are single IEEE
+    ops both engines compute bit-identically."""
+    path = _sql_dml_path(spark, sf_dir)
+    final = transactional.read_table(spark, path)
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("price_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .select(
+            "o_orderstatus", "n_rows", "price_cents", "key_sum",
+            "first_key", "last_key",
+        )
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6261,7 +6344,6 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q01_pricing_summary": q01_pricing_summary,
     "q21_purchase_asof_view": q21_purchase_asof_view,
     "q52_purchase_asof_left": q52_purchase_asof_left,
     "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
@@ -6314,9 +6396,13 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_partitioned_feed_day": q173_partitioned_feed_day,
     "q174_pii_redaction_audit": q174_pii_redaction_audit,
     "q175_cluster_keeper_by_quality": q175_cluster_keeper_by_quality,
+    # -- new in round 10 (first driver certification => inside the window)
+    "q176_sql_dml_lifecycle": q176_sql_dml_lifecycle,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
-    # displaced for q171 (green r05, values unchanged)
+    # displaced for q171 (green r05, values unchanged); q01 displaced
+    # for q176 in r10 (green r09, values unchanged)
+    "q01_pricing_summary": q01_pricing_summary,
     "q63_z3_spacetime": q63_z3_spacetime,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
@@ -6341,10 +6427,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_ivf_topk": q27_ivf_topk,
     "q28_embedding_near_dups": q28_embedding_near_dups,
     "q29_media_features": q29_media_features,
-    "q32_stream_hourly_counts": q32_stream_hourly_counts,
     # ---- end of the 50-entry verification window ----
-    # (q134/q131/q76/q80/q81/q33/q34 displaced for q171-q175: all green
-    # in earlier rounds with unchanged values -> union coverage holds)
+    # (q134/q131/q76/q80/q81/q33/q34 displaced for q171-q175 in r9;
+    # q32 displaced for q176 in r10: all green in earlier rounds with
+    # unchanged values -> union coverage holds)
+    "q32_stream_hourly_counts": q32_stream_hourly_counts,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,
     "q76_stream_session_expiry": q76_stream_session_expiry,
