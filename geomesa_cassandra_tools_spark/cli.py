@@ -210,6 +210,15 @@ def _parser() -> argparse.ArgumentParser:
              "expression); drop-constraint takes just NAME",
     )
     p.add_argument(
+        "--rename", default=None, metavar="OLD=NEW",
+        help="rename-column: logical rename (metadata-only; the data "
+             "files keep the physical name via column mapping)",
+    )
+    p.add_argument(
+        "--column", default=None, metavar="COL",
+        help="drop-column: the column to drop (metadata-only)",
+    )
+    p.add_argument(
         "--zorder-by", default=None, metavar="COL[,COL...]",
         help="compact-table: rewrite EVERY live file clustered by the "
              "multi-column z-order interleave and add the columns to the "
@@ -606,6 +615,34 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             print(f"NOT NULL {args.not_null} dropped at v{v}", file=out)
         else:
             parser.error("drop-constraint needs --not-null or --check")
+        return 0
+
+    if cmd == "rename-column":
+        # ALTER TABLE RENAME COLUMN: metadata-only via column mapping
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if not args.rename or "=" not in args.rename:
+            parser.error("rename-column needs --rename OLD=NEW")
+        old_name, _, new_name = args.rename.partition("=")
+        v = transactional.rename_column(
+            args.table_path, old_name.strip(), new_name.strip()
+        )
+        print(
+            f"renamed {old_name.strip()} -> {new_name.strip()} at v{v} "
+            "(metadata-only)", file=out,
+        )
+        return 0
+
+    if cmd == "drop-column":
+        # ALTER TABLE DROP COLUMN: metadata-only via column mapping
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if not args.column:
+            parser.error("drop-column needs --column COL")
+        v = transactional.drop_column(args.table_path, args.column.strip())
+        print(f"dropped {args.column.strip()} at v{v} (metadata-only)", file=out)
         return 0
 
     if cmd == "merge-table":

@@ -216,6 +216,7 @@ def _empty_state() -> dict:
         "version": -1, "files": [], "schema": None, "txns": {},
         "stats_cols": None, "stats": None, "dvs": {},
         "partition_cols": None, "constraints": None,
+        "column_map": None, "column_map_seq": 0,
     }
 
 
@@ -251,6 +252,14 @@ def _apply_delta(state: dict, delta: dict) -> dict:
         state["partition_cols"] = delta["partition_cols"]
     if "constraints" in delta:
         state["constraints"] = delta["constraints"]
+    # column mapping changes only through the explicit verbs (rename /
+    # drop / evolution assigning fresh physical names): ordinary deltas
+    # omit the key and the state values carry
+    if "column_map" in delta:
+        state["column_map"] = delta["column_map"]
+        state["column_map_seq"] = delta.get(
+            "column_map_seq", state.get("column_map_seq", 0)
+        )
     stats_cols = delta.get("stats_cols")
     state["stats_cols"] = stats_cols
     if stats_cols:
@@ -276,6 +285,8 @@ def _as_state(body: dict) -> dict:
         "dvs": body.get("dvs", {}),
         "partition_cols": body.get("partition_cols"),
         "constraints": body.get("constraints"),
+        "column_map": body.get("column_map"),
+        "column_map_seq": body.get("column_map_seq", 0),
     }
 
 
@@ -329,6 +340,8 @@ def _commit(
     unset_dv: list[str] | None = None,
     partition_cols: list[str] | None = None,
     constraints: dict | None = _UNSET,
+    column_map: dict | None = _UNSET,
+    column_map_seq: int | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -385,6 +398,10 @@ def _commit(
         body["partition_cols"] = list(partition_cols) or None
     if constraints is not _UNSET:
         body["constraints"] = constraints  # null on overwrite = reset
+    if column_map is not _UNSET:
+        body["column_map"] = column_map  # null on overwrite = reset
+        if column_map_seq is not None:
+            body["column_map_seq"] = column_map_seq
     payload = json.dumps(body).encode()
     try:
         _PROTOCOL.publish(d, f"v{version}.json", payload)
@@ -429,6 +446,9 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["partition_cols"] = state["partition_cols"]
     if state.get("constraints"):
         body["constraints"] = state["constraints"]
+    if state.get("column_map"):
+        body["column_map"] = state["column_map"]
+        body["column_map_seq"] = state.get("column_map_seq", 0)
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -439,8 +459,41 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
     return version
 
 
+def _cmap(man: dict | None) -> dict[str, str]:
+    """A snapshot's COLUMN MAPPING (logical name -> physical file-column
+    name; Delta's column-mapping-by-id shape, names instead of ids so
+    manifests stay greppable). Empty dict = identity: the table was
+    never renamed/dropped, files carry the logical names directly — the
+    legacy layout, and the zero-cost common case."""
+    return (man or {}).get("column_map") or {}
+
+
+def _phys_pred(pred: tuple, cmap: dict[str, str]) -> tuple:
+    """Translate a skipping predicate's column to its PHYSICAL name for
+    stats lookup (stats/footers are keyed physical — rename is then a
+    pure metadata commit, no stats restatement)."""
+    if not cmap:
+        return pred
+    col, op, val = pred
+    p = cmap.get(col, col)
+    return pred if p == col else (p, op, val)
+
+
+def _fresh_physical(logical: str, cmap: dict[str, str], seq: int) -> tuple[str, int]:
+    """A physical name for a NEW logical column on a mapped table: never
+    reuses a live physical (a re-added column must not resurrect a
+    dropped column's bytes) and never collides with a logical name."""
+    taken = set(cmap) | set(cmap.values())
+    while True:
+        cand = f"c{seq}__{logical}"
+        seq += 1
+        if cand not in taken and cand not in _RESERVED_META_COLS:
+            return cand, seq
+
+
 def _stage_files(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    column_map: dict[str, str] | None = None,
 ) -> list[str]:
     """Write ``df`` as new immutable data files; return their names
     (data/-relative paths). Files land under data/ with a commit-unique
@@ -464,14 +517,33 @@ def _stage_files(
     byte-compatible with unpartitioned tables, and makes partition
     pruning ride the SAME per-file stats machinery: a one-value file's
     footer min==max==value, an exact span."""
-    if partition_by is None:
+    if partition_by is None or column_map is None:
         v = current_version(path)
+        man = None
         if v >= 0:
             try:
-                partition_by = _read_manifest(path, v).get("partition_cols")
+                man = _read_manifest(path, v)
             except FileNotFoundError:
-                partition_by = None
-    cols = list(partition_by or [])
+                man = None
+        if partition_by is None:
+            partition_by = (man or {}).get("partition_cols")
+        if column_map is None:
+            column_map = _cmap(man)
+    # column mapping: files store PHYSICAL names — rename the frame's
+    # mapped columns before writing (sidecar/metadata frames carry none
+    # of them and pass through untouched). Partition dirs are named by
+    # the physical column too, so a rename never relocates data.
+    ren = {
+        l: p for l, p in (column_map or {}).items()
+        if l != p and l in df.columns
+    }
+    if ren:
+        df = df.select(
+            *(F.col(c).alias(ren.get(c, c)) for c in df.columns)
+        )
+    cols = [
+        (column_map or {}).get(c, c) for c in (partition_by or [])
+    ]
     if cols and not set(cols) <= set(df.columns):
         cols = []  # metadata/sidecar frame: stage flat
     token = uuid.uuid4().hex[:12]
@@ -976,6 +1048,182 @@ def drop_table_constraint(
     )
 
 
+def _identity_map_from_schema(schema_json: str) -> dict[str, str]:
+    return {
+        f["name"]: f["name"] for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _constraint_refs(constraints: dict | None, col: str) -> list[str]:
+    """Constraint labels that reference ``col`` — conservative
+    word-boundary match for CHECK expressions (a false positive refuses
+    a rename/drop the user can still do after DROP CONSTRAINT; a false
+    negative would silently break the gate)."""
+    import re as _re
+
+    if not constraints:
+        return []
+    out = []
+    if col in (constraints.get("not_null") or ()):
+        out.append(f"NOT NULL {col}")
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    for name, expr in (constraints.get("checks") or {}).items():
+        if pat.search(expr):
+            out.append(f"CHECK {name} ({expr})")
+    return out
+
+
+def rename_column(
+    path: str, old: str, new: str, max_commit_retries: int = 40
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+    column mapping): the first rename upgrades the table to an explicit
+    logical->physical column map (identity for every existing column);
+    the renamed column keeps its PHYSICAL file-column name, so not one
+    data byte moves — files, footer stats, hive partition directories
+    all stay keyed by the physical name and predicates on the NEW name
+    translate at plan time. Time travel across the boundary serves each
+    snapshot's own names (every version carries its own schema + map).
+
+    Renaming a column a CHECK constraint references is refused (drop the
+    constraint first — rewriting user SQL text silently is worse); a
+    NOT NULL entry and the partition-column list follow the rename.
+    Idempotent-shaped errors stay loud: missing ``old`` or an already-
+    taken ``new`` raise."""
+    if old == new:
+        raise ValueError("rename_column: old and new names are identical")
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        schema = json.loads(man["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(
+                f"rename_column: no column {old!r} in {path!r} "
+                f"(columns: {names})"
+            )
+        if new in names:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists in {path!r}"
+            )
+        refs = [
+            r for r in _constraint_refs(man.get("constraints"), old)
+            if r.startswith("CHECK")
+        ]
+        if refs:
+            raise ValueError(
+                f"rename_column: {old!r} is referenced by {refs}; drop the "
+                "constraint first, rename, then re-add it under the new name"
+            )
+        cmap = dict(_cmap(man) or _identity_map_from_schema(man["schema"]))
+        seq = man.get("column_map_seq", 0)
+        cmap[new] = cmap.pop(old)
+        new_schema = json.dumps(
+            {
+                **schema,
+                "fields": [
+                    {**f, "name": new} if f["name"] == old else f
+                    for f in schema["fields"]
+                ],
+            }
+        )
+        parts = man.get("partition_cols")
+        new_parts = (
+            [new if c == old else c for c in parts] if parts else None
+        )
+        cons = man.get("constraints")
+        if cons and old in (cons.get("not_null") or ()):
+            cons = {
+                "not_null": sorted(
+                    new if c == old else c for c in cons["not_null"]
+                ),
+                "checks": dict(cons.get("checks") or {}),
+            }
+        try:
+            _commit(
+                path, version + 1, new_schema, man.get("txns", {}),
+                man.get("stats_cols"), add=[], remove=[],
+                op="rename_column",
+                partition_cols=new_parts,
+                constraints=cons if cons is not man.get("constraints") else _UNSET,
+                column_map=cmap, column_map_seq=seq,
+            )
+            return version + 1
+        except CommitConflict:
+            continue  # racing commit: re-read, re-validate, retry
+    raise CommitConflict(
+        f"rename_column on {path!r} lost {max_commit_retries} consecutive "
+        "commit races; back off and retry"
+    )
+
+
+def drop_column(
+    path: str, col: str, max_commit_retries: int = 40
+) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the column
+    leaves the schema and the column map; its physical bytes stay in the
+    files (readers simply never project them — vacuum-by-rewrite, i.e.
+    OPTIMIZE, eventually drops them). A column RE-ADDED later (evolution
+    or an explicit append) gets a FRESH physical name, so the dropped
+    column's old bytes can never resurrect under the new one.
+
+    Refused while the column is a partition column, is referenced by a
+    constraint, or is the table's last column."""
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        schema = json.loads(man["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col not in names:
+            raise ValueError(
+                f"drop_column: no column {col!r} in {path!r} (columns: {names})"
+            )
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        if col in (man.get("partition_cols") or ()):
+            raise ValueError(
+                f"drop_column: {col!r} is a partition column; re-layout "
+                "the table first (replace_table_layout)"
+            )
+        refs = _constraint_refs(man.get("constraints"), col)
+        if refs:
+            raise ValueError(
+                f"drop_column: {col!r} is referenced by {refs}; drop the "
+                "constraint first"
+            )
+        cmap = dict(_cmap(man) or _identity_map_from_schema(man["schema"]))
+        seq = man.get("column_map_seq", 0)
+        phys = cmap.pop(col)
+        new_schema = json.dumps(
+            {
+                **schema,
+                "fields": [f for f in schema["fields"] if f["name"] != col],
+            }
+        )
+        stats_cols = man.get("stats_cols")
+        new_stats_cols = (
+            [c for c in stats_cols if c != phys] if stats_cols else None
+        )
+        try:
+            _commit(
+                path, version + 1, new_schema, man.get("txns", {}),
+                new_stats_cols or None, add=[], remove=[],
+                op="drop_column",
+                column_map=cmap, column_map_seq=seq,
+            )
+            return version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"drop_column on {path!r} lost {max_commit_retries} consecutive "
+        "commit races; back off and retry"
+    )
+
+
 def init_table(
     df: DataFrame,
     path: str,
@@ -1041,7 +1289,9 @@ def init_table(
     # does (Delta validates existing data when a constraint is added)
     _enforce_constraints(df, constraints, path)
     if only_if_absent:
-        files = _stage_files(df, path, partition_by=list(partition_by or []))
+        files = _stage_files(
+            df, path, partition_by=list(partition_by or []), column_map={}
+        )
         stats = (
             _collect_file_stats(path, files, stats_cols) if stats_cols else None
         )
@@ -1049,7 +1299,7 @@ def init_table(
             path, 0, df.schema.json(), {}, stats_cols,
             add=files, add_stats=stats, op="init",
             partition_cols=list(partition_by or []),
-            constraints=constraints,
+            constraints=constraints, column_map=None,
         )
         return 0
     prior = current_version(path)
@@ -1059,14 +1309,19 @@ def init_table(
     else:
         txns, remove = {}, []
     version = prior + 1
-    files = _stage_files(df, path, partition_by=list(partition_by or []))
+    # overwrite RESETS column mapping (a fresh logical schema; staged
+    # files carry their own names verbatim) — stage untranslated even
+    # when the prior snapshot was mapped
+    files = _stage_files(
+        df, path, partition_by=list(partition_by or []), column_map={}
+    )
     stats = _collect_file_stats(path, files, stats_cols) if stats_cols else None
     _commit(
         path, version, df.schema.json(), txns, stats_cols,
         add=files, remove=remove, add_stats=stats,
         op="overwrite" if prior >= 0 else "init",
         partition_cols=list(partition_by or []),
-        constraints=constraints,
+        constraints=constraints, column_map=None,
     )
     return version
 
@@ -1275,12 +1530,14 @@ def append_batch(
             validated_cons = _man0.get("constraints")
     staged: list[str] | None = None  # staged lazily, exactly once
     staged_stats: dict[str, dict] | None = None  # footer stats, read once
+    staged_map: dict | None = None  # the column map the staging used
     for _ in range(max_commit_retries):
         version = current_version(path)
         if version < 0:
             txns = {txn_app: txn_id} if txn_app is not None else {}
             if staged is None:
                 staged = _stage_files(df, path)
+                staged_map = {}
             try:
                 _commit(path, 0, df.schema.json(), txns, add=staged, op="append")
                 return 0
@@ -1319,8 +1576,33 @@ def append_batch(
             return None
         if txn_app is not None:
             txns[txn_app] = txn_id
+        # column mapping: a mapped table's evolution assigns every
+        # net-new logical column a FRESH physical name (a re-added
+        # column never resurrects a dropped column's bytes), and staging
+        # must write under the EFFECTIVE map — if a racing commit
+        # changed the map since we staged (rename is physical-stable and
+        # safe, but an upgrade/evolution/restore can change what our
+        # columns map to), the staged files are abandoned (vacuum sweeps
+        # them) and restaged under the winner's map.
+        eff_map = dict(_cmap(man))
+        eff_seq = man.get("column_map_seq", 0)
+        map_changed = False
+        if eff_map:
+            for fld in json.loads(schema)["fields"]:
+                if fld["name"] not in eff_map:
+                    phys, eff_seq = _fresh_physical(
+                        fld["name"], eff_map, eff_seq
+                    )
+                    eff_map[fld["name"]] = phys
+                    map_changed = True
+        stage_map = {
+            l: p for l, p in eff_map.items() if l in df.columns and l != p
+        }
+        if staged is not None and stage_map != staged_map:
+            staged, staged_stats = None, None  # restage under the new map
         if staged is None:
-            staged = _stage_files(df, path)
+            staged = _stage_files(df, path, column_map=eff_map)
+            staged_map = stage_map
         stats_cols = man.get("stats_cols")
         if stats_cols and staged_stats is None:
             staged_stats = _collect_file_stats(path, staged, stats_cols)
@@ -1329,6 +1611,10 @@ def append_batch(
                 path, version + 1, schema, txns, stats_cols,
                 add=staged, add_stats=staged_stats if stats_cols else None,
                 op="append",
+                **(
+                    {"column_map": eff_map, "column_map_seq": eff_seq}
+                    if map_changed else {}
+                ),
             )
             return version + 1
         except CommitConflict:
@@ -1443,12 +1729,13 @@ def resolve_files(
     if where and man.get("stats_cols"):
         stats = man.get("stats") or {}
         part_cols = set(man.get("partition_cols") or ())
+        cm = _cmap(man)  # stats/footers are keyed PHYSICAL
         # partition predicates prune FIRST (Delta's partition-pruning
         # tier): their spans are exact points, so the check is cheap and
         # maximally selective; the surviving files then go through the
         # ordinary min/max stats checks
-        part_preds = [p for p in where if p[0] in part_cols]
-        stat_preds = [p for p in where if p[0] not in part_cols]
+        part_preds = [_phys_pred(p, cm) for p in where if p[0] in part_cols]
+        stat_preds = [_phys_pred(p, cm) for p in where if p[0] not in part_cols]
         if part_preds:
             files = [
                 f
@@ -1497,13 +1784,41 @@ def _scan_live_rows(
         ).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     ]
+    # column mapping: files carry PHYSICAL names; read with the physical
+    # twin of the snapshot schema and project back to the snapshot's
+    # LOGICAL names in the same select (so `_metadata` is still in scope)
+    cmap = _cmap(man)
+    ren = {
+        f.name: cmap[f.name]
+        for f in schema.fields
+        if f.name in cmap and cmap[f.name] != f.name
+    }
+    if ren:
+        from pyspark.sql.types import StructField, StructType
+
+        read_schema = StructType(
+            [
+                StructField(
+                    ren.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+    else:
+        read_schema = schema
 
     def _read(names: list[str]) -> DataFrame:
-        df = spark.read.schema(schema).parquet(
+        df = spark.read.schema(read_schema).parquet(
             *[os.path.join(data, f) for f in names]
         )
+        proj = [
+            F.col(ren.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ] if ren else [F.col(f.name) for f in schema.fields]
         if need_meta:
-            df = df.select("*", *meta_cols)
+            return df.select(*proj, *meta_cols)
+        if ren:
+            return df.select(*proj)
         return df
 
     plain = [f for f in files if f not in dvs]
@@ -1604,10 +1919,11 @@ def read_table(
     files = man["files"]
     if where and man.get("stats_cols"):
         stats = man.get("stats") or {}
+        cm = _cmap(man)  # stats/footers are keyed PHYSICAL
         files = [
             f
             for f in files
-            if all(_file_survives(stats.get(f), p) for p in where)
+            if all(_file_survives(stats.get(f), _phys_pred(p, cm)) for p in where)
         ]
     if not files:
         df = spark.createDataFrame([], schema)
@@ -2129,9 +2445,10 @@ def compact_table(
         # so a file with missing stats stays IN scope (superset — it may
         # hold matching rows, and rewriting it is always value-safe)
         stats = man.get("stats") or {}
+        cm = _cmap(man)  # stats/footers are keyed PHYSICAL
         scope = [
             f for f in scope
-            if all(_file_survives(stats.get(f), p) for p in where)
+            if all(_file_survives(stats.get(f), _phys_pred(p, cm)) for p in where)
         ]
     if zorder_by:
         # OPTIMIZE ZORDER: a re-layout, not a bin-pack — every scoped
@@ -2216,6 +2533,104 @@ def compact_table(
         f"compact of {path!r} lost {max_commit_retries} consecutive commit "
         "races; back off and retry"
     )
+
+
+def replace_table_layout(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None,
+    zorder_by: list[str] | None = None,
+    zorder_res: int | None = None,
+    zorder_strategy: str = "minmax",
+) -> dict:
+    """PARTITION EVOLUTION (Delta's ``REPLACE TABLE ... PARTITIONED BY``
+    shape): one full-rewrite commit that re-buckets the LIVE snapshot
+    under a new ``partition_by`` (``None``/``[]`` = de-partition to a
+    flat layout), optionally z-ordering inside the new layout. History
+    is preserved and travelable — every older version still reads under
+    the layout it committed with (layout is per-snapshot state, and the
+    old files are only de-referenced, not touched) — and the new layout
+    governs every later write through `_stage_files`' self-wiring.
+
+    The rewrite is value-neutral: deletion vectors are applied by the
+    scan (and therefore materialized — same as OPTIMIZE), write-time
+    constraints are untouched, txn watermarks carry. Partition columns
+    must exist in the schema; they are prepended to ``stats_cols`` so
+    the new layout's exact [v, v] spans prune immediately.
+
+    Single-attempt commit with the same conflict posture as OPTIMIZE: a
+    commit racing the rewrite aborts it cleanly (the staged files are
+    left for vacuum) rather than resurrecting its deletes."""
+    from pyspark.sql.types import StructType
+
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(f"no committed manifest under {path!r}")
+    man = _read_manifest(path, version)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    new_parts = list(partition_by or [])
+    missing = [c for c in new_parts if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"replace_table_layout: partition column(s) {missing} not in "
+            f"table schema {schema.fieldNames()}"
+        )
+    old_parts = list(man.get("partition_cols") or [])
+    stats_cols = man.get("stats_cols")
+    cmap = _cmap(man)
+    if new_parts:
+        # the new partition columns' PHYSICAL names join stats_cols so
+        # the hive spans prune from the first read
+        phys_parts = [cmap.get(c, c) for c in new_parts]
+        stats_cols = list(dict.fromkeys([*phys_parts, *(stats_cols or [])]))
+    df = _scan_live_rows(spark, path, man, man["files"], schema)
+    input_dvs = dict(man.get("dvs") or {})
+    if zorder_by:
+        missing_z = [c for c in zorder_by if c not in schema.fieldNames()]
+        if missing_z:
+            raise ValueError(
+                f"zorder_by column(s) {missing_z} not in table schema"
+            )
+        n_out = max(1, df.rdd.getNumPartitions())
+        df = _zorder_cluster(df, zorder_by, zorder_res, zorder_strategy, n_out)
+        stats_cols = list(
+            dict.fromkeys([*(stats_cols or []),
+                           *[cmap.get(c, c) for c in zorder_by]])
+        )
+    staged = _stage_files(df, path, partition_by=new_parts)
+    new_stats = (
+        _collect_file_stats(path, staged, stats_cols) if stats_cols else None
+    )
+    try:
+        _commit(
+            path, version + 1, man["schema"], man["txns"], stats_cols,
+            add=staged, remove=man["files"], add_stats=new_stats,
+            op="replace_layout", partition_cols=new_parts,
+        )
+    except CommitConflict:
+        cur = current_version(path)
+        cur_man = _read_manifest(path, cur)
+        if set(man["files"]) <= set(cur_man["files"]) and all(
+            (cur_man.get("dvs") or {}).get(f) == input_dvs.get(f)
+            for f in man["files"]
+        ):
+            # the race only appended: the staged rewrite misses the new
+            # rows, so re-running is required — but nothing is corrupted
+            raise CommitConflict(
+                f"replace_table_layout on {path!r} lost a commit race; "
+                "re-run (the table is unchanged)"
+            ) from None
+        raise CommitConflict(
+            f"replace_table_layout on {path!r} raced a commit that "
+            "rewrote or dv-masked its inputs; re-run against the new state"
+        ) from None
+    return {
+        "version": version + 1,
+        "old_partition_by": old_parts,
+        "new_partition_by": new_parts,
+        "files_rewritten": len(man["files"]),
+        "files_written": len(staged),
+    }
 
 
 #: widening-only casts `rewrite_table_schema` accepts, by Spark
@@ -2354,6 +2769,13 @@ def restore_table(path: str, version: int) -> dict:
         path, latest + 1, target["schema"], cur.get("txns", {}), stats_cols,
         add=add, remove=remove, add_stats=add_stats, op="restore",
         set_dv=set_dv, unset_dv=unset_dv,
+        # the target's logical names come back with its schema, so its
+        # column map must come back too; the physical-name SEQUENCE stays
+        # monotone across the rollback (never reissue a physical id)
+        column_map=target.get("column_map"),
+        column_map_seq=max(
+            cur.get("column_map_seq", 0), target.get("column_map_seq", 0)
+        ),
     )
     return {
         "version": latest + 1,
@@ -2440,7 +2862,7 @@ def table_changes(
     Raises ValueError for out-of-range versions and for commits or data
     files the range needs that VACUUM already reclaimed — the same
     diagnostics contract as time travel."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     latest = current_version(path)
     if latest < 0:
@@ -2466,7 +2888,10 @@ def table_changes(
 
     data = _data_dir(path)
 
-    def _read(files: list[str], schema) -> DataFrame:
+    def _read(
+        files: list[str], schema, cmap: dict[str, str],
+        with_meta: bool = False,
+    ) -> DataFrame:
         missing = [f for f in files if not os.path.exists(os.path.join(data, f))]
         if missing:
             raise ValueError(
@@ -2474,9 +2899,39 @@ def table_changes(
                 f"data file(s) (e.g. {missing[0]!r}); only commits newer "
                 "than the last VACUUM grace window are readable"
             )
-        return spark.read.schema(schema).parquet(
+        ren = {
+            f.name: cmap[f.name]
+            for f in schema.fields
+            if f.name in cmap and cmap[f.name] != f.name
+        }
+        meta = [
+            # data/-relative, matching _scan_live_rows' __file contract
+            F.substring_index(
+                F.col("_metadata.file_path"), "/data/", -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if not ren:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(data, f) for f in files]
+            )
+            return df.select("*", *meta) if with_meta else df
+        phys = StructType(
+            [
+                StructField(
+                    ren.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+        proj = [
+            F.col(ren.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        df = spark.read.schema(phys).parquet(
             *[os.path.join(data, f) for f in files]
         )
+        return df.select(*proj, *meta) if with_meta else df.select(*proj)
 
     def _prev_state(v: int) -> dict:
         try:
@@ -2505,6 +2960,31 @@ def table_changes(
             *[os.path.join(data, n) for n in names]
         ).where(F.col("file").isin([f for f in files if f in dv_map]))
 
+    # column mapping: frames are unioned in PHYSICAL column space so a
+    # rename mid-range keeps one column's rows in ONE output column (the
+    # Delta column-mapping CDF contract); identity tables skip all of it.
+    try:
+        cur_map = _cmap(_read_manifest(path, from_version))
+    except FileNotFoundError:
+        # the range start state is unresolvable (vacuumed base). For an
+        # unmapped table the delta-only walk below stays exact; a MAPPED
+        # table's reads would misproject, so refuse with the standard
+        # vacuum diagnostics.
+        if _cmap(_read_manifest(path, current_version(path))):
+            raise ValueError(
+                f"change feed of {path!r} needs the vacuumed snapshot "
+                f"v{from_version} to resolve its column mapping; only "
+                "commits newer than the last VACUUM are readable"
+            ) from None
+        cur_map = {}
+
+    def _to_phys(df: DataFrame, m: dict[str, str]) -> DataFrame:
+        if not m:
+            return df
+        return df.select(
+            *(F.col(c).alias(m.get(c, c)) for c in df.columns)
+        )
+
     frames: list[DataFrame] = []
     final_schema_json = None
     for v in range(from_version, to_version + 1):
@@ -2515,6 +2995,8 @@ def table_changes(
                 f"commit v{v} of {path!r} was vacuumed; changes are "
                 "readable only for commits newer than the last VACUUM"
             ) from None
+        if "column_map" in body:
+            cur_map = body["column_map"] or {}
         if "files" in body:  # legacy full-snapshot commit: diff vs v-1
             # resolved lazily so a delta-only range stays readable even
             # when everything before it was vacuumed
@@ -2540,14 +3022,7 @@ def table_changes(
             files = sorted(set(set_dv) | set(unset_dv))
             new_pos = _dv_positions(set_dv, files)
             old_pos = _dv_positions(prev.get("dvs") or {}, files)
-            rows = _read(files, schema).select(
-                "*",
-                # data/-relative, matching _scan_live_rows' __file contract
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/data/", -1
-                ).alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+            rows = _read(files, schema, cur_map, with_meta=True)
             for delta, kind in (
                 (new_pos.exceptAll(old_pos), "delete"),
                 (old_pos.exceptAll(new_pos), "insert"),
@@ -2558,10 +3033,11 @@ def table_changes(
                     & (F.col("__pos") == F.col("pos")),
                     "left_semi",
                 ).drop("__file", "__pos")
-                frames.append(
+                frames.append(_to_phys(
                     imgs.withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v))
-                )
+                    .withColumn("_commit_version", F.lit(v)),
+                    cur_map,
+                ))
         if removed:
             # the removed side reads files AS OF v-1: rows a deletion
             # vector already masked were deleted by THAT commit, not by
@@ -2589,21 +3065,22 @@ def table_changes(
             _dv_positions(prev.get("dvs") or {}, removed)  # named dv check
             rems = _scan_live_rows(spark, path, prev, removed, schema)
         if added and removed:
-            adds = _read(added, schema)
+            adds = _read(added, schema, cur_map)
             ins: DataFrame | None = adds.exceptAll(rems)
             dels: DataFrame | None = rems.exceptAll(adds)
         elif added:
-            ins, dels = _read(added, schema), None
+            ins, dels = _read(added, schema, cur_map), None
         elif removed:
             ins, dels = None, rems
         else:
             continue  # metadata-only / dv-only commit
         for df, kind in ((ins, "insert"), (dels, "delete")):
             if df is not None:
-                frames.append(
+                frames.append(_to_phys(
                     df.withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v))
-                )
+                    .withColumn("_commit_version", F.lit(v)),
+                    cur_map,
+                ))
     out_schema = StructType.fromJson(
         json.loads(final_schema_json or _read_manifest(path, to_version)["schema"])
     )
@@ -2616,6 +3093,18 @@ def table_changes(
     union = frames[0]
     for f in frames[1:]:
         union = union.unionByName(f, allowMissingColumns=True)
+    if cur_map:
+        # back from physical space to the FINAL snapshot's logical names;
+        # a column added late in the range may have no physical column in
+        # any unioned frame - it reads null (same as unmapped evolution)
+        sel = []
+        for f in out_schema.fields:
+            phys = cur_map.get(f.name, f.name)
+            if phys in union.columns:
+                sel.append(F.col(phys).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return union.select(*sel, "_change_type", "_commit_version")
     return union.select(*cols)
 
 

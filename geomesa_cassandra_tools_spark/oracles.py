@@ -3808,3 +3808,70 @@ SELECT o_orderstatus,
        MAX(o_orderkey) AS last_key
 FROM final GROUP BY o_orderstatus
 """
+
+# q177: column mapping as set algebra — v0 = the init slice; live = init
+# union the post-rename append, minus the % 7 delete; pruned = live
+# filtered on the renamed column. The `cols` strings certify each
+# snapshot's OWN column names inside the hashed values.
+ORACLES["q177_column_mapping_timetravel"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice FROM v0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+live AS (SELECT * FROM v2 WHERE o_orderkey % 7 <> 0)
+SELECT 'v0_pre_rename' AS snapshot,
+       'o_orderkey,o_orderstatus,o_totalprice' AS cols,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+FROM v0
+UNION ALL
+SELECT 'live', 'o_orderkey,amount', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM live
+UNION ALL
+SELECT 'live_pruned', 'o_orderkey,amount', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM live WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+"""
+
+# q178: the writer/parser round-trip's closed form — the same doc_id
+# arithmetic the generator used, so any byte-level disagreement between
+# build_* and parse_media_header breaks parity.
+ORACLES["q178_media_header_decode"] = """
+WITH m AS (
+  SELECT doc_id % 4 AS k,
+         1 + (doc_id * 31 + 7) % 509 AS w,
+         1 + (doc_id * 17 + 3) % 383 AS h,
+         ((100 + doc_id % 400) * 1000) // (8000 + (doc_id % 5) * 1000)
+           AS dur
+  FROM documents
+)
+SELECT CASE k
+         WHEN 0 THEN 'image/bmp'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'image/x-portable-pixmap'
+         ELSE 'audio/wav'
+       END AS mime,
+       COUNT(*) AS n_media,
+       CAST(SUM(CASE WHEN k = 3 THEN NULL ELSE w END) AS BIGINT)
+         AS width_sum,
+       CAST(SUM(CASE WHEN k = 3 THEN NULL ELSE h END) AS BIGINT)
+         AS height_sum,
+       CAST(SUM(CASE WHEN k = 3 THEN dur ELSE NULL END) AS BIGINT)
+         AS duration_ms_sum,
+       CAST(MIN(CASE WHEN k = 3 THEN NULL ELSE w END) AS BIGINT)
+         AS width_min,
+       CAST(MAX(CASE WHEN k = 3 THEN NULL ELSE w END) AS BIGINT)
+         AS width_max
+FROM m GROUP BY 1
+"""

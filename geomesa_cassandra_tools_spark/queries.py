@@ -6237,6 +6237,156 @@ def q176_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _column_mapped_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table certifying COLUMN MAPPING (the q177
+    fixture): v0 init with the o_orderkey % 3 == 0 slice of orders
+    (3 columns, stats on key+price); v1 RENAME o_totalprice -> amount
+    (metadata-only); v2 append under the new name; v3 DROP
+    o_orderstatus (metadata-only); v4 delete the % 7 == 0 keys.
+    Version-guarded and race-idempotent like the q162/q176 fixtures."""
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_colmap")
+    if transactional.current_version(path) >= 4:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 3 == 0)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey", "o_totalprice"],
+                only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    for want, step in (
+        (1, lambda: transactional.rename_column(
+            path, "o_totalprice", "amount")),
+        (2, lambda: transactional.append_batch(
+            orders.where(F.col("o_orderkey") % 3 == 1)
+            .withColumnRenamed("o_totalprice", "amount")
+            .repartitionByRange(4, "o_orderkey"),
+            path, txn_app="colmap-fixture", txn_id=2)),
+        (3, lambda: transactional.drop_column(path, "o_orderstatus")),
+        (4, lambda: transactional.delete_where(
+            spark, path, "o_orderkey % 7 = 0")),
+    ):
+        if transactional.current_version(path) < want:
+            try:
+                step()
+            except transactional.CommitConflict:
+                pass  # racing builder landed the identical step
+    return path
+
+
+def q177_column_mapping_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping driver-certified (`rename_column` / `drop_column` —
+    Delta's column-mapping-by-id shape as metadata-only commits: not one
+    data byte moves, files/stats/dirs stay keyed by the PHYSICAL name).
+    Three reads must agree with plain SQL over orders, and each carries
+    its own COLUMN NAMES in the hashed values (the `cols` column), so
+    the contract 'time travel serves each snapshot's own names' is
+    value-checked, not just asserted: v0 (pre-rename names), the live
+    snapshot (renamed + dropped), and a stats-PRUNED read on the RENAMED
+    column (file skipping must keep pruning via the physical-keyed spans
+    after a pure-metadata rename). Money stays integer cents."""
+    path = _column_mapped_path(spark, sf_dir)
+    v0 = transactional.read_table(spark, path, version=0)
+    live = transactional.read_table(spark, path)
+    pruned = transactional.read_table(
+        spark, path, where=[("amount", "between", (50000.0, 150000.0))]
+    )
+
+    def summarize(df: DataFrame, label: str, price_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.lit(",".join(df.columns)).alias("cols"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col(price_col) * 100).cast("bigint")
+            ).alias("price_cents"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        ).select(
+            "snapshot", "cols", "n_rows", "price_cents", "first_key",
+            "last_key",
+        )
+
+    return (
+        summarize(v0, "v0_pre_rename", "o_totalprice")
+        .unionByName(summarize(live, "live", "amount"))
+        .unionByName(summarize(pruned, "live_pruned", "amount"))
+    )
+
+
+def q178_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal header decode (de-stubbing r9 VERDICT #8): one
+    Arrow-batched pass WRITES genuine container bytes per document —
+    BMP file+DIB headers, PNG signature+IHDR, binary PPM, RIFF/WAVE
+    with fmt/data chunks (`multimodal.build_*`) — and a second pass
+    (`multimodal.decode_headers`) re-derives mime/width/height/duration
+    FROM THE BYTES with the pure-Python parsers (`parse_media_header`:
+    struct.unpack offsets, the RIFF chunk walk, PPM tokenizer). The
+    oracle recomputes the same metadata closed-form from doc_id, so any
+    writer/parser disagreement — an offset off by one, a wrong
+    endianness, a broken chunk walk — breaks parity byte-visibly.
+    Dimensions are doc_id-derived; WAV duration is exact integer
+    arithmetic (data_bytes * 1000 // byte_rate) on both sides."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "payload": [], "mime": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 1 + (d * 31 + 7) % 509
+                h = 1 + (d * 17 + 3) % 383
+                body = bytes([d % 251]) * (d % 13)
+                k = d % 4
+                if k == 0:
+                    p, kind = multimodal.build_bmp(w, h, body), "image"
+                elif k == 1:
+                    p, kind = multimodal.build_png(w, h, body), "image"
+                elif k == 2:
+                    p, kind = multimodal.build_ppm(w, h, body), "image"
+                else:
+                    p, kind = multimodal.build_wav(
+                        8000 + (d % 5) * 1000, 1 + d % 2, 100 + d % 400
+                    ), "audio"
+                out["media_id"].append(d)
+                out["kind"].append(kind)
+                out["payload"].append(p)
+                out["mime"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_ms"].append(None)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=multimodal.MEDIA_SCHEMA)
+    decoded = multimodal.decode_headers(media)
+    return (
+        decoded.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.col("width").cast("bigint")).alias("width_sum"),
+            F.sum(F.col("height").cast("bigint")).alias("height_sum"),
+            F.sum(F.col("duration_ms").cast("bigint")).alias(
+                "duration_ms_sum"
+            ),
+            F.min(F.col("width").cast("bigint")).alias("width_min"),
+            F.max(F.col("width").cast("bigint")).alias("width_max"),
+        )
+        .select(
+            "mime", "n_media", "width_sum", "height_sum",
+            "duration_ms_sum", "width_min", "width_max",
+        )
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6344,8 +6494,6 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q21_purchase_asof_view": q21_purchase_asof_view,
-    "q52_purchase_asof_left": q52_purchase_asof_left,
     "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q30_media_dimensions": q30_media_dimensions,
     "q31_video_frame_plan": q31_video_frame_plan,
@@ -6398,11 +6546,16 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q175_cluster_keeper_by_quality": q175_cluster_keeper_by_quality,
     # -- new in round 10 (first driver certification => inside the window)
     "q176_sql_dml_lifecycle": q176_sql_dml_lifecycle,
+    "q177_column_mapping_timetravel": q177_column_mapping_timetravel,
+    "q178_media_header_decode": q178_media_header_decode,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged); q01 displaced
-    # for q176 in r10 (green r09, values unchanged)
+    # for q176 in r10 (green r09, values unchanged); q21 for q177,
+    # q52 for q178 (same)
     "q01_pricing_summary": q01_pricing_summary,
+    "q21_purchase_asof_view": q21_purchase_asof_view,
+    "q52_purchase_asof_left": q52_purchase_asof_left,
     "q63_z3_spacetime": q63_z3_spacetime,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,

@@ -167,6 +167,22 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"no committed manifest table under {self._path!r}"
             )
+        if any(
+            l != p for l, p in tx._cmap(
+                tx._read_manifest(self._path, latest)
+            ).items()
+        ):
+            # column-mapped tables (post RENAME/DROP COLUMN) need a
+            # per-version logical<->physical projection the Arrow file
+            # reader does not implement yet — refuse loudly rather than
+            # stream misnamed/null columns (Delta gates the same feature
+            # behind a reader-protocol bump)
+            raise ValueError(
+                f"stream_feed does not support column-mapped tables yet "
+                f"({self._path!r} has renamed/dropped columns); read it "
+                "with read_table/table_changes, or OPTIMIZE-rewrite into "
+                "an unmapped table to stream"
+            )
         start_raw = _opt(options, "startingVersion", "0")
         start_ts = _opt(options, "startingTimestamp")
         if start_ts is not None:
@@ -223,10 +239,24 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         where_raw = _opt(options, "where")
         self._where = _decode_where(where_raw) if where_raw else None
         if self._where and str(_opt(options, "feed", "append")).lower() == "cdf":
-            raise ValueError(
-                "where= file pruning is append-feed only: a pruned CDF "
-                "stream would emit asymmetric delete/insert images"
+            # a pruned CDF stream is sound only for PARTITION-column
+            # predicates: a partition's adds AND removes live in that
+            # partition's files (exact [v, v] spans), so pruning keeps
+            # delete/insert image pairs together. Arbitrary-column
+            # pruning would split a rewrite's cancelling pairs.
+            part_cols = set(
+                tx._read_manifest(self._path, latest).get("partition_cols")
+                or ()
             )
+            bad = sorted({p[0] for p in self._where} - part_cols)
+            if bad:
+                raise ValueError(
+                    "cdf feed where= takes PARTITION-column predicates "
+                    f"only (column(s) {bad} are not partition columns); "
+                    "non-partition where= pruning is append-feed only: a "
+                    "pruned CDF stream would emit asymmetric delete/"
+                    "insert images"
+                )
         # self-tracked stream position for admission control: the engine's
         # Python source API hands the start offset only to partitions(), so
         # latestOffset() learns it from (a) initialOffset on a fresh
@@ -399,12 +429,12 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 # ALL cancellation is an optimization of the same
                 # multiset, one a per-file scan task cannot perform).
                 prev_dvs: dict[str, str] = {}
+                prev_stats: dict[str, dict] = {}
                 if (set_dv or unset_dv or removed) and v > 0:
                     try:
-                        prev_dvs = (
-                            tx._read_manifest(self._path, v - 1).get("dvs")
-                            or {}
-                        )
+                        prev = tx._read_manifest(self._path, v - 1)
+                        prev_dvs = prev.get("dvs") or {}
+                        prev_stats = prev.get("stats") or {}
                     except FileNotFoundError:
                         raise ValueError(
                             f"commit v{v - 1} of {self._path!r} was vacuumed; "
@@ -412,6 +442,45 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             "horizon — restart from a fresh checkpoint (or "
                             "raise vacuum's keep_versions)"
                         ) from None
+                if self._where:
+                    # partition-scoped CDF pruning (tier-1, r10): the
+                    # predicates are partition-column-only (enforced at
+                    # init), so each file's span is an exact point and
+                    # delete/insert pairs prune TOGETHER. Safety guard:
+                    # if any involved file lacks a span for a predicate
+                    # column, the WHOLE commit keeps all its files —
+                    # pruning must never split a rewrite's cancelling
+                    # pair (the consumer's row filter stays the
+                    # exactness contract either way, images carry the
+                    # partition value).
+                    involved = [
+                        *((f, add_stats.get(f)) for f in added),
+                        *((f, prev_stats.get(f)) for f in removed),
+                        *((f, prev_stats.get(f)) for f in sorted(set_dv)),
+                        *((f, prev_stats.get(f)) for f in unset_dv),
+                    ]
+                    spans_ok = all(
+                        st is not None and st.get(p[0]) is not None
+                        for _f, st in involved
+                        for p in self._where
+                    )
+                    if spans_ok:
+                        def _keep(f, stats_map):
+                            return all(
+                                tx._file_survives(stats_map.get(f), p)
+                                for p in self._where
+                            )
+                        added = [f for f in added if _keep(f, add_stats)]
+                        removed = [
+                            f for f in removed if _keep(f, prev_stats)
+                        ]
+                        set_dv = {
+                            f: d for f, d in set_dv.items()
+                            if _keep(f, prev_stats)
+                        }
+                        unset_dv = [
+                            f for f in unset_dv if _keep(f, prev_stats)
+                        ]
                 slices.extend(
                     FeedFileSlice(os.path.join(data, f), v, "insert")
                     for f in added

@@ -696,3 +696,21 @@ def test_cli_sql_dml_roundtrip(spark, tmp_path):
     assert rc == 0
     assert any("2\tB" in ln for ln in lines)
     assert tx.current_version(table) == 2
+
+
+def test_cli_rename_and_drop_column(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    table = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a", 1.0)], "k bigint, s string, price double"),
+        table,
+    )
+    rc, lines = _run(
+        ["rename-column", "--table-path", table, "--rename", "price=amount"]
+    )
+    assert rc == 0 and "metadata-only" in lines[0]
+    assert tx.read_table(spark, table).columns == ["k", "s", "amount"]
+    rc, lines = _run(["drop-column", "--table-path", table, "--column", "s"])
+    assert rc == 0
+    assert tx.read_table(spark, table).columns == ["k", "amount"]

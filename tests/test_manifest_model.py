@@ -1,7 +1,7 @@
 """Model-based certification of the manifest delta log: a random sequence
 of append / delete (rewrite AND deletion-vector modes) / key-set delete /
 merge / compact (bin-pack AND zorder re-layout) / truncate / checkpoint /
-RESTORE commits is
+RESTORE / partition-evolution (replace_table_layout) commits is
 replayed against a trivial in-memory model (a Counter of rows). After
 EVERY op the table must equal the model; afterwards, every recorded
 version must time-travel back to its model snapshot, and folding the
@@ -40,6 +40,7 @@ _op = st.one_of(
     st.tuples(st.just("keysdelete"), st.lists(st.integers(0, 12), min_size=1, max_size=4)),
     st.tuples(st.just("zorder"), st.none()),
     st.tuples(st.just("scopedcompact"), st.integers(0, 5)),
+    st.tuples(st.just("relayout"), st.sampled_from(["flat", "v", "k"])),
 )
 
 
@@ -125,6 +126,12 @@ def _run_model(spark, tmp_path, ops, partition_by):
             tx.compact_table(
                 spark, path, target_bytes=1 << 30, zorder_by=["k", "v"]
             )
+        elif kind == "relayout":
+            # partition evolution (r10): content-identity full rewrite
+            # under a new partition_by (or back to flat)
+            tx.replace_table_layout(
+                spark, path, None if arg == "flat" else [arg]
+            )
         elif kind == "keysdelete":
             # r8 distributed key-set delete (dv mode)
             kdf = spark.createDataFrame([(k,) for k in set(arg)], "k bigint")
@@ -146,12 +153,20 @@ def _run_model(spark, tmp_path, ops, partition_by):
             model = Counter(history[target])
         history[tx.current_version(path)] = Counter(model)
         assert _snap(spark, path) == model, f"after {kind}"
-        if partition_by:
-            # layout invariant: every live data file sits in a hive dir
-            man = tx._read_manifest(path, tx.current_version(path))
+        # layout invariant vs the CURRENT manifest (relayout can change
+        # it mid-sequence): partitioned => every live file in a hive dir
+        # of the declared column; flat => no dirs at all
+        man = tx._read_manifest(path, tx.current_version(path))
+        declared = man.get("partition_cols") or []
+        if declared:
             assert all(
-                f.split("/")[0].startswith("v=") for f in man["files"]
+                f.split("/")[0].startswith(f"{declared[0]}=")
+                for f in man["files"]
             ), f"layout broken after {kind}"
+        else:
+            assert all(
+                "/" not in f for f in man["files"]
+            ), f"flat layout broken after {kind}"
 
     # every committed version time-travels back to its model snapshot
     # (compact commits burn a version without changing rows — resolve

@@ -2339,3 +2339,58 @@ def test_redact_pii_order_and_counts(spark):
     # the email eats its whole dotted domain (leftmost-first greedy in
     # BOTH dialects), so only the standalone IP remains for the IP pass
     assert got[4] == ("weird <EMAIL> tail <IP>", (1, 1, 0))
+
+
+# ------------------------------------------------ real media header decode
+
+
+def test_parse_media_header_roundtrips_every_builder():
+    """Byte-level writer/parser round trip for all four real containers,
+    including the BMP top-down (negative height) form and RIFF chunk
+    padding."""
+    import struct
+
+    assert multimodal.parse_media_header(
+        multimodal.build_bmp(509, 383, b"xx")
+    ) == {"mime": "image/bmp", "width": 509, "height": 383,
+          "duration_ms": None}
+    q = bytearray(multimodal.build_bmp(10, 20))
+    q[22:26] = struct.pack("<i", -20)  # top-down DIB
+    assert multimodal.parse_media_header(bytes(q))["height"] == 20
+    assert multimodal.parse_media_header(
+        multimodal.build_png(1920, 1080)
+    ) == {"mime": "image/png", "width": 1920, "height": 1080,
+          "duration_ms": None}
+    assert multimodal.parse_media_header(
+        multimodal.build_ppm(17, 23, b"rgb")
+    ) == {"mime": "image/x-portable-pixmap", "width": 17, "height": 23,
+          "duration_ms": None}
+    # WAV: exact integer duration; odd-sized chunk padding walked
+    wav = multimodal.parse_media_header(multimodal.build_wav(8000, 2, 4001))
+    assert wav == {"mime": "audio/wav", "width": None, "height": None,
+                   "duration_ms": 4001 * 1000 // 8000}
+    # unknowns and truncation return None, never raise
+    assert multimodal.parse_media_header(b"garbage bytes") is None
+    assert multimodal.parse_media_header(None) is None
+    assert multimodal.parse_media_header(b"BM") is None
+    assert multimodal.parse_media_header(b"P6 malformed!") is None
+
+
+def test_decode_headers_fills_only_recognized_rows(spark):
+    rows = [
+        (1, "image", bytearray(multimodal.build_bmp(100, 50)), None, None,
+         None, None),
+        (2, "audio", bytearray(multimodal.build_wav(16000, 1, 16000)),
+         None, None, None, None),
+        (3, "video", bytearray(b"opaque-codec-bytes"), "video/mp4", 640,
+         480, 9000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_headers(media).collect()}
+    assert (got[1]["mime"], got[1]["width"], got[1]["height"]) == (
+        "image/bmp", 100, 50
+    )
+    assert (got[2]["mime"], got[2]["duration_ms"]) == ("audio/wav", 1000)
+    # unrecognized payload: stored metadata untouched
+    assert (got[3]["mime"], got[3]["width"], got[3]["height"],
+            got[3]["duration_ms"]) == ("video/mp4", 640, 480, 9000)

@@ -2281,3 +2281,297 @@ def test_battery_update_after_dv_delete_does_not_resurrect(
     assert got == [(0, 0), (1, 0), (3, 0), (4, 99), (5, 99)]
     man = tx._read_manifest(path, tx.current_version(path))
     assert not (man.get("dvs") or {})  # vector materialized by the rewrite
+
+
+def test_battery_rename_column_metadata_only(spark, tmp_path, protocol):
+    """Column mapping (r9 VERDICT #2): RENAME COLUMN is a metadata-only
+    commit — zero data files touched; reads project through the map;
+    predicates on the NEW name keep pruning against the physically-keyed
+    stats; time travel across the boundary serves each snapshot's own
+    names; NOT NULL entries and partition lists follow the rename; CHECK
+    references refuse."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, s string, price double"
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"s{i}", float(i)) for i in range(8)], ddl
+        ).repartitionByRange(4, "k"),
+        path, stats_cols=["k", "price"], not_null=["s"],
+        check_constraints={"k_pos": "k >= 0"},
+    )
+    files_before = tx._read_manifest(path, 0)["files"]
+
+    v = tx.rename_column(path, "price", "amount")
+    assert v == 1
+    man = tx._read_manifest(path, 1)
+    assert man["files"] == files_before  # not one data byte moved
+    assert man["column_map"]["amount"] == "price"
+    assert tx.read_table(spark, path).columns == ["k", "s", "amount"]
+    assert tx.read_table(spark, path, version=0).columns == ["k", "s", "price"]
+
+    # stats-skipping SURVIVES the rename: predicates on the new name
+    # prune against the old physical spans
+    pruned = tx.resolve_files(path, [("amount", ">", 6.0)])
+    assert 0 < len(pruned) < len(files_before)
+    got = sorted(
+        r["k"] for r in tx.read_table(
+            spark, path, where=[("amount", ">", 6.0)]
+        ).collect()
+    )
+    assert got == [7]
+
+    # NOT NULL followed; CHECK reference refuses the rename
+    with pytest.raises(ValueError, match="k_pos"):
+        tx.rename_column(path, "k", "key")
+    tx.rename_column(path, "s", "label")
+    with pytest.raises(tx.ConstraintViolation, match="NOT NULL label"):
+        tx.append_batch(
+            spark.createDataFrame(
+                [(9, None, 9.0)], "k bigint, label string, amount double"
+            ),
+            path,
+        )
+
+    # collisions/missing names are loud
+    with pytest.raises(ValueError, match="already exists"):
+        tx.rename_column(path, "amount", "k")
+    with pytest.raises(ValueError, match="no column"):
+        tx.rename_column(path, "nope", "x")
+
+    # append under the new names round-trips, old strict name refused
+    tx.append_batch(
+        spark.createDataFrame(
+            [(9, "s9", 9.0)], "k bigint, label string, amount double"
+        ),
+        path,
+    )
+    assert tx.read_table(spark, path).count() == 9
+    # an old-name producer is refused loudly (the NOT NULL gate sees the
+    # renamed column missing before the schema-signature check would)
+    with pytest.raises(ValueError, match="omits NOT NULL|does not match"):
+        tx.append_batch(
+            spark.createDataFrame([(10, "x", 1.0)], ddl), path
+        )
+
+
+def test_battery_drop_and_readd_column(spark, tmp_path, protocol):
+    """DROP COLUMN is metadata-only; a column RE-ADDED under the dropped
+    name gets a fresh physical name, so the dropped bytes never
+    resurrect; constraints and partition columns protect themselves."""
+    path = str(tmp_path / "t")
+    ddl = "k bigint, s string, price double"
+    tx.init_table(
+        spark.createDataFrame([(1, "secret", 1.0), (2, "hush", 2.0)], ddl),
+        path, not_null=["s"],
+    )
+    with pytest.raises(ValueError, match="NOT NULL s"):
+        tx.drop_column(path, "s")
+    tx.drop_table_constraint(path, not_null="s")
+    files_before = tx._read_manifest(path, tx.current_version(path))["files"]
+    tx.drop_column(path, "s")
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["files"] == files_before  # metadata-only
+    assert tx.read_table(spark, path).columns == ["k", "price"]
+
+    # re-add 's' by evolution: fresh physical, old bytes stay buried
+    tx.append_batch(
+        spark.createDataFrame([(3, 3.0, "new")], "k bigint, price double, s string"),
+        path, merge_schema=True,
+    )
+    got = {r["k"]: r["s"] for r in tx.read_table(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "new"}
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["column_map"]["s"] != "s"  # fresh physical name
+
+    # guard rails
+    with pytest.raises(ValueError, match="last column"):
+        p2 = str(tmp_path / "one")
+        tx.init_table(spark.createDataFrame([(1,)], "x bigint"), p2)
+        tx.drop_column(p2, "x")
+    p3 = str(tmp_path / "parts")
+    tx.init_table(
+        spark.createDataFrame([(1, "d1")], "id bigint, day string"), p3,
+        partition_by=["day"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        tx.drop_column(p3, "day")
+
+
+def test_battery_mapping_survives_checkpoint_and_lifecycle(
+    spark, tmp_path, protocol
+):
+    """The column map rides checkpoints, dv deletes, UPDATE/MERGE
+    rewrites, OPTIMIZE, RESTORE across the rename boundary, and the
+    partitioned hive layout (dirs stay keyed by the physical name)."""
+    path = str(tmp_path / "t")
+    ddl = "id bigint, day string, v double"
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0)], ddl
+        ),
+        path, partition_by=["day"], stats_cols=["id"],
+    )
+    tx.rename_column(path, "day", "event_day")  # v1
+    man = tx._read_manifest(path, 1)
+    assert man["partition_cols"] == ["event_day"]
+    # dirs stay physical
+    assert all(f.startswith("day=") for f in man["files"])
+    # partition pruning on the NEW name
+    assert len(tx.resolve_files(path, [("event_day", "=", "d1")])) == 2
+    # appends land under the physical dir
+    tx.append_batch(
+        spark.createDataFrame([(4, "d3", 4.0)], "id bigint, event_day string, v double"),
+        path,
+    )  # v2
+    man = tx._read_manifest(path, 2)
+    assert {f.split("/")[0] for f in man["files"]} == {
+        "day=d1", "day=d2", "day=d3"
+    }
+    # dv delete + update + merge on the mapped table
+    tx.delete_where(spark, path, "id = 2", mode="dv")  # v3
+    tx.update_where(spark, path, {"v": "v * 10"}, "id = 1")  # v4
+    tx.merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "d1", 33.0), (5, "d2", 5.0)],
+            "id bigint, event_day string, v double",
+        ),
+        ["id"],
+    )  # v5
+    assert {tuple(r) for r in tx.read_table(spark, path).collect()} == {
+        (1, "d1", 10.0), (3, "d1", 33.0), (4, "d3", 4.0), (5, "d2", 5.0)
+    }
+    # OPTIMIZE compacts the mapped table without breaking projection
+    tx.compact_table(spark, path)
+    assert tx.read_table(spark, path).count() == 4
+    # checkpoint carries the map
+    tx.checkpoint_table(path)
+    cp = tx._read_manifest(path, tx.current_version(path))
+    assert cp["column_map"]["event_day"] == "day"
+    # RESTORE to v0 brings back the pre-rename names
+    tx.restore_table(path, 0)
+    assert tx.read_table(spark, path).columns == ["id", "day", "v"]
+    assert tx.read_table(spark, path).count() == 3
+
+
+def test_battery_mapped_table_refuses_stream_feed(spark, tmp_path, protocol):
+    """The Arrow streaming feed refuses column-mapped tables loudly
+    (reader-protocol gate) instead of streaming misnamed columns."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "k bigint, s string"), path
+    )
+    tx.rename_column(path, "s", "label")
+    reader_cls = manifestfeed.ManifestFeedStreamReader
+    with pytest.raises(ValueError, match="column-mapped"):
+        reader_cls(
+            tx.read_table(spark, path).schema, {"path": path}
+        )
+
+
+def test_battery_replace_table_layout(spark, tmp_path, protocol):
+    """Partition evolution (r9 VERDICT #3): one full-rewrite commit
+    re-partitions the live snapshot; old snapshots still read under the
+    OLD layout; new commits stage under the NEW layout; partition
+    pruning flips to the new columns; de-partitioning works; dv deletes
+    are materialized, not resurrected."""
+    path = str(tmp_path / "t")
+    ddl = "id bigint, day string, tenant string, v double"
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "d1", "ta", 1.0), (2, "d1", "tb", 2.0),
+             (3, "d2", "ta", 3.0), (4, "d2", "tb", 4.0)], ddl
+        ),
+        path, partition_by=["day"], stats_cols=["id"],
+    )
+    tx.delete_where(spark, path, "id = 2", mode="dv")  # v1: dv mask
+
+    res = tx.replace_table_layout(spark, path, ["tenant"])  # v2
+    assert res["old_partition_by"] == ["day"]
+    assert res["new_partition_by"] == ["tenant"]
+    man = tx._read_manifest(path, res["version"])
+    assert man["partition_cols"] == ["tenant"]
+    assert {f.split("/")[0] for f in man["files"]} == {
+        "tenant=ta", "tenant=tb"
+    }
+    assert not (man.get("dvs") or {})  # vectors materialized
+    # values unchanged; the dv-deleted row did not resurrect
+    assert {tuple(r) for r in tx.read_table(spark, path).collect()} == {
+        (1, "d1", "ta", 1.0), (3, "d2", "ta", 3.0), (4, "d2", "tb", 4.0)
+    }
+    # pruning flips to the new layout
+    assert len(tx.resolve_files(path, [("tenant", "=", "ta")])) < len(
+        man["files"]
+    )
+    # time travel: v0 reads under the OLD layout with all rows
+    v0 = tx.read_table(spark, path, version=0)
+    assert v0.count() == 4
+    v0_files = tx._read_manifest(path, 0)["files"]
+    assert all(f.startswith("day=") for f in v0_files)
+
+    # new commits stage under the new layout
+    tx.append_batch(
+        spark.createDataFrame([(5, "d3", "tc", 5.0)], ddl), path
+    )
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert any(f.startswith("tenant=tc/") for f in man["files"])
+
+    # de-partition to flat
+    res = tx.replace_table_layout(spark, path, None)
+    man = tx._read_manifest(path, res["version"])
+    assert man["partition_cols"] is None
+    assert all("/" not in f for f in man["files"])
+    assert tx.read_table(spark, path).count() == 4
+
+    # unknown partition column refused
+    with pytest.raises(ValueError, match="not in table schema"):
+        tx.replace_table_layout(spark, path, ["nope"])
+
+
+def test_battery_replace_layout_zorder_and_history(spark, tmp_path, protocol):
+    """Re-layout composes with ZORDER inside the new partitioning, and
+    history records the op."""
+    path = str(tmp_path / "t")
+    rows = [(i, f"d{i % 2}", float(i), float(-i)) for i in range(32)]
+    tx.init_table(
+        spark.createDataFrame(rows, "id bigint, day string, x double, y double"),
+        path, stats_cols=["id"],
+    )
+    res = tx.replace_table_layout(
+        spark, path, ["day"], zorder_by=["x", "y"]
+    )
+    man = tx._read_manifest(path, res["version"])
+    assert man["partition_cols"] == ["day"]
+    assert all(f.startswith("day=") for f in man["files"])
+    assert set(man["stats_cols"]) >= {"day", "id", "x", "y"}
+    assert tx.read_table(spark, path).count() == 32
+    ops = [h["op"] for h in tx.table_history(path)]
+    assert "replace_layout" in ops
+    # z-stats prune inside the new layout
+    pruned = tx.resolve_files(
+        path, [("day", "=", "d0"), ("x", ">", 100.0)]
+    )
+    assert pruned == []
+
+
+def test_battery_replace_layout_on_mapped_table(spark, tmp_path, protocol):
+    """Partition evolution composes with column mapping: the new hive
+    dirs are keyed by the PHYSICAL name of a renamed partition column."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d2")], "id bigint, day string"
+        ),
+        path,
+    )
+    tx.rename_column(path, "day", "event_day")
+    tx.replace_table_layout(spark, path, ["event_day"])
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["partition_cols"] == ["event_day"]
+    assert {f.split("/")[0] for f in man["files"]} == {"day=d1", "day=d2"}
+    assert len(tx.resolve_files(path, [("event_day", "=", "d1")])) == 1
+    assert {tuple(r) for r in tx.read_table(spark, path).collect()} == {
+        (1, "d1"), (2, "d2")
+    }
