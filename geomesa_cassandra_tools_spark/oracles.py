@@ -3875,3 +3875,36 @@ SELECT CASE k
          AS width_max
 FROM m GROUP BY 1
 """
+
+# q179: partition evolution as set algebra; pruned_subset hard-codes the
+# layout contract (a status-scoped read after the re-layout opens a
+# strict subset of live files; the flat snapshot and full read do not).
+ORACLES["q179_partition_evolution_scan"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2
+),
+v2 AS (
+  SELECT * FROM v0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 4
+),
+live AS (SELECT * FROM v2 WHERE o_orderkey % 9 <> 0)
+SELECT 'live_status_F' AS snapshot, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+       TRUE AS pruned_subset
+FROM live WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'v0_flat', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey), FALSE
+FROM v0
+UNION ALL
+SELECT 'live_all', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey), FALSE
+FROM live
+"""

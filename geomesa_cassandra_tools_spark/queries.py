@@ -6387,6 +6387,94 @@ def q178_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _relayout_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table certifying PARTITION EVOLUTION (the
+    q179 fixture): v0 init FLAT with the o_orderkey % 5 == 2 slice of
+    orders; v1 `replace_table_layout(["o_orderstatus"])` (full-rewrite
+    commit, history preserved); v2 append the % 5 == 4 slice (stages
+    under the NEW hive layout via the self-wiring); v3 delete the
+    % 9 == 0 keys. Version-guarded, race-idempotent."""
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_relayout")
+    if transactional.current_version(path) >= 3:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 5 == 2)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    for want, step in (
+        (1, lambda: transactional.replace_table_layout(
+            spark, path, ["o_orderstatus"])),
+        (2, lambda: transactional.append_batch(
+            orders.where(F.col("o_orderkey") % 5 == 4)
+            .repartitionByRange(4, "o_orderkey"),
+            path, txn_app="relayout-fixture", txn_id=2)),
+        (3, lambda: transactional.delete_where(
+            spark, path, "o_orderkey % 9 = 0")),
+    ):
+        if transactional.current_version(path) < want:
+            try:
+                step()
+            except transactional.CommitConflict:
+                pass  # racing builder landed the identical step
+    return path
+
+
+def q179_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution driver-certified (`replace_table_layout` —
+    Delta's REPLACE TABLE ... PARTITIONED BY as one atomic full-rewrite
+    commit): a table initialized FLAT and re-partitioned by status
+    mid-history must serve (a) a status-scoped read AFTER the boundary
+    that prunes at the manifest tier (the post-evolution append landed
+    in the new hive layout; the per-status read opens only that
+    status's files — the partitions_opened column rides the hashed
+    values via a distinct-count over the scanned file names), (b) the
+    PRE-evolution flat snapshot via time travel, and (c) the live
+    whole-table read — all value-identical to plain SQL over orders."""
+    path = _relayout_path(spark, sf_dir)
+    man = transactional._read_manifest(
+        path, transactional.current_version(path)
+    )
+    # the observable pruning surface: files a status-scoped read opens
+    scoped_files = transactional.resolve_files(
+        path, [("o_orderstatus", "=", "F")]
+    )
+    scoped = transactional.read_table(
+        spark, path, where=[("o_orderstatus", "=", "F")]
+    )
+    v0 = transactional.read_table(spark, path, version=0)
+    live = transactional.read_table(spark, path)
+
+    def summarize(df: DataFrame, label: str, opened: int, total: int) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("price_cents"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+            F.lit(opened < total).alias("pruned_subset"),
+        ).select(
+            "snapshot", "n_rows", "price_cents", "first_key", "last_key",
+            "pruned_subset",
+        )
+
+    n_live = len(man["files"])
+    return (
+        summarize(scoped, "live_status_F", len(scoped_files), n_live)
+        .unionByName(summarize(v0, "v0_flat", n_live, n_live))
+        .unionByName(summarize(live, "live_all", n_live, n_live))
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6494,7 +6582,6 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q30_media_dimensions": q30_media_dimensions,
     "q31_video_frame_plan": q31_video_frame_plan,
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
@@ -6548,14 +6635,16 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_sql_dml_lifecycle": q176_sql_dml_lifecycle,
     "q177_column_mapping_timetravel": q177_column_mapping_timetravel,
     "q178_media_header_decode": q178_media_header_decode,
+    "q179_partition_evolution_scan": q179_partition_evolution_scan,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged); q01 displaced
     # for q176 in r10 (green r09, values unchanged); q21 for q177,
-    # q52 for q178 (same)
+    # q52 for q178, q119 for q179 (same)
     "q01_pricing_summary": q01_pricing_summary,
     "q21_purchase_asof_view": q21_purchase_asof_view,
     "q52_purchase_asof_left": q52_purchase_asof_left,
+    "q119_nearest_view_to_purchase": q119_nearest_view_to_purchase,
     "q63_z3_spacetime": q63_z3_spacetime,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_top_orders": q03_top_orders,
