@@ -3233,6 +3233,11 @@ def describe_table(path: str) -> dict:
             for n, e in ((man.get("constraints") or {}).get("checks") or {}).items()
         ],
         "columns": fields,
+        "renamed_columns": [
+            f"{l} (physical: {p})"
+            for l, p in sorted(_cmap(man).items())
+            if l != p
+        ],
         "oldest_version": versions[0] if versions else version,
         "num_commits_retained": len(versions),
     }
