@@ -142,6 +142,55 @@ def quality_score(text: Column) -> Column:
     return ((length_term + diversity + (1 - stop)) / 3).cast("double")
 
 
+def dup_ngram_bp(text: Column, n: int) -> Column:
+    """Duplicate word-n-gram fraction in basis points — the Gopher-style
+    repetition gate (Rae et al. 2021, appendix A1.1 "repetition removal"),
+    word-level variant: floor(10000 * (grams - distinct grams) / grams),
+    0 for docs with fewer than n tokens.
+
+    Integer counts + one IEEE double division (identical in DuckDB), so
+    the oracle hash-matches bit-exactly.  Map-only per-doc lambdas — no
+    explode, no shuffle; at 100 TB this is scan-bound."""
+    g = shingles(text, n)
+    total = F.size(g)
+    dup = total - F.size(F.array_distinct(g))
+    return (
+        F.when(total > 0, F.floor(dup * F.lit(10000) / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def top_token_bp(text: Column) -> Column:
+    """Most-frequent-token share in basis points (Gopher's "fraction of
+    characters in the most common word" gate, token-count variant):
+    floor(10000 * max token multiplicity / tokens).
+
+    The token array is bound ONCE as a lambda variable (the same
+    quadratic-resplit trap ``shingles`` documents); the inner
+    count-per-distinct-token is O(distinct x tokens) per document —
+    bounded by document length squared, trivially small for corpus docs
+    and still map-only at 100 TB."""
+    return (
+        F.element_at(
+            F.transform(
+                F.array(tokens(text)),
+                lambda tk: F.floor(
+                    F.array_max(
+                        F.transform(
+                            F.array_distinct(tk),
+                            lambda w: F.size(F.filter(tk, lambda x: x == w)),
+                        )
+                    )
+                    * F.lit(10000)
+                    / F.size(tk)
+                ),
+            ),
+            1,
+        )
+    ).cast("long")
+
+
 def fingerprint(token_id_positions: Column) -> Column:
     """Order-sensitive document fingerprint over an array of
     ``struct(pos, tid)``: sum((tid+1)*(pos+1)) mod P.  Pure integer

@@ -376,10 +376,27 @@ def _commit(
         )
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
+    # IN-COMMIT TIMESTAMPS (Delta's ICT table feature, default-on here):
+    # the stamped ts is max(wall clock, predecessor ts + 1ms), so commit
+    # timestamps are STRICTLY MONOTONE in version order no matter how
+    # skewed the writers' clocks are. That upgrades version_as_of's
+    # latest-downward early stop from "effectively monotone" (Delta's
+    # file-mtime caveat) to exact on any history written by this code.
+    # Cost: one predecessor delta-body read per commit — noise next to
+    # parquet staging. A vacuumed/checkpoint-only predecessor falls back
+    # to the wall clock (legacy contract, disclosed in version_as_of).
+    now = time.time()
+    if version > 0:
+        try:
+            prev_ts = _read_json(path, f"v{version - 1}.json").get("ts")
+        except (FileNotFoundError, ValueError):
+            prev_ts = None
+        if prev_ts is not None and now <= prev_ts:
+            now = prev_ts + 0.001
     body = {
         "version": version,
         "op": op,
-        "ts": time.time(),
+        "ts": now,
         "add": sorted(add or []),
         "remove": sorted(remove or []),
         "schema": schema_ddl,
@@ -1639,11 +1656,15 @@ def version_as_of(path: str, ts: float, inclusive: bool = True) -> int:
 
     Cost: O(commits newer than ``ts``), not O(history) — versions are
     walked from latest DOWNWARD and the walk stops at the first commit
-    stamped <= ``ts``. Timestamps are effectively monotone in version
-    order (the same wall-clock caveat above bounds how much they aren't);
-    under heavy skew the early stop resolves by the same
-    commit-file-time contract Delta documents, it just picks the highest
-    version at-or-before the instant along the monotone prefix."""
+    stamped <= ``ts``. Commits written by this code carry IN-COMMIT
+    TIMESTAMPS (``_commit`` stamps max(wall, predecessor + 1ms) — Delta's
+    ICT feature), so timestamps are STRICTLY monotone in version order
+    and the early stop is exact regardless of writer clock skew. Only a
+    legacy/mixed history (commits stamped before ICT, or mtime
+    fallbacks after a vacuum) retains Delta's documented wall-clock
+    caveat: there the walk resolves by the same commit-file-time
+    contract, picking the highest version at-or-before the instant
+    along the monotone prefix."""
     latest = current_version(path)
     if latest < 0:
         raise ValueError(f"no committed manifest under {path!r}")

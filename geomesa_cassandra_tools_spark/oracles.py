@@ -3908,3 +3908,47 @@ SELECT 'live_all', COUNT(*),
        MIN(o_orderkey), MAX(o_orderkey), FALSE
 FROM live
 """
+
+# q180: Gopher repetition gates as list lambdas — DuckDB's range(a, b)
+# is empty when b <= a (verified), so short docs get empty gram lists
+# exactly like the Spark side's guarded shingles(). One IEEE double
+# division per metric (floor(int*10000/int)) matches Spark bit-exactly.
+ORACLES["q180_repetition_filters"] = """
+WITH w AS (
+  SELECT lang, source, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT lang, source, ws,
+         list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+           AS g3
+  FROM w
+),
+m AS (
+  SELECT lang, source,
+         CAST(floor(list_max(list_transform(list_distinct(ws),
+                t -> len(list_filter(ws, x -> x = t))))
+              * 10000 / len(ws)) AS BIGINT) AS top1_bp,
+         CASE WHEN len(g2) > 0 THEN
+           CAST(floor((len(g2) - len(list_distinct(g2))) * 10000
+                / len(g2)) AS BIGINT)
+         ELSE 0 END AS dup2_bp,
+         CASE WHEN len(g3) > 0 THEN
+           CAST(floor((len(g3) - len(list_distinct(g3))) * 10000
+                / len(g3)) AS BIGINT)
+         ELSE 0 END AS dup3_bp
+  FROM g
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup3_bp > 1500 OR dup2_bp > 3000
+                      OR top1_bp > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(dup2_bp) AS BIGINT) AS dup2_bp_sum,
+       CAST(SUM(dup3_bp) AS BIGINT) AS dup3_bp_sum,
+       CAST(SUM(top1_bp) AS BIGINT) AS top1_bp_sum,
+       CAST(MAX(top1_bp) AS BIGINT) AS top1_bp_max
+FROM m GROUP BY lang, source
+"""

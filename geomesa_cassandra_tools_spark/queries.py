@@ -6475,6 +6475,43 @@ def q179_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q180_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021, appendix
+    A1.1), the standard pre-training corpus filter family: per-document
+    duplicate 2-/3-gram fraction and most-frequent-token share, all in
+    integer basis points, flagged at the documented thresholds
+    (dup3 > 1500bp OR dup2 > 3000bp OR top-token > 2000bp) and rolled
+    up per (lang, source) — the slice a curation pipeline actually
+    inspects before dropping a source.
+
+    Scale shape: every per-doc metric is a bound-once array lambda —
+    no explode, no join, zero UDFs; the only shuffle is the final
+    (lang, source) partial agg. At 100 TB this is a single scan of the
+    text column with map-side combine."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    d = t["documents"].select(
+        "lang",
+        "source",
+        T.top_token_bp(txt).alias("top1_bp"),
+        T.dup_ngram_bp(txt, 2).alias("dup2_bp"),
+        T.dup_ngram_bp(txt, 3).alias("dup3_bp"),
+    )
+    flagged = (
+        (F.col("dup3_bp") > 1500)
+        | (F.col("dup2_bp") > 3000)
+        | (F.col("top1_bp") > 2000)
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum("dup2_bp").alias("dup2_bp_sum"),
+        F.sum("dup3_bp").alias("dup3_bp_sum"),
+        F.sum("top1_bp").alias("top1_bp_sum"),
+        F.max("top1_bp").alias("top1_bp_max"),
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6636,6 +6673,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_column_mapping_timetravel": q177_column_mapping_timetravel,
     "q178_media_header_decode": q178_media_header_decode,
     "q179_partition_evolution_scan": q179_partition_evolution_scan,
+    "q180_repetition_filters": q180_repetition_filters,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged); q01 displaced
@@ -6668,11 +6706,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_simhash_docs": q25_simhash_docs,
     "q27_ivf_topk": q27_ivf_topk,
     "q28_embedding_near_dups": q28_embedding_near_dups,
-    "q29_media_features": q29_media_features,
     # ---- end of the 50-entry verification window ----
     # (q134/q131/q76/q80/q81/q33/q34 displaced for q171-q175 in r9;
-    # q32 displaced for q176 in r10: all green in earlier rounds with
-    # unchanged values -> union coverage holds)
+    # q32 displaced for q176, q29 for q180 in r10: all green in earlier
+    # rounds with unchanged values -> union coverage holds)
+    "q29_media_features": q29_media_features,
     "q32_stream_hourly_counts": q32_stream_hourly_counts,
     "q134_z3_stored_spacetime_scan": q134_z3_stored_spacetime_scan,
     "q131_zordered_bbox_scan": q131_zordered_bbox_scan,

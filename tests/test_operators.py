@@ -2341,6 +2341,40 @@ def test_redact_pii_order_and_counts(spark):
     assert got[4] == ("weird <EMAIL> tail <IP>", (1, 1, 0))
 
 
+def test_repetition_metrics_edges(spark):
+    """Gopher repetition gates on the degenerate shapes: one-token docs
+    (no grams -> 0bp dup, 10000bp top-token), all-same-token docs
+    (everything duplicate), and an alternating doc where 2-grams repeat
+    but 3-grams don't all."""
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.functions import text as T
+
+    rows = [
+        (1, "solo"),
+        (2, "a a a a"),
+        (3, "a b a b a"),
+        (4, "w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = {
+        r["id"]: (r["top1"], r["d2"], r["d3"])
+        for r in df.select(
+            "id",
+            T.top_token_bp(F.col("t")).alias("top1"),
+            T.dup_ngram_bp(F.col("t"), 2).alias("d2"),
+            T.dup_ngram_bp(F.col("t"), 3).alias("d3"),
+        ).collect()
+    }
+    assert got[1] == (10000, 0, 0)
+    # "a a a a": 3 identical 2-grams -> 2/3 dup; 2 identical 3-grams -> 1/2
+    assert got[2] == (10000, 6666, 5000)
+    # "a b a b a": top token 3/5; 2-grams [ab,ba,ab,ba] -> 2/4 dup;
+    # 3-grams [aba,bab,aba] -> 1/3 dup
+    assert got[3] == (6000, 5000, 3333)
+    assert got[4] == (2500, 0, 0)
+
+
 # ------------------------------------------------ real media header decode
 
 

@@ -2091,6 +2091,43 @@ def test_timestamp_as_of(spark, tmp_path, protocol):
     assert spark.sql("SELECT count(*) AS n FROM asof_v").collect()[0]["n"] == 1
 
 
+def test_battery_in_commit_timestamps_monotone_under_skew(
+    spark, tmp_path, protocol, monkeypatch
+):
+    """IN-COMMIT TIMESTAMPS: a writer whose wall clock jumps BACKWARD
+    between commits still publishes strictly increasing commit stamps
+    (max(wall, predecessor + 1ms)), so TIMESTAMP AS OF order always
+    equals version order — the exactness upgrade over Delta's
+    file-mtime contract that version_as_of's early-stop walk relies
+    on."""
+    import time as _time
+
+    path = str(tmp_path / "ict")
+    tx.init_table(spark.createDataFrame([(1,)], "k bigint"), path)
+    real_time = _time.time
+    # clock jumps 1 hour BACKWARD for the second commit, then recovers
+    skew = [-3600.0, 0.0]
+
+    def skewed():
+        return real_time() + (skew.pop(0) if skew else 0.0)
+
+    monkeypatch.setattr(tx.time, "time", skewed)
+    tx.append_batch(spark.createDataFrame([(2,)], "k bigint"), path)
+    tx.append_batch(spark.createDataFrame([(3,)], "k bigint"), path)
+    monkeypatch.undo()
+    stamps = [tx._read_json(path, f"v{v}.json")["ts"] for v in (0, 1, 2)]
+    assert stamps[0] < stamps[1] < stamps[2]
+    # the skewed commit was clamped to predecessor + 1ms, not an hour back
+    assert stamps[1] == pytest.approx(stamps[0] + 0.001)
+    # resolution: an instant just after v1's stamp picks v1, never v0
+    assert tx.version_as_of(path, stamps[1]) == 1
+    assert tx.version_as_of(path, stamps[2] - 1e-4) == 1
+    assert tx.version_as_of(path, real_time()) == 2
+    hist = tx.table_history(path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["ts"] < hist[1]["ts"] < hist[2]["ts"]
+
+
 def test_battery_append_retry_reenforces_added_constraint(
     spark, tmp_path, protocol, monkeypatch
 ):
