@@ -35,9 +35,12 @@ operations instead of SSH+cqlsh/nodetool calls:
   (transactional DELETE; ``--delete-mode dv`` marks rows in a
   deletion-vector sidecar instead of rewriting files), and
   ``restore-table`` (Delta RESTORE: roll back to ``--version`` as a
-  new commit, history preserved), and ``add-constraint`` /
+  new commit, history preserved), ``add-constraint`` /
   ``drop-constraint`` (ALTER TABLE ADD/DROP CONSTRAINT — ``--not-null
-  COL`` or ``--check NAME=EXPR``; ADD validates existing data first).
+  COL`` or ``--check NAME=EXPR``; ADD validates existing data first),
+  and ``clone-table`` (Delta SHALLOW CLONE: ``--target-path`` gets a
+  zero-copy v0 referencing the source snapshot's files; compact-table
+  on the clone materializes it).
 
 Results print as TSV rows on stdout (header first), so the output pipes
 into cut/awk the way the reference's log lines do.
@@ -217,6 +220,10 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--column", default=None, metavar="COL",
         help="drop-column: the column to drop (metadata-only)",
+    )
+    p.add_argument(
+        "--target-path", default=None,
+        help="clone-table: path of the new (shallow) clone",
     )
     p.add_argument(
         "--zorder-by", default=None, metavar="COL[,COL...]",
@@ -683,6 +690,25 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             f"restored {args.table_path} to v{res.get('restored_to', args.version)} "
             f"as v{res['version']}: +{res['files_added']} / "
             f"-{res['files_removed']} file(s)",
+            file=out,
+        )
+        return 0
+
+    if cmd == "clone-table":
+        # Delta SHALLOW CLONE: a zero-copy snapshot fork — new table, v0
+        # references the source's files; compact-table on the clone
+        # materializes it
+        _require(parser, args, "table-path", "target-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        res = transactional.clone_table(
+            args.table_path, args.target_path,
+            version=args.version, as_of=args.as_of,
+        )
+        print(
+            f"cloned {args.table_path}@v{res['source_version']} to "
+            f"{args.target_path} ({res['files_referenced']} file(s) "
+            f"referenced, {res['vectors_carried']} vector(s) carried)",
             file=out,
         )
         return 0

@@ -216,7 +216,7 @@ def _empty_state() -> dict:
         "version": -1, "files": [], "schema": None, "txns": {},
         "stats_cols": None, "stats": None, "dvs": {},
         "partition_cols": None, "constraints": None,
-        "column_map": None, "column_map_seq": 0,
+        "column_map": None, "column_map_seq": 0, "generated": None,
     }
 
 
@@ -252,6 +252,10 @@ def _apply_delta(state: dict, delta: dict) -> dict:
         state["partition_cols"] = delta["partition_cols"]
     if "constraints" in delta:
         state["constraints"] = delta["constraints"]
+    # generated columns are IMMUTABLE after init (like the partition
+    # layout): ordinary deltas omit the key and the state value carries
+    if "generated" in delta:
+        state["generated"] = delta["generated"]
     # column mapping changes only through the explicit verbs (rename /
     # drop / evolution assigning fresh physical names): ordinary deltas
     # omit the key and the state values carry
@@ -287,6 +291,7 @@ def _as_state(body: dict) -> dict:
         "constraints": body.get("constraints"),
         "column_map": body.get("column_map"),
         "column_map_seq": body.get("column_map_seq", 0),
+        "generated": body.get("generated"),
     }
 
 
@@ -342,6 +347,8 @@ def _commit(
     constraints: dict | None = _UNSET,
     column_map: dict | None = _UNSET,
     column_map_seq: int | None = None,
+    extra: dict | None = None,
+    generated: dict | None = _UNSET,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -419,6 +426,12 @@ def _commit(
         body["column_map"] = column_map  # null on overwrite = reset
         if column_map_seq is not None:
             body["column_map_seq"] = column_map_seq
+    if generated is not _UNSET:
+        body["generated"] = generated  # null on overwrite = reset
+    if extra:
+        # informational commit metadata (e.g. clone lineage) — read by
+        # table_history/DESCRIBE, never by state resolution
+        body.update(extra)
     payload = json.dumps(body).encode()
     try:
         _PROTOCOL.publish(d, f"v{version}.json", payload)
@@ -466,6 +479,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
     if state.get("column_map"):
         body["column_map"] = state["column_map"]
         body["column_map_seq"] = state.get("column_map_seq", 0)
+    if state.get("generated"):
+        body["generated"] = state["generated"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -944,6 +959,201 @@ def _enforce_constraints(df: DataFrame, constraints: dict | None, path: str):
         )
 
 
+#: GENERATED COLUMN expression patterns whose partition predicates can be
+#: DERIVED from a predicate on the source column (each is order-preserving
+#: / monotone on its input — the property the derivation relies on).
+#: Delta's generated-column partition pruning supports the same family.
+_GEN_TO_DATE_RE = re.compile(r"^\s*to_date\(\s*([A-Za-z_][\w]*)\s*\)\s*$")
+_GEN_DATE_TRUNC_RE = re.compile(
+    r"^\s*date_trunc\(\s*'(year|month|week|day|hour)'\s*,"
+    r"\s*([A-Za-z_][\w]*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_GEN_SUBSTR_RE = re.compile(
+    r"^\s*substr(?:ing)?\(\s*([A-Za-z_][\w]*)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$"
+)
+
+
+def _parse_generator(expr: str):
+    """(source_column, conv, conv_strict_hi) for a derivable
+    generated-column expression, or (None, None, None). ``conv`` maps a
+    predicate literal on the SOURCE column to the generated column's
+    value; because every supported expression is monotone,
+    ``src OP lit`` implies ``gen OP' conv(lit)`` with ``<``/``>`` relaxed
+    to ``<=``/``>=``. ``conv_strict_hi`` sharpens the strict upper bound:
+    the LARGEST generated value reachable by inputs strictly below the
+    literal — so ``ts < midnight`` derives ``date <= day - 1`` instead of
+    ``<= day`` (the dashboard [day, day+1) shape prunes exactly)."""
+    import datetime
+
+    def _as_dt(v):
+        if isinstance(v, datetime.datetime):
+            return v
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            try:
+                return datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        return None
+
+    m = _GEN_TO_DATE_RE.match(expr)
+    if m:
+        def conv(v):
+            dt = _as_dt(v)
+            return dt.date() if dt is not None else None
+
+        def strict_hi(v):
+            dt = _as_dt(v)
+            if dt is None:
+                return None
+            if (dt.hour, dt.minute, dt.second, dt.microsecond) == (0, 0, 0, 0):
+                return dt.date() - datetime.timedelta(days=1)
+            return dt.date()
+        return m.group(1), conv, strict_hi
+    m = _GEN_DATE_TRUNC_RE.match(expr)
+    if m:
+        unit = m.group(1).lower()
+
+        def _trunc(dt, unit=unit):
+            if unit == "year":
+                return dt.replace(month=1, day=1, hour=0, minute=0,
+                                  second=0, microsecond=0)
+            if unit == "month":
+                return dt.replace(day=1, hour=0, minute=0, second=0,
+                                  microsecond=0)
+            if unit == "week":  # Spark: truncate to the Monday
+                base = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+                return base - datetime.timedelta(days=base.weekday())
+            if unit == "day":
+                return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+            return dt.replace(minute=0, second=0, microsecond=0)  # hour
+
+        def conv(v):
+            dt = _as_dt(v)
+            return _trunc(dt) if dt is not None else None
+
+        def strict_hi(v):
+            dt = _as_dt(v)
+            if dt is None:
+                return None
+            t = _trunc(dt)
+            if t == dt:  # exactly on a boundary: previous bucket is max
+                return _trunc(t - datetime.timedelta(microseconds=1))
+            return t
+        return m.group(2), conv, strict_hi
+    m = _GEN_SUBSTR_RE.match(expr)
+    if m:
+        n = int(m.group(2))
+
+        def conv(v, n=n):
+            return v[:n] if isinstance(v, str) else None
+        return m.group(1), conv, conv  # prefix strict bound is unsharpenable
+    return None, None, None
+
+
+def _derived_generated_preds(
+    where: list[tuple], man: dict
+) -> list[tuple]:
+    """PRUNING-ONLY predicates on generated columns, derived from ``where``
+    predicates on their source columns (Delta's generated-column partition
+    pruning): a table generated AS event_date = to_date(ts) and a read
+    filtered on ts gets the matching event_date partition predicate for
+    free — the user never names the partition column. Derived predicates
+    feed ONLY the file pruner; the caller's original predicate remains the
+    exact row filter, so results are identical with or without the
+    derivation (cover-and-refine, like all skipping)."""
+    gen = man.get("generated") or {}
+    if not gen or not where:
+        return []
+    out: list[tuple] = []
+    for gcol, expr in gen.items():
+        src, conv, strict_hi = _parse_generator(expr)
+        if src is None:
+            continue
+        for col, op, val in where:
+            if col != src:
+                continue
+            if op in ("isnull", "isnotnull"):
+                # every supported generator is null-iff-null on its input
+                out.append((gcol, op, None))
+                continue
+            try:
+                if op in ("=", "=="):
+                    d = conv(val)
+                    if d is not None:
+                        out.append((gcol, "=", d))
+                elif op in (">", ">="):
+                    d = conv(val)
+                    if d is not None:
+                        out.append((gcol, ">=", d))  # monotone: relax >
+                elif op == "<":
+                    d = strict_hi(val)
+                    if d is not None:
+                        out.append((gcol, "<=", d))
+                elif op == "<=":
+                    d = conv(val)
+                    if d is not None:
+                        out.append((gcol, "<=", d))
+                elif op == "between":
+                    a, b = conv(val[0]), conv(val[1])
+                    if a is not None and b is not None:
+                        out.append((gcol, "between", (a, b)))
+                elif op == "in":
+                    ds = [conv(v) for v in val]
+                    if all(d is not None for d in ds):
+                        out.append((gcol, "in", ds))
+                elif op == "ranges":
+                    rs = [(conv(a), conv(b)) for a, b in val]
+                    if all(a is not None and b is not None for a, b in rs):
+                        out.append((gcol, "ranges", rs))
+            except (TypeError, ValueError):
+                continue  # underivable literal: prune nothing, stay exact
+    return out
+
+
+def _apply_generated(
+    df: DataFrame, generated: dict | None, path: str
+) -> DataFrame:
+    """GENERATED COLUMNS at the write boundary (Delta's GENERATED ALWAYS
+    AS): a batch missing a generated column gets it COMPUTED (one
+    withColumn — stays in codegen); a batch that supplies it is VALIDATED
+    against the expression in one aggregate pass and refused loudly on
+    the first divergence (Delta's invariant check) — silently trusting a
+    producer's hand-computed partition value would corrupt pruning for
+    every later read."""
+    if not generated:
+        return df
+    to_check = []
+    for col, expr in generated.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            to_check.append((col, expr))
+    if to_check:
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.col(c).eqNullSafe(F.expr(e)), 1
+                ).otherwise(0)
+            ).alias(f"__gen_{i}")
+            for i, (c, e) in enumerate(to_check)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = [
+            f"GENERATED {c} AS ({e}): {row[f'__gen_{i}']} row(s) diverge"
+            for i, (c, e) in enumerate(to_check)
+            if (row[f"__gen_{i}"] or 0) > 0
+        ]
+        if bad:
+            raise ConstraintViolation(
+                f"write to {path!r} refused — supplied generated-column "
+                "value(s) diverge from their expression: " + "; ".join(bad)
+            )
+    return df
+
+
 def table_constraints(path: str) -> dict | None:
     """The table's declared write-time constraints (or None)."""
     v = current_version(path)
@@ -1134,6 +1344,17 @@ def rename_column(
                 f"rename_column: {old!r} is referenced by {refs}; drop the "
                 "constraint first, rename, then re-add it under the new name"
             )
+        gen = man.get("generated") or {}
+        if old in gen or any(
+            re.search(rf"\b{re.escape(old)}\b", e) for e in gen.values()
+        ):
+            # Delta's rule: generated columns and their source columns
+            # cannot be renamed — the stored expression would dangle
+            raise ValueError(
+                f"rename_column: {old!r} is a generated column or is "
+                "referenced by a generated-column expression; generated "
+                "definitions are immutable after init"
+            )
         cmap = dict(_cmap(man) or _identity_map_from_schema(man["schema"]))
         seq = man.get("column_map_seq", 0)
         cmap[new] = cmap.pop(old)
@@ -1206,6 +1427,15 @@ def drop_column(
                 f"drop_column: {col!r} is a partition column; re-layout "
                 "the table first (replace_table_layout)"
             )
+        gen = man.get("generated") or {}
+        if col in gen or any(
+            re.search(rf"\b{re.escape(col)}\b", e) for e in gen.values()
+        ):
+            raise ValueError(
+                f"drop_column: {col!r} is a generated column or is "
+                "referenced by a generated-column expression; generated "
+                "definitions are immutable after init"
+            )
         refs = _constraint_refs(man.get("constraints"), col)
         if refs:
             raise ValueError(
@@ -1249,6 +1479,7 @@ def init_table(
     partition_by: list[str] | None = None,
     not_null: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
     frame. Returns the committed version. ``stats_cols`` declares the
@@ -1290,6 +1521,19 @@ def init_table(
     build-once fixtures: a racing builder that already committed v0 (and
     possibly more) can never be silently overwritten by a stale second
     builder whose existence check passed moments earlier."""
+    if generated:
+        # GENERATED ALWAYS AS: compute-if-absent / validate-if-present —
+        # BEFORE the partition check, so `partition_by` may name a
+        # generated column the batch never carries (the 100 TB idiom:
+        # event_date GENERATED AS to_date(ts), partitioned by it, and
+        # every ts-range read prunes without naming event_date)
+        df = _apply_generated(df, generated, path)
+        # generated columns are skipping columns by construction — record
+        # their spans even when not partitioned on
+        stats_cols = [
+            *(stats_cols or []),
+            *[c for c in generated if c not in set(stats_cols or [])],
+        ]
     if partition_by:
         missing = set(partition_by) - set(df.columns)
         if missing:
@@ -1317,6 +1561,7 @@ def init_table(
             add=files, add_stats=stats, op="init",
             partition_cols=list(partition_by or []),
             constraints=constraints, column_map=None,
+            generated=dict(generated) if generated else None,
         )
         return 0
     prior = current_version(path)
@@ -1339,6 +1584,7 @@ def init_table(
         op="overwrite" if prior >= 0 else "init",
         partition_cols=list(partition_by or []),
         constraints=constraints, column_map=None,
+        generated=dict(generated) if generated else None,
     )
     return version
 
@@ -1534,6 +1780,12 @@ def append_batch(
         except FileNotFoundError:
             _man0 = None  # vacuumed under us — the loop below re-resolves
         if _man0 is not None:
+            # generated columns compute/validate FIRST: a batch omitting
+            # a generated partition column must be completed, not refused
+            # by the partition check below (generated sets are immutable
+            # after init, so no per-retry re-run is needed — the loop's
+            # v0-race guard covers the one path that skips this read)
+            df = _apply_generated(df, _man0.get("generated"), path)
             missing_parts = set(_man0.get("partition_cols") or ()) - set(
                 df.columns
             )
@@ -1576,6 +1828,18 @@ def append_batch(
             # the aggregate pass only re-runs on actual change.
             _enforce_constraints(df, man.get("constraints"), path)
             validated_cons = man.get("constraints")
+        missing_gen = set(man.get("generated") or ()) - set(df.columns)
+        if missing_gen:
+            # only reachable via the v0-race path (another writer created
+            # a generated-columns table between our pre-loop read and this
+            # attempt): the staged files lack the generated columns, so
+            # refuse loudly rather than degrade the layout — the caller
+            # retries and the pre-loop generation then completes the batch
+            raise ValueError(
+                f"append to {path!r} lost a create race to a table with "
+                f"generated column(s) {sorted(missing_gen)}; retry the "
+                "append (generation will compute them)"
+            )
         if merge_schema:
             # evolution is validated (and re-merged) per attempt: a racing
             # append may itself have evolved the schema we merge into
@@ -1751,12 +2015,26 @@ def resolve_files(
         stats = man.get("stats") or {}
         part_cols = set(man.get("partition_cols") or ())
         cm = _cmap(man)  # stats/footers are keyed PHYSICAL
+        # generated-column derivation (Delta's generated-column partition
+        # pruning): predicates on a generator's SOURCE column imply
+        # pruning-only predicates on the generated column — a ts-range
+        # read over a to_date(ts)-partitioned table prunes to the matching
+        # date partitions without the caller ever naming them
+        derived = _derived_generated_preds(where, man)
         # partition predicates prune FIRST (Delta's partition-pruning
         # tier): their spans are exact points, so the check is cheap and
         # maximally selective; the surviving files then go through the
         # ordinary min/max stats checks
-        part_preds = [_phys_pred(p, cm) for p in where if p[0] in part_cols]
-        stat_preds = [_phys_pred(p, cm) for p in where if p[0] not in part_cols]
+        part_preds = [
+            _phys_pred(p, cm)
+            for p in (*where, *derived)
+            if p[0] in part_cols
+        ]
+        stat_preds = [
+            _phys_pred(p, cm)
+            for p in (*where, *derived)
+            if p[0] not in part_cols
+        ]
         if part_preds:
             files = [
                 f
@@ -1770,6 +2048,33 @@ def resolve_files(
                 if all(_file_survives(stats.get(f), p) for p in stat_preds)
             ]
     return files
+
+
+def _file_identity_col(data: str, files: list[str]):
+    """The manifest-key identity of a scanned row's source file.
+
+    Common (all-relative) layout: the data/-RELATIVE name — NOT the
+    basename: partitioned tables key manifest entries (and dv rows) as
+    "col=value/file.parquet", so the identity must carry the partition
+    dirs. The last "/data/" in the path is always the table's data root:
+    hive dir components are "col=value" (never a bare "data") and Spark
+    %-escapes "/" inside partition values.
+
+    A SHALLOW-CLONED snapshot additionally references files by ABSOLUTE
+    path (outside this table's data root). Those rows key by their
+    scheme-stripped absolute path, byte-identical to the manifest entry,
+    so deletion-vector joins and the mutation paths' hit-file resolution
+    work unchanged across the clone boundary. The branch only exists
+    when the scanned file list actually carries an absolute entry — the
+    everyday plan is untouched."""
+    rel = F.substring_index(F.col("_metadata.file_path"), "/data/", -1)
+    if not any(os.path.isabs(f) for f in files):
+        return rel.alias("__file")
+    own_prefix = os.path.abspath(data).replace(os.sep, "/") + "/"
+    spath = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return (
+        F.when(spath.startswith(own_prefix), rel).otherwise(spath)
+    ).alias("__file")
 
 
 def _scan_live_rows(
@@ -1794,15 +2099,9 @@ def _scan_live_rows(
     dvs = {f: d for f, d in (man.get("dvs") or {}).items() if f in file_set}
     need_meta = keep_meta or bool(dvs)
     meta_cols = [
-        # data/-RELATIVE name, not the basename: partitioned tables key
-        # manifest entries (and dv rows) as "col=value/file.parquet", so
-        # every (file, pos) identity must carry the partition dirs. The
-        # last "/data/" in the path is always the table's data root —
-        # hive dir components are "col=value" (never a bare "data") and
-        # Spark %-escapes "/" inside partition values.
-        F.substring_index(
-            F.col("_metadata.file_path"), "/data/", -1
-        ).alias("__file"),
+        # manifest-key identity (data/-relative, or the absolute path for
+        # shallow-cloned entries) — see _file_identity_col
+        _file_identity_col(data, files),
         F.col("_metadata.row_index").alias("__pos"),
     ]
     # column mapping: files carry PHYSICAL names; read with the physical
@@ -2298,6 +2597,10 @@ def merge_upsert(
     if txn_app is not None:
         txns[txn_app] = txn_id
     schema = StructType.fromJson(json.loads(man["schema"]))
+    # generated columns complete the batch BEFORE the schema check (a CDC
+    # producer never carries them; computing them here keeps the strict
+    # signature contract for everything else)
+    batch = _apply_generated(batch, man.get("generated"), path)
     if _schema_sig(batch.schema.json()) != _schema_sig(man["schema"]):
         raise ValueError(
             f"merge batch schema does not match table schema at {path!r}; "
@@ -2790,6 +3093,12 @@ def restore_table(path: str, version: int) -> dict:
         path, latest + 1, target["schema"], cur.get("txns", {}), stats_cols,
         add=add, remove=remove, add_stats=add_stats, op="restore",
         set_dv=set_dv, unset_dv=unset_dv,
+        # the PARTITION LAYOUT comes back with the target's files: a
+        # restore across a replace_table_layout boundary re-adds files
+        # staged under the OLD layout, so the declaration must follow
+        # them or the layout invariant breaks (hive dirs vs a flat
+        # declaration) — [] resets to flat when the target was flat
+        partition_cols=target.get("partition_cols") or [],
         # the target's logical names come back with its schema, so its
         # column map must come back too; the physical-name SEQUENCE stays
         # monotone across the rollback (never reissue a physical id)
@@ -2805,6 +3114,117 @@ def restore_table(path: str, version: int) -> dict:
         "files_removed": len(remove),
         "vectors_set": len(set_dv),
         "vectors_cleared": len(unset_dv),
+    }
+
+
+def clone_table(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    as_of: float | str | None = None,
+) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE src``): a
+    new table whose v0 manifest REFERENCES the source snapshot's data
+    files (and deletion-vector sidecars) by absolute path — a
+    metadata-only commit, zero bytes of data copied. Schema, per-file
+    stats (skipping works immediately), deletion vectors, partition
+    layout, constraints, and the column map all carry over; the clone's
+    history starts fresh at v0 (op="clone", the source path recorded in
+    the body for lineage).
+
+    Divergence contract: the clone is a full read-write table. Appends,
+    deletes (rewrite AND dv mode), updates, merges, compaction, and
+    restore all work; rewrites land in the CLONE's own data dir and drop
+    the absolute references they replace — the source is never written.
+    `compact_table` doubles as CLONE MATERIALIZATION: one call rewrites
+    every still-referenced source file locally and the clone owns all
+    its bytes. Vacuum on the CLONE can never delete source bytes
+    structurally (its sweep walks only the clone's own data dir);
+    vacuum on the SOURCE does not know about clones and can invalidate
+    them — Delta documents the same shallow-clone caveat, and
+    `compact_table(dst)` before vacuuming the source closes it.
+
+    The streaming feed refuses commits carrying absolute references
+    (materialize first, or start the feed past v0); batch reads, time
+    travel, CDF, and SQL views are clone-transparent.
+
+    ``version``/``as_of`` pin the source snapshot (mutually exclusive,
+    same contract as `read_table`). Fails if ``dst`` already exists."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass at most one of version= / as_of=")
+    if current_version(dst) >= 0:
+        raise ValueError(f"clone target {dst!r} already exists")
+    if as_of is not None:
+        version = version_as_of(src, _parse_as_of(as_of))
+    man = _resolve_manifest(src, version)
+    src_data = os.path.abspath(_data_dir(src))
+
+    def _abs(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.join(src_data, f)
+
+    add = sorted(_abs(f) for f in man["files"])
+    stats_cols = man.get("stats_cols")
+    add_stats = (
+        {_abs(f): (man.get("stats") or {}).get(f) for f in man["files"]}
+        if stats_cols else None
+    )
+    set_dv = None
+    src_dvs = man.get("dvs") or {}
+    if src_dvs:
+        # deletion-vector rows key files by the SOURCE's data/-relative
+        # names; the clone's identities are absolute, so the sidecar is
+        # re-keyed into one clone-owned parquet (rows are (file, pos)
+        # pairs — KBs, the only bytes a shallow clone writes). Pure
+        # pyarrow: no Spark session needed for a metadata operation.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files_out, pos_out = [], []
+        for sidecar in sorted(set(src_dvs.values())):
+            t = pq.read_table(
+                _abs(sidecar) if not os.path.isabs(sidecar) else sidecar,
+                columns=["file", "pos"],
+            )
+            for f, p in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                # keep only rows for files this sidecar still masks in
+                # the cloned snapshot (cumulative sidecars can carry
+                # rows for files since rewritten)
+                if src_dvs.get(f) == sidecar:
+                    files_out.append(_abs(f))
+                    pos_out.append(p)
+        dv_name = "dv-clone-v0.parquet"
+        os.makedirs(_data_dir(dst), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"file": pa.array(files_out, pa.string()),
+                 "pos": pa.array(pos_out, pa.int64())}
+            ),
+            os.path.join(_data_dir(dst), dv_name),
+        )
+        set_dv = {_abs(f): dv_name for f in src_dvs}
+    _commit(
+        dst, 0, man["schema"], {}, stats_cols,
+        add=add, add_stats=add_stats, op="clone", set_dv=set_dv,
+        partition_cols=man.get("partition_cols") or [],
+        constraints=man.get("constraints"),
+        generated=man.get("generated"),
+        column_map=man.get("column_map"),
+        column_map_seq=man.get("column_map_seq") or None,
+        # lineage rides the v0 body (greppable, shows in table_history;
+        # readers never consult it)
+        extra={
+            "clone_source": os.path.abspath(src),
+            "clone_source_version": man["version"],
+        },
+    )
+    return {
+        "version": 0,
+        "source": os.path.abspath(src),
+        "source_version": man["version"],
+        "files_referenced": len(add),
+        "vectors_carried": len(set_dv or {}),
     }
 
 
@@ -2926,10 +3346,9 @@ def table_changes(
             if f.name in cmap and cmap[f.name] != f.name
         }
         meta = [
-            # data/-relative, matching _scan_live_rows' __file contract
-            F.substring_index(
-                F.col("_metadata.file_path"), "/data/", -1
-            ).alias("__file"),
+            # manifest-key identity, matching _scan_live_rows' contract
+            # (clone-aware: absolute entries key by absolute path)
+            _file_identity_col(data, files),
             F.col("_metadata.row_index").alias("__pos"),
         ]
         if not ren:

@@ -3952,3 +3952,54 @@ SELECT lang, source,
        CAST(MAX(top1_bp) AS BIGINT) AS top1_bp_max
 FROM m GROUP BY lang, source
 """
+
+# q181: shallow clone as set algebra — the clone pins src v0
+# (custkey % 3 = 0), dv-deletes % 7 = 0 through the absolute refs,
+# appends % 3 = 2; the source separately rewrite-deletes negative
+# balances after the fork. Money snapped to integer cents.
+ORACLES["q181_shallow_clone_divergence"] = """
+WITH v0 AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+),
+clone_live AS (
+  SELECT * FROM v0 WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 2
+),
+src_live AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_custkey % 3 IN (0, 1) AND NOT (c_acctbal < 0)
+)
+SELECT 'clone_live' AS snapshot, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       MIN(c_custkey) AS first_key, MAX(c_custkey) AS last_key
+FROM clone_live
+UNION ALL
+SELECT 'clone_v0', COUNT(*),
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+       MIN(c_custkey), MAX(c_custkey)
+FROM v0
+UNION ALL
+SELECT 'src_live', COUNT(*),
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+       MIN(c_custkey), MAX(c_custkey)
+FROM src_live
+"""
+
+# q182: generated-column partition pruning — the layout contract
+# (two days opened, strict subset) is hard-coded; values are plain SQL
+# over events with the same ts range. Money snapped to integer cents.
+ORACLES["q182_generated_partition_pruning"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users,
+       2 AS days_opened,
+       TRUE AS pruned_subset
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type
+"""

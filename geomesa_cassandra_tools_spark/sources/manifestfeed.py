@@ -402,6 +402,23 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             added, removed, set_dv, unset_dv, add_stats = self._commit_files(v)
+            if any(
+                os.path.isabs(f)
+                for f in (*added, *removed, *set_dv, *unset_dv)
+            ):
+                # a SHALLOW CLONE's v0 (or a later commit still carrying
+                # clone references) points at another table's files; the
+                # per-file dv identity contract here is data/-relative,
+                # so refuse loudly instead of streaming wrong images —
+                # materialize (compact_table) or start past the clone
+                # commit (startingVersion) to subscribe
+                raise ValueError(
+                    f"commit v{v} of {self._path!r} references files by "
+                    "absolute path (shallow clone); the streaming feed "
+                    "requires table-owned files — materialize the clone "
+                    "with compact_table() or start the feed past the "
+                    "clone commit"
+                )
             if self._where and self._feed != "cdf":
                 # tier-1 file pruning INSIDE the stream (the batch
                 # `where=` contract at commit granularity): a file whose

@@ -453,6 +453,24 @@ def test_cli_restore_table(spark, tmp_path):
     assert tx.read_table(spark, table, version=1).count() == 3
 
 
+def test_cli_clone_table(spark, tmp_path):
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), src
+    )
+    tx.append_batch(spark.createDataFrame([(3, "c")], "k bigint, v string"), src)
+    rc, lines = _run(
+        ["clone-table", "--table-path", src, "--target-path", dst,
+         "--version", "0"]
+    )
+    assert rc == 0 and lines[0].startswith("cloned")
+    assert sorted(r["k"] for r in tx.read_table(spark, dst).collect()) == [1, 2]
+    # source untouched, clone is its own table at v0
+    assert tx.current_version(src) == 1 and tx.current_version(dst) == 0
+
+
 def test_cli_merge_table_empty_batch(spark, tmp_path):
     from geomesa_cassandra_tools_spark.operators import transactional as tx
 

@@ -2612,3 +2612,321 @@ def test_battery_replace_layout_on_mapped_table(spark, tmp_path, protocol):
     assert {tuple(r) for r in tx.read_table(spark, path).collect()} == {
         (1, "d1"), (2, "d2")
     }
+
+
+# ------------------------------------------------------ shallow clone
+
+
+def test_battery_shallow_clone_lifecycle(spark, tmp_path, protocol):
+    """SHALLOW CLONE: v0 references the source snapshot's files (and a
+    re-keyed deletion-vector sidecar) by absolute path — reads, stats
+    skipping, and divergent writes all work; the source is never
+    touched; compact_table materializes the clone; vacuum on the clone
+    structurally cannot reclaim source bytes."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx.init_table(spark.range(10).toDF("id"), src, stats_cols=["id"])
+    tx.append_batch(spark.range(10, 20).toDF("id"), src)
+    tx.delete_where(spark, src, F.col("id") % 7 == 0, mode="dv")
+    src_rows = {i for i in range(20) if i % 7 != 0}
+
+    res = tx.clone_table(src, dst)
+    assert res["version"] == 0 and res["source_version"] == 2
+    assert res["vectors_carried"] == 3
+    man = tx._read_manifest(dst, 0)
+    assert all(os.path.isabs(f) for f in man["files"])
+    # the dv sidecar is clone-OWNED (re-keyed rows, clone's data dir)
+    assert set(man["dvs"].values()) == {"dv-clone-v0.parquet"}
+    assert {r["id"] for r in tx.read_table(spark, dst).collect()} == src_rows
+    # per-file stats carried -> skipping prunes immediately
+    assert len(tx.resolve_files(dst, [("id", "<", 5)])) < len(
+        tx.resolve_files(dst)
+    )
+    # lineage in history
+    hist = tx.table_history(dst)
+    assert hist[0]["op"] == "clone"
+
+    # divergence: clone writes never touch the source (and vice versa)
+    src_files_before = set(os.listdir(os.path.join(src, "data")))
+    tx.delete_where(spark, dst, F.col("id") >= 15, mode="rewrite")
+    tx.delete_where(spark, dst, F.col("id") == 1, mode="dv")  # abs-ref dv
+    tx.append_batch(spark.range(100, 103).toDF("id"), dst)
+    clone_rows = {i for i in src_rows if i < 15 and i != 1} | {100, 101, 102}
+    assert {r["id"] for r in tx.read_table(spark, dst).collect()} == clone_rows
+    assert {r["id"] for r in tx.read_table(spark, src).collect()} == src_rows
+    tx.append_batch(spark.range(200, 202).toDF("id"), src)
+    assert {r["id"] for r in tx.read_table(spark, dst).collect()} == clone_rows
+
+    # vacuum on the clone: reclaims its own orphans, never source bytes
+    tx.vacuum(dst, grace_seconds=0)
+    assert set(os.listdir(os.path.join(src, "data"))) >= src_files_before
+    assert {r["id"] for r in tx.read_table(spark, dst).collect()} == clone_rows
+
+    # materialization: one compact rewrites every still-referenced
+    # source file locally; no absolute reference survives
+    tx.compact_table(spark, dst)
+    man2 = tx._read_manifest(dst, tx.current_version(dst))
+    assert not any(os.path.isabs(f) for f in man2["files"])
+    assert {r["id"] for r in tx.read_table(spark, dst).collect()} == clone_rows
+
+
+def test_battery_clone_pinned_partitioned_constrained(spark, tmp_path, protocol):
+    """Clone composes with time travel (version= pins the source
+    snapshot), partition layout (pruning + hive staging carry over),
+    and write-time constraints (a violating append to the clone is
+    refused)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "c1")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d2")], "id bigint, day string"
+        ),
+        src,
+        partition_by=["day"],
+        not_null=["id"],
+    )
+    tx.append_batch(
+        spark.createDataFrame([(3, "d3")], "id bigint, day string"), src
+    )
+    # pin the PRE-append snapshot
+    tx.clone_table(src, dst, version=0)
+    assert {r["day"] for r in tx.read_table(spark, dst).collect()} == {
+        "d1", "d2"
+    }
+    # partition pruning works through the clone's absolute refs
+    assert len(tx.resolve_files(dst, [("day", "=", "d1")])) == 1
+    # appends to the clone stage under the clone's own hive layout
+    tx.append_batch(
+        spark.createDataFrame([(9, "d1")], "id bigint, day string"), dst
+    )
+    man = tx._read_manifest(dst, 1)
+    new_rel = [f for f in man["files"] if not os.path.isabs(f)]
+    assert new_rel and all(f.startswith("day=d1/") for f in new_rel)
+    # constraints carried: NOT NULL violation refused, no version burned
+    with pytest.raises(tx.ConstraintViolation):
+        tx.append_batch(
+            spark.createDataFrame([(None, "d2")], "id bigint, day string"),
+            dst,
+        )
+    assert tx.current_version(dst) == 1
+    # version= and as_of= are mutually exclusive; existing dst refused
+    with pytest.raises(ValueError, match="at most one"):
+        tx.clone_table(src, str(tmp_path / "c2"), version=0, as_of=1.0)
+    with pytest.raises(ValueError, match="already exists"):
+        tx.clone_table(src, dst)
+
+
+def test_battery_clone_mapped_table_and_feed_refusal(spark, tmp_path, protocol):
+    """Clone of a column-mapped source serves the LOGICAL names (the map
+    carries); the streaming feed refuses a clone commit loudly and
+    streams fine once started past it."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "id bigint, v string"), src
+    )
+    tx.rename_column(src, "v", "val")
+    tx.clone_table(src, dst)
+    got = tx.read_table(spark, dst)
+    assert got.columns == ["id", "val"]
+    assert got.collect()[0]["val"] == "a"
+
+    # feed refusal: a clone's v0 carries absolute references — draining
+    # THROUGH it fails loudly; starting past the clone commit streams
+    # the clone's own appends fine (unmapped source: the feed's
+    # column-mapping refusal is a separate, earlier gate)
+    from geomesa_cassandra_tools_spark.sources import manifestfeed as mf
+
+    plain_src = str(tmp_path / "plain_src")
+    plain_dst = str(tmp_path / "plain_dst")
+    tx.init_table(
+        spark.createDataFrame([(1, "a")], "k bigint, s string"), plain_src
+    )
+    tx.clone_table(plain_src, plain_dst)
+    tx.append_batch(
+        spark.createDataFrame([(2, "b")], "k bigint, s string"), plain_dst
+    )
+    q = (
+        mf.stream_feed(spark, plain_dst)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o1"))
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    # awaitTermination surfaces the planner's refusal as the query error
+    with pytest.raises(StreamingQueryException, match="shallow clone"):
+        q.awaitTermination(120)
+    # past the clone commit the feed works: only the append streams
+    q2 = (
+        mf.stream_feed(spark, plain_dst, starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    got2 = [tuple(r) for r in spark.read.parquet(str(tmp_path / "o2")).collect()]
+    assert got2 == [(2, "b")]
+
+
+# -------------------------------------------------- generated columns
+
+
+def test_battery_generated_columns_lifecycle(spark, tmp_path, protocol):
+    """GENERATED ALWAYS AS: a to_date(ts)-generated partition column is
+    computed for batches that omit it (append AND merge), validated
+    against the expression when supplied (divergence refused, no version
+    burned), prunes ts-range reads to exactly the covered partitions
+    (strict midnight upper bound sharpened to day - 1), survives a
+    checkpoint, carries through clone, and blocks rename/drop of both
+    the generated and the source column."""
+    import datetime
+
+    path = str(tmp_path / "g")
+    rows = [
+        (i, datetime.datetime(2026, 1, 1 + (i % 6), 8 + (i % 12), 30))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    tx.init_table(
+        df, path,
+        generated={"event_date": "to_date(ts)"},
+        partition_by=["event_date"],
+    )
+    man = tx._read_manifest(path, 0)
+    assert man["generated"] == {"event_date": "to_date(ts)"}
+    assert man["partition_cols"] == ["event_date"]
+    # append WITHOUT the generated column: computed, lands in hive layout
+    tx.append_batch(
+        spark.createDataFrame(
+            [(100, datetime.datetime(2026, 1, 2, 9, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        path,
+    )
+    man1 = tx._read_manifest(path, 1)
+    new = set(man1["files"]) - set(man["files"])
+    assert new and all(f.startswith("event_date=2026-01-02/") for f in new)
+    # derived pruning: ts range [Jan 3, Jan 5) opens exactly those days
+    w = [
+        ("ts", ">=", datetime.datetime(2026, 1, 3, 0, 0)),
+        ("ts", "<", datetime.datetime(2026, 1, 5, 0, 0)),
+    ]
+    opened = tx.resolve_files(path, w)
+    assert opened and {f.split("/")[0] for f in opened} == {
+        "event_date=2026-01-03", "event_date=2026-01-04"
+    }
+    got = sorted(r["id"] for r in tx.read_table(spark, path, where=w).collect())
+    assert got == sorted(i for i in range(24) if 3 <= 1 + (i % 6) <= 4)
+    # a non-midnight strict bound keeps its boundary partition
+    w2 = [("ts", "<", datetime.datetime(2026, 1, 2, 9, 0))]
+    assert {f.split("/")[0] for f in tx.resolve_files(path, w2)} == {
+        "event_date=2026-01-01", "event_date=2026-01-02"
+    }
+    # divergent supplied value refused, no version burned
+    v_before = tx.current_version(path)
+    with pytest.raises(tx.ConstraintViolation, match="generated"):
+        tx.append_batch(
+            spark.createDataFrame(
+                [(200, datetime.datetime(2026, 2, 1, 9, 0),
+                  datetime.date(2030, 1, 1))],
+                "id bigint, ts timestamp_ntz, event_date date",
+            ),
+            path,
+        )
+    assert tx.current_version(path) == v_before
+    # merge batch omits the generated column too: completed, not refused
+    tx.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, datetime.datetime(2026, 1, 1, 7, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        key_cols=["id"],
+    )
+    assert tx.read_table(spark, path).where("id = 0").collect()[0][
+        "event_date"
+    ] == datetime.date(2026, 1, 1)
+    # immutability guards
+    with pytest.raises(ValueError, match="generated"):
+        tx.rename_column(path, "ts", "tstamp")
+    with pytest.raises(ValueError, match="generated"):
+        tx.rename_column(path, "event_date", "day")
+    # checkpoint carries the definition
+    tx.checkpoint_table(path)
+    assert tx._read_manifest(path, tx.current_version(path))[
+        "generated"
+    ] == {"event_date": "to_date(ts)"}
+    # clone carries it and generates on clone appends
+    dst = str(tmp_path / "gc")
+    tx.clone_table(path, dst)
+    tx.append_batch(
+        spark.createDataFrame(
+            [(300, datetime.datetime(2026, 3, 1, 9, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        dst,
+    )
+    assert tx.read_table(spark, dst).where("id = 300").collect()[0][
+        "event_date"
+    ] == datetime.date(2026, 3, 1)
+
+
+def test_battery_generated_prefix_and_trunc_derivation(
+    spark, tmp_path, protocol
+):
+    """The other derivable generators: substring(col, 1, n) prefix
+    partitions prune string-range predicates; date_trunc strict upper
+    bounds sharpen exactly on bucket boundaries (pure-Python check)."""
+    import datetime
+
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "amber"), (3, "bravo"), (4, "crane")],
+        "id bigint, name string",
+    )
+    tx.init_table(
+        df, path,
+        generated={"name_pfx": "substring(name, 1, 1)"},
+        partition_by=["name_pfx"],
+    )
+    # equality and range on the SOURCE column prune by prefix
+    assert {
+        f.split("/")[0] for f in tx.resolve_files(path, [("name", "=", "amber")])
+    } == {"name_pfx=a"}
+    # prefix bounds stay conservative: "bz*" names live in name_pfx=b,
+    # so >= "bz" must keep b AND c (never a wrong skip)
+    assert {
+        f.split("/")[0]
+        for f in tx.resolve_files(path, [("name", ">=", "bz")])
+    } == {"name_pfx=b", "name_pfx=c"}
+    got = sorted(
+        r["id"]
+        for r in tx.read_table(
+            spark, path, where=[("name", ">=", "am"), ("name", "<", "c")]
+        ).collect()
+    )
+    assert got == [2, 3]
+    # strict_hi sharpening table (no Spark needed)
+    src, conv, hi = tx._parse_generator("date_trunc('day', ts)")
+    assert src == "ts"
+    assert hi(datetime.datetime(2026, 1, 5, 0, 0)) == datetime.datetime(
+        2026, 1, 4, 0, 0
+    )
+    assert hi(datetime.datetime(2026, 1, 5, 0, 1)) == datetime.datetime(
+        2026, 1, 5, 0, 0
+    )
+    src, conv, hi = tx._parse_generator("date_trunc('hour', ts)")
+    assert hi(datetime.datetime(2026, 1, 5, 9, 0)) == datetime.datetime(
+        2026, 1, 5, 8, 0
+    )
+    src, conv, hi = tx._parse_generator("to_date(ts)")
+    assert hi("2026-01-05T00:00:00") == datetime.date(2026, 1, 4)
+    assert conv("2026-01-05T00:00:00") == datetime.date(2026, 1, 5)
+    # underivable expression: generation still works, pruning just skips
+    src, conv, hi = tx._parse_generator("upper(name)")
+    assert src is None
