@@ -574,7 +574,8 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
         for k in (
             "version", "num_files", "size_bytes", "num_dvs", "stats_cols",
             "partition_cols", "not_null", "check_constraints", "columns",
-            "renamed_columns", "oldest_version", "num_commits_retained",
+            "renamed_columns", "generated_columns", "clone_source",
+            "num_cloned_files", "oldest_version", "num_commits_retained",
         ):
             v = d[k]
             if isinstance(v, list):

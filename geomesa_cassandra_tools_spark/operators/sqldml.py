@@ -263,6 +263,39 @@ def execute(spark: SparkSession, statement: str):
     if m and not mask[0]:
         return _merge(spark, s, mask, m)
 
+    m = re.match(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+        rf"\s+LOCATION\s+'([^']+)'\s*$",
+        s, re.IGNORECASE,
+    )
+    if m and not mask[0]:
+        # Delta's CREATE TABLE ... SHALLOW CLONE, over the view registry:
+        # the source resolves like any DML target (pinned faces allowed —
+        # a clone of a time-travel view is just a pinned clone), the new
+        # table lands at LOCATION (mandatory: there is no catalog to
+        # invent paths), and the target name registers as a live view so
+        # a follow-up SELECT sees the clone immediately
+        name, srcview, ver, ts, loc = m.groups()
+        reg = tx._VIEW_REGISTRY.get(srcview)
+        if reg is None:
+            return spark.sql(statement)
+        src = reg["path"]
+        # a pinned source view clones its pinned snapshot (unless the
+        # statement pins explicitly); a where= face has no single
+        # snapshot to clone — refuse loudly
+        if reg.get("where"):
+            raise ValueError(
+                f"SHALLOW CLONE {srcview}: the source view is a filtered "
+                "face (where=); clone the unfiltered table instead"
+            )
+        version = int(ver) if ver else reg.get("version")
+        as_of = ts if ts else (None if ver else reg.get("as_of"))
+        res = tx.clone_table(src, loc, version=version, as_of=as_of)
+        tx.register_manifest_view(spark, loc, name=name)
+        return {"op": "clone", "table": name, **res}
+
     return spark.sql(statement)
 
 

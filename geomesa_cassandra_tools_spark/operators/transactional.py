@@ -2286,6 +2286,11 @@ def register_manifest_view(
     _VIEW_REGISTRY[name] = {
         "path": path,
         "pinned": version is not None or as_of is not None or where is not None,
+        # the pin itself, for consumers that can honor it (SHALLOW CLONE
+        # of a pinned view clones the pinned snapshot)
+        "version": version,
+        "as_of": as_of,
+        "where": where,
     }
     return name
 
@@ -3678,9 +3683,34 @@ def describe_table(path: str) -> dict:
             for l, p in sorted(_cmap(man).items())
             if l != p
         ],
+        "generated_columns": [
+            f"{c} AS ({e})"
+            for c, e in sorted((man.get("generated") or {}).items())
+        ],
+        # shallow-clone observability: lineage from the v0 body, plus the
+        # count of still-unmaterialized absolute references (0 after
+        # compact_table — the materialization progress gauge)
+        "clone_source": _clone_lineage(path),
+        "num_cloned_files": sum(
+            1 for f in man["files"] if os.path.isabs(f)
+        ),
         "oldest_version": versions[0] if versions else version,
         "num_commits_retained": len(versions),
     }
+
+
+def _clone_lineage(path: str) -> str | None:
+    """``src@vN`` when the table began life as a shallow clone (recorded
+    in the v0 commit body), else None. Vacuumed/checkpointed-away v0
+    bodies read as None — lineage is informational, never load-bearing."""
+    try:
+        body = _read_json(path, "v0.json")
+    except (FileNotFoundError, ValueError):
+        return None
+    src = body.get("clone_source")
+    if not src:
+        return None
+    return f"{src}@v{body.get('clone_source_version', 0)}"
 
 
 def vacuum(path: str, keep_versions: int = 1, grace_seconds: int = 600) -> int:

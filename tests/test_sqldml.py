@@ -217,3 +217,62 @@ def test_exactly_once_history_ops(spark, tmp_path):
     ops = [h["op"] for h in tx.table_history(path)]
     assert ops[-3:] == ["append", "update", "delete"]
     assert tx.read_table(spark, path, version=1).count() == 2
+
+
+def test_create_table_shallow_clone_statement(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE ... LOCATION: the source view
+    resolves, the clone lands at LOCATION as v0, the target name is
+    immediately SELECT-able, VERSION AS OF pins the snapshot, a pinned
+    source view clones its own pin, and writes to the clone leave the
+    source untouched."""
+    path = _mk(spark, tmp_path, name="src_t")
+    sqldml.execute(spark, "INSERT INTO src_t VALUES (2, 'b', 20.0)")
+
+    loc = str(tmp_path / "clone_t")
+    res = sqldml.execute(
+        spark,
+        f"CREATE TABLE clone_t SHALLOW CLONE src_t LOCATION '{loc}'",
+    )
+    assert res["op"] == "clone" and res["version"] == 0
+    assert res["source_version"] == 1
+    got = sqldml.execute(spark, "SELECT count(*) AS n FROM clone_t").collect()
+    assert got[0]["n"] == 2
+    # writes to the clone are independent of the source
+    sqldml.execute(spark, "INSERT INTO clone_t VALUES (9, 'z', 90.0)")
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM clone_t"
+    ).collect()[0]["n"] == 3
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM src_t"
+    ).collect()[0]["n"] == 2
+
+    # VERSION AS OF pins the pre-insert snapshot
+    loc0 = str(tmp_path / "clone_v0")
+    res0 = sqldml.execute(
+        spark,
+        f"CREATE TABLE clone_v0 SHALLOW CLONE src_t VERSION AS OF 0 "
+        f"LOCATION '{loc0}'",
+    )
+    assert res0["source_version"] == 0
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM clone_v0"
+    ).collect()[0]["n"] == 1
+
+    # a pinned source view clones its own pin
+    tx.register_manifest_view(spark, path, name="src_t_v0", version=0)
+    locp = str(tmp_path / "clone_pin")
+    resp = sqldml.execute(
+        spark,
+        f"CREATE TABLE clone_pin SHALLOW CLONE src_t_v0 LOCATION '{locp}'",
+    )
+    assert resp["source_version"] == 0
+
+    # a filtered face cannot clone
+    tx.register_manifest_view(
+        spark, path, name="src_t_f", where=[("k", "=", 1)]
+    )
+    with pytest.raises(ValueError, match="filtered face"):
+        sqldml.execute(
+            spark,
+            "CREATE TABLE x SHALLOW CLONE src_t_f LOCATION '/tmp/never'",
+        )

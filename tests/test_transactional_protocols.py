@@ -2641,9 +2641,13 @@ def test_battery_shallow_clone_lifecycle(spark, tmp_path, protocol):
     assert len(tx.resolve_files(dst, [("id", "<", 5)])) < len(
         tx.resolve_files(dst)
     )
-    # lineage in history
+    # lineage in history and DESCRIBE DETAIL (best-effort: reads the v0
+    # body, so it must be checked before vacuum prunes old manifests)
     hist = tx.table_history(dst)
     assert hist[0]["op"] == "clone"
+    d = tx.describe_table(dst)
+    assert d["clone_source"] == f"{os.path.abspath(src)}@v2"
+    assert d["num_cloned_files"] > 0
 
     # divergence: clone writes never touch the source (and vice versa)
     src_files_before = set(os.listdir(os.path.join(src, "data")))
@@ -2667,6 +2671,7 @@ def test_battery_shallow_clone_lifecycle(spark, tmp_path, protocol):
     man2 = tx._read_manifest(dst, tx.current_version(dst))
     assert not any(os.path.isabs(f) for f in man2["files"])
     assert {r["id"] for r in tx.read_table(spark, dst).collect()} == clone_rows
+    assert tx.describe_table(dst)["num_cloned_files"] == 0
 
 
 def test_battery_clone_pinned_partitioned_constrained(spark, tmp_path, protocol):
@@ -2861,6 +2866,9 @@ def test_battery_generated_columns_lifecycle(spark, tmp_path, protocol):
     assert tx._read_manifest(path, tx.current_version(path))[
         "generated"
     ] == {"event_date": "to_date(ts)"}
+    assert tx.describe_table(path)["generated_columns"] == [
+        "event_date AS (to_date(ts))"
+    ]
     # clone carries it and generates on clone appends
     dst = str(tmp_path / "gc")
     tx.clone_table(path, dst)
