@@ -238,25 +238,50 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._max_bytes = self._pos_int_opt(options, "maxBytesPerTrigger")
         where_raw = _opt(options, "where")
         self._where = _decode_where(where_raw) if where_raw else None
-        if self._where and str(_opt(options, "feed", "append")).lower() == "cdf":
-            # a pruned CDF stream is sound only for PARTITION-column
-            # predicates: a partition's adds AND removes live in that
-            # partition's files (exact [v, v] spans), so pruning keeps
-            # delete/insert image pairs together. Arbitrary-column
-            # pruning would split a rewrite's cancelling pairs.
-            part_cols = set(
-                tx._read_manifest(self._path, latest).get("partition_cols")
-                or ()
-            )
-            bad = sorted({p[0] for p in self._where} - part_cols)
-            if bad:
-                raise ValueError(
-                    "cdf feed where= takes PARTITION-column predicates "
-                    f"only (column(s) {bad} are not partition columns); "
-                    "non-partition where= pruning is append-feed only: a "
-                    "pruned CDF stream would emit asymmetric delete/"
-                    "insert images"
+        self._prune_preds = list(self._where or [])
+        if self._where:
+            # GENERATED-COLUMN derivation, same contract as batch
+            # `resolve_files`: a ts-range subscription to a
+            # to_date(ts)-partitioned table prunes at the partition tier
+            # without the subscriber naming the partition column.
+            # Generated definitions are immutable after init, so deriving
+            # once at reader construction is exact for the stream's life.
+            man0 = tx._read_manifest(self._path, latest) if latest >= 0 else {}
+            derived = tx._derived_generated_preds(self._where, man0)
+            part_cols = set(man0.get("partition_cols") or ())
+            if self._feed == "cdf":
+                # a pruned CDF stream is sound only for PARTITION-column
+                # predicates: a partition's adds AND removes live in that
+                # partition's files (exact [v, v] spans), so pruning keeps
+                # delete/insert image pairs together. Arbitrary-column
+                # pruning would split a rewrite's cancelling pairs — so
+                # the CDF prune set keeps ONLY partition-column
+                # predicates (stated or derived); a stated non-partition
+                # column is acceptable IF it derives one (the original
+                # predicate stays the consumer's row refine).
+                derivable_srcs = {
+                    tx._parse_generator(e)[0]
+                    for e in (man0.get("generated") or {}).values()
+                }
+                bad = sorted(
+                    {p[0] for p in self._where}
+                    - part_cols - derivable_srcs
                 )
+                if bad:
+                    raise ValueError(
+                        "cdf feed where= takes PARTITION-column predicates "
+                        f"only (column(s) {bad} are not partition columns "
+                        "and derive none via generated columns); "
+                        "non-partition where= pruning is append-feed only: "
+                        "a pruned CDF stream would emit asymmetric delete/"
+                        "insert images"
+                    )
+                self._prune_preds = [
+                    p for p in (*self._where, *derived)
+                    if p[0] in part_cols
+                ]
+            else:
+                self._prune_preds = [*self._where, *derived]
         # self-tracked stream position for admission control: the engine's
         # Python source API hands the start offset only to partitions(), so
         # latestOffset() learns it from (a) initialOffset on a fresh
@@ -419,19 +444,21 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     "with compact_table() or start the feed past the "
                     "clone commit"
                 )
-            if self._where and self._feed != "cdf":
+            if self._prune_preds and self._feed != "cdf":
                 # tier-1 file pruning INSIDE the stream (the batch
                 # `where=` contract at commit granularity): a file whose
                 # recorded span cannot contain a match never becomes a
                 # scan task — subscribe-to-one-partition of a
                 # date-partitioned table costs one partition's I/O.
                 # Missing stats keep the file (superset semantics; the
-                # consumer's exact row filter refines).
+                # consumer's exact row filter refines). The prune set
+                # carries the stated predicates PLUS any generated-column
+                # derivations computed at reader construction.
                 added = [
                     f for f in added
                     if all(
                         tx._file_survives(add_stats.get(f), p)
-                        for p in self._where
+                        for p in self._prune_preds
                     )
                 ]
             if self._feed == "cdf":
@@ -459,10 +486,12 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             "horizon — restart from a fresh checkpoint (or "
                             "raise vacuum's keep_versions)"
                         ) from None
-                if self._where:
+                if self._prune_preds:
                     # partition-scoped CDF pruning (tier-1, r10): the
-                    # predicates are partition-column-only (enforced at
-                    # init), so each file's span is an exact point and
+                    # prune set is partition-column-only (enforced /
+                    # filtered at init — stated partition predicates plus
+                    # generated-column derivations), so each file's span
+                    # is an exact point and
                     # delete/insert pairs prune TOGETHER. Safety guard:
                     # if any involved file lacks a span for a predicate
                     # column, the WHOLE commit keeps all its files —
@@ -479,13 +508,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     spans_ok = all(
                         st is not None and st.get(p[0]) is not None
                         for _f, st in involved
-                        for p in self._where
+                        for p in self._prune_preds
                     )
                     if spans_ok:
                         def _keep(f, stats_map):
                             return all(
                                 tx._file_survives(stats_map.get(f), p)
-                                for p in self._where
+                                for p in self._prune_preds
                             )
                         added = [f for f in added if _keep(f, add_stats)]
                         removed = [

@@ -54,6 +54,7 @@ QUERIES_UNDER_TEST = [
     "q144_manifest_skipping_scan",
     "q164_pq_incremental_index",
     "q172_partitioned_events_day",
+    "q182_generated_partition_pruning",
     "q168_ivfpq_topk",
     "q169_sq8_adc_topk",
 ]

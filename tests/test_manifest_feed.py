@@ -878,3 +878,68 @@ def test_feed_cdf_partition_scoped_subscription(spark, tmp_path):
     )
     assert sorted(got_capped) == sorted(got)
     assert n_batches > 1  # the cap actually split the drain
+
+
+def test_feed_where_derives_generated_partition_predicates(spark, tmp_path):
+    """A ts-range subscription over a to_date(ts)-generated,
+    date-partitioned table prunes at the partition tier without naming
+    the partition column — append feed AND partition-scoped CDF (the
+    derived predicate is partition-column, so image pairs prune
+    together); a non-derivable non-partition predicate still refuses
+    CDF."""
+    import datetime as _dt
+
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    path = str(tmp_path / "gt")
+    rows = [
+        (i, _dt.datetime(2024, 1, 1 + (i % 3), 9 + (i % 8), 0))
+        for i in range(30)
+    ]
+    tx.init_table(
+        spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+        .repartition(3, F.to_date("ts")),
+        path,
+        generated={"event_date": "to_date(ts)"},
+        partition_by=["event_date"],
+    )
+    schema = tx.read_table(spark, path).schema
+    w = [
+        ("ts", ">=", _dt.datetime(2024, 1, 2, 0, 0)),
+        ("ts", "<", _dt.datetime(2024, 1, 3, 0, 0)),
+    ]
+    reader = mfm.ManifestFeedStreamReader(
+        schema, {"path": path, "where": mfm._encode_where(w)}
+    )
+    slices = reader.partitions({"version": -1}, {"version": 0})
+    all_slices = mfm.ManifestFeedStreamReader(
+        schema, {"path": path}
+    ).partitions({"version": -1}, {"version": 0})
+    assert 0 < len(slices) < len(all_slices)
+    assert all("event_date=2024-01-02" in s.file_path for s in slices)
+
+    # CDF mode: the ts predicate DERIVES a partition predicate -> legal,
+    # and the prune set is the derived (partition) predicate only
+    cdf_reader = mfm.ManifestFeedStreamReader(
+        StructType(
+            [*schema.fields,
+             StructField("_change_type", StringType()),
+             StructField("_commit_version", LongType())]
+        ),
+        {"path": path, "feed": "cdf", "where": mfm._encode_where(w)},
+    )
+    cdf_slices = cdf_reader.partitions({"version": -1}, {"version": 0})
+    assert 0 < len(cdf_slices) < len(all_slices)
+    assert all(
+        "event_date=2024-01-02" in s.file_path for s in cdf_slices
+    )
+    # a non-partition, non-derivable column still refuses CDF
+    with pytest.raises(ValueError, match="append-feed only"):
+        mfm.ManifestFeedStreamReader(
+            schema,
+            {"path": path, "feed": "cdf",
+             "where": mfm._encode_where([("id", ">", 3)])},
+        )
