@@ -131,11 +131,16 @@ def _table_schema(path: str):
     return StructType.fromJson(json.loads(man["schema"]))
 
 
-def _align_to_schema(batch: DataFrame, schema, what: str) -> DataFrame:
+def _align_to_schema(
+    batch: DataFrame, schema, what: str, leave_absent: set | None = None
+) -> DataFrame:
     """Project a source frame to the table schema: columns matched BY
     NAME, cast to the table's types, missing nullable columns
     null-filled (standard INSERT column-list semantics), extra columns
-    refused loudly."""
+    refused loudly. ``leave_absent`` columns (the table's GENERATED
+    columns) are NOT null-filled when the source omits them — the write
+    path computes them; a null-fill here would read as a supplied
+    (and diverging) value."""
     extra = set(batch.columns) - {f.name for f in schema.fields}
     if extra:
         raise ValueError(
@@ -147,7 +152,7 @@ def _align_to_schema(batch: DataFrame, schema, what: str) -> DataFrame:
     for f in schema.fields:
         if f.name in batch.columns:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
+        elif f.name not in (leave_absent or ()):
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return batch.select(*cols)
 
@@ -198,7 +203,14 @@ def execute(spark: SparkSession, statement: str):
                     f"produces {len(batch.columns)} — name the columns"
                 )
             batch = batch.toDF(*(f.name for f in schema.fields))
-        batch = _align_to_schema(batch, _table_schema(path), "INSERT source")
+        gen_cols = set(
+            tx._read_manifest(path, tx.current_version(path)).get("generated")
+            or ()
+        )
+        batch = _align_to_schema(
+            batch, _table_schema(path), "INSERT source",
+            leave_absent=gen_cols,
+        )
         v = tx.append_batch(batch, path)
         _repoint(spark, view, path)
         return {"op": "insert", "table": view, "version": v}
@@ -262,6 +274,50 @@ def execute(spark: SparkSession, statement: str):
     )
     if m and not mask[0]:
         return _merge(spark, s, mask, m)
+
+    m = re.match(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
+    )
+    if m and not mask[0]:
+        # balanced-paren scan for the column list (a GENERATED ALWAYS AS
+        # expression nests parens, so no single regex bounds it)
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            if not mask[i]:
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"CREATE TABLE {m.group(1)}: unbalanced column list"
+            )
+        cols_raw = s[m.end(): i - 1]
+        tail = s[i:]
+        tm = re.match(
+            rf"\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"LOCATION\s+'([^']+)'\s*$",
+            tail, re.IGNORECASE | re.DOTALL,
+        )
+        if not tm:
+            raise ValueError(
+                f"CREATE TABLE {m.group(1)}: expected [PARTITIONED BY "
+                f"(...)] LOCATION '<path>' after the column list, got "
+                f"{tail.strip()[:60]!r}"
+            )
+        part_raw, loc = tm.groups()
+        return _create_table(spark, m.group(1), cols_raw, part_raw, loc, None)
+
+    m = re.match(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s*"
+        rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+        rf"LOCATION\s+'([^']+)'\s+AS\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and not mask[0]:
+        name, part_raw, loc, query = m.groups()
+        return _create_table(spark, name, None, part_raw, loc, query)
 
     m = re.match(
         rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
@@ -413,3 +469,77 @@ def _merge(spark: SparkSession, s: str, mask: list[bool], head):
         "MERGE clause shape not supported; use one of: "
         f"{upsert!r} | {insert_only!r} | {delete_only!r}"
     )
+
+
+def _create_table(
+    spark: SparkSession,
+    name: str,
+    cols_raw: str | None,
+    part_raw: str | None,
+    loc: str,
+    ctas_query: str | None,
+):
+    """CREATE TABLE <name> (...) / AS SELECT — the DDL face of
+    `init_table`, completing the SQL lifecycle (a SQL user can now
+    create, read, and write manifest tables without touching the Python
+    API). Column defs support the manifest layer's write-time invariants
+    inline: ``NOT NULL`` and ``GENERATED ALWAYS AS (expr)`` (Delta's
+    syntax); ``PARTITIONED BY (col, ...)`` declares the hive layout
+    (partition columns may be generated ones); LOCATION is mandatory —
+    there is no catalog to invent paths. CTAS initializes from the
+    query's rows; the column-list form initializes EMPTY with the
+    declared schema. The new table registers as a live view."""
+    if tx.current_version(loc) >= 0:
+        raise ValueError(f"CREATE TABLE {name}: {loc!r} already exists")
+    partition_by = (
+        [c.strip().strip('`"') for c in part_raw.split(",") if c.strip()]
+        if part_raw else None
+    )
+    not_null: list[str] = []
+    generated: dict[str, str] = {}
+    if ctas_query is not None:
+        df = spark.sql(ctas_query.strip())
+    else:
+        plain_defs = []
+        for coldef in _split_toplevel_commas(cols_raw):
+            d = coldef.strip()
+            gm = re.search(
+                r"\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$",
+                d, re.IGNORECASE | re.DOTALL,
+            )
+            if gm:
+                expr = gm.group(1).strip()
+                d = d[: gm.start()].rstrip()
+            else:
+                expr = None
+            nn = re.search(r"\s+NOT\s+NULL\s*$", d, re.IGNORECASE)
+            if nn:
+                d = d[: nn.start()].rstrip()
+            cm = re.match(rf"({_IDENT}|`[^`]+`)\s+(.+)$", d, re.DOTALL)
+            if not cm:
+                raise ValueError(
+                    f"CREATE TABLE {name}: cannot parse column def "
+                    f"{coldef.strip()!r} (expected: name TYPE [NOT NULL] "
+                    "[GENERATED ALWAYS AS (expr)])"
+                )
+            col = cm.group(1).strip("`")
+            if nn:
+                not_null.append(col)
+            if expr is not None:
+                generated[col] = expr
+            plain_defs.append(f"{col} {cm.group(2).strip()}")
+        schema_ddl = ", ".join(plain_defs)
+        df = spark.createDataFrame([], schema_ddl)
+    v = tx.init_table(
+        df, loc,
+        partition_by=partition_by,
+        not_null=not_null or None,
+        generated=generated or None,
+        only_if_absent=True,
+    )
+    tx.register_manifest_view(spark, loc, name=name)
+    return {
+        "op": "create", "table": name, "version": v, "path": loc,
+        "partition_by": partition_by or [],
+        "not_null": not_null, "generated": dict(generated),
+    }

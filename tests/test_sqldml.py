@@ -276,3 +276,61 @@ def test_create_table_shallow_clone_statement(spark, tmp_path):
             spark,
             "CREATE TABLE x SHALLOW CLONE src_t_f LOCATION '/tmp/never'",
         )
+
+
+def test_create_table_statement_and_ctas(spark, tmp_path):
+    """CREATE TABLE (cols) with inline NOT NULL / GENERATED ALWAYS AS /
+    PARTITIONED BY initializes an empty manifest table with those
+    invariants live; CTAS initializes from the query; both register the
+    name for immediate DML/SELECT through the router."""
+    import datetime as _dt
+
+    loc = str(tmp_path / "ddl_t")
+    res = sqldml.execute(
+        spark,
+        f"""CREATE TABLE ddl_t (
+              id BIGINT NOT NULL,
+              ts TIMESTAMP_NTZ,
+              event_date DATE GENERATED ALWAYS AS (to_date(ts))
+            ) PARTITIONED BY (event_date) LOCATION '{loc}'""",
+    )
+    assert res["op"] == "create" and res["version"] == 0
+    assert res["not_null"] == ["id"] and res["partition_by"] == ["event_date"]
+    assert res["generated"] == {"event_date": "to_date(ts)"}
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM ddl_t"
+    ).collect()[0]["n"] == 0
+    # the invariants are LIVE: insert without the generated column
+    # computes it; a NULL id is refused by the NOT NULL gate
+    sqldml.execute(
+        spark, "INSERT INTO ddl_t (id, ts) VALUES "
+        "(1, TIMESTAMP_NTZ '2026-01-02 09:30:00')"
+    )
+    row = sqldml.execute(spark, "SELECT * FROM ddl_t").collect()[0]
+    assert row["event_date"] == _dt.date(2026, 1, 2)
+    with pytest.raises(tx.ConstraintViolation):
+        sqldml.execute(
+            spark, "INSERT INTO ddl_t (id, ts) VALUES "
+            "(NULL, TIMESTAMP_NTZ '2026-01-03 09:30:00')"
+        )
+    man = tx._read_manifest(loc, tx.current_version(loc))
+    assert man["partition_cols"] == ["event_date"]
+    new = man["files"]
+    assert all(f.startswith("event_date=2026-01-02/") for f in new)
+
+    # CTAS
+    loc2 = str(tmp_path / "ctas_t")
+    res2 = sqldml.execute(
+        spark,
+        f"CREATE TABLE ctas_t LOCATION '{loc2}' AS "
+        "SELECT id * 2 AS k FROM ddl_t",
+    )
+    assert res2["op"] == "create"
+    assert sqldml.execute(
+        spark, "SELECT sum(k) AS s FROM ctas_t"
+    ).collect()[0]["s"] == 2
+    # existing location refused
+    with pytest.raises(ValueError, match="already exists"):
+        sqldml.execute(
+            spark, f"CREATE TABLE x (a BIGINT) LOCATION '{loc}'"
+        )
