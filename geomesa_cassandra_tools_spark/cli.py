@@ -575,7 +575,8 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             "version", "num_files", "size_bytes", "num_dvs", "stats_cols",
             "partition_cols", "not_null", "check_constraints", "columns",
             "renamed_columns", "generated_columns", "clone_source",
-            "num_cloned_files", "oldest_version", "num_commits_retained",
+            "num_cloned_files", "table_features",
+            "oldest_version", "num_commits_retained",
         ):
             v = d[k]
             if isinstance(v, list):

@@ -188,6 +188,22 @@ def current_version(path: str) -> int:
 #: commits; reads replay at most this many delta tails past a base.
 CHECKPOINT_INTERVAL = 16
 
+#: TABLE FEATURES this build can read (Delta's reader-feature protocol):
+#: feature-introducing commits record their feature name in the manifest
+#: (monotone — features only ever grow), and `_read_manifest` refuses a
+#: table that requires one this build does not know, naming it — a
+#: future-format table fails loudly up front instead of being silently
+#: misread (resurrected dv rows, misnamed mapped columns, ...).
+SUPPORTED_FEATURES = frozenset({
+    "deletionVectors",
+    "columnMapping",
+    "partitionColumns",
+    "generatedColumns",
+    "shallowClone",
+    "checkConstraints",
+    "inCommitTimestamps",
+})
+
 #: Column names the deletion-vector read path claims for itself; a table
 #: schema using one would make every post-dv read ambiguous, so _commit
 #: rejects them up front.
@@ -217,6 +233,7 @@ def _empty_state() -> dict:
         "stats_cols": None, "stats": None, "dvs": {},
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
+        "features": None,
     }
 
 
@@ -256,6 +273,12 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     # layout): ordinary deltas omit the key and the state value carries
     if "generated" in delta:
         state["generated"] = delta["generated"]
+    # table features are MONOTONE: a feature-introducing commit adds its
+    # name; nothing ever removes one (Delta's reader-feature contract)
+    if delta.get("features"):
+        state["features"] = sorted(
+            set(state.get("features") or ()) | set(delta["features"])
+        )
     # column mapping changes only through the explicit verbs (rename /
     # drop / evolution assigning fresh physical names): ordinary deltas
     # omit the key and the state values carry
@@ -292,6 +315,7 @@ def _as_state(body: dict) -> dict:
         "column_map": body.get("column_map"),
         "column_map_seq": body.get("column_map_seq", 0),
         "generated": body.get("generated"),
+        "features": body.get("features"),
     }
 
 
@@ -328,6 +352,16 @@ def _read_manifest(path: str, version: int) -> dict:
         v -= 1
     for delta in reversed(deltas):
         _apply_delta(state, delta)
+    unknown = set(state.get("features") or ()) - SUPPORTED_FEATURES
+    if unknown:
+        # the reader-feature gate: refuse up front with the feature named
+        # rather than silently misreading a future-format table
+        raise ValueError(
+            f"table {path!r} requires reader feature(s) "
+            f"{sorted(unknown)} this build does not support "
+            f"(supported: {sorted(SUPPORTED_FEATURES)}); upgrade the "
+            "engine to read this table"
+        )
     return state
 
 
@@ -349,6 +383,7 @@ def _commit(
     column_map_seq: int | None = None,
     extra: dict | None = None,
     generated: dict | None = _UNSET,
+    features: list[str] | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -428,6 +463,8 @@ def _commit(
             body["column_map_seq"] = column_map_seq
     if generated is not _UNSET:
         body["generated"] = generated  # null on overwrite = reset
+    if features:
+        body["features"] = sorted(set(features))
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -481,6 +518,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["column_map_seq"] = state.get("column_map_seq", 0)
     if state.get("generated"):
         body["generated"] = state["generated"]
+    if state.get("features"):
+        body["features"] = state["features"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -1154,6 +1193,19 @@ def _apply_generated(
     return df
 
 
+def _init_features(partition_by, constraints, generated) -> list[str]:
+    """The feature names an init/overwrite commit must declare for the
+    capabilities it switches on (see SUPPORTED_FEATURES)."""
+    feats = ["inCommitTimestamps"]
+    if partition_by:
+        feats.append("partitionColumns")
+    if constraints:
+        feats.append("checkConstraints")
+    if generated:
+        feats.append("generatedColumns")
+    return feats
+
+
 def table_constraints(path: str) -> dict | None:
     """The table's declared write-time constraints (or None)."""
     v = current_version(path)
@@ -1223,6 +1275,7 @@ def add_table_constraint(
                 path, version + 1, man["schema"], man.get("txns", {}),
                 man.get("stats_cols"), add=[], remove=[],
                 op="add_constraint", constraints=trial,
+                features=["checkConstraints"],
             )
             return version + 1
         except CommitConflict:
@@ -1385,6 +1438,7 @@ def rename_column(
                 man.get("stats_cols"), add=[], remove=[],
                 op="rename_column",
                 partition_cols=new_parts,
+                features=["columnMapping"],
                 constraints=cons if cons is not man.get("constraints") else _UNSET,
                 column_map=cmap, column_map_seq=seq,
             )
@@ -1461,6 +1515,7 @@ def drop_column(
                 new_stats_cols or None, add=[], remove=[],
                 op="drop_column",
                 column_map=cmap, column_map_seq=seq,
+                features=["columnMapping"],
             )
             return version + 1
         except CommitConflict:
@@ -1562,6 +1617,7 @@ def init_table(
             partition_cols=list(partition_by or []),
             constraints=constraints, column_map=None,
             generated=dict(generated) if generated else None,
+            features=_init_features(partition_by, constraints, generated),
         )
         return 0
     prior = current_version(path)
@@ -1585,6 +1641,7 @@ def init_table(
         partition_cols=list(partition_by or []),
         constraints=constraints, column_map=None,
         generated=dict(generated) if generated else None,
+        features=_init_features(partition_by, constraints, generated),
     )
     return version
 
@@ -2411,6 +2468,7 @@ def delete_where(
             path, version + 1, man["schema"], man.get("txns", {}),
             man.get("stats_cols"), add=[], remove=[], op="delete",
             set_dv={f: staged[0] for f in affected},
+            features=["deletionVectors"],
         )
         return {
             "version": version + 1,
@@ -2532,6 +2590,23 @@ def update_where(
             for f in schema.fields
         )
     )
+    # generated-column interplay (Delta's UPDATE rule): assigning a
+    # generated column directly is refused — it is always computed; an
+    # assignment to a generator's SOURCE column recomputes the generated
+    # value in the same rewrite (recompute is idempotent on untouched
+    # rows, whose invariant already held), so a rewritten row can never
+    # leave its partition value stale against its new source value
+    gen = man.get("generated") or {}
+    bad_gen = sorted(c for c in assignments if c in gen)
+    if bad_gen:
+        raise ValueError(
+            f"UPDATE assigns generated column(s) {bad_gen}; generated "
+            "columns are always computed — assign the source column and "
+            "the generated value follows"
+        )
+    for g, e in gen.items():
+        if any(re.search(rf"\b{re.escape(c)}\b", e) for c in assignments):
+            out = out.withColumn(g, F.expr(e).cast(by_name[g].dataType))
     # the rewritten frame (updated + carried-through rows of hit files)
     # must satisfy the table's invariants — same gate as append/merge
     _enforce_constraints(out, man.get("constraints"), path)
@@ -2935,6 +3010,7 @@ def replace_table_layout(
             path, version + 1, man["schema"], man["txns"], stats_cols,
             add=staged, remove=man["files"], add_stats=new_stats,
             op="replace_layout", partition_cols=new_parts,
+            features=["partitionColumns"] if new_parts else None,
         )
     except CommitConflict:
         cur = current_version(path)
@@ -3215,6 +3291,9 @@ def clone_table(
         partition_cols=man.get("partition_cols") or [],
         constraints=man.get("constraints"),
         generated=man.get("generated"),
+        features=sorted(
+            set(man.get("features") or ()) | {"shallowClone"}
+        ),
         column_map=man.get("column_map"),
         column_map_seq=man.get("column_map_seq") or None,
         # lineage rides the v0 body (greppable, shows in table_history;
@@ -3683,6 +3762,7 @@ def describe_table(path: str) -> dict:
             for l, p in sorted(_cmap(man).items())
             if l != p
         ],
+        "table_features": list(man.get("features") or []),
         "generated_columns": [
             f"{c} AS ({e})"
             for c, e in sorted((man.get("generated") or {}).items())

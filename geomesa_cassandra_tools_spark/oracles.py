@@ -4003,3 +4003,30 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
   AND ts <  TIMESTAMP '2024-01-12 00:00:00'
 GROUP BY event_type
 """
+
+# q183: the SQL DDL lifecycle as set algebra — insert = the % 4 slice,
+# update = CASE *2 on % 3, delete = % 5 filter; the ts-range and the
+# generated-column grouping re-derive as plain SQL; layout observables
+# (two days opened, strict subset) hard-coded like q179/q182.
+ORACLES["q183_sql_ddl_generated_lifecycle"] = """
+WITH base AS (
+  SELECT event_id, ts, value FROM events WHERE event_id % 4 = 0
+),
+upd AS (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+  FROM base
+),
+fin AS (SELECT * FROM upd WHERE event_id % 5 <> 0)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(SUM(event_id) AS BIGINT) AS key_sum,
+       2 AS days_opened,
+       TRUE AS pruned_subset
+FROM fin
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1
+"""

@@ -2938,3 +2938,91 @@ def test_battery_generated_prefix_and_trunc_derivation(
     # underivable expression: generation still works, pruning just skips
     src, conv, hi = tx._parse_generator("upper(name)")
     assert src is None
+
+
+# ----------------------------------------------------- table features
+
+
+def test_battery_reader_feature_gate(spark, tmp_path, protocol):
+    """TABLE FEATURES (Delta's reader-feature protocol): feature-
+    introducing commits record their names, the set only grows, survives
+    checkpoints, shows in DESCRIBE DETAIL — and a table requiring an
+    UNKNOWN feature refuses to resolve loudly, naming it, instead of
+    being silently misread by an older build."""
+    path = str(tmp_path / "f")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        path,
+    )
+    assert tx._read_manifest(path, 0).get("features") == [
+        "inCommitTimestamps"
+    ]
+    tx.delete_where(spark, path, F.col("k") == 2, mode="dv")
+    tx.rename_column(path, "v", "val")
+    feats = tx._read_manifest(path, tx.current_version(path))["features"]
+    assert set(feats) == {
+        "inCommitTimestamps", "deletionVectors", "columnMapping"
+    }
+    # checkpoint carries the set
+    tx.checkpoint_table(path)
+    assert set(
+        tx._read_manifest(path, tx.current_version(path))["features"]
+    ) == set(feats)
+    assert set(tx.describe_table(path)["table_features"]) == set(feats)
+    # clone unions the source's features with shallowClone
+    dst = str(tmp_path / "fc")
+    tx.clone_table(path, dst)
+    assert set(tx._read_manifest(dst, 0)["features"]) == set(feats) | {
+        "shallowClone"
+    }
+
+    # a future-format commit names a feature this build lacks: every
+    # read path refuses up front, naming the feature
+    v = tx.current_version(path)
+    tx._commit(
+        path, v + 1,
+        tx._read_manifest(path, v)["schema"],
+        features=["futureMagicIndex"],
+    )
+    with pytest.raises(ValueError, match="futureMagicIndex"):
+        tx.read_table(spark, path)
+    with pytest.raises(ValueError, match="futureMagicIndex"):
+        tx.resolve_files(path)
+    # history stays readable (metadata-only, Delta's DESCRIBE HISTORY
+    # behavior on tables with unsupported features)
+    assert tx.table_history(path)[-1]["version"] == v + 1
+
+
+def test_battery_update_recomputes_generated(spark, tmp_path, protocol):
+    """UPDATE x generated columns: assigning the SOURCE column recomputes
+    the generated value in the same rewrite (the row MOVES partitions);
+    assigning the generated column directly is refused."""
+    import datetime
+
+    path = str(tmp_path / "ug")
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2026, 1, 1, 9, 0)),
+             (2, datetime.datetime(2026, 1, 2, 9, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        path,
+        generated={"event_date": "to_date(ts)"},
+        partition_by=["event_date"],
+    )
+    tx.update_where(
+        spark, path,
+        {"ts": "ts + INTERVAL 5 DAYS"},
+        "id = 1",
+    )
+    rows = {r["id"]: r for r in tx.read_table(spark, path).collect()}
+    assert rows[1]["event_date"] == datetime.date(2026, 1, 6)
+    assert rows[2]["event_date"] == datetime.date(2026, 1, 2)
+    # the moved row lives in its NEW hive dir (partition move is atomic)
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert len(tx.resolve_files(path, [("event_date", "=",
+        datetime.date(2026, 1, 6))])) > 0
+    with pytest.raises(ValueError, match="generated"):
+        tx.update_where(
+            spark, path, {"event_date": "DATE '2030-01-01'"}, "id = 2"
+        )
