@@ -39,6 +39,24 @@ MERGE supports the three production shapes:
     anti-join + `append_batch`
   * ``WHEN MATCHED THEN DELETE`` alone (key-set purge) ->
     `delete_where(keys=...)`
+
+Beyond DML, the router covers the whole table lifecycle as statements
+(Delta's SQL surface, over the manifest layer):
+  * ``CREATE TABLE name (col TYPE [NOT NULL] [GENERATED ALWAYS AS
+    (expr)], ...) [PARTITIONED BY (...)] LOCATION 'path'`` and the CTAS
+    form -> `init_table`
+  * ``CREATE TABLE name SHALLOW CLONE view [VERSION|TIMESTAMP AS OF ...]
+    LOCATION 'path'`` -> `clone_table`
+  * ``RESTORE TABLE view TO VERSION|TIMESTAMP AS OF ...`` ->
+    `restore_table`
+  * ``OPTIMIZE view [WHERE col = lit] [ZORDER BY (c, ...)]`` ->
+    `compact_table` (scope literals typed from the table schema)
+  * ``VACUUM view [RETAIN n VERSIONS]`` -> `vacuum`
+  * ``DESCRIBE HISTORY|DETAIL view`` -> DataFrames over
+    `table_history` / `describe_table`
+  * ``table_changes(view, from[, to])`` inside any SELECT — the CDF
+    table-valued function; the call site rewrites to a registered feed
+    view (pinned faces may read changes: it is read-only)
 """
 
 from __future__ import annotations
@@ -276,6 +294,106 @@ def execute(spark: SparkSession, statement: str):
         return _merge(spark, s, mask, m)
 
     m = re.match(
+        rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+        rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+        rf"\s*$",
+        s, re.IGNORECASE,
+    )
+    if m and not mask[0]:
+        view, ver, ts = m.groups()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        target = (
+            int(ver) if ver is not None
+            else tx.version_as_of(path, tx._parse_as_of(ts))
+        )
+        res = tx.restore_table(path, target)
+        _repoint(spark, view, path)
+        return {"op": "restore", "table": view, **res}
+
+    m = re.match(
+        rf"OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+WHERE\s+(.+?))?"
+        rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and not mask[0]:
+        view, where_raw, zorder_raw = m.groups()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        where = None
+        if where_raw:
+            # OPTIMIZE ... WHERE takes the partition-scope equality shape
+            # (Delta's contract); literals type from the TABLE SCHEMA so
+            # a numeric-looking string value stays a string
+            wm = re.match(
+                rf"({_IDENT})\s*=\s*('([^']*)'|[\w.-]+)\s*$",
+                where_raw.strip(),
+            )
+            if not wm:
+                raise ValueError(
+                    f"OPTIMIZE {view}: WHERE takes one `col = literal` "
+                    f"equality (the partition scope), got "
+                    f"{where_raw.strip()[:40]!r}"
+                )
+            col = wm.group(1)
+            raw = wm.group(3) if wm.group(3) is not None else wm.group(2)
+            where = [(col, "=", _typed_literal(path, col, raw))]
+        zorder_by = (
+            [c.strip().strip('`"') for c in zorder_raw.split(",") if c.strip()]
+            if zorder_raw else None
+        )
+        res = tx.compact_table(
+            spark, path, where=where, zorder_by=zorder_by
+        )
+        _repoint(spark, view, path)
+        return {"op": "optimize", "table": view, **res}
+
+    m = re.match(
+        rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if m and not mask[0]:
+        view, keep = m.groups()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            return spark.sql(statement)
+        removed = tx.vacuum(path, keep_versions=int(keep) if keep else 1)
+        return {
+            "op": "vacuum", "table": view, "files_removed": removed,
+            "keep_versions": int(keep) if keep else 1,
+        }
+
+    m = re.match(
+        rf"DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})\s*$", s, re.IGNORECASE
+    )
+    if m and not mask[0]:
+        kind, view = m.group(1).upper(), m.group(2)
+        entry = tx._VIEW_REGISTRY.get(view)
+        if entry is None:
+            return spark.sql(statement)
+        path = entry["path"]  # read-only: pinned faces may describe
+        if kind == "HISTORY":
+            rows = tx.table_history(path)
+            return spark.createDataFrame(
+                [(r["version"], r["op"], float(r["ts"] or 0), r["n_add"],
+                  r["n_remove"], r["n_dv"]) for r in rows],
+                "version bigint, op string, ts double, n_add bigint, "
+                "n_remove bigint, n_dv bigint",
+            )
+        d = tx.describe_table(path)
+        return spark.createDataFrame(
+            [(k, ",".join(map(str, v)) if isinstance(v, list) else str(v))
+             for k, v in d.items()],
+            "key string, value string",
+        )
+
+    m = re.match(
         rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
     )
     if m and not mask[0]:
@@ -352,7 +470,75 @@ def execute(spark: SparkSession, statement: str):
         tx.register_manifest_view(spark, loc, name=name)
         return {"op": "clone", "table": name, **res}
 
+    # the table_changes(view, from[, to]) table-valued function (Delta's
+    # CDF TVF): each call registers the batch change feed as a temp view
+    # and the statement rewrites to select from it — the one rewrite this
+    # router performs inside an otherwise-verbatim statement. Pinned
+    # faces may read changes (read-only).
+    tvf = re.compile(
+        rf"table_changes\s*\(\s*'?({_IDENT})'?\s*,\s*(\d+)"
+        rf"\s*(?:,\s*(\d+))?\s*\)",
+        re.IGNORECASE,
+    )
+    def _tvf_sub(mm):
+        view, lo, hi = mm.group(1), int(mm.group(2)), mm.group(3)
+        entry = tx._VIEW_REGISTRY.get(view)
+        if entry is None:
+            raise ValueError(
+                f"table_changes: {view!r} is not a registered manifest "
+                "view (register_manifest_view first)"
+            )
+        hi_v = int(hi) if hi is not None else None
+        tvname = f"__tc_{view}_{lo}_{hi if hi is not None else 'latest'}"
+        tx.table_changes(
+            spark, entry["path"], from_version=lo, to_version=hi_v
+        ).createOrReplaceTempView(tvname)
+        return tvname
+    if tvf.search(s) and any(
+        not mask[mm.start()] for mm in tvf.finditer(s)
+    ):
+        out, last = [], 0
+        for mm in tvf.finditer(s):
+            if mask[mm.start()]:
+                continue
+            out.append(s[last:mm.start()])
+            out.append(_tvf_sub(mm))
+            last = mm.end()
+        out.append(s[last:])
+        return spark.sql("".join(out))
+
     return spark.sql(statement)
+
+
+def _typed_literal(path: str, col: str, raw: str):
+    """Type an OPTIMIZE-scope literal from the TABLE SCHEMA (never from
+    its spelling — the CLI --scope lesson): quoted literals arrive
+    already unquoted as strings; unquoted ones resolve to the column's
+    declared type, falling back to the raw string (the file-skipping
+    layer keeps files conservatively for un-orderable literals)."""
+    import datetime
+    import json as _json
+
+    t = None
+    v = tx.current_version(path)
+    if v >= 0:
+        man = tx._read_manifest(path, v)
+        for f in _json.loads(man["schema"])["fields"]:
+            if f["name"] == col and isinstance(f.get("type"), str):
+                t = f["type"]
+                break
+    try:
+        if t in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if t in ("float", "double") or (t or "").startswith("decimal"):
+            return float(raw)
+        if t == "date":
+            return datetime.date.fromisoformat(raw)
+        if t in ("timestamp", "timestamp_ntz"):
+            return datetime.datetime.fromisoformat(raw)
+    except ValueError:
+        pass  # unparseable for the declared type: keep the raw string
+    return raw
 
 
 def _merge(spark: SparkSession, s: str, mask: list[bool], head):

@@ -334,3 +334,72 @@ def test_create_table_statement_and_ctas(spark, tmp_path):
         sqldml.execute(
             spark, f"CREATE TABLE x (a BIGINT) LOCATION '{loc}'"
         )
+
+
+def test_utility_statements_lifecycle(spark, tmp_path):
+    """RESTORE TABLE / OPTIMIZE [WHERE] [ZORDER BY] / VACUUM / DESCRIBE
+    HISTORY|DETAIL / table_changes(...) — the full table lifecycle as
+    SQL statements through one entry point."""
+    path = _mk(spark, tmp_path, name="life_t")
+    sqldml.execute(spark, "INSERT INTO life_t VALUES (2, 'b', 20.0)")
+    sqldml.execute(spark, "INSERT INTO life_t VALUES (3, 'c', 30.0)")
+
+    # table_changes TVF: the statement rewrites to a registered feed view
+    got = sqldml.execute(
+        spark,
+        "SELECT _change_type, count(*) AS n FROM table_changes(life_t, 1, 2) "
+        "GROUP BY _change_type",
+    ).collect()
+    assert {(r["_change_type"], r["n"]) for r in got} == {("insert", 2)}
+
+    # RESTORE TO VERSION AS OF 1 (post-first-insert snapshot)
+    res = sqldml.execute(
+        spark, "RESTORE TABLE life_t TO VERSION AS OF 1"
+    )
+    assert res["op"] == "restore" and res["restored_to"] == 1
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM life_t"
+    ).collect()[0]["n"] == 2
+
+    # OPTIMIZE bin-packs the small files in one commit
+    res = sqldml.execute(spark, "OPTIMIZE life_t")
+    assert res["op"] == "optimize" and res["files_compacted"] >= 2
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM life_t"
+    ).collect()[0]["n"] == 2
+
+    # DESCRIBE HISTORY / DETAIL come back as DataFrames
+    hist = sqldml.execute(spark, "DESCRIBE HISTORY life_t").collect()
+    assert [r["op"] for r in hist][:2] == ["init", "append"]
+    assert hist[-1]["op"] == "compact"
+    detail = {
+        r["key"]: r["value"]
+        for r in sqldml.execute(spark, "DESCRIBE DETAIL life_t").collect()
+    }
+    assert detail["version"] == str(tx.current_version(path))
+
+    # VACUUM reclaims the superseded files
+    res = sqldml.execute(spark, "VACUUM life_t RETAIN 1 VERSIONS")
+    assert res["op"] == "vacuum"
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM life_t"
+    ).collect()[0]["n"] == 2
+
+    # OPTIMIZE ... WHERE types its literal from the schema (string col)
+    p2 = str(tmp_path / "scoped")
+    tx.init_table(
+        spark.createDataFrame([(1, "d1")], "k bigint, day string"),
+        p2, partition_by=["day"],
+    )
+    tx.append_batch(
+        spark.createDataFrame([(2, "d1")], "k bigint, day string"), p2
+    )
+    tx.append_batch(
+        spark.createDataFrame([(3, "d2")], "k bigint, day string"), p2
+    )
+    tx.register_manifest_view(spark, p2, name="scoped_t")
+    res = sqldml.execute(spark, "OPTIMIZE scoped_t WHERE day = 'd1'")
+    assert res["op"] == "optimize" and res["files_compacted"] == 2
+    # ZORDER form parses and commits
+    res = sqldml.execute(spark, "OPTIMIZE scoped_t ZORDER BY (k)")
+    assert res["files_compacted"] >= 1
