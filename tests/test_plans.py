@@ -362,3 +362,35 @@ def test_dv_free_manifest_read_plans_no_join(spark, tmp_path):
     tx.delete_where(spark, path, "k = 3", mode="dv")
     plan2 = pi.explain_str(tx.read_table(spark, path))
     assert "LeftAnti" in plan2 and "BroadcastHashJoin" in plan2
+
+
+def test_q180_repetition_gates_stay_map_only(spark):
+    """The Gopher repetition gates are bound-once array lambdas: no
+    Python UDF, no Generate/explode node — a single scan + one partial
+    agg. An explode here would multiply the shuffle by tokens-per-doc
+    (~25x) for no semantic gain."""
+    df = QUERIES["q180_repetition_filters"](spark, SF)
+    inspect.assert_no_python_udf(df)
+    plan = inspect.explain_str(df)
+    assert "Generate" not in plan, "q180 must not explode tokens"
+
+
+def test_q182_generated_pruning_opens_only_covered_days(spark):
+    """Generated-column derivation is a FILE-LIST property (driver-side,
+    before the scan plans): the ts-range read resolves to files of
+    exactly the two covered event_date partitions."""
+    import datetime as _dt
+
+    from geomesa_cassandra_tools_spark.operators import transactional as tx
+    from geomesa_cassandra_tools_spark.queries import _generated_events_path
+
+    path = _generated_events_path(spark, SF)
+    w = [
+        ("ts", ">=", _dt.datetime(2024, 1, 10, 0, 0)),
+        ("ts", "<", _dt.datetime(2024, 1, 12, 0, 0)),
+    ]
+    opened = tx.resolve_files(path, w)
+    assert opened and {f.split("/")[0] for f in opened} == {
+        "event_date=2024-01-10", "event_date=2024-01-11"
+    }
+    assert len(opened) < len(tx.resolve_files(path))
