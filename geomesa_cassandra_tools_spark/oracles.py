@@ -4030,3 +4030,62 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
   AND ts <  TIMESTAMP '2024-01-12 00:00:00'
 GROUP BY 1
 """
+
+# q184: the combined C4/Gopher keep-drop gate — first-triggered-reason
+# CASE over the same per-doc lambdas as q17/q180; quality snapped to
+# floored basis points (identical IEEE doubles both engines).
+ORACLES["q184_corpus_quality_gate"] = f"""
+WITH w AS (
+  SELECT lang, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT lang, ws,
+         list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+           AS g3
+  FROM w
+),
+m AS (
+  SELECT lang, len(ws) AS ntok,
+         CAST(floor(list_max(list_transform(list_distinct(ws),
+                t -> len(list_filter(ws, x -> x = t))))
+              * 10000 / len(ws)) AS BIGINT) AS top1_bp,
+         CASE WHEN len(g2) > 0 THEN
+           CAST(floor((len(g2) - len(list_distinct(g2))) * 10000
+                / len(g2)) AS BIGINT) ELSE 0 END AS dup2_bp,
+         CASE WHEN len(g3) > 0 THEN
+           CAST(floor((len(g3) - len(list_distinct(g3))) * 10000
+                / len(g3)) AS BIGINT) ELSE 0 END AS dup3_bp,
+         CAST(floor((least(len(ws) / 100.0, 1.0)
+               + len(list_distinct(ws)) / len(ws)
+               + (1 - list_sum(list_transform(ws,
+                    t -> CASE WHEN t IN ({_STOPWORD_LIST}) THEN 1
+                         ELSE 0 END)) / len(ws))) / 3 * 10000)
+           AS BIGINT) AS q_bp
+  FROM g
+),
+r AS (
+  SELECT lang, ntok,
+         CASE WHEN ntok < 10 THEN 'short'
+              WHEN dup3_bp > 1500 OR dup2_bp > 3000 OR top1_bp > 2000
+                THEN 'repetition'
+              WHEN q_bp < 5000 THEN 'quality'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN reason = 'kept' THEN ntok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(SUM(CASE WHEN reason = 'repetition' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_repetition,
+       CAST(SUM(CASE WHEN reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality
+FROM r GROUP BY lang
+"""

@@ -6765,6 +6765,62 @@ def q180_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined per-document keep/drop gate a pre-training curation
+    pipeline actually runs (C4's heuristics, Raffel 2020 §2.2, composed
+    with Gopher's repetition gates, Rae 2021 A1.1): each document is
+    dropped for the FIRST triggered reason — too short (< 10 tokens),
+    repetitive (q180's thresholds), or low quality (composite score
+    < 0.5) — and the per-language roll-up reports kept counts, kept
+    token mass, and the drop-reason histogram (the numbers a curation
+    review actually reads before dropping a language slice).
+
+    All decisions are integer basis points over the same certified
+    primitives as q17/q180 (bound-once lambdas, zero UDFs, no explode);
+    the only shuffle is the final per-lang partial agg — at 100 TB this
+    is one scan with map-side combine, the cheapest possible full-corpus
+    decision pass."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    d = t["documents"].select(
+        "lang",
+        T.token_count(txt).alias("ntok"),
+        T.top_token_bp(txt).alias("top1_bp"),
+        T.dup_ngram_bp(txt, 2).alias("dup2_bp"),
+        T.dup_ngram_bp(txt, 3).alias("dup3_bp"),
+        F.floor(T.quality_score(txt) * 10000).cast("long").alias("q_bp"),
+    )
+    repetitive = (
+        (F.col("dup3_bp") > 1500)
+        | (F.col("dup2_bp") > 3000)
+        | (F.col("top1_bp") > 2000)
+    )
+    reason = (
+        F.when(F.col("ntok") < 10, "short")
+        .when(repetitive, "repetition")
+        .when(F.col("q_bp") < 5000, "quality")
+        .otherwise("kept")
+    )
+    return (
+        d.withColumn("reason", reason)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("reason") == "kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("reason") == "kept", F.col("ntok")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.sum((F.col("reason") == "short").cast("long")).alias("n_short"),
+            F.sum(
+                (F.col("reason") == "repetition").cast("long")
+            ).alias("n_repetition"),
+            F.sum(
+                (F.col("reason") == "quality").cast("long")
+            ).alias("n_quality"),
+        )
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -6872,7 +6928,6 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
     # -- new this round (must be driver-certified in their first round)
     "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
     "q136_prefix_family_keeper": q136_prefix_family_keeper,
@@ -6926,6 +6981,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_shallow_clone_divergence": q181_shallow_clone_divergence,
     "q182_generated_partition_pruning": q182_generated_partition_pruning,
     "q183_sql_ddl_generated_lifecycle": q183_sql_ddl_generated_lifecycle,
+    "q184_corpus_quality_gate": q184_corpus_quality_gate,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged); q01 displaced
@@ -6966,6 +7022,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_video_frame_plan": q31_video_frame_plan,
     "q43_approx_distinct_reach": q43_approx_distinct_reach,
     "q78_approx_percentiles": q78_approx_percentiles,
+    "q95_hll_sketch_rollup": q95_hll_sketch_rollup,
     "q27_ivf_topk": q27_ivf_topk,
     "q28_embedding_near_dups": q28_embedding_near_dups,
     "q29_media_features": q29_media_features,
