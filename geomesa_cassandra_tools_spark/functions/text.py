@@ -58,11 +58,23 @@ def avg_token_len(text: Column) -> Column:
     return (F.length(F.replace(text, F.lit(" "), F.lit(""))) / n).cast("double")
 
 
+def stopword_ratio_t(tk: Column) -> Column:
+    """`stopword_ratio` over an already-bound token array.  ``tk`` MUST be
+    a bound attribute or lambda variable — passing an expression would
+    re-evaluate it at every reference (the quadratic-resplit trap the
+    bind-once discipline exists to avoid)."""
+    hits = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
+    return (hits / F.size(tk)).cast("double")
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are stopwords."""
-    toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return (hits / F.size(toks)).cast("double")
+    return stopword_ratio_t(tokens(text))
+
+
+def distinct_token_ratio_t(tk: Column) -> Column:
+    """`distinct_token_ratio` over an already-bound token array."""
+    return (F.size(F.array_distinct(tk)) / F.size(tk)).cast("double")
 
 
 def distinct_token_ratio(text: Column) -> Column:
@@ -71,31 +83,33 @@ def distinct_token_ratio(text: Column) -> Column:
     return (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double")
 
 
+def shingles_t(tk: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an already-bound token array (attribute
+    or lambda variable — NOT a bare expression; see `stopword_ratio_t`).
+
+    The size guard matters: Spark's ``sequence(0, size-n)`` would produce
+    a *descending* sequence when size < n instead of an empty one."""
+    idx = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+        ),
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles, space-joined; empty array when < n tokens.
 
-    The guard matters: Spark's ``sequence(0, size-n)`` would produce a
-    *descending* sequence when size < n instead of an empty one.
+    The token array is bound ONCE as a lambda variable (same pattern as
+    bigram_array below): inlining tokens(text) into the per-position
+    lambda would re-split the whole text n times PER POSITION —
+    quadratic in document length under interpreted HOF evaluation.
     """
-    def indices(tk):
-        return F.when(
-            F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
-        ).otherwise(F.array().cast("array<int>"))
-
-    # token array bound ONCE as a lambda variable (same pattern as
-    # bigram_array below): inlining tokens(text) into the per-position
-    # lambda would re-split the whole text n times PER POSITION —
-    # quadratic in document length under interpreted HOF evaluation
     return F.element_at(
-        F.transform(
-            F.array(tokens(text)),
-            lambda tk: F.transform(
-                indices(tk),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
-                ),
-            ),
-        ),
+        F.transform(F.array(tokens(text)), lambda tk: shingles_t(tk, n)),
         1,
     )
 
@@ -132,14 +146,55 @@ def bigram_array(text: Column, payload=None) -> Column:
     )
 
 
+def quality_score_t(tk: Column) -> Column:
+    """`quality_score` over an already-bound token array — bit-identical
+    arithmetic (same sub-terms, same order, one final double cast)."""
+    n = F.size(tk)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = (F.size(F.array_distinct(tk)) / n).cast("double")
+    stop = (F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))) / n).cast(
+        "double"
+    )
+    return ((length_term + diversity + (1 - stop)) / 3).cast("double")
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, 1]: favors mid-length docs with
-    diverse vocabulary and moderate stopword density."""
-    n = token_count(text)
-    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    diversity = distinct_token_ratio(text)
-    stop = stopword_ratio(text)
-    return ((length_term + diversity + (1 - stop)) / 3).cast("double")
+    diverse vocabulary and moderate stopword density.
+
+    The token array is bound ONCE (lambda variable) and every sub-metric
+    derives from it — the naive composition re-split the text ~4x per
+    row (token_count + distinct_token_ratio + stopword_ratio each call
+    ``split``, and interpreted HOF paths defeat subexpression
+    elimination)."""
+    return F.element_at(
+        F.transform(F.array(tokens(text)), quality_score_t), 1
+    )
+
+
+def _dup_bp_from_grams(g: Column) -> Column:
+    """floor(10000 * duplicate grams / grams) over a bound gram array."""
+    total = F.size(g)
+    dup = total - F.size(F.array_distinct(g))
+    return (
+        F.when(total > 0, F.floor(dup * F.lit(10000) / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def dup_ngram_bp_t(tk: Column, n: int) -> Column:
+    """`dup_ngram_bp` over an already-bound token array.
+
+    The gram array is itself bound once as a lambda variable: the naive
+    form mentions the full `shingles_t` tree FOUR times (guard, total,
+    distinct, denominator), and Catalyst's analyze/optimize cost on these
+    interpreted-HOF trees is superlinear in tree size — the 4x inline
+    made PLANNING (not execution) the dominant cost of the repetition
+    gates (~1.3 s/plan at 3 metrics; execution itself is ~60 ms)."""
+    return F.element_at(
+        F.transform(F.array(shingles_t(tk, n)), _dup_bp_from_grams), 1
+    )
 
 
 def dup_ngram_bp(text: Column, n: int) -> Column:
@@ -151,14 +206,45 @@ def dup_ngram_bp(text: Column, n: int) -> Column:
     Integer counts + one IEEE double division (identical in DuckDB), so
     the oracle hash-matches bit-exactly.  Map-only per-doc lambdas — no
     explode, no shuffle; at 100 TB this is scan-bound."""
-    g = shingles(text, n)
-    total = F.size(g)
-    dup = total - F.size(F.array_distinct(g))
-    return (
-        F.when(total > 0, F.floor(dup * F.lit(10000) / total))
-        .otherwise(F.lit(0))
-        .cast("long")
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda tk: dup_ngram_bp_t(tk, n)),
+        1,
     )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — one
+    linear `aggregate` pass with a (prev, run, best) accumulator.  On a
+    sorted token array the longest run IS the max token multiplicity."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, w):
+        run = F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+def top_token_bp_t(tk: Column) -> Column:
+    """`top_token_bp` over an already-bound token array: sort the tokens
+    (O(n log n)), then one linear run-length pass — the max run of the
+    sorted array is the max multiplicity.  Replaces the old
+    count-per-distinct-token inner loop, which was O(distinct x tokens)
+    per document (quadratic for repetitive docs — exactly the docs this
+    gate exists to catch)."""
+    return F.floor(
+        _max_run_length(F.sort_array(tk)) * F.lit(10000) / F.size(tk)
+    ).cast("long")
 
 
 def top_token_bp(text: Column) -> Column:
@@ -167,28 +253,11 @@ def top_token_bp(text: Column) -> Column:
     floor(10000 * max token multiplicity / tokens).
 
     The token array is bound ONCE as a lambda variable (the same
-    quadratic-resplit trap ``shingles`` documents); the inner
-    count-per-distinct-token is O(distinct x tokens) per document —
-    bounded by document length squared, trivially small for corpus docs
-    and still map-only at 100 TB."""
-    return (
-        F.element_at(
-            F.transform(
-                F.array(tokens(text)),
-                lambda tk: F.floor(
-                    F.array_max(
-                        F.transform(
-                            F.array_distinct(tk),
-                            lambda w: F.size(F.filter(tk, lambda x: x == w)),
-                        )
-                    )
-                    * F.lit(10000)
-                    / F.size(tk)
-                ),
-            ),
-            1,
-        )
-    ).cast("long")
+    quadratic-resplit trap ``shingles`` documents); see `top_token_bp_t`
+    for the linear-pass multiplicity algorithm."""
+    return F.element_at(
+        F.transform(F.array(tokens(text)), top_token_bp_t), 1
+    )
 
 
 def fingerprint(token_id_positions: Column) -> Column:

@@ -913,7 +913,9 @@ def q40_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     pred = T.lang_id_heuristic(F.col("text"), LANG_MARKERS)
     return (
-        relational.ensure_parallelism(t["documents"].select("lang", "text"))
+        relational.ensure_parallelism(
+            t["documents"].select("lang", "text"), min_parts=8
+        )
         .select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n_docs"))
@@ -6737,18 +6739,31 @@ def q180_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     up per (lang, source) — the slice a curation pipeline actually
     inspects before dropping a source.
 
-    Scale shape: every per-doc metric is a bound-once array lambda —
-    no explode, no join, zero UDFs; the only shuffle is the final
-    (lang, source) partial agg. At 100 TB this is a single scan of the
-    text column with map-side combine."""
+    Scale shape: the text column is split ONCE per row (`tk` is a real
+    projection attribute — multi-referenced non-cheap aliases survive
+    CollapseProject, so all three gates read the same array); every
+    per-doc metric is a bound-array lambda — no explode, no join, zero
+    UDFs; the only shuffle is the final (lang, source) partial agg. At
+    100 TB this is a single scan of the text column with map-side
+    combine. min_parts=8, not cores: each task pays a fixed ~0.2 s
+    interpreted-HOF expression-prep cost for this tree, so tasks must
+    carry enough rows to amortize it (measured min at 4-8 parts for the
+    sf0.1 corpus; at real scale natural splits dominate and the widen is
+    a no-op)."""
     t = load_tables(spark, sf_dir)
-    txt = F.col("text")
-    d = t["documents"].select(
-        "lang",
-        "source",
-        T.top_token_bp(txt).alias("top1_bp"),
-        T.dup_ngram_bp(txt, 2).alias("dup2_bp"),
-        T.dup_ngram_bp(txt, 3).alias("dup3_bp"),
+    tk = F.col("tk")
+    d = (
+        relational.ensure_parallelism(
+            t["documents"].select("lang", "source", "text"), min_parts=8
+        )
+        .withColumn("tk", T.tokens(F.col("text")))
+        .select(
+            "lang",
+            "source",
+            T.top_token_bp_t(tk).alias("top1_bp"),
+            T.dup_ngram_bp_t(tk, 2).alias("dup2_bp"),
+            T.dup_ngram_bp_t(tk, 3).alias("dup3_bp"),
+        )
     )
     flagged = (
         (F.col("dup3_bp") > 1500)
@@ -6776,19 +6791,27 @@ def q184_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     review actually reads before dropping a language slice).
 
     All decisions are integer basis points over the same certified
-    primitives as q17/q180 (bound-once lambdas, zero UDFs, no explode);
-    the only shuffle is the final per-lang partial agg — at 100 TB this
-    is one scan with map-side combine, the cheapest possible full-corpus
+    primitives as q17/q180, derived from ONE bound token array per row
+    (the naive composition re-split the text ~7x: ntok + 3 gates +
+    quality_score's three internal ratios); zero UDFs, no explode; the
+    only shuffle is the final per-lang partial agg — at 100 TB this is
+    one scan with map-side combine, the cheapest possible full-corpus
     decision pass."""
     t = load_tables(spark, sf_dir)
-    txt = F.col("text")
-    d = t["documents"].select(
-        "lang",
-        T.token_count(txt).alias("ntok"),
-        T.top_token_bp(txt).alias("top1_bp"),
-        T.dup_ngram_bp(txt, 2).alias("dup2_bp"),
-        T.dup_ngram_bp(txt, 3).alias("dup3_bp"),
-        F.floor(T.quality_score(txt) * 10000).cast("long").alias("q_bp"),
+    tk = F.col("tk")
+    d = (
+        relational.ensure_parallelism(
+            t["documents"].select("lang", "text"), min_parts=8
+        )
+        .withColumn("tk", T.tokens(F.col("text")))
+        .select(
+            "lang",
+            F.size(tk).alias("ntok"),
+            T.top_token_bp_t(tk).alias("top1_bp"),
+            T.dup_ngram_bp_t(tk, 2).alias("dup2_bp"),
+            T.dup_ngram_bp_t(tk, 3).alias("dup3_bp"),
+            F.floor(T.quality_score_t(tk) * 10000).cast("long").alias("q_bp"),
+        )
     )
     repetitive = (
         (F.col("dup3_bp") > 1500)
