@@ -408,9 +408,9 @@ def execute(spark: SparkSession, statement: str):
                     depth -= 1
             i += 1
         if depth:
-            raise ValueError(
-                f"CREATE TABLE {m.group(1)}: unbalanced column list"
-            )
+            # unbalanced column list: not parseable as the manifest
+            # dialect — let Spark's parser produce the canonical error
+            return spark.sql(statement)
         cols_raw = s[m.end(): i - 1]
         tail = s[i:]
         tm = re.match(
@@ -419,11 +419,11 @@ def execute(spark: SparkSession, statement: str):
             tail, re.IGNORECASE | re.DOTALL,
         )
         if not tm:
-            raise ValueError(
-                f"CREATE TABLE {m.group(1)}: expected [PARTITIONED BY "
-                f"(...)] LOCATION '<path>' after the column list, got "
-                f"{tail.strip()[:60]!r}"
-            )
+            # not the manifest dialect (no LOCATION tail, or a USING/
+            # TBLPROPERTIES/… clause): this is a plain Spark CREATE
+            # TABLE — keep the documented contract that non-manifest
+            # statements fall through to spark.sql verbatim
+            return spark.sql(statement)
         part_raw, loc = tm.groups()
         return _create_table(spark, m.group(1), cols_raw, part_raw, loc, None)
 

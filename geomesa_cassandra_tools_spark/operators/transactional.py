@@ -3275,7 +3275,12 @@ def clone_table(
                 if src_dvs.get(f) == sidecar:
                     files_out.append(_abs(f))
                     pos_out.append(p)
-        dv_name = "dv-clone-v0.parquet"
+        # commit-unique sidecar name (same discipline as _stage_files): a
+        # racing cloner that loses the v0 commit must leave only an
+        # orphan file, never overwrite the winner's referenced sidecar —
+        # two racers with different source/pinned args would otherwise
+        # silently corrupt the winner's deletion vectors
+        dv_name = f"dv-clone-v0-{uuid.uuid4().hex[:12]}.parquet"
         os.makedirs(_data_dir(dst), exist_ok=True)
         pq.write_table(
             pa.table(

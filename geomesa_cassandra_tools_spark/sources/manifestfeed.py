@@ -239,49 +239,21 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         where_raw = _opt(options, "where")
         self._where = _decode_where(where_raw) if where_raw else None
         self._prune_preds = list(self._where or [])
+        # Version whose metadata (generated defs + partition layout) the
+        # current derivation reflects; None = not yet derived for any
+        # streamed commit. Generated/partition definitions are NOT
+        # immutable for the table's whole life — an overwrite init_table
+        # or replace_table_layout resets them mid-history — so the prune
+        # set is (re-)derived per STREAMED COMMIT SEGMENT: once at the
+        # first commit a batch touches, again whenever a commit's body
+        # carries a metadata header (partition_cols/generated/column_map,
+        # written only by layout-changing verbs). Construction still
+        # derives from the latest manifest to fail fast on an unsafe
+        # cdf where= (and as the no-commit fallback).
+        self._derived_at: int | None = None
         if self._where:
-            # GENERATED-COLUMN derivation, same contract as batch
-            # `resolve_files`: a ts-range subscription to a
-            # to_date(ts)-partitioned table prunes at the partition tier
-            # without the subscriber naming the partition column.
-            # Generated definitions are immutable after init, so deriving
-            # once at reader construction is exact for the stream's life.
             man0 = tx._read_manifest(self._path, latest) if latest >= 0 else {}
-            derived = tx._derived_generated_preds(self._where, man0)
-            part_cols = set(man0.get("partition_cols") or ())
-            if self._feed == "cdf":
-                # a pruned CDF stream is sound only for PARTITION-column
-                # predicates: a partition's adds AND removes live in that
-                # partition's files (exact [v, v] spans), so pruning keeps
-                # delete/insert image pairs together. Arbitrary-column
-                # pruning would split a rewrite's cancelling pairs — so
-                # the CDF prune set keeps ONLY partition-column
-                # predicates (stated or derived); a stated non-partition
-                # column is acceptable IF it derives one (the original
-                # predicate stays the consumer's row refine).
-                derivable_srcs = {
-                    tx._parse_generator(e)[0]
-                    for e in (man0.get("generated") or {}).values()
-                }
-                bad = sorted(
-                    {p[0] for p in self._where}
-                    - part_cols - derivable_srcs
-                )
-                if bad:
-                    raise ValueError(
-                        "cdf feed where= takes PARTITION-column predicates "
-                        f"only (column(s) {bad} are not partition columns "
-                        "and derive none via generated columns); "
-                        "non-partition where= pruning is append-feed only: "
-                        "a pruned CDF stream would emit asymmetric delete/"
-                        "insert images"
-                    )
-                self._prune_preds = [
-                    p for p in (*self._where, *derived)
-                    if p[0] in part_cols
-                ]
-            else:
-                self._prune_preds = [*self._where, *derived]
+            self._prune_preds = self._compute_prune_preds(man0)
         # self-tracked stream position for admission control: the engine's
         # Python source API hands the start offset only to partitions(), so
         # latestOffset() learns it from (a) initialOffset on a fresh
@@ -325,7 +297,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         hit = self._admission_cache.get(v)
         if hit is not None:
             return hit
-        added, removed, set_dv, unset_dv, _stats = self._commit_files(v)
+        added, removed, set_dv, unset_dv, _stats, _meta = self._commit_files(v)
         if self._feed == "cdf":
             names = (
                 list(added) + list(removed) + list(set_dv) + list(unset_dv)
@@ -387,13 +359,72 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return None
 
     # -- planning (driver) -----------------------------------------------
+    def _compute_prune_preds(self, man: dict) -> list:
+        """Tier-1 prune set under ``man``'s metadata: the stated
+        `where=` predicates plus GENERATED-COLUMN derivations (same
+        contract as batch `resolve_files` — a ts-range subscription to a
+        to_date(ts)-partitioned table prunes at the partition tier
+        without the subscriber naming the partition column).
+
+        For the cdf feed the set keeps ONLY partition-column predicates
+        (stated or derived): a partition's adds AND removes live in that
+        partition's files (exact [v, v] spans), so pruning keeps
+        delete/insert image pairs together — arbitrary-column pruning
+        would split a rewrite's cancelling pairs. A stated non-partition
+        column is acceptable IF it derives one (the original predicate
+        stays the consumer's row refine); otherwise refuse loudly —
+        including MID-STREAM, when a layout change makes a previously
+        safe predicate unsafe."""
+        derived = tx._derived_generated_preds(self._where, man)
+        part_cols = set(man.get("partition_cols") or ())
+        if self._feed == "cdf":
+            derivable_srcs = {
+                tx._parse_generator(e)[0]
+                for e in (man.get("generated") or {}).values()
+            }
+            bad = sorted(
+                {p[0] for p in self._where} - part_cols - derivable_srcs
+            )
+            if bad:
+                raise ValueError(
+                    "cdf feed where= takes PARTITION-column predicates "
+                    f"only (column(s) {bad} are not partition columns "
+                    "and derive none via generated columns); "
+                    "non-partition where= pruning is append-feed only: "
+                    "a pruned CDF stream would emit asymmetric delete/"
+                    "insert images"
+                )
+            return [
+                p for p in (*self._where, *derived) if p[0] in part_cols
+            ]
+        return [*self._where, *derived]
+
+    def _refresh_prune_preds(self, v: int, meta_changed: bool) -> None:
+        """Re-derive the prune set for commit ``v`` when needed: on the
+        first commit this reader prunes (the construction-time derivation
+        used the LATEST manifest, which may postdate a replayed segment's
+        definitions), and again at every metadata-carrying commit. One
+        manifest resolve per layout change — noise against the scan."""
+        if not self._where:
+            return
+        if self._derived_at is None or meta_changed:
+            self._prune_preds = self._compute_prune_preds(
+                tx._read_manifest(self._path, v)
+            )
+            self._derived_at = v
+
     def _commit_files(
         self, v: int
-    ) -> tuple[list[str], list[str], dict[str, str], list[str], dict]:
-        """(added, removed, set_dv, unset_dv, add_stats) of commit v,
-        legacy snapshots included (diffed against the resolved v-1
-        state; legacy commits carry no per-file stats — conservative
-        empty map, `where=` then prunes nothing)."""
+    ) -> tuple[list[str], list[str], dict[str, str], list[str], dict, bool]:
+        """(added, removed, set_dv, unset_dv, add_stats, meta_changed) of
+        commit v, legacy snapshots included (diffed against the resolved
+        v-1 state; legacy commits carry no per-file stats — conservative
+        empty map, `where=` then prunes nothing). ``meta_changed`` is
+        True when the commit body carries a layout-metadata header
+        (partition_cols / generated / column_map — written only by
+        init/overwrite/replace-layout/column verbs) or is a legacy full
+        snapshot (which can embed anything): the signal that the feed's
+        derived prune predicates must be recomputed."""
         try:
             body = tx._read_json(self._path, f"v{v}.json")
         except FileNotFoundError:
@@ -409,13 +440,17 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 else set()
             )
             now = set(body["files"])
-            return sorted(now - prev), sorted(prev - now), {}, [], {}
+            return sorted(now - prev), sorted(prev - now), {}, [], {}, True
+        meta_changed = any(
+            k in body for k in ("partition_cols", "generated", "column_map")
+        )
         return (
             sorted(body.get("add", ())),
             sorted(body.get("remove", ())),
             body.get("set_dv") or {},
             list(body.get("unset_dv") or ()),
             body.get("add_stats") or {},
+            meta_changed,
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -426,7 +461,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, removed, set_dv, unset_dv, add_stats = self._commit_files(v)
+            added, removed, set_dv, unset_dv, add_stats, meta_changed = (
+                self._commit_files(v)
+            )
+            self._refresh_prune_preds(v, meta_changed)
             if any(
                 os.path.isabs(f)
                 for f in (*added, *removed, *set_dv, *unset_dv)

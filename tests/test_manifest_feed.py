@@ -943,3 +943,80 @@ def test_feed_where_derives_generated_partition_predicates(spark, tmp_path):
             {"path": path, "feed": "cdf",
              "where": mfm._encode_where([("id", ">", 3)])},
         )
+
+
+def test_feed_rederives_prune_preds_across_overwrite(spark, tmp_path):
+    """Derived generated-column prune predicates are NOT immutable for
+    the stream's life: an overwrite init_table can redefine the
+    generator mid-history. The feed must re-derive per metadata-carrying
+    commit — a stale to_date(ts) derivation applied to files written
+    under a date_trunc('month', ts) layout would prune (DROP) matching
+    files; and symmetrically, a replay of pre-overwrite commits must use
+    the OLD definitions, not the latest manifest's."""
+    import datetime as _dt
+
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+
+    path = str(tmp_path / "ow")
+    rows = [
+        (i, _dt.datetime(2024, 1, 1 + (i % 3), 9 + (i % 8), 0))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    # v0: per-day generated partitioning
+    tx.init_table(
+        df.repartition(3, F.to_date("ts")), path,
+        generated={"event_date": "to_date(ts)"},
+        partition_by=["event_date"],
+    )
+    # v1: append under the per-day layout
+    tx.append_batch(
+        spark.createDataFrame(
+            [(100, _dt.datetime(2024, 1, 2, 12, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        path,
+    )
+    schema = tx.read_table(spark, path).schema
+    # v2: OVERWRITE with month-floor generated partitioning — every row
+    # now lands in event_date=2024-01-01
+    tx.init_table(
+        df.repartition(1), path,
+        generated={"event_date": "date_trunc('month', ts)"},
+        partition_by=["event_date"],
+    )
+    # v3: append under the month layout (Jan-2 timestamps, month bucket)
+    tx.append_batch(
+        spark.createDataFrame(
+            [(200, _dt.datetime(2024, 1, 2, 15, 0))],
+            "id bigint, ts timestamp_ntz",
+        ),
+        path,
+    )
+    w = [
+        ("ts", ">=", _dt.datetime(2024, 1, 2, 0, 0)),
+        ("ts", "<", _dt.datetime(2024, 1, 3, 0, 0)),
+    ]
+    reader = mfm.ManifestFeedStreamReader(
+        schema,
+        {"path": path, "where": mfm._encode_where(w),
+         "onDelete": "additive"},
+    )
+    slices = reader.partitions({"version": -1}, {"version": 3})
+    by_v = {}
+    for s in slices:
+        by_v.setdefault(s.commit_version, []).append(s.file_path)
+    # pre-overwrite commits prune under the OLD per-day derivation
+    assert by_v.get(0) and all(
+        "event_date=2024-01-02" in f for f in by_v[0]
+    )
+    assert by_v.get(1)
+    # post-overwrite commits survive under the RE-DERIVED month-floor
+    # derivation (a stale per-day derivation would have dropped them:
+    # their partition value is 2024-01-01, not 2024-01-02)
+    assert by_v.get(2) and all(
+        "event_date=2024-01-01" in f for f in by_v[2]
+    )
+    assert by_v.get(3) and all(
+        "event_date=2024-01-01" in f for f in by_v[3]
+    )

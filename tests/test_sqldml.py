@@ -219,6 +219,26 @@ def test_exactly_once_history_ops(spark, tmp_path):
     assert tx.read_table(spark, path, version=1).count() == 2
 
 
+def test_create_table_non_manifest_falls_through(spark, tmp_path):
+    """A CREATE TABLE whose tail is NOT the manifest dialect (USING
+    clause, no LOCATION) is a plain Spark statement and must fall
+    through to spark.sql, not raise — the router only intercepts its
+    own dialect."""
+    loc = str(tmp_path / "plain_spark_t")
+    sqldml.execute(
+        spark,
+        f"CREATE TABLE plain_spark_t (a INT) USING parquet "
+        f"LOCATION '{loc}'",
+    )
+    try:
+        assert (
+            spark.sql("SELECT count(*) AS n FROM plain_spark_t")
+            .collect()[0]["n"] == 0
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_spark_t")
+
+
 def test_create_table_shallow_clone_statement(spark, tmp_path):
     """CREATE TABLE ... SHALLOW CLONE ... LOCATION: the source view
     resolves, the clone lands at LOCATION as v0, the target name is

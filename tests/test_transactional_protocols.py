@@ -2635,7 +2635,12 @@ def test_battery_shallow_clone_lifecycle(spark, tmp_path, protocol):
     man = tx._read_manifest(dst, 0)
     assert all(os.path.isabs(f) for f in man["files"])
     # the dv sidecar is clone-OWNED (re-keyed rows, clone's data dir)
-    assert set(man["dvs"].values()) == {"dv-clone-v0.parquet"}
+    # under a commit-unique name (racing-cloner overwrite safety)
+    dv_names = set(man["dvs"].values())
+    assert len(dv_names) == 1
+    (dv_name,) = dv_names
+    assert dv_name.startswith("dv-clone-v0-") and dv_name.endswith(".parquet")
+    assert os.path.exists(os.path.join(dst, "data", dv_name))
     assert {r["id"] for r in tx.read_table(spark, dst).collect()} == src_rows
     # per-file stats carried -> skipping prunes immediately
     assert len(tx.resolve_files(dst, [("id", "<", 5)])) < len(
