@@ -222,6 +222,11 @@ def _parser() -> argparse.ArgumentParser:
         help="drop-column: the column to drop (metadata-only)",
     )
     p.add_argument(
+        "--add", default=None, metavar="COL=TYPE",
+        help="add-column: net-new nullable column (metadata-only; "
+             "Spark DDL type, e.g. note=string, amt=decimal(10,2))",
+    )
+    p.add_argument(
         "--target-path", default=None,
         help="clone-table: path of the new (shallow) clone",
     )
@@ -652,6 +657,23 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             parser.error("drop-column needs --column COL")
         v = transactional.drop_column(args.table_path, args.column.strip())
         print(f"dropped {args.column.strip()} at v{v} (metadata-only)", file=out)
+        return 0
+
+    if cmd == "add-column":
+        # ALTER TABLE ADD COLUMN: metadata-only schema evolution
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        if not args.add or "=" not in args.add:
+            parser.error("add-column needs --add COL=TYPE")
+        col, _, dtype = args.add.partition("=")
+        v = transactional.add_column(
+            args.table_path, col.strip(), dtype.strip()
+        )
+        print(
+            f"added {col.strip()} {dtype.strip()} at v{v} (metadata-only)",
+            file=out,
+        )
         return 0
 
     if cmd == "merge-table":

@@ -393,6 +393,19 @@ def execute(spark: SparkSession, statement: str):
             "key string, value string",
         )
 
+    m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.+)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m and not mask[0]:
+        view, action = m.group(1), m.group(2).strip()
+        try:
+            path = _resolve(view)
+        except KeyError:
+            # not a registered manifest view: a Spark-catalog ALTER
+            return spark.sql(statement)
+        res = _alter_table(spark, view, path, action)
+        _repoint(spark, view, path)
+        return res
+
     m = re.match(
         rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
     )
@@ -654,6 +667,90 @@ def _merge(spark: SparkSession, s: str, mask: list[bool], head):
     raise ValueError(
         "MERGE clause shape not supported; use one of: "
         f"{upsert!r} | {insert_only!r} | {delete_only!r}"
+    )
+
+
+def _alter_table(spark: SparkSession, view: str, path: str, action: str):
+    """Dispatch one ``ALTER TABLE <view> <action>`` against a live
+    registered manifest view (Delta's ALTER surface, over the manifest
+    layer — the SQL face of the Python verbs that already exist):
+
+      * ``ADD CONSTRAINT name CHECK (expr)``  -> `add_table_constraint`
+      * ``DROP CONSTRAINT name``              -> `drop_table_constraint`
+      * ``ALTER COLUMN c SET NOT NULL``       -> `add_table_constraint`
+      * ``ALTER COLUMN c DROP NOT NULL``      -> `drop_table_constraint`
+      * ``RENAME COLUMN old TO new``          -> `rename_column`
+      * ``DROP COLUMN c``                     -> `drop_column`
+      * ``ADD COLUMN c TYPE``                 -> `add_column`
+
+    Anything else refuses loudly naming the supported subset — the
+    target IS a manifest view, so falling through to spark.sql would
+    alter a same-named catalog object or fail obscurely."""
+    m = re.match(
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)\s*$",
+        action, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, expr = m.group(1), m.group(2).strip()
+        v = tx.add_table_constraint(
+            spark, path, check_name=name, check_expr=expr
+        )
+        return {"op": "add_constraint", "table": view, "constraint": name,
+                "version": v}
+    m = re.match(rf"DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action,
+                 re.IGNORECASE)
+    if m:
+        v = tx.drop_table_constraint(path, check_name=m.group(1))
+        return {"op": "drop_constraint", "table": view,
+                "constraint": m.group(1), "version": v}
+    m = re.match(
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+(SET|DROP)\s+NOT\s+NULL\s*$",
+        action, re.IGNORECASE,
+    )
+    if m:
+        col, verb = m.group(1), m.group(2).upper()
+        if verb == "SET":
+            v = tx.add_table_constraint(spark, path, not_null=col)
+            return {"op": "add_constraint", "table": view,
+                    "not_null": col, "version": v}
+        v = tx.drop_table_constraint(path, not_null=col)
+        return {"op": "drop_constraint", "table": view,
+                "not_null": col, "version": v}
+    m = re.match(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+        action, re.IGNORECASE,
+    )
+    if m:
+        v = tx.rename_column(path, m.group(1), m.group(2))
+        return {"op": "rename_column", "table": view, "old": m.group(1),
+                "new": m.group(2), "version": v}
+    m = re.match(rf"DROP\s+COLUMN\s+({_IDENT})\s*$", action, re.IGNORECASE)
+    if m:
+        v = tx.drop_column(path, m.group(1))
+        return {"op": "drop_column", "table": view, "column": m.group(1),
+                "version": v}
+    m = re.match(rf"ADD\s+COLUMNS?\s+(.+)$", action,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        spec = m.group(1).strip()
+        # optional ADD COLUMNS (c TYPE) wrapping parens — strip only a
+        # BALANCED outer pair so decimal(10,2)/array<...> types survive
+        if spec.startswith("(") and spec.endswith(")"):
+            spec = spec[1:-1].strip()
+        cm = re.match(rf"({_IDENT})\s+(.+)$", spec, re.DOTALL)
+        if not cm:
+            raise ValueError(
+                f"ALTER TABLE {view} ADD COLUMN: expected '<name> <type>', "
+                f"got {spec[:40]!r}"
+            )
+        v = tx.add_column(path, cm.group(1), cm.group(2).strip())
+        return {"op": "add_column", "table": view, "column": cm.group(1),
+                "type": cm.group(2).strip(), "version": v}
+    raise ValueError(
+        f"ALTER TABLE {view}: unsupported action {action[:60]!r}; "
+        "supported: ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT "
+        "name, ALTER COLUMN c SET|DROP NOT NULL, RENAME COLUMN old TO "
+        "new, DROP COLUMN c, ADD COLUMN c TYPE"
     )
 
 

@@ -1526,6 +1526,84 @@ def drop_column(
     )
 
 
+def add_column(
+    path: str, col: str, dtype: str, max_commit_retries: int = 40
+) -> int:
+    """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit — the explicit
+    twin of `append_batch(merge_schema=True)`'s net-new-field evolution
+    (same merged-schema shape: the new field appends after the existing
+    ones, forced nullable since every existing file lacks it and reads
+    it as null). On a column-mapped table the new logical name gets a
+    FRESH physical name (`_fresh_physical`), so it can never resurrect a
+    dropped column's bytes. ``dtype`` is a Spark DDL type string
+    (``bigint``, ``decimal(10,2)``, ``array<string>``, ...)."""
+    from pyspark.sql import types as T
+
+    key = dtype.strip().lower()
+    simple = {
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "tinyint": T.ByteType(), "byte": T.ByteType(),
+        "smallint": T.ShortType(), "short": T.ShortType(),
+        "int": T.IntegerType(), "integer": T.IntegerType(),
+        "bigint": T.LongType(), "long": T.LongType(),
+        "float": T.FloatType(), "real": T.FloatType(),
+        "double": T.DoubleType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(), "binary": T.BinaryType(),
+    }
+    dm = re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", key)
+    if key in simple:
+        dt = simple[key]
+    elif dm:
+        dt = T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+    else:
+        # complex types (array<...>, struct<...>, map<...>) go through
+        # Spark's DDL parser — needs an active session (the atomic types
+        # above stay session-free so the CLI verb parses them cold)
+        dt = T.StructType.fromDDL(f"`{col}` {dtype}").fields[0].dataType
+    fjson = {"name": col, "type": dt.jsonValue(), "nullable": True,
+             "metadata": {}}
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        schema = json.loads(man["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col in names:
+            raise ValueError(
+                f"add_column: column {col!r} already exists in {path!r}"
+            )
+        new_schema = json.dumps(
+            {**schema, "fields": [*schema["fields"], fjson]}
+        )
+        extra = {}
+        cmap = _cmap(man)
+        if cmap:
+            cmap = dict(cmap)
+            phys, seq = _fresh_physical(
+                col, cmap, man.get("column_map_seq", 0)
+            )
+            cmap[col] = phys
+            extra = {
+                "column_map": cmap, "column_map_seq": seq,
+                "features": ["columnMapping"],
+            }
+        try:
+            _commit(
+                path, version + 1, new_schema, man.get("txns", {}),
+                man.get("stats_cols") or None, add=[], remove=[],
+                op="add_column", **extra,
+            )
+            return version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"add_column on {path!r} lost {max_commit_retries} consecutive "
+        "commit races; back off and retry"
+    )
+
+
 def init_table(
     df: DataFrame,
     path: str,

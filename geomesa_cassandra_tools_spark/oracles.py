@@ -3028,6 +3028,61 @@ FROM events
 GROUP BY event_type
 """
 
+# q185: the mapped-feed fixture's thirds (user_id % 3) partition events
+# completely and the renames are metadata-only, so the stream across the
+# column-mapping boundary must net the full batch table under the final
+# logical names — plain SQL over events is the exact oracle.
+ORACLES["q185_mapped_stream_feed"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+# q186: the pure-SQL ALTER lifecycle as set algebra — insert = union,
+# rename = column alias, update = CASE, the refused negative insert
+# ABSENT before DROP CONSTRAINT and present after; the v0 face replays
+# only the init slice under the pre-rename name. Column names ride in
+# the hashed `cols` value.
+ORACLES["q186_sql_alter_lifecycle"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+after_ins AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS amount
+  FROM after_ins
+  UNION ALL
+  SELECT -1, 'X', CAST(-5.0 AS DOUBLE)
+)
+SELECT 'live' AS face,
+       'o_orderkey,o_orderstatus,amount' AS cols,
+       o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT)
+         AS amount_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM live GROUP BY o_orderstatus
+UNION ALL
+SELECT 'v0',
+       'o_orderkey,o_orderstatus,o_totalprice',
+       o_orderstatus,
+       count(*),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT)
+FROM base GROUP BY o_orderstatus
+"""
+
 # q157 replays product quantization end to end: the same LCG codebooks as
 # literals (CAST to DOUBLE[][][] — bare float literals would parse as
 # DECIMAL), codes re-derived per subspace as list_position-of-list_min

@@ -6844,6 +6844,208 @@ def q184_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mapped_feed_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table whose history carries RENAME COLUMN
+    commits BETWEEN appends — the q185 streaming-through-column-mapping
+    certification fixture. v0 init + v1 append land thirds of events
+    under the ORIGINAL names (kind, amount); v2/v3 rename them to
+    (event_type, value) as metadata-only commits; v4 appends the last
+    third under the new logical names (same physical file columns).
+    Idempotent and race-safe like the q156 fixture: init loses its v0
+    race gracefully, appends are replay-refused by the txn watermark,
+    and a rename that already happened is absorbed."""
+    path = _corpus_keyed_tmp_path(sf_dir, "events", "gcts_mapped_feed")
+    if transactional.current_version(path) >= 4:
+        return path
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("kind"),
+        F.col("value").alias("amount"),
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                ev.where(F.col("user_id") % 3 == 0).coalesce(2), path,
+                only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    transactional.append_batch(
+        ev.where(F.col("user_id") % 3 == 1).coalesce(2), path,
+        txn_app="mapped-feed-fixture", txn_id=1,
+    )
+    for old, new in (("kind", "event_type"), ("amount", "value")):
+        try:
+            transactional.rename_column(path, old, new)
+        except ValueError:
+            pass  # already renamed (rebuild/racing builder)
+    transactional.append_batch(
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "user_id", "event_type", "value")
+        .where(F.col("user_id") % 3 == 2)
+        .coalesce(2),
+        path,
+        txn_app="mapped-feed-fixture", txn_id=2,
+    )
+    return path
+
+
+def q185_mapped_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming feed ACROSS COLUMN MAPPING (r10 VERDICT gap #2):
+    the q185 fixture's history carries two RENAME COLUMN commits INSIDE
+    the streamed range (appends land both before and after them), and
+    the drain must serve every commit's files under the anchor LOGICAL
+    names — physical file-column names are immutable (rename is a
+    metadata-only commit), so the anchor logical->physical map projects
+    pre-rename files (physical kind/amount) and post-rename files alike;
+    Delta readers cross the same boundary via column-mapping ids. The
+    streamed multiset must therefore equal the full batch table: the
+    oracle is plain SQL over events (the fixture's thirds partition
+    events completely). Money follows the q37 integer-cents rule.
+
+    Scale shape: identical to q156 — O(new commits) per hop, one scan
+    task per added file, rename commits plan ZERO slices (metadata
+    only); the mapping adds a name indirection at Arrow projection
+    time, not a data rewrite."""
+    from geomesa_cassandra_tools_spark.sources import manifestfeed
+
+    path = _mapped_feed_fixture_path(spark, sf_dir)
+    feed = manifestfeed.stream_feed(spark, path)
+    name = stream_win.run_appendmode(
+        feed, "mapped_feed", state_partitions=None
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select("event_type", "n_events", "value_cents", "max_event_id")
+    )
+
+
+def _sql_alter_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once manifest table whose post-init history is PURE SQL —
+    DML *and* ALTER TABLE statements (the q186 fixture): v0 init with
+    the o_orderkey % 4 == 1 slice of orders; v1 `ALTER TABLE ... ADD
+    CONSTRAINT CHECK (o_totalprice > 0)`; then TWO statements that MUST
+    be refused while the constraint is live — an INSERT of a negative
+    price (ConstraintViolation) and a RENAME of the constrained column
+    (refused rather than silently rewriting user constraint SQL); if
+    either gate ever failed, versions shift and every face
+    hash-diverges; v2 a valid INSERT (the % 4 == 2 slice); v3 `ALTER
+    TABLE ... DROP CONSTRAINT`; v4 `ALTER TABLE ... RENAME COLUMN
+    o_totalprice TO amount`; v5 an UPDATE driven under the NEW name
+    (rename is live for DML immediately); v6 the previously-refused
+    negative row, now accepted. Version-guarded and race-idempotent
+    like the q176 fixture."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_sql_alter")
+    if transactional.current_version(path) >= 6:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.createOrReplaceTempView("q186_stage")
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                orders.where(F.col("o_orderkey") % 4 == 1)
+                .repartitionByRange(4, "o_orderkey"),
+                path, stats_cols=["o_orderkey"], only_if_absent=True,
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder committed the identical v0
+    transactional.register_manifest_view(spark, path, name="q186_t")
+    neg_insert = (
+        "INSERT INTO q186_t VALUES (-1, 'X', CAST(-5.0 AS DOUBLE))"
+    )
+    steps: list[tuple[int, str]] = [
+        (1, "ALTER TABLE q186_t ADD CONSTRAINT price_pos "
+            "CHECK (o_totalprice > 0)"),
+        (2, "INSERT INTO q186_t "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM q186_stage WHERE o_orderkey % 4 = 2"),
+        (3, "ALTER TABLE q186_t DROP CONSTRAINT price_pos"),
+        (4, "ALTER TABLE q186_t RENAME COLUMN o_totalprice TO amount"),
+        (5, "UPDATE q186_t SET amount = amount * 2 "
+            "WHERE o_orderstatus = 'F'"),
+        (6, neg_insert),
+    ]
+    for want, stmt in steps:
+        if transactional.current_version(path) < want:
+            try:
+                sqldml.execute(spark, stmt)
+            except transactional.CommitConflict:
+                pass  # racing builder landed the identical step
+        if want == 1 and transactional.current_version(path) == 1:
+            # TWO refusals are part of the certified history while the
+            # constraint is live: the negative insert must NOT commit
+            # (a broken gate would land the row and hash-diverge every
+            # face), and renaming the constrained column must refuse
+            # (rewriting user constraint SQL silently is worse)
+            try:
+                sqldml.execute(spark, neg_insert)
+            except transactional.ConstraintViolation:
+                pass
+            try:
+                sqldml.execute(
+                    spark,
+                    "ALTER TABLE q186_t RENAME COLUMN o_totalprice "
+                    "TO amount",
+                )
+            except ValueError:
+                pass
+    return path
+
+
+def q186_sql_alter_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ALTER TABLE surface driver-certified (r10 VERDICT gap #3
+    — `operators/sqldml._alter_table`): a lifecycle whose every post-
+    init commit is a SQL statement, constraints and renames included,
+    must hash-match plain set algebra over orders. Two faces are
+    value-checked, each carrying its COLUMN NAMES in the hashed rows:
+    the LIVE snapshot (renamed `amount`, the once-refused negative row
+    present after DROP CONSTRAINT) and `VERSION 0` time travel
+    (pre-rename `o_totalprice`, pre-insert membership) — so 'ALTER is
+    live for DML immediately' and 'time travel serves each snapshot's
+    own names' are both in the hash, and the CHECK-constraint refusal
+    is certified by ABSENCE (had the refused insert landed, every face
+    diverges). Money stays integer cents; the UPDATE arithmetic (*2) is
+    one IEEE op both engines compute bit-identically.
+
+    Scale shape: ALTER statements are metadata-only commits (no data
+    bytes move on rename/constraint); the faces are two manifest-pruned
+    scans + one union — at 100 TB the cost is the two snapshots' I/O,
+    nothing ALTER-specific."""
+    path = _sql_alter_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    v0 = transactional.read_table(spark, path, version=0)
+
+    def _face(df: DataFrame, tag: str, amount_col: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col(amount_col) * 100).cast("bigint")
+            ).alias("amount_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("face"),
+            F.lit(",".join(df.columns)).alias("cols"),
+            "o_orderstatus", "n_rows", "amount_cents", "key_sum",
+        )
+
+    return _face(live, "live", "amount").unionAll(
+        _face(v0, "v0", "o_totalprice")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -7150,6 +7352,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
+    # -- round 11 staging area: new queries accumulate here during the
+    # round and move INSIDE the verification window (first 50) before
+    # the driver run, displacing green-and-unchanged entries
+    "q185_mapped_stream_feed": q185_mapped_stream_feed,
+    "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -167,22 +167,19 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"no committed manifest table under {self._path!r}"
             )
-        if any(
-            l != p for l, p in tx._cmap(
-                tx._read_manifest(self._path, latest)
-            ).items()
-        ):
-            # column-mapped tables (post RENAME/DROP COLUMN) need a
-            # per-version logical<->physical projection the Arrow file
-            # reader does not implement yet — refuse loudly rather than
-            # stream misnamed/null columns (Delta gates the same feature
-            # behind a reader-protocol bump)
-            raise ValueError(
-                f"stream_feed does not support column-mapped tables yet "
-                f"({self._path!r} has renamed/dropped columns); read it "
-                "with read_table/table_changes, or OPTIMIZE-rewrite into "
-                "an unmapped table to stream"
-            )
+        # COLUMN MAPPING (post RENAME/DROP COLUMN): the stream's output
+        # schema is the ANCHOR (construction-time latest) logical schema,
+        # and physical file-column names are IMMUTABLE once assigned
+        # (rename is metadata-only; a re-added column gets a fresh
+        # physical name, never resurrecting dropped bytes) — so the
+        # anchor's logical->physical map projects EVERY commit's files
+        # correctly: pre-mapping files carry identity names, renamed
+        # columns keep their original physical name in old and new files
+        # alike, columns absent from a file null-backfill, and physical
+        # columns belonging to since-dropped logicals are ignored. The
+        # same map keys stats lookups for tier-1 pruning (stats/footers
+        # are keyed PHYSICAL, exactly like batch resolve_files).
+        self._cmap = tx._cmap(tx._read_manifest(self._path, latest))
         start_raw = _opt(options, "startingVersion", "0")
         start_ts = _opt(options, "startingTimestamp")
         if start_ts is not None:
@@ -395,9 +392,20 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     "insert images"
                 )
             return [
-                p for p in (*self._where, *derived) if p[0] in part_cols
+                tx._phys_pred(
+                    p, self._cmap if p in self._where else tx._cmap(man)
+                )
+                for p in (*self._where, *derived)
+                if p[0] in part_cols
             ]
-        return [*self._where, *derived]
+        # stats/footers are keyed PHYSICAL: stated predicates (anchor
+        # logical names) translate through the anchor map, derived ones
+        # (this manifest's logical names) through this manifest's map —
+        # physical names are immutable, so both land on the same keys
+        return [
+            tx._phys_pred(p, self._cmap if p in self._where else tx._cmap(man))
+            for p in (*self._where, *derived)
+        ]
 
     def _refresh_prune_preds(self, v: int, meta_changed: bool) -> None:
         """Re-derive the prune set for commit ``v`` when needed: on the
@@ -687,10 +695,16 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 cols[field.name] = pa.array(
                     [partition.commit_version] * len(tbl), field.type
                 )
-            elif field.name in tbl.column_names:
-                cols[field.name] = tbl.column(field.name).cast(field.type)
+            elif (
+                phys := self._cmap.get(field.name, field.name)
+            ) in tbl.column_names:
+                # files carry PHYSICAL names; project to the stream's
+                # logical schema through the anchor map (identity for
+                # never-mapped tables)
+                cols[field.name] = tbl.column(phys).cast(field.type)
             else:
-                # file predates a merge_schema evolution: null backfill,
+                # file predates a merge_schema evolution (or the column
+                # was added after the file's commit): null backfill,
                 # same as the batch reader's schema projection
                 cols[field.name] = pa.nulls(len(tbl), field.type)
         out = pa.table(cols).cast(target)

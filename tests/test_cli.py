@@ -732,3 +732,10 @@ def test_cli_rename_and_drop_column(spark, tmp_path):
     rc, lines = _run(["drop-column", "--table-path", table, "--column", "s"])
     assert rc == 0
     assert tx.read_table(spark, table).columns == ["k", "amount"]
+    rc, lines = _run(
+        ["add-column", "--table-path", table, "--add", "note=string"]
+    )
+    assert rc == 0 and "metadata-only" in lines[0]
+    got = tx.read_table(spark, table)
+    assert got.columns == ["k", "amount", "note"]
+    assert got.collect()[0]["note"] is None  # old files null-backfill

@@ -423,3 +423,70 @@ def test_utility_statements_lifecycle(spark, tmp_path):
     # ZORDER form parses and commits
     res = sqldml.execute(spark, "OPTIMIZE scoped_t ZORDER BY (k)")
     assert res["files_compacted"] >= 1
+
+
+def test_alter_table_statements(spark, tmp_path):
+    """ALTER TABLE as statements: ADD/DROP CONSTRAINT, SET/DROP NOT
+    NULL, RENAME COLUMN, DROP COLUMN, ADD COLUMN all dispatch to the
+    transactional verbs, re-register the view, and the constraints are
+    LIVE; an unsupported action refuses loudly; an unregistered name
+    falls through to spark.sql."""
+    path = _mk(spark, tmp_path, name="alt")
+    res = sqldml.execute(
+        spark, "ALTER TABLE alt ADD CONSTRAINT pos_price CHECK (price > 0)"
+    )
+    assert res["op"] == "add_constraint" and res["version"] == 1
+    with pytest.raises(tx.ConstraintViolation):
+        sqldml.execute(spark, "INSERT INTO alt VALUES (2, 'b', -5.0)")
+    sqldml.execute(spark, "ALTER TABLE alt DROP CONSTRAINT pos_price")
+    sqldml.execute(spark, "INSERT INTO alt VALUES (2, 'b', -5.0)")
+
+    res = sqldml.execute(spark, "ALTER TABLE alt ALTER COLUMN s SET NOT NULL")
+    assert res["op"] == "add_constraint" and res["not_null"] == "s"
+    with pytest.raises(tx.ConstraintViolation):
+        sqldml.execute(spark, "INSERT INTO alt (k, price) VALUES (3, 1.0)")
+    sqldml.execute(spark, "ALTER TABLE alt ALTER COLUMN s DROP NOT NULL")
+
+    res = sqldml.execute(spark, "ALTER TABLE alt RENAME COLUMN s TO label")
+    assert res["op"] == "rename_column"
+    # the view was re-registered: SELECT sees the new name immediately
+    assert "label" in sqldml.execute(
+        spark, "SELECT * FROM alt"
+    ).columns
+
+    res = sqldml.execute(spark, "ALTER TABLE alt ADD COLUMN note string")
+    assert res["op"] == "add_column"
+    row = sqldml.execute(
+        spark, "SELECT note FROM alt WHERE k = 1"
+    ).collect()[0]
+    assert row["note"] is None  # old files null-backfill
+
+    res = sqldml.execute(spark, "ALTER TABLE alt DROP COLUMN note")
+    assert res["op"] == "drop_column"
+    assert "note" not in sqldml.execute(spark, "SELECT * FROM alt").columns
+
+    with pytest.raises(ValueError, match="unsupported action"):
+        sqldml.execute(spark, "ALTER TABLE alt SET TBLPROPERTIES (x=1)")
+    # unregistered target: plain Spark path (errors as Spark, not ours)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        sqldml.execute(
+            spark, "ALTER TABLE no_such_view_xyz RENAME COLUMN a TO b"
+        )
+
+
+def test_add_column_on_mapped_table_gets_fresh_physical(spark, tmp_path):
+    """ADD COLUMN on a column-mapped table assigns a fresh physical name
+    (never resurrecting dropped bytes): drop a column, re-add the same
+    logical name, and the old values must NOT come back."""
+    path = _mk(spark, tmp_path, name="remap")
+    sqldml.execute(spark, "ALTER TABLE remap RENAME COLUMN s TO tag")
+    sqldml.execute(spark, "ALTER TABLE remap DROP COLUMN tag")
+    sqldml.execute(spark, "ALTER TABLE remap ADD COLUMN tag string")
+    row = sqldml.execute(
+        spark, "SELECT tag FROM remap WHERE k = 1"
+    ).collect()[0]
+    assert row["tag"] is None  # 'a' must not resurrect
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["column_map"]["tag"] != "s"

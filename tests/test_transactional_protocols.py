@@ -2491,21 +2491,44 @@ def test_battery_mapping_survives_checkpoint_and_lifecycle(
     assert tx.read_table(spark, path).count() == 3
 
 
-def test_battery_mapped_table_refuses_stream_feed(spark, tmp_path, protocol):
-    """The Arrow streaming feed refuses column-mapped tables loudly
-    (reader-protocol gate) instead of streaming misnamed columns."""
+def test_battery_mapped_table_streams_logical_names(spark, tmp_path, protocol):
+    """The Arrow streaming feed streams ACROSS column mapping: physical
+    file-column names are immutable (rename is metadata-only), so the
+    anchor logical->physical map projects every commit's files — files
+    written BEFORE the rename serve under the renamed logical name, a
+    dropped column's physical bytes are ignored, and a column added
+    after a file's commit null-backfills."""
     from geomesa_cassandra_tools_spark.sources import manifestfeed
 
     path = str(tmp_path / "t")
     tx.init_table(
-        spark.createDataFrame([(1, "a")], "k bigint, s string"), path
+        spark.createDataFrame(
+            [(1, "a", 1.5)], "k bigint, s string, junk double"
+        ),
+        path,
     )
-    tx.rename_column(path, "s", "label")
-    reader_cls = manifestfeed.ManifestFeedStreamReader
-    with pytest.raises(ValueError, match="column-mapped"):
-        reader_cls(
-            tx.read_table(spark, path).schema, {"path": path}
-        )
+    tx.append_batch(
+        spark.createDataFrame([(2, "b", 2.5)], "k bigint, s string, junk double"),
+        path,
+    )
+    tx.rename_column(path, "s", "label")       # v2: metadata-only
+    tx.drop_column(path, "junk")               # v3: metadata-only
+    tx.append_batch(
+        spark.createDataFrame([(3, "c")], "k bigint, label string"), path
+    )                                          # v4: physical name stays 's'
+    schema = tx.read_table(spark, path).schema
+    assert schema.fieldNames() == ["k", "label"]
+    reader = manifestfeed.ManifestFeedStreamReader(schema, {"path": path})
+    slices = reader.partitions({"version": -1}, {"version": 4})
+    got = {}
+    for sl in slices:
+        for batch in reader.read(sl):
+            t = batch.to_pydict()
+            for k, lab in zip(t["k"], t["label"]):
+                got[k] = lab
+    # pre-rename files serve their physical 's' bytes under 'label';
+    # the dropped 'junk' column never surfaces
+    assert got == {1: "a", 2: "b", 3: "c"}
 
 
 def test_battery_replace_table_layout(spark, tmp_path, protocol):
