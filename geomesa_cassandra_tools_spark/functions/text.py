@@ -247,6 +247,117 @@ def top_token_bp_t(tk: Column) -> Column:
     ).cast("long")
 
 
+def token_chunk_lines(tk: Column, k: int) -> Column:
+    """Deterministic k-token line segmentation: the token stream grouped
+    into space-joined chunks of k (last chunk partial).  The corpus
+    documents carry no newlines, so the Gopher LINE-level gates run over
+    this fixed segmentation; a real corpus with newlines feeds
+    ``split(text, '\\n')`` to the same downstream metrics."""
+    idx = F.when(
+        F.size(tk) >= 1,
+        F.sequence(F.lit(0), F.floor((F.size(tk) - 1) / k).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, k))
+    )
+
+
+def _top_run_and_elem(sorted_arr: Column) -> Column:
+    """struct(best, elem): the longest equal-adjacent run in a SORTED
+    array and the element achieving it — ties keep the FIRST maximum,
+    which on a sorted array is the lexicographically smallest element
+    (the deterministic tie rule the SQL oracle replays)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("elem"),
+    )
+
+    def step(acc, w):
+        run = F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            F.when(run > acc["best"], w).otherwise(acc["elem"]).alias("elem"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step)
+
+
+def top_elem_char_bp_t(arr: Column, text: Column) -> Column:
+    """Gopher's "fraction of characters in the most common n-gram" gate
+    (Rae et al. 2021, A1.1) in basis points over a bound element array
+    (word n-grams, or lines): floor(10000 * top multiplicity *
+    len(top element) / document chars).  One sort + one linear run pass;
+    ties resolve to the smallest element (see `_top_run_and_elem`)."""
+    res = F.element_at(
+        F.transform(
+            F.array(_top_run_and_elem(F.sort_array(arr))),
+            lambda a: F.floor(
+                a["best"]
+                * F.length(a["elem"])
+                * F.lit(10000).cast("bigint")
+                / F.length(text)
+            ),
+        ),
+        1,
+    )
+    return (
+        F.when((F.size(arr) > 0) & (F.length(text) > 0), res)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def dup_elem_char_bp_t(arr: Column, text: Column) -> Column:
+    """Gopher's "fraction of characters in duplicated n-grams" gate
+    (Rae et al. 2021, A1.1) in basis points over a bound element array:
+    every occurrence of an element appearing >= 2 times contributes its
+    length; floor(10000 * duplicated chars / document chars).
+    Overlapping gram occurrences double-count characters — the paper's
+    counting, identical in the SQL oracle, so the bp value may exceed
+    10000 for pathologically repetitive docs (both engines agree).  One
+    sort + one linear run pass with a (prev, run, dup-chars) fold."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc, w):
+        same = acc["prev"].eqNullSafe(w)
+        closed = F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0)).cast("bigint")
+        return F.struct(
+            w.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["dup"]).otherwise(acc["dup"] + closed).alias(
+                "dup"
+            ),
+        )
+
+    def finish(acc):
+        tail = F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0)).cast("bigint")
+        return acc["dup"] + tail
+
+    dup_chars = F.aggregate(F.sort_array(arr), acc0, step, finish)
+    return (
+        F.when(
+            (F.size(arr) > 0) & (F.length(text) > 0),
+            F.floor(dup_chars * F.lit(10000).cast("bigint") / F.length(text)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def top_token_bp(text: Column) -> Column:
     """Most-frequent-token share in basis points (Gopher's "fraction of
     characters in the most common word" gate, token-count variant):

@@ -1298,8 +1298,11 @@ def ivf_pq_residual_topk(
     Plan shape: one bounded query collect (≤ ``max_queries``), one
     driver-side centroid collect (n_cells × dim — the coarse quantizer
     is small by construction), per-(query, cell) ADC tables shipped as
-    ONE map literal keyed by query_id·2³² + cid, the bounded probe list
-    broadcast against the index so candidates fence BEFORE distance
+    a COLUMN of the broadcast probe frame (data, not plan literals —
+    a k=256 codebook at nprobe=8 would otherwise put ~0.5M literal
+    doubles into the expression tree, and plan preparation cost scales
+    with tree size; the broadcast is |probes|·m·k doubles of DATA,
+    identical values, tiny plan), so candidates fence BEFORE distance
     math, then one window top-k on query_id. Distance folds are the
     sequential index-order contracts the SQL oracle replays bit-for-bit;
     ties break (d2, cand_id)."""
@@ -1337,8 +1340,9 @@ def ivf_pq_residual_topk(
     # per-(query, cell) ADC tables: the query residual against THAT
     # cell's centroid, folded against the residual-trained codewords —
     # sequential left-to-right sums, the exact order the oracle's
-    # list_sum(list_transform(...)) replays
-    map_args = []
+    # list_sum(list_transform(...)) replays. The tables ride the probe
+    # frame as DATA (see docstring), never as plan literals.
+    probe_tbl_rows = []
     for qid, cid in probe_rows:
         qv, cv = qvecs[qid], cent_rows[cid]
         qres = [qv[i] - cv[i] for i in range(len(qv))]
@@ -1352,28 +1356,24 @@ def ivf_pq_residual_topk(
                     d += diff * diff
                 row.append(d)
             table.append(row)
-        map_args.append(F.lit(qid * (1 << 32) + cid))
-        map_args.append(
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
-        )
-    qmap = F.create_map(*map_args)
+        probe_tbl_rows.append((qid, cid, table))
 
     spark = queries.sparkSession
     probe_df = spark.createDataFrame(
-        probe_rows, "query_id bigint, cid bigint"
+        probe_tbl_rows,
+        "query_id bigint, cid bigint, __tbl array<array<double>>",
     )
     cand = (
         corpus_codes.withColumnRenamed(id_col, "cand_id")
         .join(F.broadcast(probe_df), "cid")
         .where(F.col("cand_id") != F.col("query_id"))
     )
-    key = F.col("query_id") * F.lit(1 << 32).cast("bigint") + F.col("cid")
     dist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
-            F.element_at(F.element_at(qmap, key), s),
+            F.element_at(F.col("__tbl"), s),
             F.element_at(F.col("codes"), s) + F.lit(1),
         ),
     )
@@ -1383,6 +1383,60 @@ def ivf_pq_residual_topk(
         keep_rank=True,
     ).withColumnRenamed("rn", "rank").select(
         "query_id", "cand_id", "rank", "d2"
+    )
+
+
+def ivf_pq_residual_rerank_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """The production residual-IVF-PQ recipe (FAISS IndexIVFPQ +
+    refine): compressed-domain candidate generation through the
+    persisted residual index (`ivf_pq_residual_topk`, k·overfetch
+    candidates per query — the raw corpus is never scanned in stage 1),
+    then EXACT cosine re-ranking of only the |Q|·k·overfetch candidate
+    rows (the q19 sequential-fold contract, bit-reproducible by a SQL
+    engine). This is the recall-recovery stage the clustered-corpus
+    sweep shows compressed-domain ADC needs: quantization error caps
+    ADC recall, but a small exact rerank over an overfetched candidate
+    set restores it while still paying raw-embedding I/O for only the
+    candidates — at 100 TB the asymmetry between m bytes/vector for the
+    fence+ADC pass and dim doubles/vector for |candidates| rows is the
+    whole economics.
+
+    Plan shape: stage 1's bounded top-(k·overfetch) is broadcast back
+    against the corpus (ONE corpus scan fenced to candidate ids, no
+    corpus shuffle), joined to the broadcast query side, one window
+    top-k on query_id. Ties break (cos desc, cand_id)."""
+    cand = ivf_pq_residual_topk(
+        queries, centroids, codebooks, corpus_codes, k * overfetch,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    ).select("query_id", "cand_id")
+    c = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    q = F.broadcast(_prep(queries, id_col, vec_col, "query_id", "qv"))
+    scored = (
+        c.join(F.broadcast(cand), "cand_id")
+        .join(q, "query_id")
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k,
+        keep_rank=True,
+    ).withColumnRenamed("rn", "rank").select(
+        "query_id", "cand_id", "rank", "cos"
     )
 
 

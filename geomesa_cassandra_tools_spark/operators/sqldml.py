@@ -483,6 +483,64 @@ def execute(spark: SparkSession, statement: str):
         tx.register_manifest_view(spark, loc, name=name)
         return {"op": "clone", "table": name, **res}
 
+    # inline time travel in SELECT (Delta's `FROM t VERSION AS OF n` /
+    # `TIMESTAMP AS OF 'ts'`): every registered-view reference carrying
+    # an AS OF suffix rewrites to a PINNED temp-view registration (the
+    # same read-only face register_manifest_view(version=/as_of=)
+    # builds), so one SELECT can join two snapshots of the same table
+    # without pre-pinning. References to names that are NOT registered
+    # manifest views stay verbatim (Spark's own AS OF handles catalog
+    # tables, or errors in its own words).
+    asof = re.compile(
+        rf"\b({_IDENT})\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
+        re.IGNORECASE,
+    )
+
+    def _asof_sub(mm) -> str | None:
+        view, ver, ts = mm.group(1), mm.group(2), mm.group(3)
+        entry = tx._VIEW_REGISTRY.get(view)
+        if entry is None:
+            return None  # not ours: leave the reference untouched
+        if ver is not None:
+            tvname = f"__asof_{view}_v{ver}"
+            tx.register_manifest_view(
+                spark, entry["path"], name=tvname, version=int(ver)
+            )
+        else:
+            # resolve the instant to a VERSION first so the temp-view
+            # name is stable and the registration is a version pin
+            # (epoch-seconds or ISO form, same contract as the feed's
+            # startingTimestamp)
+            try:
+                inst = float(ts)
+            except ValueError:
+                inst = tx._parse_as_of(ts)
+            v = tx.version_as_of(entry["path"], inst)
+            tvname = f"__asof_{view}_v{v}"
+            tx.register_manifest_view(
+                spark, entry["path"], name=tvname, version=v
+            )
+        return tvname
+
+    if asof.search(s) and any(
+        not mask[mm.start()] for mm in asof.finditer(s)
+    ):
+        out, last, changed = [], 0, False
+        for mm in asof.finditer(s):
+            sub = None if mask[mm.start()] else _asof_sub(mm)
+            if sub is None:
+                continue
+            out.append(s[last:mm.start()])
+            out.append(sub)
+            last = mm.end()
+            changed = True
+        out.append(s[last:])
+        if changed:
+            s = "".join(out)
+            statement = s
+            mask = _quote_mask(s)
+
     # the table_changes(view, from[, to]) table-valued function (Delta's
     # CDF TVF): each call registers the batch change feed as a temp view
     # and the statement rewrites to select from it — the one rewrite this

@@ -204,6 +204,18 @@ SUPPORTED_FEATURES = frozenset({
     "inCommitTimestamps",
 })
 
+#: TABLE FEATURES this build can WRITE (Delta's writer-feature protocol,
+#: the pair to the reader gate above): a table may carry WRITER-ONLY
+#: features (``writer_features`` in the manifest — read-safe for old
+#: builds, but mutating it requires understanding the feature, e.g. a
+#: generated column the writer must compute, a row-tracking column it
+#: must maintain). Every reader feature is implicitly required of
+#: writers too (a writer that can't read the table can't maintain it),
+#: so `_commit` gates on the UNION of both sets; reads never consult
+#: ``writer_features``. Monotone like the reader set; carried by
+#: checkpoints and clones.
+SUPPORTED_WRITER_FEATURES = frozenset(SUPPORTED_FEATURES)
+
 #: Column names the deletion-vector read path claims for itself; a table
 #: schema using one would make every post-dv read ambiguous, so _commit
 #: rejects them up front.
@@ -233,7 +245,7 @@ def _empty_state() -> dict:
         "stats_cols": None, "stats": None, "dvs": {},
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
-        "features": None,
+        "features": None, "writer_features": None,
     }
 
 
@@ -279,6 +291,11 @@ def _apply_delta(state: dict, delta: dict) -> dict:
         state["features"] = sorted(
             set(state.get("features") or ()) | set(delta["features"])
         )
+    if delta.get("writer_features"):
+        state["writer_features"] = sorted(
+            set(state.get("writer_features") or ())
+            | set(delta["writer_features"])
+        )
     # column mapping changes only through the explicit verbs (rename /
     # drop / evolution assigning fresh physical names): ordinary deltas
     # omit the key and the state values carry
@@ -316,6 +333,7 @@ def _as_state(body: dict) -> dict:
         "column_map_seq": body.get("column_map_seq", 0),
         "generated": body.get("generated"),
         "features": body.get("features"),
+        "writer_features": body.get("writer_features"),
     }
 
 
@@ -384,6 +402,7 @@ def _commit(
     extra: dict | None = None,
     generated: dict | None = _UNSET,
     features: list[str] | None = None,
+    writer_features: list[str] | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -416,6 +435,31 @@ def _commit(
             "claimed by the deletion-vector read path and __zorder by "
             "the ZORDER rewrite — rename them"
         )
+    if version > 0:
+        # the WRITER-FEATURE GATE (pair of the reader gate in
+        # _read_manifest): refuse mutating a table that carries a
+        # writer feature this build does not understand — an oblivious
+        # writer would silently break the feature's invariant (e.g.
+        # append without computing a generated column it doesn't know,
+        # fail to maintain a row-tracking column). Reader features bind
+        # writers too (a writer that can't read the state can't
+        # maintain it), hence the union. Reads never consult
+        # ``writer_features`` — a writer-only feature stays read-safe
+        # for old builds, exactly Delta's readerFeatures/writerFeatures
+        # split.
+        prev_state = _read_manifest(path, version - 1)
+        unknown_w = (
+            set(prev_state.get("writer_features") or ())
+            | set(prev_state.get("features") or ())
+        ) - SUPPORTED_WRITER_FEATURES
+        if unknown_w:
+            raise ValueError(
+                f"table {path!r} requires writer feature(s) "
+                f"{sorted(unknown_w)} this build does not support "
+                f"(supported: {sorted(SUPPORTED_WRITER_FEATURES)}); "
+                "upgrade the engine to write this table (reads may "
+                "still work if the feature is writer-only)"
+            )
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     # IN-COMMIT TIMESTAMPS (Delta's ICT table feature, default-on here):
@@ -465,6 +509,8 @@ def _commit(
         body["generated"] = generated  # null on overwrite = reset
     if features:
         body["features"] = sorted(set(features))
+    if writer_features:
+        body["writer_features"] = sorted(set(writer_features))
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -520,6 +566,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["generated"] = state["generated"]
     if state.get("features"):
         body["features"] = state["features"]
+    if state.get("writer_features"):
+        body["writer_features"] = state["writer_features"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -3377,6 +3425,7 @@ def clone_table(
         features=sorted(
             set(man.get("features") or ()) | {"shallowClone"}
         ),
+        writer_features=man.get("writer_features") or None,
         column_map=man.get("column_map"),
         column_map_seq=man.get("column_map_seq") or None,
         # lineage rides the v0 body (greppable, shows in table_history;
@@ -3846,6 +3895,7 @@ def describe_table(path: str) -> dict:
             if l != p
         ],
         "table_features": list(man.get("features") or []),
+        "writer_features": list(man.get("writer_features") or []),
         "generated_columns": [
             f"{c} AS ({e})"
             for c, e in sorted((man.get("generated") or {}).items())

@@ -3083,6 +3083,87 @@ SELECT 'v0',
 FROM base GROUP BY o_orderstatus
 """
 
+# q187: the Gopher character-fraction gates replayed with list lambdas —
+# grams/lines bound once per doc, top gram = (max multiplicity, then
+# smallest string), duplicated chars = sum over recurring grams of
+# count * length (overlaps double-count, same as the engine).
+ORACLES["q187_gopher_char_gates"] = """
+WITH w AS (
+  SELECT lang, text, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT lang, text,
+         list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+           AS g3,
+         list_transform(range(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                             || ' ' || ws[i + 3]) AS g4,
+         list_transform(range(0, (len(ws) + 4) // 5),
+                        i -> array_to_string(
+                               list_slice(ws, i * 5 + 1, i * 5 + 5), ' '))
+           AS lines
+  FROM w
+),
+m AS (
+  SELECT lang,
+         CASE WHEN len(g2) > 0 AND length(text) > 0 THEN CAST(floor(
+           list_max(list_transform(list_distinct(g2),
+             t -> len(list_filter(g2, x -> x = t))))
+           * length(list_sort(list_filter(list_distinct(g2),
+               t -> len(list_filter(g2, x -> x = t)) =
+                    list_max(list_transform(list_distinct(g2),
+                      u -> len(list_filter(g2, y -> y = u))))))[1])
+           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         ELSE 0 END AS top2c_bp,
+         CASE WHEN len(g3) > 0 AND length(text) > 0 THEN CAST(floor(
+           list_max(list_transform(list_distinct(g3),
+             t -> len(list_filter(g3, x -> x = t))))
+           * length(list_sort(list_filter(list_distinct(g3),
+               t -> len(list_filter(g3, x -> x = t)) =
+                    list_max(list_transform(list_distinct(g3),
+                      u -> len(list_filter(g3, y -> y = u))))))[1])
+           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         ELSE 0 END AS top3c_bp,
+         CASE WHEN len(g4) > 0 AND length(text) > 0 THEN CAST(floor(
+           list_max(list_transform(list_distinct(g4),
+             t -> len(list_filter(g4, x -> x = t))))
+           * length(list_sort(list_filter(list_distinct(g4),
+               t -> len(list_filter(g4, x -> x = t)) =
+                    list_max(list_transform(list_distinct(g4),
+                      u -> len(list_filter(g4, y -> y = u))))))[1])
+           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         ELSE 0 END AS top4c_bp,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(floor((len(lines) - len(list_distinct(lines))) * 10000
+                / len(lines)) AS BIGINT)
+         ELSE 0 END AS dupline_bp,
+         CASE WHEN len(lines) > 0 AND length(text) > 0 THEN CAST(floor(
+           CAST(list_sum(list_transform(list_distinct(lines),
+             t -> CASE WHEN len(list_filter(lines, x -> x = t)) >= 2
+                  THEN len(list_filter(lines, x -> x = t)) * length(t)
+                  ELSE 0 END)) AS BIGINT)
+           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         ELSE 0 END AS duplinec_bp
+  FROM g
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top2c_bp > 2000 OR top3c_bp > 1800
+                      OR top4c_bp > 1600 OR dupline_bp > 3000
+                      OR duplinec_bp > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(top2c_bp) AS BIGINT) AS top2c_sum,
+       CAST(SUM(top3c_bp) AS BIGINT) AS top3c_sum,
+       CAST(SUM(top4c_bp) AS BIGINT) AS top4c_sum,
+       CAST(SUM(dupline_bp) AS BIGINT) AS dupline_sum,
+       CAST(SUM(duplinec_bp) AS BIGINT) AS duplinec_sum,
+       CAST(MAX(top2c_bp) AS BIGINT) AS top2c_max
+FROM m GROUP BY lang
+"""
+
 # q157 replays product quantization end to end: the same LCG codebooks as
 # literals (CAST to DOUBLE[][][] — bare float literals would parse as
 # DECIMAL), codes re-derived per subspace as list_position-of-list_min

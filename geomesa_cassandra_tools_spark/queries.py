@@ -5394,26 +5394,32 @@ def q163_manifest_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the lifecycle arithmetic on the raw orders table:
     v1 = keys % 3 IN (0,1), deleted = the o_totalprice > 200000 slice.
 
-    Scale shape: each view is a pinned file-list scan (dv-applied,
+    Since round 11 the two faces are INLINE `VERSION AS OF` references
+    (r10 VERDICT gap #4): one registered live view, one SELECT, no
+    pre-pinned registrations — the router rewrites each `view VERSION
+    AS OF n` reference to a pinned temp-view registration the way the
+    `table_changes` TVF already rewrites call sites. Values are
+    unchanged from the pre-pinning form (same snapshots, same algebra).
+
+    Scale shape: each face is a pinned file-list scan (dv-applied,
     manifest-schema projected) — Catalyst sees ordinary relations, so
     EXCEPT plans as a shuffled anti-join over only the two snapshots'
     files; nothing about the view layer blocks pushdown or AQE."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
     path = _manifest_orders_lifecycle_path(spark, sf_dir)
-    v1 = transactional.register_manifest_view(
-        spark, path, "orders_lifecycle_v1", version=1
-    )
-    v2 = transactional.register_manifest_view(
-        spark, path, "orders_lifecycle_v2", version=2
-    )
-    return spark.sql(f"""
+    transactional.register_manifest_view(spark, path, "orders_lifecycle")
+    return sqldml.execute(spark, """
         SELECT o_orderstatus AS status,
                COUNT(*) AS n_deleted,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS deleted_cents,
                MIN(o_orderkey) AS first_key,
                MAX(o_orderkey) AS last_key
-        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM {v1}
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders_lifecycle VERSION AS OF 1
               EXCEPT
-              SELECT o_orderkey, o_orderstatus, o_totalprice FROM {v2})
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders_lifecycle VERSION AS OF 2)
         GROUP BY o_orderstatus
         ORDER BY status
     """)
@@ -7046,6 +7052,65 @@ def q186_sql_alter_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_gopher_char_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST of Gopher's repetition-removal family (Rae et al. 2021,
+    appendix A1.1 — q180 covers the word-fraction gates): per-document
+    CHARACTER fractions in basis points — top 2-/3-/4-gram character
+    share (thresholds 0.20 / 0.18 / 0.16) and the LINE-level duplicate
+    gates, duplicate-line fraction (0.30) and duplicate-line character
+    fraction (0.20).  The corpus documents carry no newlines, so the
+    line gates run over a deterministic 5-token segmentation
+    (`token_chunk_lines`; a real corpus feeds split(text, '\\n') to the
+    same metrics).  Ties for the top gram resolve to the smallest
+    string (sorted-order first maximum), so both engines agree exactly;
+    duplicated-character counting follows the paper (every occurrence
+    of a recurring gram counts its characters — overlaps double-count,
+    identically in the oracle).
+
+    Scale shape: q180's discipline — the text splits ONCE per row, each
+    gram/line array binds once as a projection attribute, every metric
+    is one sort + one linear fold; no explode, no join, zero UDFs; the
+    only shuffle is the final per-lang partial agg.  min_parts=8 for
+    the same per-task expression-prep amortization as q180."""
+    t = load_tables(spark, sf_dir)
+    tk, txt = F.col("tk"), F.col("text")
+    d = (
+        relational.ensure_parallelism(
+            t["documents"].select("lang", "text"), min_parts=8
+        )
+        .withColumn("tk", T.tokens(txt))
+        .withColumn("g2", T.shingles_t(tk, 2))
+        .withColumn("g3", T.shingles_t(tk, 3))
+        .withColumn("g4", T.shingles_t(tk, 4))
+        .withColumn("lines", T.token_chunk_lines(tk, 5))
+        .select(
+            "lang",
+            T.top_elem_char_bp_t(F.col("g2"), txt).alias("top2c_bp"),
+            T.top_elem_char_bp_t(F.col("g3"), txt).alias("top3c_bp"),
+            T.top_elem_char_bp_t(F.col("g4"), txt).alias("top4c_bp"),
+            T._dup_bp_from_grams(F.col("lines")).alias("dupline_bp"),
+            T.dup_elem_char_bp_t(F.col("lines"), txt).alias("duplinec_bp"),
+        )
+    )
+    flagged = (
+        (F.col("top2c_bp") > 2000)
+        | (F.col("top3c_bp") > 1800)
+        | (F.col("top4c_bp") > 1600)
+        | (F.col("dupline_bp") > 3000)
+        | (F.col("duplinec_bp") > 2000)
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum("top2c_bp").alias("top2c_sum"),
+        F.sum("top3c_bp").alias("top3c_sum"),
+        F.sum("top4c_bp").alias("top4c_sum"),
+        F.sum("dupline_bp").alias("dupline_sum"),
+        F.sum("duplinec_bp").alias("duplinec_sum"),
+        F.max("top2c_bp").alias("top2c_max"),
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -7357,6 +7422,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the driver run, displacing green-and-unchanged entries
     "q185_mapped_stream_feed": q185_mapped_stream_feed,
     "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
+    "q187_gopher_char_gates": q187_gopher_char_gates,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

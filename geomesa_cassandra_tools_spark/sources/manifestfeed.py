@@ -363,14 +363,22 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         to_date(ts)-partitioned table prunes at the partition tier
         without the subscriber naming the partition column).
 
-        For the cdf feed the set keeps ONLY partition-column predicates
-        (stated or derived): a partition's adds AND removes live in that
-        partition's files (exact [v, v] spans), so pruning keeps
-        delete/insert image pairs together — arbitrary-column pruning
-        would split a rewrite's cancelling pairs. A stated non-partition
-        column is acceptable IF it derives one (the original predicate
-        stays the consumer's row refine); otherwise refuse loudly —
-        including MID-STREAM, when a layout change makes a previously
+        For the cdf feed the set keeps partition-column predicates
+        (stated or derived — a partition's adds AND removes live in that
+        partition's files with exact [v, v] spans, so image pairs prune
+        together with no residue) plus, since round 11, predicates on
+        DECLARED STATS COLUMNS: span pruning can never drop a file
+        containing a MATCHING row (a match's value lies inside its
+        file's span, so the span intersects the predicate), so every
+        matching row's delete AND insert images always survive — the
+        asymmetric residue is confined to NON-matching rows, which the
+        consumer's row refine (the feed's stated where= contract)
+        removes; the per-commit spans_ok guard additionally keeps a
+        WHOLE commit when any involved file lacks a span. A predicate
+        column with no partition tier, no generated derivation, and no
+        recorded spans still refuses loudly — pruning could never act
+        and accepting it would silently stream everything; the refusal
+        applies MID-STREAM too, when a layout change makes a previously
         safe predicate unsafe."""
         derived = tx._derived_generated_preds(self._where, man)
         part_cols = set(man.get("partition_cols") or ())
@@ -379,24 +387,34 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 tx._parse_generator(e)[0]
                 for e in (man.get("generated") or {}).values()
             }
+            stats_cols = set(man.get("stats_cols") or ())
+
+            def _stats_covered(p) -> bool:
+                # stats are keyed PHYSICAL; stated preds carry anchor
+                # logical names, derived ones this manifest's
+                return tx._phys_pred(
+                    p, self._cmap if p in self._where else tx._cmap(man)
+                )[0] in stats_cols
+
             bad = sorted(
-                {p[0] for p in self._where} - part_cols - derivable_srcs
+                {p[0] for p in self._where}
+                - part_cols - derivable_srcs
+                - {p[0] for p in self._where if _stats_covered(p)}
             )
             if bad:
                 raise ValueError(
-                    "cdf feed where= takes PARTITION-column predicates "
-                    f"only (column(s) {bad} are not partition columns "
-                    "and derive none via generated columns); "
-                    "non-partition where= pruning is append-feed only: "
-                    "a pruned CDF stream would emit asymmetric delete/"
-                    "insert images"
+                    "cdf feed where= takes predicates on partition "
+                    "columns, generated-column sources, or declared "
+                    f"stats columns (column(s) {bad} are none of "
+                    "these); a span-free predicate can never prune — "
+                    "use the append feed or declare stats_cols"
                 )
             return [
                 tx._phys_pred(
                     p, self._cmap if p in self._where else tx._cmap(man)
                 )
                 for p in (*self._where, *derived)
-                if p[0] in part_cols
+                if p[0] in part_cols or _stats_covered(p)
             ]
         # stats/footers are keyed PHYSICAL: stated predicates (anchor
         # logical names) translate through the anchor map, derived ones
@@ -533,18 +551,17 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             "raise vacuum's keep_versions)"
                         ) from None
                 if self._prune_preds:
-                    # partition-scoped CDF pruning (tier-1, r10): the
-                    # prune set is partition-column-only (enforced /
-                    # filtered at init — stated partition predicates plus
-                    # generated-column derivations), so each file's span
-                    # is an exact point and
-                    # delete/insert pairs prune TOGETHER. Safety guard:
-                    # if any involved file lacks a span for a predicate
-                    # column, the WHOLE commit keeps all its files —
-                    # pruning must never split a rewrite's cancelling
-                    # pair (the consumer's row filter stays the
-                    # exactness contract either way, images carry the
-                    # partition value).
+                    # CDF pruning (tier-1): partition predicates prune
+                    # exactly (point spans — image pairs prune together
+                    # with no residue); stats-column predicates (r11)
+                    # prune as a SUPERSET — a matching row's file span
+                    # always intersects the predicate, so its delete
+                    # AND insert images both survive, and the
+                    # non-matching residue is the consumer row refine's
+                    # job (the feed's stated where= contract). Safety
+                    # guard: if any involved file lacks a span for a
+                    # predicate column, the WHOLE commit keeps all its
+                    # files.
                     involved = [
                         *((f, add_stats.get(f)) for f in added),
                         *((f, prev_stats.get(f)) for f in removed),

@@ -734,9 +734,11 @@ def test_feed_where_prunes_files_before_planning(spark, tmp_path):
     assert 0 < len(slices) < len(all_slices)
     assert all("d=2024-01-02" in s.file_path for s in slices)
 
-    # CDF + where on a NON-partition column is refused loudly (r10:
-    # partition-column CDF pruning is allowed — symmetric by layout)
-    with pytest.raises(ValueError, match="append-feed only"):
+    # CDF + where on a column with NO partition tier, NO generated
+    # derivation and NO declared stats is refused loudly (r11: stats-
+    # column CDF pruning is allowed — span-safe; this table declares
+    # no stats_cols, so 'v' has no spans and pruning could never act)
+    with pytest.raises(ValueError, match="none of these"):
         mfm.ManifestFeedStreamReader(
             schema,
             {"path": path, "feed": "cdf",
@@ -936,8 +938,8 @@ def test_feed_where_derives_generated_partition_predicates(spark, tmp_path):
     assert all(
         "event_date=2024-01-02" in s.file_path for s in cdf_slices
     )
-    # a non-partition, non-derivable column still refuses CDF
-    with pytest.raises(ValueError, match="append-feed only"):
+    # a non-partition, non-derivable, span-free column still refuses CDF
+    with pytest.raises(ValueError, match="none of these"):
         mfm.ManifestFeedStreamReader(
             schema,
             {"path": path, "feed": "cdf",
@@ -1020,3 +1022,58 @@ def test_feed_rederives_prune_preds_across_overwrite(spark, tmp_path):
     assert by_v.get(3) and all(
         "event_date=2024-01-01" in f for f in by_v[3]
     )
+
+
+def test_feed_cdf_stats_column_pruning(spark, tmp_path):
+    """r11: the CDF feed admits predicates on DECLARED STATS COLUMNS —
+    span pruning never drops a file containing a matching row, so with
+    the consumer's row refine the fold over the pruned stream nets
+    exactly the batch state; files whose span cannot match never become
+    scan tasks."""
+    import geomesa_cassandra_tools_spark.sources.manifestfeed as mfm
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    path = str(tmp_path / "sp")
+    tx.init_table(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(30)], "id bigint, s string"
+        ).repartitionByRange(3, "id"),
+        path, stats_cols=["id"],
+    )
+    # v1: a REWRITE commit (delete+insert images) touching the low range
+    tx.delete_where(spark, path, "id % 5 = 1")
+    schema = tx.read_table(spark, path).schema
+    cdf_schema = StructType(
+        [*schema.fields,
+         StructField("_change_type", StringType()),
+         StructField("_commit_version", LongType())]
+    )
+    w = [("id", "<", 10)]
+    pruned = mfm.ManifestFeedStreamReader(
+        cdf_schema,
+        {"path": path, "feed": "cdf", "where": mfm._encode_where(w)},
+    )
+    unpruned = mfm.ManifestFeedStreamReader(
+        cdf_schema, {"path": path, "feed": "cdf"}
+    )
+    slices = pruned.partitions({"version": -1}, {"version": 1})
+    all_slices = unpruned.partitions({"version": -1}, {"version": 1})
+    assert 0 < len(slices) < len(all_slices)  # pruning actually acted
+    # fold the ROW-REFINED pruned stream: net(+insert/-delete) per id
+    net = {}
+    for sl in slices:
+        for batch in pruned.read(sl):
+            t = batch.to_pydict()
+            for i, ct in zip(t["id"], t["_change_type"]):
+                if i < 10:  # the consumer's row refine
+                    net[i] = net.get(i, 0) + (1 if ct == "insert" else -1)
+    survivors = sorted(i for i, n in net.items() if n == 1)
+    assert all(n in (0, 1) for n in net.values())
+    expect = sorted(
+        r["id"] for r in tx.read_table(
+            spark, path, where=w
+        ).collect()
+    )
+    assert survivors == expect == [i for i in range(10) if i % 5 != 1]

@@ -2375,6 +2375,54 @@ def test_repetition_metrics_edges(spark):
     assert got[4] == (2500, 0, 0)
 
 
+def test_gopher_char_fraction_gates(spark):
+    """Character-fraction gates (q187 primitives): hand-computed shapes
+    for top-n-gram char share (smallest-string tie rule), duplicated-
+    element char share (overlap double-counting), and the deterministic
+    k-token line segmentation."""
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.functions import text as T
+
+    rows = [
+        (1, "a b a b a"),      # g2: [a b, b a, a b, b a]; len(text)=9
+        (2, "x y z"),          # no repeats
+        (3, "p q p q p q p q"),  # lines(2): [p q, p q, p q, p q]
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    tk = F.col("tk")
+    out = {
+        r["id"]: r
+        for r in df.withColumn("tk", T.tokens(F.col("t")))
+        .withColumn("g2", T.shingles_t(tk, 2))
+        .withColumn("lines", T.token_chunk_lines(tk, 2))
+        .select(
+            "id",
+            T.top_elem_char_bp_t(F.col("g2"), F.col("t")).alias("topc"),
+            T.dup_elem_char_bp_t(F.col("g2"), F.col("t")).alias("dupc"),
+            T._dup_bp_from_grams(F.col("lines")).alias("dupl"),
+            F.col("lines"),
+        )
+        .collect()
+    }
+    # doc1: 'a b' and 'b a' both occur 2x; tie -> smallest = 'a b'
+    # (len 3): topc = floor(2*3*10000/9) = 6666; dup chars = 2*3 + 2*3
+    # = 12 -> floor(12*10000/9) = 13333 (>10000: overlaps double-count)
+    assert out[1]["topc"] == 6666 and out[1]["dupc"] == 13333
+    # lines(2) of 5 tokens: ['a b', 'a b', 'a'] -> 1 dup of 3
+    assert out[1]["lines"] == ["a b", "a b", "a"]
+    assert out[1]["dupl"] == 3333
+    # doc2 'x y z' (len 5): every gram once -> top run 1, smallest
+    # gram 'x y' (len 3): topc = floor(1*3*10000/5) = 6000; no dups
+    assert out[2]["topc"] == 6000
+    assert out[2]["dupc"] == 0 and out[2]["dupl"] == 0
+    # doc3 (len 15): lines(2) = 4x 'p q' -> dupl = floor(3*10000/4)
+    # = 7500; g2 = 'p q' x4 + 'q p' x3, dup chars = 4*3 + 3*3 = 21
+    # -> dupc = floor(21*10000/15) = 14000
+    assert out[3]["dupl"] == 7500
+    assert out[3]["dupc"] == 14000
+
+
 # ------------------------------------------------ real media header decode
 
 

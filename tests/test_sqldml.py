@@ -490,3 +490,37 @@ def test_add_column_on_mapped_table_gets_fresh_physical(spark, tmp_path):
     assert row["tag"] is None  # 'a' must not resurrect
     man = tx._read_manifest(path, tx.current_version(path))
     assert man["column_map"]["tag"] != "s"
+
+
+def test_inline_as_of_in_select(spark, tmp_path):
+    """Inline `VERSION AS OF` / `TIMESTAMP AS OF` inside a SELECT: one
+    statement can join two snapshots of the same view without
+    pre-pinning; a string literal containing the phrase is untouched;
+    unregistered names stay verbatim for Spark."""
+    path = _mk(spark, tmp_path, name="tt")
+    sqldml.execute(spark, "INSERT INTO tt VALUES (2, 'b', 20.0)")
+    sqldml.execute(spark, "UPDATE tt SET price = 99.0 WHERE k = 1")
+
+    got = sqldml.execute(
+        spark, "SELECT count(*) AS n FROM tt VERSION AS OF 0"
+    ).collect()
+    assert got[0]["n"] == 1
+    # two faces of the same view in ONE statement (the q163 diff shape)
+    diff = sqldml.execute(
+        spark,
+        "SELECT cur.k, cur.price AS now, old.price AS was "
+        "FROM tt cur JOIN tt VERSION AS OF 0 old ON cur.k = old.k",
+    ).collect()
+    assert [(r["k"], r["now"], r["was"]) for r in diff] == [(1, 99.0, 10.0)]
+    # TIMESTAMP AS OF resolves through version_as_of: pin at v1's stamp
+    ts1 = tx.table_history(path)[1]["ts"]
+    got = sqldml.execute(
+        spark,
+        f"SELECT sum(price) AS s FROM tt TIMESTAMP AS OF '{ts1}'"
+    ).collect()
+    assert got[0]["s"] == 30.0  # v1 state: 10 + 20
+    # quoted occurrences are data, not syntax
+    row = sqldml.execute(
+        spark, "SELECT 'tt VERSION AS OF 0' AS lit"
+    ).collect()[0]
+    assert row["lit"] == "tt VERSION AS OF 0"

@@ -3054,3 +3054,53 @@ def test_battery_update_recomputes_generated(spark, tmp_path, protocol):
         tx.update_where(
             spark, path, {"event_date": "DATE '2030-01-01'"}, "id = 2"
         )
+
+
+def test_battery_writer_feature_gate(spark, tmp_path, protocol):
+    """Delta's writerFeatures pair to the reader gate: a table carrying
+    an unknown WRITER-ONLY feature stays readable (old builds read it
+    safely) but every mutating verb refuses by feature name; the flag
+    survives checkpoints and rides shallow clones."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string"),
+        path,
+    )
+    man = tx._read_manifest(path, 0)
+    # a future build introduces a writer-only feature this build lacks
+    tx._commit(
+        path, 1, man["schema"], man.get("txns", {}), None,
+        add=[], remove=[], op="enable_row_tracking",
+        writer_features=["rowTracking"],
+    )
+    # read-safe: the reader gate never consults writer_features
+    assert tx.read_table(spark, path).count() == 2
+    assert tx._read_manifest(path, 1)["writer_features"] == ["rowTracking"]
+    # every mutating verb refuses BY NAME
+    batch = spark.createDataFrame([(3, "c")], "k bigint, s string")
+    with pytest.raises(ValueError, match="rowTracking"):
+        tx.append_batch(batch, path)
+    with pytest.raises(ValueError, match="writer feature"):
+        tx.delete_where(spark, path, "k = 1")
+    with pytest.raises(ValueError, match="rowTracking"):
+        tx.rename_column(path, "s", "label")
+    assert tx.current_version(path) == 1  # nothing burned
+    # survives a checkpoint (full-state base): still read-OK/write-refused
+    tx.checkpoint_table(path)
+    assert tx._read_manifest(path, 1)["writer_features"] == ["rowTracking"]
+    with pytest.raises(ValueError, match="rowTracking"):
+        tx.append_batch(batch, path)
+    # rides a shallow clone: the clone reads fine, refuses writes too
+    dst = str(tmp_path / "c")
+    tx.clone_table(path, dst)
+    assert tx.read_table(spark, dst).count() == 2
+    assert "rowTracking" in (
+        tx._read_manifest(dst, 0).get("writer_features") or ()
+    )
+    with pytest.raises(ValueError, match="rowTracking"):
+        tx.append_batch(batch, dst)
+    # metadata-only observability stays open
+    assert tx.describe_table(path)["writer_features"] == ["rowTracking"]
+    assert [h["op"] for h in tx.table_history(path)][-1] == (
+        "enable_row_tracking"
+    )
