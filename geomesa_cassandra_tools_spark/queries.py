@@ -7218,10 +7218,10 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new this round (must be driver-certified in their first round)
-    "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
-    "q136_prefix_family_keeper": q136_prefix_family_keeper,
-    "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
+    # -- new in round 11 (first driver certification => inside the window)
+    "q185_mapped_stream_feed": q185_mapped_stream_feed,
+    "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
+    "q187_gopher_char_gates": q187_gopher_char_gates,
     "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
     "q139_source_temperature_mixture": q139_source_temperature_mixture,
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
@@ -7417,12 +7417,13 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
-    # -- round 11 staging area: new queries accumulate here during the
-    # round and move INSIDE the verification window (first 50) before
-    # the driver run, displacing green-and-unchanged entries
-    "q185_mapped_stream_feed": q185_mapped_stream_feed,
-    "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
-    "q187_gopher_char_gates": q187_gopher_char_gates,
+    # q135/q136/q137 displaced below the window for q185/q186/q187 in
+    # r11 (all green since r04/r05 with unchanged values -> union
+    # coverage holds; additionally re-verified by the in-suite
+    # tests/test_oracle_parity.py differential, which runs ALL queries)
+    "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
+    "q136_prefix_family_keeper": q136_prefix_family_keeper,
+    "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
