@@ -3083,16 +3083,21 @@ SELECT 'v0',
 FROM base GROUP BY o_orderstatus
 """
 
-# q187: the Gopher character-fraction gates replayed with list lambdas —
-# grams/lines bound once per doc, top gram = (max multiplicity, then
-# smallest string), duplicated chars = sum over recurring grams of
-# count * length (overlaps double-count, same as the engine).
+# q187: the Gopher character-fraction gates replayed in DuckDB's
+# NATURAL form — grams/lines unnested once into long form, counts by
+# (doc, gram), top gram = row_number over (count desc, gram asc) (the
+# same max-multiplicity/smallest-string tie rule as the engine's
+# sorted-run fold), duplicated chars = sum over recurring grams of
+# count * length (overlaps double-count, same as the engine). The
+# first cut used per-distinct list_filter lambdas — O(distinct x
+# grams) per doc, 56 s at sf0.1 vs ~1 s for this form; an oracle that
+# slow would sandbag the DuckDB baseline the bench compares against.
 ORACLES["q187_gopher_char_gates"] = """
 WITH w AS (
-  SELECT lang, text, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
 ),
 g AS (
-  SELECT lang, text,
+  SELECT doc_id, lang, text,
          list_transform(range(1, len(ws)),
                         i -> ws[i] || ' ' || ws[i + 1]) AS g2,
          list_transform(range(1, len(ws) - 1),
@@ -3107,47 +3112,61 @@ g AS (
            AS lines
   FROM w
 ),
+c2 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram),
+c3 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id, gram),
+c4 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(g4) AS gram FROM g) GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, bc, bg FROM (
+         SELECT doc_id, c AS bc, gram AS bg,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram ASC) AS rn
+         FROM c2) WHERE rn = 1),
+t3 AS (SELECT doc_id, bc, bg FROM (
+         SELECT doc_id, c AS bc, gram AS bg,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram ASC) AS rn
+         FROM c3) WHERE rn = 1),
+t4 AS (SELECT doc_id, bc, bg FROM (
+         SELECT doc_id, c AS bc, gram AS bg,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram ASC) AS rn
+         FROM c4) WHERE rn = 1),
+cl AS (SELECT doc_id, line, count(*) AS c
+       FROM (SELECT doc_id, unnest(lines) AS line FROM g)
+       GROUP BY doc_id, line),
+la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+              count(*) AS dn,
+              CAST(sum(CASE WHEN c >= 2 THEN c * length(line)
+                            ELSE 0 END) AS BIGINT) AS dupchars
+       FROM cl GROUP BY doc_id),
 m AS (
-  SELECT lang,
-         CASE WHEN len(g2) > 0 AND length(text) > 0 THEN CAST(floor(
-           list_max(list_transform(list_distinct(g2),
-             t -> len(list_filter(g2, x -> x = t))))
-           * length(list_sort(list_filter(list_distinct(g2),
-               t -> len(list_filter(g2, x -> x = t)) =
-                    list_max(list_transform(list_distinct(g2),
-                      u -> len(list_filter(g2, y -> y = u))))))[1])
-           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+  SELECT g.lang,
+         CASE WHEN t2.bc IS NOT NULL AND length(g.text) > 0 THEN
+           CAST(floor(t2.bc * length(t2.bg) * CAST(10000 AS BIGINT)
+                / length(g.text)) AS BIGINT)
          ELSE 0 END AS top2c_bp,
-         CASE WHEN len(g3) > 0 AND length(text) > 0 THEN CAST(floor(
-           list_max(list_transform(list_distinct(g3),
-             t -> len(list_filter(g3, x -> x = t))))
-           * length(list_sort(list_filter(list_distinct(g3),
-               t -> len(list_filter(g3, x -> x = t)) =
-                    list_max(list_transform(list_distinct(g3),
-                      u -> len(list_filter(g3, y -> y = u))))))[1])
-           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         CASE WHEN t3.bc IS NOT NULL AND length(g.text) > 0 THEN
+           CAST(floor(t3.bc * length(t3.bg) * CAST(10000 AS BIGINT)
+                / length(g.text)) AS BIGINT)
          ELSE 0 END AS top3c_bp,
-         CASE WHEN len(g4) > 0 AND length(text) > 0 THEN CAST(floor(
-           list_max(list_transform(list_distinct(g4),
-             t -> len(list_filter(g4, x -> x = t))))
-           * length(list_sort(list_filter(list_distinct(g4),
-               t -> len(list_filter(g4, x -> x = t)) =
-                    list_max(list_transform(list_distinct(g4),
-                      u -> len(list_filter(g4, y -> y = u))))))[1])
-           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         CASE WHEN t4.bc IS NOT NULL AND length(g.text) > 0 THEN
+           CAST(floor(t4.bc * length(t4.bg) * CAST(10000 AS BIGINT)
+                / length(g.text)) AS BIGINT)
          ELSE 0 END AS top4c_bp,
-         CASE WHEN len(lines) > 0 THEN
-           CAST(floor((len(lines) - len(list_distinct(lines))) * 10000
-                / len(lines)) AS BIGINT)
+         CASE WHEN la.total > 0 THEN
+           CAST(floor((la.total - la.dn) * 10000 / la.total) AS BIGINT)
          ELSE 0 END AS dupline_bp,
-         CASE WHEN len(lines) > 0 AND length(text) > 0 THEN CAST(floor(
-           CAST(list_sum(list_transform(list_distinct(lines),
-             t -> CASE WHEN len(list_filter(lines, x -> x = t)) >= 2
-                  THEN len(list_filter(lines, x -> x = t)) * length(t)
-                  ELSE 0 END)) AS BIGINT)
-           * CAST(10000 AS BIGINT) / length(text)) AS BIGINT)
+         CASE WHEN la.total > 0 AND length(g.text) > 0 THEN
+           CAST(floor(la.dupchars * CAST(10000 AS BIGINT)
+                / length(g.text)) AS BIGINT)
          ELSE 0 END AS duplinec_bp
   FROM g
+  LEFT JOIN t2 USING (doc_id)
+  LEFT JOIN t3 USING (doc_id)
+  LEFT JOIN t4 USING (doc_id)
+  LEFT JOIN la USING (doc_id)
 )
 SELECT lang,
        COUNT(*) AS n_docs,
