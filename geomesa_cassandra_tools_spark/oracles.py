@@ -3409,6 +3409,104 @@ r AS (
 SELECT query_id, cand_id, rank, round(d2, 6) AS d2 FROM r WHERE rank <= 5
 """
 
+# q188: the residual IVF-PQ + exact-cosine REFINE recipe replayed end to
+# end — q171's training/encode/ADC CTEs with the query window at 40..47,
+# the candidate cut at k*overfetch = 20, then q160's rescored-cosine
+# tail over exactly that candidate set. A hash match certifies the whole
+# production recipe (persisted index serve + refine) in one gate.
+ORACLES["q188_residual_rerank_topk"] = f"""
+WITH {_VEC_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+ca AS {_centroid_assign_sql("", 1)},
+res AS (
+  SELECT ca.vec_id, ca.cid,
+         list_transform(range(1, 65), i -> ca.e[i] - c.ce[i]) AS r
+  FROM ca JOIN cent c USING (cid)
+),
+cb AS (SELECT {_PQ_CB_LIT} AS b),
+ta AS (
+  SELECT res.vec_id,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_RPQ_SEED_DLIST}, list_min({_RPQ_SEED_DLIST})) - 1
+         ) AS tcodes
+  FROM res, cb
+),
+tac AS (
+  SELECT ta.vec_id, t.s, ta.tcodes[t.s] AS code
+  FROM ta, range(1, {_PQ_M + 1}) AS t(s)
+),
+ud AS (
+  SELECT tac.s, tac.code, u.i,
+         SUM(CAST(floor(res.r[(tac.s - 1) * {_PQ_SUB} + u.i] * 1000000.0)
+             AS BIGINT)) AS s6,
+         COUNT(*) AS nn
+  FROM tac JOIN res USING (vec_id), range(1, {_PQ_SUB + 1}) AS u(i)
+  GROUP BY tac.s, tac.code, u.i
+),
+tw0 AS (
+  SELECT s, code, list(CAST(s6 AS DOUBLE) / 1000000.0 / nn ORDER BY i) AS w
+  FROM ud GROUP BY s, code
+),
+tw AS (
+  SELECT g.s, g.code,
+         COALESCE(tw0.w,
+           list_transform(range(1, {_PQ_SUB + 1}),
+                          i -> b[g.s][g.code + 1][i])) AS w
+  FROM (SELECT t.s, c.code
+        FROM range(1, {_PQ_M + 1}) AS t(s), range(0, {_PQ_K}) AS c(code)) g
+  CROSS JOIN cb
+  LEFT JOIN tw0 ON tw0.s = g.s AND tw0.code = g.code
+),
+twa AS (
+  SELECT list(wl ORDER BY s) AS tb
+  FROM (SELECT s, list(w ORDER BY code) AS wl FROM tw GROUP BY s)
+),
+enc AS (
+  SELECT res.vec_id, res.cid,
+         list_transform(range(1, {_PQ_M + 1}), s ->
+           list_position({_RPQ_TRAINED_DLIST},
+                         list_min({_RPQ_TRAINED_DLIST})) - 1
+         ) AS codes
+  FROM res, twa
+),
+qa AS {_centroid_assign_sql("WHERE a.vec_id >= 40 AND a.vec_id < 48", 2)},
+qres AS (
+  SELECT qa.vec_id AS query_id, qa.cid,
+         list_transform(range(1, 65), i -> qa.e[i] - c.ce[i]) AS qr
+  FROM qa JOIN cent c USING (cid)
+),
+pairs AS (
+  SELECT q.query_id, c2.vec_id AS cand_id,
+         list_sum(list_transform(range(1, {_PQ_M + 1}), s ->
+           list_sum(list_transform(range(1, {_PQ_SUB + 1}), i ->
+             (q.qr[(s-1)*{_PQ_SUB} + i] - tb[s][c2.codes[s] + 1][i])
+             * (q.qr[(s-1)*{_PQ_SUB} + i] - tb[s][c2.codes[s] + 1][i])))
+         )) AS d2
+  FROM qres q JOIN enc c2 ON c2.cid = q.cid AND c2.vec_id <> q.query_id, twa
+),
+cand AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+             AS r
+    FROM pairs
+  ) WHERE r <= 20
+),
+rescored AS (
+  SELECT ca.query_id, ca.cand_id,
+         {_COS.format(q='q', c='c')} AS cos
+  FROM cand ca
+  JOIN n q ON q.vec_id = ca.query_id
+  JOIN n c ON c.vec_id = ca.cand_id
+)
+SELECT query_id, cand_id, rank, round(cos, 6) AS cos FROM (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id)
+           AS rank
+  FROM rescored
+) WHERE rank <= 5
+"""
+
 # q160 replays the two-stage PQ recipe: q157's code/ADC CTEs cut at
 # k*overfetch = 20 candidates, then the q19-contract cosine over exactly
 # that candidate set, top-5 per query.

@@ -5974,6 +5974,48 @@ def q171_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity.ivf_pq_residual_rerank_topk` driver-certified — the
+    FAISS IndexIVFPQ + refine recipe over the q171 PERSISTED residual
+    index: stage 1 generates k*overfetch = 20 candidates per query in
+    the compressed domain (persisted codes + persisted trained books,
+    per-(query, probed-cell) residual ADC — no corpus scan), stage 2
+    re-scores ONLY those candidate rows with the exact sequential
+    cosine fold (the q19 contract) and cuts to top-5. The clustered
+    sweep (bench_data/ann_recall_clustered.tsv) is the recall story:
+    compressed-domain ADC tops out at 0.38-0.44 recall@5 while this
+    refine stage reaches 0.81-0.87 at m=8 with serve wall under brute
+    force — the oracle replays training, encode, ADC, the candidate
+    cut AND the cosine rerank end to end, so the hash certifies the
+    whole recipe. Queries 40..47 keep the window disjoint from
+    q157/q160/q164/q168/q169/q171."""
+    import json as _json
+
+    path = _ivfpq_residual_index_path(spark, sf_dir)
+    with open(os.path.join(path, "_trained_books.json")) as fh:
+        books = _json.load(fh)
+    codes = transactional.read_table(spark, path).select(
+        "vec_id", "cid", "codes"
+    )
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    top = similarity.ivf_pq_residual_rerank_topk(
+        emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 48)),
+        centroids,
+        books,
+        codes,
+        emb,
+        k=5,
+        nprobe=2,
+        overfetch=4,
+    )
+    return top.select(
+        "query_id", "cand_id", "rank", F.round("cos", 6).alias("cos")
+    )
+
+
 def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once DATE-PARTITIONED events manifest table — the default
     100 TB event-table shape (Delta `partitionBy`): one hive directory
@@ -7222,7 +7264,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_mapped_stream_feed": q185_mapped_stream_feed,
     "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
     "q187_gopher_char_gates": q187_gopher_char_gates,
-    "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
+    "q188_residual_rerank_topk": q188_residual_rerank_topk,
     "q139_source_temperature_mixture": q139_source_temperature_mixture,
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
@@ -7417,13 +7459,14 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
-    # q135/q136/q137 displaced below the window for q185/q186/q187 in
+    # q135/q136/q137/q138 displaced below the window for q185-q188 in
     # r11 (all green since r04/r05 with unchanged values -> union
     # coverage holds; additionally re-verified by the in-suite
     # tests/test_oracle_parity.py differential, which runs ALL queries)
     "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
     "q136_prefix_family_keeper": q136_prefix_family_keeper,
     "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
+    "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
