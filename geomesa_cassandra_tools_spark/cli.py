@@ -222,6 +222,11 @@ def _parser() -> argparse.ArgumentParser:
         help="drop-column: the column to drop (metadata-only)",
     )
     p.add_argument(
+        "--stats-cols", default=None, metavar="COL[,COL...]",
+        help="convert-table: columns whose per-file min/max harvest "
+             "from the footers for data skipping",
+    )
+    p.add_argument(
         "--add", default=None, metavar="COL=TYPE",
         help="add-column: net-new nullable column (metadata-only; "
              "Spark DDL type, e.g. note=string, amt=decimal(10,2))",
@@ -657,6 +662,25 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             parser.error("drop-column needs --column COL")
         v = transactional.drop_column(args.table_path, args.column.strip())
         print(f"dropped {args.column.strip()} at v{v} (metadata-only)", file=out)
+        return 0
+
+    if cmd == "convert-table":
+        # CONVERT TO DELTA analog: in-place manifest conversion of a
+        # plain parquet directory (zero data bytes rewritten)
+        _require(parser, args, "table-path")
+        from geomesa_cassandra_tools_spark.operators import transactional
+
+        stats = (
+            [c.strip() for c in args.stats_cols.split(",")]
+            if getattr(args, "stats_cols", None) else None
+        )
+        res = transactional.convert_to_manifest(
+            _spark(), args.table_path, stats_cols=stats
+        )
+        print(
+            f"converted {res['files_converted']} file(s) at v0 "
+            f"(stats: {','.join(res['stats_cols']) or 'none'})", file=out,
+        )
         return 0
 
     if cmd == "add-column":

@@ -393,6 +393,28 @@ def execute(spark: SparkSession, statement: str):
             "key string, value string",
         )
 
+    m = re.match(
+        rf"CONVERT\s+TO\s+MANIFEST\s+'([^']+)'"
+        rf"(?:\s+STATS\s*\(([^)]*)\))?"
+        rf"(?:\s+AS\s+({_IDENT}))?\s*$",
+        s, re.IGNORECASE,
+    )
+    if m and not mask[0]:
+        # Delta's CONVERT TO DELTA, manifest dialect: in-place conversion
+        # of a plain parquet directory (files renamed under data/, zero
+        # bytes rewritten, stats harvested from footers); AS registers
+        # the converted table for immediate SELECT/DML through the router
+        loc, stats_raw, name = m.groups()
+        stats = (
+            [c.strip().strip('`"') for c in stats_raw.split(",") if c.strip()]
+            if stats_raw else None
+        )
+        res = tx.convert_to_manifest(spark, loc, stats_cols=stats)
+        if name:
+            tx.register_manifest_view(spark, loc, name=name)
+        return {"op": "convert", "path": loc, **res,
+                **({"table": name} if name else {})}
+
     m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.+)$", s,
                  re.IGNORECASE | re.DOTALL)
     if m and not mask[0]:

@@ -3256,6 +3256,76 @@ def rewrite_table_schema(
     return version + 1
 
 
+def convert_to_manifest(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Delta's ``CONVERT TO DELTA`` for the manifest layer: take an
+    EXISTING plain-parquet directory and commit a v0 manifest that
+    references its files — not one data byte is rewritten (each file is
+    renamed into the table's ``data/`` dir: same-filesystem inode moves,
+    O(files) metadata ops). Per-file min/max stats for ``stats_cols``
+    harvest from the footers the original writer already produced, so
+    file skipping works from the first read. After conversion the full
+    transactional surface applies (DML, time travel, OPTIMIZE, CDF, the
+    streaming feed).
+
+    Refused: an already-converted path (a manifest exists), an empty
+    directory, and HIVE-PARTITIONED layouts (``key=value`` dirs strip
+    the partition column from the files, but this engine's readers
+    project the manifest schema over file columns — converting such a
+    layout would read those columns as null; rewrite through
+    `init_table(partition_by=...)` instead, which keeps partition
+    columns IN the files)."""
+    if current_version(path) >= 0:
+        raise ValueError(
+            f"convert_to_manifest: {path!r} already has a manifest "
+            f"(v{current_version(path)})"
+        )
+    names: list[str] = []
+    for root, dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.split(os.sep)[0] in ("_manifest", "data"):
+            continue
+        for d in list(dirs):
+            if "=" in d:
+                raise ValueError(
+                    f"convert_to_manifest: {path!r} is hive-partitioned "
+                    f"({os.path.join(rel_root, d)!r}); partition values "
+                    "live in directory names, not file columns — rewrite "
+                    "through init_table(partition_by=...) instead"
+                )
+        for f in files:
+            if f.endswith(".parquet"):
+                names.append(
+                    f if rel_root == "." else os.path.join(rel_root, f)
+                )
+    if not names:
+        raise ValueError(
+            f"convert_to_manifest: no parquet files under {path!r}"
+        )
+    schema_json = spark.read.parquet(path).schema.json()
+    data = _data_dir(path)
+    for name in sorted(names):
+        dst = os.path.join(data, name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(path, name), dst)
+    add = sorted(names)
+    add_stats = (
+        _collect_file_stats(path, add, stats_cols) if stats_cols else None
+    )
+    _commit(
+        path, 0, schema_json, {}, stats_cols,
+        add=add, add_stats=add_stats, op="convert",
+    )
+    return {
+        "version": 0,
+        "files_converted": len(add),
+        "stats_cols": list(stats_cols or []),
+    }
+
+
 def restore_table(path: str, version: int) -> dict:
     """RESTORE TABLE ... TO VERSION AS OF ``version`` (the Delta RESTORE
     shape): roll the table back to an older snapshot AS A NEW COMMIT —

@@ -3083,6 +3083,37 @@ SELECT 'v0',
 FROM base GROUP BY o_orderstatus
 """
 
+# q189: CONVERT TO MANIFEST as set algebra — v0 = the converted plain
+# slice (% 5 = 3), live = union with the SQL-inserted slice (% 5 = 4),
+# pruned = the live face filtered (the engine's face must stats-prune
+# to the same rows the filter selects).
+ORACLES["q189_convert_in_place"] = """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 3
+),
+live AS (
+  SELECT * FROM v0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 4
+),
+f AS (
+  SELECT 'live' AS face, o_orderstatus, o_orderkey, o_totalprice FROM live
+  UNION ALL
+  SELECT 'v0', o_orderstatus, o_orderkey, o_totalprice FROM v0
+  UNION ALL
+  SELECT 'pruned', o_orderstatus, o_orderkey, o_totalprice
+  FROM live WHERE o_orderkey < 1000
+)
+SELECT face, o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM f GROUP BY face, o_orderstatus
+"""
+
 # q187: the Gopher character-fraction gates replayed in DuckDB's
 # NATURAL form — grams/lines unnested once into long form, counts by
 # (doc, gram), top gram = row_number over (count desc, gram asc) (the

@@ -7053,6 +7053,92 @@ def _sql_alter_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _converted_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once CONVERT-TO-MANIFEST fixture (q189): a PLAIN parquet
+    directory (the o_orderkey % 5 == 3 slice of orders, 4 range files)
+    is converted IN PLACE through the SQL statement — files renamed
+    under data/, zero bytes rewritten, footer stats harvested — then
+    grown with a SQL INSERT (the % 5 == 4 slice). Version-guarded and
+    race-tolerant like the other /tmp fixtures."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_converted")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if transactional.current_version(path) < 0:
+        if not os.path.isdir(path):
+            orders.where(F.col("o_orderkey") % 5 == 3).repartitionByRange(
+                4, "o_orderkey"
+            ).write.mode("ignore").parquet(path)
+        try:
+            sqldml.execute(
+                spark,
+                f"CONVERT TO MANIFEST '{path}' STATS (o_orderkey) "
+                "AS q189_t",
+            )
+        except (transactional.CommitConflict, ValueError):
+            pass  # racing builder converted first
+    transactional.register_manifest_view(spark, path, name="q189_t")
+    if transactional.current_version(path) < 1:
+        orders.createOrReplaceTempView("q189_stage")
+        try:
+            sqldml.execute(
+                spark,
+                "INSERT INTO q189_t "
+                "SELECT o_orderkey, o_orderstatus, o_totalprice "
+                "FROM q189_stage WHERE o_orderkey % 5 = 4",
+            )
+        except transactional.CommitConflict:
+            pass
+    return path
+
+
+def q189_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`convert_to_manifest` driver-certified (Delta's CONVERT TO DELTA
+    for the manifest layer, reached through SQL): a plain parquet
+    directory becomes a transactional table WITHOUT rewriting a byte
+    (files renamed under data/; footer stats harvested so skipping
+    prunes from the first read), and the whole surface applies
+    immediately — the fixture's post-convert commit is a SQL INSERT.
+    Three faces ride the hash: the LIVE snapshot, `VERSION 0` time
+    travel (exactly the converted plain files), and a STATS-PRUNED
+    slice (o_orderkey < 1000 — a predicate the harvested footer spans
+    must prune and then row-filter exactly). The oracle is plain set
+    algebra over orders. Money stays integer cents.
+
+    Scale shape: conversion is O(files) metadata ops + one footer pass
+    — the migration path for petabytes of existing parquet into the
+    transactional layer with zero data movement; the faces are
+    manifest-pruned scans."""
+    path = _converted_table_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    v0 = transactional.read_table(spark, path, version=0)
+    pruned = transactional.read_table(
+        spark, path, where=[("o_orderkey", "<", 1000)]
+    )
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("price_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("face"), "o_orderstatus", "n_rows",
+            "price_cents", "key_sum",
+        )
+
+    return (
+        _face(live, "live")
+        .unionAll(_face(v0, "v0"))
+        .unionAll(_face(pruned, "pruned"))
+    )
+
+
 def q186_sql_alter_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL ALTER TABLE surface driver-certified (r10 VERDICT gap #3
     — `operators/sqldml._alter_table`): a lifecycle whose every post-
@@ -7265,7 +7351,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
     "q187_gopher_char_gates": q187_gopher_char_gates,
     "q188_residual_rerank_topk": q188_residual_rerank_topk,
-    "q139_source_temperature_mixture": q139_source_temperature_mixture,
+    "q189_convert_in_place": q189_convert_in_place,
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
@@ -7459,14 +7545,15 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
-    # q135/q136/q137/q138 displaced below the window for q185-q188 in
-    # r11 (all green since r04/r05 with unchanged values -> union
-    # coverage holds; additionally re-verified by the in-suite
+    # q135-q139 displaced below the window for q185-q189 in r11 (all
+    # green since r04/r05 with unchanged values -> union coverage
+    # holds; additionally re-verified by the in-suite
     # tests/test_oracle_parity.py differential, which runs ALL queries)
     "q135_chunk_dedup_retention": q135_chunk_dedup_retention,
     "q136_prefix_family_keeper": q136_prefix_family_keeper,
     "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
     "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
+    "q139_source_temperature_mixture": q139_source_temperature_mixture,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -524,3 +524,25 @@ def test_inline_as_of_in_select(spark, tmp_path):
         spark, "SELECT 'tt VERSION AS OF 0' AS lit"
     ).collect()[0]
     assert row["lit"] == "tt VERSION AS OF 0"
+
+
+def test_convert_to_manifest_statement(spark, tmp_path):
+    """CONVERT TO MANIFEST 'path' STATS (...) AS name: in-place
+    conversion through the router, registered for immediate SELECT and
+    DML."""
+    loc = str(tmp_path / "plainsql")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, v double"
+    ).coalesce(2).write.parquet(loc)
+    res = sqldml.execute(
+        spark, f"CONVERT TO MANIFEST '{loc}' STATS (k) AS conv_t"
+    )
+    assert res["op"] == "convert" and res["files_converted"] == 2
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM conv_t"
+    ).collect()[0]["n"] == 10
+    sqldml.execute(spark, "INSERT INTO conv_t VALUES (100, 1.5)")
+    assert sqldml.execute(
+        spark, "SELECT count(*) AS n FROM conv_t VERSION AS OF 0"
+    ).collect()[0]["n"] == 10
+    assert tx.describe_table(loc)["stats_cols"] == ["k"]

@@ -3104,3 +3104,51 @@ def test_battery_writer_feature_gate(spark, tmp_path, protocol):
     assert [h["op"] for h in tx.table_history(path)][-1] == (
         "enable_row_tracking"
     )
+
+
+def test_battery_convert_to_manifest(spark, tmp_path, protocol):
+    """CONVERT TO DELTA analog: a plain parquet directory converts IN
+    PLACE — files renamed under data/ (no bytes rewritten), stats
+    harvested from footers so skipping prunes from the first read, and
+    the full transactional surface applies afterwards; hive layouts
+    and double conversion refuse."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(40)],
+        "k bigint, s string, v double",
+    )
+    df.repartitionByRange(4, "k").write.parquet(path)
+    # record an original file's bytes to prove zero-rewrite
+    orig = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    sample_bytes = open(os.path.join(path, orig[0]), "rb").read()
+
+    res = tx.convert_to_manifest(spark, path, stats_cols=["k"])
+    assert res["version"] == 0 and res["files_converted"] == len(orig)
+    man = tx._read_manifest(path, 0)
+    assert sorted(man["files"]) == orig  # same names, now under data/
+    assert open(
+        os.path.join(path, "data", orig[0]), "rb"
+    ).read() == sample_bytes  # byte-identical: renamed, not rewritten
+    got = tx.read_table(spark, path)
+    assert got.count() == 40 and set(got.columns) == {"k", "s", "v"}
+    # footers-harvested stats prune immediately
+    assert len(tx.resolve_files(path, [("k", "<", 5)])) < len(orig)
+    # the transactional surface is live post-convert
+    tx.append_batch(
+        spark.createDataFrame([(100, "x", 1.0)],
+                              "k bigint, s string, v double"), path
+    )
+    assert tx.read_table(spark, path).count() == 41
+    assert tx.read_table(spark, path, version=0).count() == 40
+    assert [h["op"] for h in tx.table_history(path)][0] == "convert"
+    # refusals: double conversion; hive layout
+    with pytest.raises(ValueError, match="already has a manifest"):
+        tx.convert_to_manifest(spark, path)
+    hive = str(tmp_path / "hive")
+    df.write.partitionBy("s").parquet(hive)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        tx.convert_to_manifest(spark, hive)
