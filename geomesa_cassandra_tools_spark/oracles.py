@@ -3114,6 +3114,53 @@ SELECT face, o_orderstatus,
 FROM f GROUP BY face, o_orderstatus
 """
 
+# q190: DSIR importance weights replayed long-form — unnest bigrams,
+# the certified md5 content hash mod 4096 buckets, raw/target bucket
+# counts, the fixed-point integer-micros likelihood ratio via exact
+# integer division, per-doc summed scores, top-5 per lang.
+ORACLES["q190_dsir_importance_weights"] = f"""
+WITH wdoc AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM wdoc
+),
+f AS (
+  SELECT doc_id, lang,
+         ({_hashed_tid_sql('gram')}) % 4096 AS b
+  FROM g
+),
+tot AS (
+  SELECT count(*) AS nraw,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ntgt
+  FROM f
+),
+raw AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+w AS (
+  SELECT raw.b,
+         (1000000 * (COALESCE(tgt.ct, 0) + 1) * (tot.nraw + 4096))
+           // ((raw.cr + 1) * (tot.ntgt + 4096)) AS w_micro
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+),
+scored AS (
+  SELECT f.doc_id, f.lang,
+         CAST(sum(w.w_micro) AS BIGINT) AS score_micro,
+         count(*) AS n_grams
+  FROM f JOIN w ON f.b = w.b
+  GROUP BY f.doc_id, f.lang
+)
+SELECT lang, doc_id, rank, score_micro, n_grams FROM (
+  SELECT lang, doc_id, score_micro, n_grams,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
 # q187: the Gopher character-fraction gates replayed in DuckDB's
 # NATURAL form — grams/lines unnested once into long form, counts by
 # (doc, gram), top gram = row_number over (count desc, gram asc) (the

@@ -7239,6 +7239,79 @@ def q187_gopher_char_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (Xie 2023 uses 10^4)
+
+
+def q190_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed word-bigram features (the certified `hashed_tid` content
+    hash mod 4096 buckets — no vocabulary build, no global state),
+    bucket distributions estimated for the RAW corpus and the TARGET
+    domain (the English slice as the quality-domain stand-in), and each
+    document scored by its summed per-feature likelihood ratio with
+    add-1 smoothing. The ratio is FIXED-POINT integer micros —
+    floor(1e6 * (ct+1)(Nraw+B) / ((cr+1)(Ntgt+B))) via exact int64
+    `div` — so both engines agree bit-for-bit (at petabyte counts the
+    production form moves to log-space doubles; the fixed-point twin is
+    the certification contract). Returns the top-5 docs per language by
+    (score desc, doc_id) — the selection face a curation pipeline acts
+    on; English docs should dominate their own target, and high-scoring
+    non-English docs are the cross-domain leakage DSIR surfaces.
+
+    Scale shape: the classic two-pass DSIR map-reduce — explode grams
+    (map), partial-agg into B=4096 buckets (map-side combine; the
+    bucket table is KBs), broadcast the weight table back over the gram
+    stream, one per-doc partial agg, driver return bounded at 5/lang.
+    At 100 TB no stage materializes anything bigger than the corpus
+    scan itself."""
+    B = DSIR_BUCKETS
+    docs = load_tables(spark, sf_dir)["documents"]
+    feats = _cache(
+        docs.select(
+            "doc_id", "lang",
+            F.explode(T.shingles(F.col("text"), 2)).alias("g"),
+        ).select(
+            "doc_id", "lang",
+            (dedup.hashed_tid(F.col("g")) % B).alias("b"),
+        )
+    )
+    # ONE bucket-level aggregation carries raw AND target counts (a
+    # conditional sum, not a second corpus pass); the totals then fold
+    # from the B-row bucket table, not the gram stream
+    bl = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+    )
+    totals = bl.agg(
+        F.sum("cr").alias("nraw"), F.sum("ct").alias("ntgt")
+    )
+    w = bl.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"(1000000 * (ct + 1) * (nraw + {B})) div "
+            f"((cr + 1) * (ntgt + {B}))"
+        ).alias("w_micro"),
+    )
+    scored = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w_micro").alias("score_micro"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    return (
+        relational.top_k_per_group(
+            scored, ["lang"],
+            [F.col("score_micro").desc(), F.col("doc_id")], 5,
+            keep_rank=True,
+        )
+        .withColumnRenamed("rn", "rank")
+        .select("lang", "doc_id", "rank", "score_micro", "n_grams")
+    )
+
+
 RRF_K0 = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
@@ -7352,7 +7425,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_gopher_char_gates": q187_gopher_char_gates,
     "q188_residual_rerank_topk": q188_residual_rerank_topk,
     "q189_convert_in_place": q189_convert_in_place,
-    "q140_kmeans_assign_step": q140_kmeans_assign_step,
+    "q190_dsir_importance_weights": q190_dsir_importance_weights,
     "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
@@ -7545,7 +7618,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
-    # q135-q139 displaced below the window for q185-q189 in r11 (all
+    # q135-q140 displaced below the window for q185-q190 in r11 (all
     # green since r04/r05 with unchanged values -> union coverage
     # holds; additionally re-verified by the in-suite
     # tests/test_oracle_parity.py differential, which runs ALL queries)
@@ -7554,6 +7627,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_lang_rebalance_plan": q137_lang_rebalance_plan,
     "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
     "q139_source_temperature_mixture": q139_source_temperature_mixture,
+    "q140_kmeans_assign_step": q140_kmeans_assign_step,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
