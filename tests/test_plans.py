@@ -171,6 +171,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q139_source_temperature_mixture",  # per-source weights × 1-row totals
         "q146_ann_recall_calibration",  # composes q19's brute-force baseline (broadcast queries × corpus) by design
         "q154_bm25_retrieval",      # single-row broadcast of (N, avgdl) totals
+        "q190_dsir_importance_weights",  # B-row bucket table × 1-row (nraw, ntgt) totals
         "q158_hybrid_rrf_retrieval",  # composes q19's brute-force dense stage (broadcast 1 query × corpus) + q154's totals broadcast
     }
     for name, fn in sorted(QUERIES.items()):
@@ -394,3 +395,29 @@ def test_q182_generated_pruning_opens_only_covered_days(spark):
         "event_date=2024-01-10", "event_date=2024-01-11"
     }
     assert len(opened) < len(tx.resolve_files(path))
+
+
+def test_q190_dsir_weight_table_is_broadcast(spark):
+    """DSIR's weight table is bucket-cardinality (B=4096 rows) and must
+    come back over the gram stream as a BROADCAST join — a shuffled
+    join here would re-partition the full exploded gram stream (the
+    corpus x ~tokens/doc) against a KB-scale side. The totals fold also
+    rides a broadcast (scalar frame)."""
+    df = QUERIES["q190_dsir_importance_weights"](spark, SF)
+    inspect.assert_no_python_udf(df)
+    plan = inspect.explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "the B-row weight table must broadcast, never sort-merge against "
+        "the gram stream"
+    )
+
+
+def test_q187_char_gates_stay_map_only(spark):
+    """The character-fraction gates keep q180's discipline: bound-once
+    arrays, one sort + linear fold per metric — no Python UDF, no
+    explode; the only shuffle is the final per-lang agg."""
+    df = QUERIES["q187_gopher_char_gates"](spark, SF)
+    inspect.assert_no_python_udf(df)
+    plan = inspect.explain_str(df)
+    assert "Generate" not in plan, "q187 must not explode grams"
