@@ -5106,8 +5106,10 @@ def q156_manifest_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _manifest_feed_fixture_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path)
+    # stateless pass-through drain: no watermark, no state -> the
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
     name = stream_win.run_appendmode(
-        feed, "manifest_feed", state_partitions=None
+        feed, "manifest_feed", state_partitions=None, no_data_batch=False
     )
     return (
         spark.table(name)
@@ -5172,8 +5174,10 @@ def q159_manifest_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame
 
     path = _manifest_merge_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path, feed="cdf")
+    # stateless pass-through drain: no watermark, no state -> the
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
     name = stream_win.run_appendmode(
-        feed, "manifest_cdf_fold", state_partitions=None
+        feed, "manifest_cdf_fold", state_partitions=None, no_data_batch=False
     )
     folded = (
         spark.table(name)
@@ -6090,8 +6094,10 @@ def q173_partitioned_feed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = manifestfeed.stream_feed(
         spark, path, where=[("event_date", "=", day)]
     )
+    # stateless pass-through drain: no watermark, no state -> the
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
     name = stream_win.run_appendmode(
-        feed, "partitioned_feed", state_partitions=None
+        feed, "partitioned_feed", state_partitions=None, no_data_batch=False
     )
     return (
         spark.table(name)
@@ -6960,8 +6966,10 @@ def q185_mapped_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _mapped_feed_fixture_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path)
+    # stateless pass-through drain: no watermark, no state -> the
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
     name = stream_win.run_appendmode(
-        feed, "mapped_feed", state_partitions=None
+        feed, "mapped_feed", state_partitions=None, no_data_batch=False
     )
     return (
         spark.table(name)
