@@ -3161,6 +3161,67 @@ SELECT lang, doc_id, rank, score_micro, n_grams FROM (
 ) WHERE rank <= 5
 """
 
+# q191: the line gates over REAL newlines — the multi-line view rebuilt
+# char-identically (newline before token i>1 when (i-1)%3=0), then the
+# q187 long-form machinery over string_split(text2, newline).
+ORACLES["q191_line_gates_real_newlines"] = """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+t2 AS (
+  SELECT doc_id, lang,
+         array_to_string(list_transform(range(1, len(ws) + 1),
+           i -> CASE WHEN i = 1 THEN ws[i]
+                     WHEN (i - 1) % 3 = 0 THEN chr(10) || ws[i]
+                     ELSE ' ' || ws[i] END), '') AS text2
+  FROM w
+),
+g AS (
+  SELECT doc_id, lang, text2,
+         string_split(text2, chr(10)) AS lines
+  FROM t2
+),
+cl AS (SELECT doc_id, line, count(*) AS c
+       FROM (SELECT doc_id, unnest(lines) AS line FROM g)
+       GROUP BY doc_id, line),
+la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+              count(*) AS dn,
+              CAST(sum(CASE WHEN c >= 2 THEN c * length(line)
+                            ELSE 0 END) AS BIGINT) AS dupchars
+       FROM cl GROUP BY doc_id),
+tl AS (SELECT doc_id, bc, bg FROM (
+         SELECT doc_id, c AS bc, line AS bg,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, line ASC) AS rn
+         FROM cl) WHERE rn = 1),
+m AS (
+  SELECT g.lang,
+         CASE WHEN la.total > 0 THEN
+           CAST(floor((la.total - la.dn) * 10000 / la.total) AS BIGINT)
+         ELSE 0 END AS dupline_bp,
+         CASE WHEN la.total > 0 AND length(g.text2) > 0 THEN
+           CAST(floor(la.dupchars * CAST(10000 AS BIGINT)
+                / length(g.text2)) AS BIGINT)
+         ELSE 0 END AS duplinec_bp,
+         CASE WHEN tl.bc IS NOT NULL AND length(g.text2) > 0 THEN
+           CAST(floor(tl.bc * length(tl.bg) * CAST(10000 AS BIGINT)
+                / length(g.text2)) AS BIGINT)
+         ELSE 0 END AS topline_bp
+  FROM g
+  LEFT JOIN la USING (doc_id)
+  LEFT JOIN tl USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dupline_bp > 3000 OR duplinec_bp > 2000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(dupline_bp) AS BIGINT) AS dupline_sum,
+       CAST(SUM(duplinec_bp) AS BIGINT) AS duplinec_sum,
+       CAST(SUM(topline_bp) AS BIGINT) AS topline_sum,
+       CAST(MAX(dupline_bp) AS BIGINT) AS dupline_max
+FROM m GROUP BY lang
+"""
+
 # q187: the Gopher character-fraction gates replayed in DuckDB's
 # NATURAL form — grams/lines unnested once into long form, counts by
 # (doc, gram), top gram = row_number over (count desc, gram asc) (the

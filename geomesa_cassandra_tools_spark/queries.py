@@ -7247,6 +7247,68 @@ def q187_gopher_char_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_line_gates_real_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher LINE-level gates over REAL newline splitting — the
+    production form q187's fixed segmentation stands in for (this
+    corpus carries no newlines, so a deterministic multi-line VIEW is
+    built first: token i>1 is preceded by a newline when (i-1) % 3 == 0,
+    a space otherwise — both engines rebuild the identical string).
+    The gates then run on ``split(text2, '\n')`` exactly as they would
+    on a real corpus: duplicate-line fraction (Rae 2021 threshold
+    0.30), duplicate-line character fraction (0.20), and the
+    top-line character share, rolled up per language.
+
+    Scale shape: the multi-line view is one bound-once fold per row (a
+    real corpus skips it — its text already has newlines); the gates
+    are the same sort + linear-fold metrics as q187; one scan, one
+    per-lang partial agg, zero UDFs, no explode."""
+    t = load_tables(spark, sf_dir)
+    tk, txt2 = F.col("tk"), F.col("text2")
+
+    def rejoin(tkc):
+        # sep BEFORE token i (1-based): none for i=1, newline when
+        # (i-1) % 3 == 0, space otherwise
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(tkc)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc,
+                F.when(i == 1, F.lit("")).otherwise(
+                    F.when((i - 1) % 3 == 0, F.lit("\n")).otherwise(
+                        F.lit(" ")
+                    )
+                ),
+                F.element_at(tkc, i),
+            ),
+        )
+
+    d = (
+        relational.ensure_parallelism(
+            t["documents"].select("lang", "text"), min_parts=8
+        )
+        .withColumn("tk", T.tokens(F.col("text")))
+        .withColumn("text2", rejoin(tk))
+        .withColumn("lines", F.split(txt2, "\n"))
+        .select(
+            "lang",
+            T._dup_bp_from_grams(F.col("lines")).alias("dupline_bp"),
+            T.dup_elem_char_bp_t(F.col("lines"), txt2).alias("duplinec_bp"),
+            T.top_elem_char_bp_t(F.col("lines"), txt2).alias("topline_bp"),
+        )
+    )
+    flagged = (
+        (F.col("dupline_bp") > 3000) | (F.col("duplinec_bp") > 2000)
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum("dupline_bp").alias("dupline_sum"),
+        F.sum("duplinec_bp").alias("duplinec_sum"),
+        F.sum("topline_bp").alias("topline_sum"),
+        F.max("dupline_bp").alias("dupline_max"),
+    )
+
+
 DSIR_BUCKETS = 4096  # hashed n-gram feature space (Xie 2023 uses 10^4)
 
 
@@ -7434,7 +7496,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_residual_rerank_topk": q188_residual_rerank_topk,
     "q189_convert_in_place": q189_convert_in_place,
     "q190_dsir_importance_weights": q190_dsir_importance_weights,
-    "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
+    "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
@@ -7626,7 +7688,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_snapshot_diff": q130_snapshot_diff,
     "q132_incremental_lsh_dedup": q132_incremental_lsh_dedup,
     "q133_cms_heavy_hitters": q133_cms_heavy_hitters,
-    # q135-q140 displaced below the window for q185-q190 in r11 (all
+    # q135-q141 displaced below the window for q185-q191 in r11 (all
     # green since r04/r05 with unchanged values -> union coverage
     # holds; additionally re-verified by the in-suite
     # tests/test_oracle_parity.py differential, which runs ALL queries)
@@ -7636,6 +7698,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_shard_shuffle_plan": q138_shard_shuffle_plan,
     "q139_source_temperature_mixture": q139_source_temperature_mixture,
     "q140_kmeans_assign_step": q140_kmeans_assign_step,
+    "q141_vocab_coverage_curve": q141_vocab_coverage_curve,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
