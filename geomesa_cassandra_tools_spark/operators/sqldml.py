@@ -744,10 +744,162 @@ def _merge(spark: SparkSession, s: str, mask: list[bool], head):
         )
         _repoint(spark, view, path)
         return {"op": "merge_delete", "table": view, **res}
-    raise ValueError(
-        "MERGE clause shape not supported; use one of: "
-        f"{upsert!r} | {insert_only!r} | {delete_only!r}"
+    # GENERAL CLAUSES (the full Delta MERGE surface): conditional
+    # matched clauses with column-level SET, INSERT (cols) VALUES (...),
+    # WHEN NOT MATCHED BY SOURCE DELETE/UPDATE — parsed from the
+    # ORIGINAL-case text (identifiers/literals matter) and routed to
+    # `tx.merge_clauses` (first-match-wins, one atomic commit)
+    matched, not_matched, by_source = _parse_merge_clauses(
+        clauses_sql, tgt_alias, src_alias,
+        {scol: tcol for tcol, scol in key_cols if scol != tcol},
     )
+    batch = src_df
+    # key columns were renamed to target names above; clause expressions
+    # reference source columns as __s_<target-side name> after the same
+    # rename, so the engine sees one consistent namespace
+    res = tx.merge_clauses(
+        spark, path, batch, keys,
+        matched=matched or None,
+        not_matched=not_matched or None,
+        not_matched_by_source=by_source or None,
+    )
+    _repoint(spark, view, path)
+    return {"op": "merge_clauses", "table": view, **(res or {})}
+
+
+_MERGE_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+    r"(?:\s+BY\s+TARGET)?|MATCHED)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_aliases(
+    expr: str, tgt_alias: str, src_alias: str,
+    renames: dict[str, str] | None = None,
+) -> str:
+    """Map ``t.col`` -> ``col`` and ``s.col`` -> ``__s_col`` (the
+    `merge_clauses` expression namespace). ``renames`` maps original
+    source key names to the target names `_merge` renamed them to, so
+    ``s.skey`` resolves after the rename. Alias-unqualified identifiers
+    pass through and resolve as target columns."""
+    expr = re.sub(
+        rf"\b{re.escape(tgt_alias)}\.({_IDENT})", r"\1", expr
+    )
+    ren = renames or {}
+    return re.sub(
+        rf"\b{re.escape(src_alias)}\.({_IDENT})",
+        lambda m: f"__s_{ren.get(m.group(1), m.group(1))}",
+        expr,
+    )
+
+
+def _parse_merge_clauses(
+    clauses_sql: str, tgt_alias: str, src_alias: str,
+    renames: dict[str, str] | None = None,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Parse a general ``WHEN ... THEN ...`` clause list (original case)
+    into the three `tx.merge_clauses` lists. Grammar per clause:
+
+      WHEN MATCHED [AND cond] THEN UPDATE SET (* | a = e, ...) | DELETE
+      WHEN NOT MATCHED [BY TARGET] [AND cond] THEN
+          INSERT * | INSERT (a, b, ...) VALUES (e1, e2, ...)
+      WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+          DELETE | UPDATE SET a = e, ...
+    """
+    mask = _quote_mask(clauses_sql)
+    heads = [
+        m for m in _MERGE_WHEN_RE.finditer(clauses_sql)
+        if not mask[m.start()]
+    ]
+    if not heads:
+        raise ValueError("MERGE: expected at least one WHEN clause")
+    if heads[0].start() != 0:
+        raise ValueError(
+            f"MERGE: unparsable text before first WHEN clause: "
+            f"{clauses_sql[:heads[0].start()][:40]!r}"
+        )
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    by_source: list[dict] = []
+    for i, h in enumerate(heads):
+        end = heads[i + 1].start() if i + 1 < len(heads) else len(clauses_sql)
+        body = clauses_sql[h.end():end].strip().rstrip(";").strip()
+        kind = re.sub(r"\s+", " ", h.group(1).upper())
+        bm = re.match(r"(?:AND\s+(?P<cond>.*?))?\s*THEN\s+(?P<act>.+)$",
+                      body, re.IGNORECASE | re.DOTALL)
+        if not bm:
+            raise ValueError(
+                f"MERGE: cannot parse WHEN clause body {body[:60]!r}"
+            )
+        cond = bm.group("cond")
+        cond = (
+            _rewrite_aliases(cond.strip(), tgt_alias, src_alias, renames)
+            if cond else None
+        )
+        act = bm.group("act").strip()
+        if kind == "MATCHED" or kind == "NOT MATCHED BY SOURCE":
+            into = matched if kind == "MATCHED" else by_source
+            if re.fullmatch(r"DELETE", act, re.IGNORECASE):
+                into.append({"cond": cond, "action": "delete"})
+                continue
+            um = re.match(r"UPDATE\s+SET\s+(.+)$", act,
+                          re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(
+                    f"MERGE WHEN {kind}: expected UPDATE SET ... or "
+                    f"DELETE, got {act[:40]!r}"
+                )
+            spec = um.group(1).strip()
+            if spec == "*":
+                into.append({"cond": cond, "action": "update", "set": "*"})
+                continue
+            sets: dict[str, str] = {}
+            for a in _split_toplevel_commas(spec):
+                asm = re.match(
+                    rf"\s*(?:{re.escape(tgt_alias)}\.)?({_IDENT})\s*=\s*(.+)$",
+                    a, re.DOTALL,
+                )
+                if not asm:
+                    raise ValueError(
+                        f"MERGE UPDATE SET: cannot parse assignment "
+                        f"{a.strip()[:40]!r}"
+                    )
+                sets[asm.group(1)] = _rewrite_aliases(
+                    asm.group(2).strip(), tgt_alias, src_alias, renames
+                )
+            into.append({"cond": cond, "action": "update", "set": sets})
+            continue
+        # NOT MATCHED [BY TARGET] -> insert clause
+        if re.fullmatch(r"INSERT\s+\*", act, re.IGNORECASE):
+            not_matched.append({"cond": cond, "values": "*"})
+            continue
+        im = re.match(
+            r"INSERT\s*\((?P<cols>[^)]+)\)\s*VALUES\s*\((?P<vals>.+)\)\s*$",
+            act, re.IGNORECASE | re.DOTALL,
+        )
+        if not im:
+            raise ValueError(
+                f"MERGE WHEN NOT MATCHED: expected INSERT * or "
+                f"INSERT (cols) VALUES (exprs), got {act[:40]!r}"
+            )
+        cols = [c.strip() for c in im.group("cols").split(",")]
+        vals = _split_toplevel_commas(im.group("vals"))
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"MERGE INSERT: {len(cols)} column(s) vs {len(vals)} "
+                "value(s)"
+            )
+        not_matched.append({
+            "cond": cond,
+            "values": {
+                c: _rewrite_aliases(
+                    v.strip(), tgt_alias, src_alias, renames
+                )
+                for c, v in zip(cols, vals)
+            },
+        })
+    return matched, not_matched, by_source
 
 
 def _alter_table(spark: SparkSession, view: str, path: str, action: str):
@@ -814,9 +966,27 @@ def _alter_table(spark: SparkSession, view: str, path: str, action: str):
     if m:
         spec = m.group(1).strip()
         # optional ADD COLUMNS (c TYPE) wrapping parens — strip only a
-        # BALANCED outer pair so decimal(10,2)/array<...> types survive
+        # pair where the FIRST '(' matches the LAST ')' (depth scan), so
+        # decimal(10,2)/array<...> survive and '(a int), (b int)' is not
+        # garbled into a bogus name/type
         if spec.startswith("(") and spec.endswith(")"):
-            spec = spec[1:-1].strip()
+            depth = 0
+            balanced = True
+            for i, ch in enumerate(spec):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i != len(spec) - 1:
+                        balanced = False  # outer pair closes early
+                        break
+            if balanced:
+                spec = spec[1:-1].strip()
+            else:
+                raise ValueError(
+                    f"ALTER TABLE {view} ADD COLUMNS: one column per "
+                    f"statement is supported, got {spec[:40]!r}"
+                )
         cm = re.match(rf"({_IDENT})\s+(.+)$", spec, re.DOTALL)
         if not cm:
             raise ValueError(

@@ -202,6 +202,10 @@ SUPPORTED_FEATURES = frozenset({
     "shallowClone",
     "checkConstraints",
     "inCommitTimestamps",
+    # converted-in-place hive layouts: partition values live in key=value
+    # path segments, not file bytes — a reader unaware of the feature
+    # would scan those columns as null (see convert_to_manifest)
+    "pathPartitionValues",
 })
 
 #: TABLE FEATURES this build can WRITE (Delta's writer-feature protocol,
@@ -245,7 +249,7 @@ def _empty_state() -> dict:
         "stats_cols": None, "stats": None, "dvs": {},
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
-        "features": None, "writer_features": None,
+        "features": None, "writer_features": None, "path_values": {},
     }
 
 
@@ -274,6 +278,17 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     for f in delta.get("unset_dv") or ():
         dvs.pop(f, None)
     state["dvs"] = dvs
+    # path-derived partition values (hive CONVERT): an entry dies with
+    # its file (a rewrite materializes the column INTO the new file);
+    # only convert commits add entries
+    pv = {
+        f: v for f, v in (state.get("path_values") or {}).items()
+        if f in file_set
+    }
+    for f, v in (delta.get("path_values") or {}).items():
+        if f in file_set:
+            pv[f] = v
+    state["path_values"] = pv
     # partition layout is IMMUTABLE after init and constraints change
     # only through the explicit ALTER verbs: ordinary deltas omit both
     # keys and the state values carry; a delta that carries one sets it
@@ -334,6 +349,7 @@ def _as_state(body: dict) -> dict:
         "generated": body.get("generated"),
         "features": body.get("features"),
         "writer_features": body.get("writer_features"),
+        "path_values": body.get("path_values") or {},
     }
 
 
@@ -403,6 +419,8 @@ def _commit(
     generated: dict | None = _UNSET,
     features: list[str] | None = None,
     writer_features: list[str] | None = None,
+    prev_state: dict | None = None,
+    path_values: dict | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -446,8 +464,12 @@ def _commit(
         # maintain it), hence the union. Reads never consult
         # ``writer_features`` — a writer-only feature stays read-safe
         # for old builds, exactly Delta's readerFeatures/writerFeatures
-        # split.
-        prev_state = _read_manifest(path, version - 1)
+        # split. Callers that just resolved version-1 pass it via
+        # ``prev_state`` so the gate costs zero extra manifest I/O (it
+        # otherwise doubled per-commit resolution, and re-ran on every
+        # iteration of the 40-attempt retry loops).
+        if prev_state is None:
+            prev_state = _read_manifest(path, version - 1)
         unknown_w = (
             set(prev_state.get("writer_features") or ())
             | set(prev_state.get("features") or ())
@@ -511,6 +533,8 @@ def _commit(
         body["features"] = sorted(set(features))
     if writer_features:
         body["writer_features"] = sorted(set(writer_features))
+    if path_values:
+        body["path_values"] = path_values
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -568,6 +592,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["features"] = state["features"]
     if state.get("writer_features"):
         body["writer_features"] = state["writer_features"]
+    if state.get("path_values"):
+        body["path_values"] = state["path_values"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -1323,7 +1349,7 @@ def add_table_constraint(
                 path, version + 1, man["schema"], man.get("txns", {}),
                 man.get("stats_cols"), add=[], remove=[],
                 op="add_constraint", constraints=trial,
-                features=["checkConstraints"],
+                features=["checkConstraints"], prev_state=man,
             )
             return version + 1
         except CommitConflict:
@@ -1366,6 +1392,7 @@ def drop_table_constraint(
                 man.get("stats_cols"), add=[], remove=[],
                 op="drop_constraint",
                 constraints=_normalize_constraints(nn, checks),
+                prev_state=man,
             )
             return version + 1
         except CommitConflict:
@@ -1488,7 +1515,7 @@ def rename_column(
                 partition_cols=new_parts,
                 features=["columnMapping"],
                 constraints=cons if cons is not man.get("constraints") else _UNSET,
-                column_map=cmap, column_map_seq=seq,
+                column_map=cmap, column_map_seq=seq, prev_state=man,
             )
             return version + 1
         except CommitConflict:
@@ -1563,7 +1590,7 @@ def drop_column(
                 new_stats_cols or None, add=[], remove=[],
                 op="drop_column",
                 column_map=cmap, column_map_seq=seq,
-                features=["columnMapping"],
+                features=["columnMapping"], prev_state=man,
             )
             return version + 1
         except CommitConflict:
@@ -1641,7 +1668,7 @@ def add_column(
             _commit(
                 path, version + 1, new_schema, man.get("txns", {}),
                 man.get("stats_cols") or None, add=[], remove=[],
-                op="add_column", **extra,
+                op="add_column", prev_state=man, **extra,
             )
             return version + 1
         except CommitConflict:
@@ -1751,7 +1778,7 @@ def init_table(
         st = _read_manifest(path, prior)
         txns, remove = st["txns"], st["files"]
     else:
-        txns, remove = {}, []
+        st, txns, remove = None, {}, []
     version = prior + 1
     # overwrite RESETS column mapping (a fresh logical schema; staged
     # files carry their own names verbatim) — stage untranslated even
@@ -1768,6 +1795,7 @@ def init_table(
         constraints=constraints, column_map=None,
         generated=dict(generated) if generated else None,
         features=_init_features(partition_by, constraints, generated),
+        prev_state=st,
     )
     return version
 
@@ -2074,7 +2102,7 @@ def append_batch(
             _commit(
                 path, version + 1, schema, txns, stats_cols,
                 add=staged, add_stats=staged_stats if stats_cols else None,
-                op="append",
+                op="append", prev_state=man,
                 **(
                     {"column_map": eff_map, "column_map_seq": eff_seq}
                     if map_changed else {}
@@ -2310,19 +2338,39 @@ def _scan_live_rows(
     else:
         read_schema = schema
 
-    def _read(names: list[str]) -> DataFrame:
-        df = spark.read.schema(read_schema).parquet(
-            *[os.path.join(data, f) for f in names]
-        )
+    pvals = man.get("path_values") or {}
+
+    def _read_group(names: list[str], from_paths: bool) -> DataFrame:
+        reader = spark.read.schema(read_schema)
+        if from_paths:
+            # converted-in-place hive files: the partition columns are
+            # NOT in the file bytes — basePath partition discovery fills
+            # them from the key=value path segments (cast to the
+            # manifest schema's declared types), per-file constants
+            reader = reader.option("basePath", data)
+        df = reader.parquet(*[os.path.join(data, f) for f in names])
         proj = [
             F.col(ren.get(f.name, f.name)).alias(f.name)
             for f in schema.fields
         ] if ren else [F.col(f.name) for f in schema.fields]
         if need_meta:
             return df.select(*proj, *meta_cols)
-        if ren:
+        if ren or from_paths:
             return df.select(*proj)
         return df
+
+    def _read(names: list[str]) -> DataFrame:
+        pv = [f for f in names if f in pvals]
+        plain_files = [f for f in names if f not in pvals]
+        groups = []
+        if plain_files:
+            groups.append(_read_group(plain_files, False))
+        if pv:
+            groups.append(_read_group(pv, True))
+        return (
+            groups[0] if len(groups) == 1
+            else groups[0].unionByName(groups[1])
+        )
 
     plain = [f for f in files if f not in dvs]
     parts = []
@@ -2594,7 +2642,7 @@ def delete_where(
             path, version + 1, man["schema"], man.get("txns", {}),
             man.get("stats_cols"), add=[], remove=[], op="delete",
             set_dv={f: staged[0] for f in affected},
-            features=["deletionVectors"],
+            features=["deletionVectors"], prev_state=man,
         )
         return {
             "version": version + 1,
@@ -2632,7 +2680,7 @@ def delete_where(
     _commit(
         path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
         add=new_files, remove=sorted(hit_names), add_stats=new_stats,
-        op="delete",
+        op="delete", prev_state=man,
     )
     return {
         "version": version + 1,
@@ -2744,7 +2792,7 @@ def update_where(
     _commit(
         path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
         add=new_files, remove=sorted(hit_names), add_stats=new_stats,
-        op="update",
+        op="update", prev_state=man,
     )
     return {
         "version": version + 1,
@@ -2831,7 +2879,7 @@ def merge_upsert(
         )
         _commit(
             path, version + 1, man["schema"], txns, stats_cols,
-            add=new_files, add_stats=stats, op="merge",
+            add=new_files, add_stats=stats, op="merge", prev_state=man,
         )
         return {"version": version + 1, "files_rewritten": 0,
                 "rows_inserted_files": len(new_files)}
@@ -2869,11 +2917,561 @@ def merge_upsert(
     _commit(
         path, version + 1, man["schema"], txns, stats_cols,
         add=new_files, remove=sorted(hit_names), add_stats=stats, op="merge",
+        prev_state=man,
     )
     return {
         "version": version + 1,
         "files_rewritten": len(hit_names),
         "files_carried": len(carried),
+    }
+
+
+def merge_clauses(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+) -> dict | None:
+    """General MERGE (the full Delta ``MERGE INTO`` clause surface, which
+    `merge_upsert` special-cases): conditional matched clauses with
+    column-level assignments, insert clauses, and BY SOURCE clauses —
+    ONE atomic commit, file-granular like DELETE/UPDATE (only files
+    holding a row some clause CHANGES are rewritten; untouched files
+    carry by reference).
+
+    Clause lists — each entry a dict, evaluated in order,
+    FIRST-MATCH-WINS per row (a row no clause accepts is carried /
+    skipped, SQL MERGE semantics):
+
+      * ``matched``: ``{"cond": sql|None, "action": "update"|"delete",
+        "set": {col: sql} | "*"}`` — applied to target rows with a
+        source match. ``"*"`` assigns every non-generated column from
+        the source row.
+      * ``not_matched``: ``{"cond": sql|None, "values":
+        {col: sql} | "*"}`` — applied to source rows matching no target
+        row; unassigned columns insert as null, ``"*"`` inserts the
+        schema-aligned source row.
+      * ``not_matched_by_source``: ``{"cond": sql|None, "action":
+        "delete"|"update", "set": {col: sql}}`` — applied to target rows
+        with no source match (Delta's table-sync shape: purge or flag
+        rows that left the source).
+
+    EXPRESSION NAMESPACE: target columns by bare name; source columns as
+    ``__s_<name>`` (the SQL router rewrites ``t.col``/``s.col`` to this
+    form). ``not_matched`` conditions/values see only source columns;
+    ``not_matched_by_source`` expressions see only target columns.
+
+    Source rows carrying duplicate keys are refused (which version wins
+    must be resolved upstream) — stricter than Delta, which only refuses
+    duplicates that actually match. NULL keys never match (SQL join
+    semantics): such source rows flow to ``not_matched``, target rows to
+    ``not_matched_by_source``.
+
+    Explicitly assigning a GENERATED column is refused; generated
+    columns recompute from their expressions for updated and inserted
+    rows (the `update_where` rule). Constraints gate the full rewritten
+    frame before staging. Zero changed rows and zero inserts -> returns
+    with no version burned; ``txn_app``/``txn_id`` give the idempotent
+    replay watermark (returns None on a replayed batch).
+
+    Scale: the match is ONE equi-join on the merge keys (AQE broadcasts
+    a small CDC batch); classification/assignment are pure JVM CASE
+    chains inside the join's projection — no Python boundary, no second
+    corpus pass. BY SOURCE clauses inspect every target row by nature
+    (as in Delta); without them the scan stays bounded by the matched
+    files."""
+    from pyspark.sql.types import StructType
+
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError("txn_app and txn_id must be provided together")
+    if not key_cols:
+        raise ValueError("merge_clauses needs at least one key column")
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("merge_clauses needs at least one WHEN clause")
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(
+            f"no committed manifest under {path!r}; use init_table/"
+            "append_batch to create the table first"
+        )
+    man = _read_manifest(path, version)
+    txns = dict(man.get("txns", {}))
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
+        return None  # replayed batch — the watermark refuses it
+    if txn_app is not None:
+        txns[txn_app] = txn_id
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    by_name = {f.name: f for f in schema.fields}
+    gen = man.get("generated") or {}
+    missing_keys = [k for k in key_cols if k not in by_name]
+    if missing_keys:
+        raise ValueError(f"merge keys {missing_keys} not in table schema")
+    for k in key_cols:
+        if k not in source.columns:
+            raise ValueError(f"merge source is missing key column {k!r}")
+
+    def _resolved_set(cl: dict) -> dict[str, str]:
+        sets = cl.get("set") if "set" in cl else cl.get("values")
+        if sets == "*":
+            return {
+                c: f"__s_{c}" for c in by_name
+                if c not in gen
+            }
+        out = dict(sets or {})
+        for c in out:
+            if c not in by_name:
+                raise ValueError(
+                    f"MERGE assigns unknown column {c!r}; table columns "
+                    f"are {sorted(by_name)}"
+                )
+            if c in gen:
+                raise ValueError(
+                    f"MERGE cannot assign generated column {c!r}; it "
+                    "recomputes from its expression"
+                )
+            if c in _RESERVED_META_COLS:
+                raise ValueError(f"cannot assign reserved column {c!r}")
+        return out
+
+    def _star_requires_source_cols(cl: dict) -> None:
+        sets = cl.get("set") if "set" in cl else cl.get("values")
+        if sets == "*":
+            need = [
+                c for c in by_name if c not in gen
+                and c not in source.columns
+            ]
+            if need:
+                raise ValueError(
+                    f"MERGE ... SET/INSERT * needs source column(s) "
+                    f"{need}; align the source frame first"
+                )
+
+    for cl in (*(matched or ()), *(not_matched or ())):
+        _star_requires_source_cols(cl)
+    for cl in not_matched_by_source or ():
+        if (cl.get("set") or None) == "*":
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE has no source row; SET * is "
+                "meaningless there — assign explicit expressions"
+            )
+
+    src = source.select(
+        *[F.col(c).alias(f"__s_{c}") for c in source.columns],
+        F.lit(True).alias("__s___m"),
+    )
+    dup = (
+        src.groupBy(*[f"__s_{k}" for k in key_cols]).count()
+        .where(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            "merge source carries duplicate keys; resolve which version "
+            "wins upstream (e.g. latest-wins by timestamp) before merging"
+        )
+
+    def _cond_col(cl: dict) -> Column:
+        c = cl.get("cond")
+        return (
+            F.lit(True) if not c
+            else F.coalesce(F.expr(c), F.lit(False))
+        )
+
+    def _chain(whens: list[tuple[str, Column]]) -> Column:
+        out = F.lit("carry")
+        for label, cond in reversed(whens):
+            out = F.when(cond, F.lit(label)).otherwise(out)
+        return out
+
+    m_list = [(f"m{i}", _cond_col(cl), cl)
+              for i, cl in enumerate(matched or [])]
+    s_list = [(f"s{i}", _cond_col(cl), cl)
+              for i, cl in enumerate(not_matched_by_source or [])]
+    del_labels = [
+        lab for lab, _c, cl in (*m_list, *s_list)
+        if cl.get("action") == "delete"
+    ]
+    upd_list = [
+        (lab, cl) for lab, _c, cl in (*m_list, *s_list)
+        if cl.get("action") == "update"
+    ]
+    for _lab, cl in upd_list:
+        if not cl.get("set"):
+            raise ValueError("MERGE UPDATE clause needs a SET map or '*'")
+
+    tbl = _scan_live_rows(
+        spark, path, man, man["files"], schema, keep_meta=True
+    )
+    join_cond = None
+    for k in key_cols:
+        term = tbl[k] == src[f"__s_{k}"]
+        join_cond = term if join_cond is None else (join_cond & term)
+    joined = tbl.join(src, join_cond, "left_outer")
+    is_matched = F.coalesce(F.col("__s___m"), F.lit(False))
+    action = F.when(is_matched, _chain([(l, c) for l, c, _ in m_list])) \
+        .otherwise(_chain([(l, c) for l, c, _ in s_list]))
+    joined = joined.withColumn("__action", action)
+
+    # files holding at least one row some clause CHANGES — only these
+    # are rewritten (Delta's touched-file set)
+    hits = (
+        joined.where(F.col("__action") != "carry")
+        .select("__file").distinct().collect()
+    )
+    hit_names = {r["__file"] for r in hits}
+
+    # insert candidates: source rows matching NO live target key
+    ins = None
+    if not_matched:
+        tgt_keys = tbl.select(
+            *[F.col(k).alias(f"__s_{k}") for k in key_cols]
+        ).distinct()
+        src_only = src.join(tgt_keys, [f"__s_{k}" for k in key_cols],
+                            "left_anti")
+        n_list = [(f"n{i}", _cond_col(cl), cl)
+                  for i, cl in enumerate(not_matched)]
+        src_only = src_only.withColumn(
+            "__action", _chain([(l, c) for l, c, _ in n_list])
+        ).where(F.col("__action") != "carry")
+        cols = []
+        for f in schema.fields:
+            if f.name in gen:
+                continue  # recomputed below by _apply_generated
+            val = F.lit(None).cast(f.dataType)
+            for lab, _c, cl in n_list:
+                vals = _resolved_set(cl)
+                if f.name in vals:
+                    val = F.when(
+                        F.col("__action") == lab,
+                        F.expr(vals[f.name]).cast(f.dataType),
+                    ).otherwise(val)
+            cols.append(val.alias(f.name))
+        ins = src_only.select(*cols)
+        ins = _apply_generated(ins, gen, path).select(
+            *[f.name for f in schema.fields]
+        )
+        if ins.isEmpty():
+            ins = None
+
+    if not hit_names and ins is None:
+        return {
+            "version": version, "files_rewritten": 0,
+            "files_carried": len(man["files"]), "inserted": False,
+        }
+
+    parts = []
+    if hit_names:
+        rew = joined.where(F.col("__file").isin(sorted(hit_names)))
+        if del_labels:
+            rew = rew.where(~F.col("__action").isin(del_labels))
+        out_cols = []
+        assigned: set[str] = set()
+        for f in schema.fields:
+            val = F.col(f.name)
+            for lab, cl in upd_list:
+                sets = _resolved_set(cl)
+                if f.name in sets:
+                    assigned.add(f.name)
+                    val = F.when(
+                        F.col("__action") == lab,
+                        F.expr(sets[f.name]).cast(f.dataType),
+                    ).otherwise(val)
+            out_cols.append(val.alias(f.name))
+        rew = rew.select(*out_cols)
+        # generated columns whose inputs were assigned recompute (the
+        # update_where rule; carried rows recompute to the same value)
+        for g, e in gen.items():
+            if any(re.search(rf"\b{re.escape(c)}\b", e) for c in assigned):
+                rew = rew.withColumn(g, F.expr(e).cast(by_name[g].dataType))
+        parts.append(rew)
+    if ins is not None:
+        parts.append(ins)
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    _enforce_constraints(out, man.get("constraints"), path)
+    new_files = _stage_files(out, path)
+    stats_cols = man.get("stats_cols")
+    stats = (
+        _collect_file_stats(path, new_files, stats_cols)
+        if stats_cols else None
+    )
+    _commit(
+        path, version + 1, man["schema"], txns, stats_cols,
+        add=new_files, remove=sorted(hit_names), add_stats=stats,
+        op="merge", prev_state=man,
+    )
+    return {
+        "version": version + 1,
+        "files_rewritten": len(hit_names),
+        "files_carried": len(man["files"]) - len(hit_names),
+        "inserted": ins is not None,
+    }
+
+
+def _file_all_match(col_stats: dict | None, pred: tuple) -> bool:
+    """Can we PROVE every live row of a file satisfies ``pred`` from its
+    recorded span alone? (The dual of `_file_survives`: that one proves
+    NO row matches; this one proves ALL rows do.) Used by
+    `overwrite_where` to drop fully-replaced files WITHOUT scanning them
+    — the difference between reading one partition and reading zero
+    bytes when replacing ``day = X`` on a day-clustered table. Every
+    unknown (no stats, unknown null count, nulls present, lossy/unknown
+    types, unsupported op) returns False: the file then takes the exact
+    rewrite path, never a wrong answer. Containment survives the span's
+    directed rounding — the recorded span is a SUPERSET of the true
+    span, so recorded ⊆ predicate ⟹ true ⊆ predicate."""
+    col, op, val = pred
+    if not col_stats:
+        return False
+    nulls = (col_stats.get("__nulls__") or {}).get(col)
+    if op == "isnull":
+        rows = col_stats.get("__rows__")
+        return nulls is not None and rows is not None and nulls == rows
+    if nulls is None or nulls > 0:
+        return False  # a NULL row satisfies no comparison -> it survives
+    if op == "isnotnull":
+        return True  # zero nulls proven above
+    span = col_stats.get(col)
+    if span is None:
+        return False
+    lo, hi = span[0], span[1]
+    kind = span[2] if len(span) > 2 else None
+    try:
+        # literals round INTO the predicate's interval (opposite of
+        # _file_survives): proving hi <= b needs b rounded DOWN
+        if op in ("=", "=="):
+            v_lo = _norm_literal(val, kind, "lo")
+            v_hi = _norm_literal(val, kind, "hi")
+            return (
+                v_lo is not None and v_hi is not None
+                and v_hi <= lo and hi <= v_lo
+            )
+        if op == "<":
+            v = _norm_literal(val, kind, "lo")
+            return v is not None and hi < v
+        if op == "<=":
+            v = _norm_literal(val, kind, "lo")
+            return v is not None and hi <= v
+        if op == ">":
+            v = _norm_literal(val, kind, "hi")
+            return v is not None and lo > v
+        if op == ">=":
+            v = _norm_literal(val, kind, "hi")
+            return v is not None and lo >= v
+        if op == "between":
+            a = _norm_literal(val[0], kind, "hi")
+            b = _norm_literal(val[1], kind, "lo")
+            return a is not None and b is not None and a <= lo and hi <= b
+        if op == "in":
+            # point span equal to one of the IN values
+            return any(
+                (va := _norm_literal(v, kind, "lo")) is not None
+                and (vb := _norm_literal(v, kind, "hi")) is not None
+                and vb <= lo and hi <= va
+                for v in val
+            )
+    except TypeError:
+        return False
+    return False
+
+
+def overwrite_where(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    condition: "Column | str | None" = None,
+    preds: list[tuple] | None = None,
+    dynamic: bool = False,
+) -> dict:
+    """``INSERT OVERWRITE`` / Delta's ``replaceWhere`` as ONE atomic
+    commit: rows matching the predicate are removed and ``batch`` takes
+    their place — readers flip from old scope to new scope atomically,
+    never observing the half-state a DELETE-commit + INSERT-commit pair
+    exposes between its two versions (the production backfill idiom:
+    "replace this day's partition").
+
+    Scope forms (exactly one):
+      * ``condition=None``, ``dynamic=False`` — full-table overwrite
+        preserving table metadata (layout, constraints, generated
+        columns, column mapping — unlike `init_table`'s overwrite,
+        which may reset them).
+      * ``condition=`` a SQL string / Column — replaceWhere. Every
+        ``batch`` row must satisfy it (Delta's gate; refused loudly, no
+        version burned, otherwise rows outside the scope would silently
+        vanish into it).
+      * ``preds=`` read_table-shape ``(col, op, value)`` tuples (ANDed)
+        — same semantics, plus STATS-PROVEN classification: files whose
+        recorded span shows every row matches (`_file_all_match`) are
+        removed WITHOUT being scanned; only genuinely straddling files
+        are rewritten for their surviving rows. At 100 TB replacing one
+        day of a day-clustered table reads zero old bytes.
+      * ``dynamic=True`` — dynamic partition overwrite: replaces exactly
+        the partitions ``batch`` carries (requires a declared
+        ``partition_by``; Spark's partitionOverwriteMode=dynamic).
+
+    The batch passes the same write gates as append: generated columns
+    computed/validated, constraints enforced, schema signature matched.
+    An EMPTY batch with a matching scope still commits (scoped truncate);
+    empty batch + empty scope burns no version."""
+    n_scopes = sum(
+        [condition is not None, preds is not None, bool(dynamic)]
+    )
+    if n_scopes > 1:
+        raise ValueError(
+            "overwrite_where takes at most one of condition=/preds=/"
+            "dynamic=True"
+        )
+    version = current_version(path)
+    if version < 0:
+        raise ValueError(
+            f"no committed manifest under {path!r}; use init_table to "
+            "create the table first"
+        )
+    man = _read_manifest(path, version)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    batch = _apply_generated(batch, man.get("generated"), path)
+    if _schema_sig(batch.schema.json()) != _schema_sig(man["schema"]):
+        raise ValueError(
+            f"overwrite batch schema does not match table schema at "
+            f"{path!r}; align the frame's columns/types first"
+        )
+    _enforce_constraints(batch, man.get("constraints"), path)
+
+    if dynamic:
+        pcols = man.get("partition_cols") or []
+        if not pcols:
+            raise ValueError(
+                "dynamic partition overwrite needs a declared "
+                "partition_by layout"
+            )
+        tuples = [tuple(r) for r in batch.select(*pcols).distinct().collect()]
+        if not tuples:
+            return {
+                "version": version, "files_removed": 0,
+                "files_rewritten": 0,
+                "files_carried": len(man["files"]),
+            }
+        if any(any(v is None for v in t) for t in tuples):
+            raise ValueError(
+                "dynamic overwrite batch carries NULL partition values; "
+                "replace those partitions with an explicit condition"
+            )
+        if len(pcols) == 1:
+            preds = [(pcols[0], "in", [t[0] for t in tuples])]
+            condition = F.col(pcols[0]).isin([t[0] for t in tuples])
+        else:
+            cond = None
+            for t in tuples:
+                term = None
+                for c, v in zip(pcols, t):
+                    e = F.col(c) == F.lit(v)
+                    term = e if term is None else (term & e)
+                cond = term if cond is None else (cond | term)
+            condition = cond
+            preds = None  # multi-col tuples don't fold to ANDed preds
+
+    if preds is not None:
+        cond_col = None
+        for pr in preds:
+            e = _predicate_column(pr)
+            cond_col = e if cond_col is None else (cond_col & e)
+        if cond_col is None:
+            raise ValueError("preds= needs at least one predicate")
+    elif condition is not None:
+        cond_col = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+    else:
+        cond_col = None  # full overwrite
+
+    # replaceWhere gate: every batch row inside the scope (skipped for
+    # full overwrite — everything is in scope)
+    if cond_col is not None:
+        outside = batch.where(
+            ~F.coalesce(cond_col, F.lit(False))
+        ).limit(1)
+        if outside.count() > 0:
+            raise ConstraintViolation(
+                f"INSERT OVERWRITE into {path!r} refused: batch rows "
+                "fall outside the replace scope — widen the predicate "
+                "or filter the batch (Delta's replaceWhere rule)"
+            )
+
+    files = man["files"]
+    stats = man.get("stats") or {}
+    cmap = _cmap(man)
+    if cond_col is None:
+        removed, full, partial = list(files), list(files), []
+    else:
+        # tier 1: stats classify each file NO-MATCH (carry) /
+        # ALL-MATCH (remove unscanned) / straddling (scan + rewrite)
+        if preds is not None:
+            phys = [_phys_pred(p, cmap) for p in preds]
+            carried0 = [
+                f for f in files
+                if not all(_file_survives(stats.get(f), p) for p in phys)
+            ]
+            candidates = [f for f in files if f not in set(carried0)]
+            full = [
+                f for f in candidates
+                if all(_file_all_match(stats.get(f), p) for p in phys)
+            ]
+            partial_cand = [f for f in candidates if f not in set(full)]
+        else:
+            full = []
+            partial_cand = list(files)
+        # tier 2: one scan of the undecided files locates actual hits
+        if partial_cand:
+            df = _scan_live_rows(
+                spark, path, man, partial_cand, schema, keep_meta=True
+            )
+            hit = (
+                df.where(F.coalesce(cond_col, F.lit(False)))
+                .select("__file").distinct().collect()
+            )
+            partial = sorted({r["__file"] for r in hit})
+        else:
+            partial = []
+        removed = sorted({*full, *partial})
+        if not removed and batch.isEmpty():
+            return {
+                "version": version, "files_removed": 0,
+                "files_rewritten": 0,
+                "files_carried": len(files),
+            }
+
+    parts = [batch.select(*[f.name for f in schema.fields])]
+    if cond_col is not None and partial:
+        survivors = _scan_live_rows(
+            spark, path, man, partial, schema
+        ).where(~F.coalesce(cond_col, F.lit(False)))
+        parts.append(survivors)
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    new_files = _stage_files(out, path)
+    stats_cols = man.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(path, new_files, stats_cols)
+        if stats_cols else None
+    )
+    _commit(
+        path, version + 1, man["schema"], man.get("txns", {}), stats_cols,
+        add=new_files, remove=removed, add_stats=new_stats,
+        op="overwrite_where", prev_state=man,
+    )
+    return {
+        "version": version + 1,
+        "files_removed": len(removed),
+        "files_rewritten": len(partial) if cond_col is not None else 0,
+        "files_carried": len(files) - len(removed),
     }
 
 
@@ -2890,6 +3488,7 @@ def truncate_table(path: str) -> int:
     _commit(
         path, version + 1, man["schema"], man.get("txns", {}),
         man.get("stats_cols"), remove=man["files"], op="truncate",
+        prev_state=man,
     )
     return version + 1
 
@@ -3028,6 +3627,7 @@ def compact_table(
             _commit(
                 path, version + 1, man["schema"], man["txns"], stats_cols,
                 add=staged, remove=inputs, add_stats=new_stats, op="compact",
+                prev_state=man,
             )
             return {
                 "version": version + 1,
@@ -3137,6 +3737,7 @@ def replace_table_layout(
             add=staged, remove=man["files"], add_stats=new_stats,
             op="replace_layout", partition_cols=new_parts,
             features=["partitionColumns"] if new_parts else None,
+            prev_state=man,
         )
     except CommitConflict:
         cur = current_version(path)
@@ -3251,7 +3852,7 @@ def rewrite_table_schema(
     _commit(
         path, version + 1, out.schema.json(), man["txns"], stats_cols,
         add=staged, remove=man["files"], add_stats=new_stats,
-        op="rewrite-schema",
+        op="rewrite-schema", prev_state=man,
     )
     return version + 1
 
@@ -3271,59 +3872,189 @@ def convert_to_manifest(
     transactional surface applies (DML, time travel, OPTIMIZE, CDF, the
     streaming feed).
 
-    Refused: an already-converted path (a manifest exists), an empty
-    directory, and HIVE-PARTITIONED layouts (``key=value`` dirs strip
-    the partition column from the files, but this engine's readers
-    project the manifest schema over file columns — converting such a
-    layout would read those columns as null; rewrite through
-    `init_table(partition_by=...)` instead, which keeps partition
-    columns IN the files)."""
+    HIVE-PARTITIONED layouts (``key=value`` dirs) convert in place too:
+    the partition keys (which the writer stripped from the file bytes)
+    are harvested from the directory names into (a) a declared
+    ``partition_by`` layout, (b) per-file EXACT ``[v, v]`` stats spans —
+    so partition pruning equals a native partitioned table's — and
+    (c) a ``path_values`` manifest map that makes snapshot reads inject
+    the constants via basePath partition discovery (the
+    ``pathPartitionValues`` reader feature; see `_scan_live_rows`). New
+    files written after conversion carry the columns IN the files like
+    any engine-native partitioned table; the path-injected set only ever
+    shrinks as rewrites touch the converted files.
+
+    CRASH/RACE SAFE and RESUMABLE: files already under ``data/`` (a
+    previous crashed or racing conversion) are enumerated and carried to
+    the commit; a rename that disappears mid-flight (the racing
+    converter moved it) is tolerated when the file turned up under
+    ``data/``; a lost v0 commit race degrades to the winner's result
+    when the winner references the same files. Delta's CONVERT is
+    retryable for the same reason.
+
+    Refused: an already-converted path (a manifest exists — idempotent
+    callers catch the ValueError), an empty directory, and a MIXED
+    layout (some files under ``key=value`` dirs, some not, or differing
+    key lists — no coherent partition declaration exists for it)."""
+    import urllib.parse
+
     if current_version(path) >= 0:
         raise ValueError(
             f"convert_to_manifest: {path!r} already has a manifest "
             f"(v{current_version(path)})"
         )
-    names: list[str] = []
-    for root, dirs, files in os.walk(path):
-        rel_root = os.path.relpath(root, path)
-        if rel_root.split(os.sep)[0] in ("_manifest", "data"):
-            continue
-        for d in list(dirs):
-            if "=" in d:
-                raise ValueError(
-                    f"convert_to_manifest: {path!r} is hive-partitioned "
-                    f"({os.path.join(rel_root, d)!r}); partition values "
-                    "live in directory names, not file columns — rewrite "
-                    "through init_table(partition_by=...) instead"
-                )
-        for f in files:
-            if f.endswith(".parquet"):
-                names.append(
-                    f if rel_root == "." else os.path.join(rel_root, f)
-                )
+    data = _data_dir(path)
+
+    def _walk(root_dir: str, skip_engine_dirs: bool) -> list[str]:
+        out: list[str] = []
+        for root, dirs, files in os.walk(root_dir):
+            rel_root = os.path.relpath(root, root_dir)
+            if skip_engine_dirs and rel_root.split(os.sep)[0] in (
+                "_manifest", "data",
+            ):
+                continue
+            if rel_root.split(os.sep)[0].startswith(".staging-"):
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        f if rel_root == "." else os.path.join(rel_root, f)
+                    )
+        return out
+
+    outside = _walk(path, True)
+    already_moved = _walk(data, False) if os.path.isdir(data) else []
+    names = sorted(set(outside) | set(already_moved))
     if not names:
         raise ValueError(
             f"convert_to_manifest: no parquet files under {path!r}"
         )
-    schema_json = spark.read.parquet(path).schema.json()
-    data = _data_dir(path)
-    for name in sorted(names):
+
+    def _partition_pairs(name: str) -> list[tuple[str, str]]:
+        segs = name.split(os.sep)[:-1]
+        return [
+            (seg.split("=", 1)[0], urllib.parse.unquote(seg.split("=", 1)[1]))
+            for seg in segs if "=" in seg
+        ]
+
+    first = _partition_pairs(names[0])
+    part_cols = [k for k, _ in first]
+    path_values: dict[str, dict] = {}
+    for name in names:
+        pairs = _partition_pairs(name)
+        if [k for k, _ in pairs] != part_cols or (
+            part_cols and len(name.split(os.sep)) != len(part_cols) + 1
+        ):
+            raise ValueError(
+                f"convert_to_manifest: {path!r} mixes partition layouts "
+                f"({names[0]!r} vs {name!r}); no coherent partition "
+                "declaration covers both — rewrite through "
+                "init_table(partition_by=...) instead"
+            )
+        if part_cols:
+            path_values[name] = dict(pairs)
+
+    moved_set = set(already_moved)
+    for name in sorted(set(outside) - moved_set):
         dst = os.path.join(data, name)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(os.path.join(path, name), dst)
-    add = sorted(names)
+        try:
+            os.rename(os.path.join(path, name), dst)
+        except FileNotFoundError:
+            # a racing converter moved it first — fine iff it actually
+            # landed under data/ (otherwise the file vanished: re-raise)
+            if not os.path.exists(dst):
+                raise
+
+    # schema inference AFTER the moves, over data/ itself: basePath
+    # partition discovery types the harvested keys (int/date/... per
+    # Spark's partitionColumnTypeInference) and appends them to the
+    # file schema — exactly what the manifest must declare
+    schema_json = (
+        spark.read.option("basePath", data).parquet(data).schema.json()
+        if part_cols
+        # flat layouts may nest plain subdirs — list the files explicitly
+        # (a bare directory read does not recurse without discovery)
+        else spark.read.parquet(
+            *[os.path.join(data, f) for f in names]
+        ).schema.json()
+    )
+    by_name = {
+        f["name"]: f["type"]
+        for f in json.loads(schema_json).get("fields", [])
+        if isinstance(f, dict)
+    }
+    eff_stats = list(
+        dict.fromkeys([*(stats_cols or []), *part_cols])
+    ) or None
+    add = names
     add_stats = (
-        _collect_file_stats(path, add, stats_cols) if stats_cols else None
+        _collect_file_stats(path, add, eff_stats) if eff_stats else None
     )
-    _commit(
-        path, 0, schema_json, {}, stats_cols,
-        add=add, add_stats=add_stats, op="convert",
-    )
+    if part_cols and add_stats is not None:
+        for name in add:
+            vals = path_values.get(name) or {}
+            for col in part_cols:
+                add_stats[name][col] = _partition_span(
+                    vals.get(col), by_name.get(col)
+                )
+    features = []
+    if part_cols:
+        features = ["partitionColumns", "pathPartitionValues"]
+    try:
+        _commit(
+            path, 0, schema_json, {}, eff_stats,
+            add=add, add_stats=add_stats, op="convert",
+            partition_cols=part_cols or None,
+            features=features or None,
+            path_values=path_values or None,
+        )
+    except CommitConflict:
+        # a racing converter published v0 first; when it references the
+        # same files this conversion already succeeded — return its shape
+        st = _read_manifest(path, current_version(path))
+        if set(add) <= set(st["files"]):
+            return {
+                "version": st["version"],
+                "files_converted": len(add),
+                "stats_cols": list(st.get("stats_cols") or []),
+                "partition_by": list(st.get("partition_cols") or []),
+                "raced": True,
+            }
+        raise
     return {
         "version": 0,
         "files_converted": len(add),
-        "stats_cols": list(stats_cols or []),
+        "stats_cols": list(eff_stats or []),
+        "partition_by": list(part_cols),
     }
+
+
+def _partition_span(raw: str | None, spark_type) -> list | None:
+    """An EXACT ``[v, v]`` stats span for one hive partition value,
+    typed to the declared column so `_file_survives` compares it the
+    same way footer-harvested spans compare. Undecodable values (the
+    null partition, exotic types) return None — never skipped, always
+    conservative."""
+    import datetime
+
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    t = spark_type if isinstance(spark_type, str) else None
+    try:
+        if t in ("integer", "long", "short", "byte"):
+            v = int(raw)
+        elif t in ("float", "double"):
+            v = float(raw)
+        elif t == "date":
+            v = _norm_stat(datetime.date.fromisoformat(raw))
+        elif t == "string":
+            v = raw
+        else:
+            return None
+    except (ValueError, TypeError):
+        return None
+    return [v, v]
 
 
 def restore_table(path: str, version: int) -> dict:
@@ -3369,7 +4100,7 @@ def restore_table(path: str, version: int) -> dict:
     _commit(
         path, latest + 1, target["schema"], cur.get("txns", {}), stats_cols,
         add=add, remove=remove, add_stats=add_stats, op="restore",
-        set_dv=set_dv, unset_dv=unset_dv,
+        set_dv=set_dv, unset_dv=unset_dv, prev_state=cur,
         # the PARTITION LAYOUT comes back with the target's files: a
         # restore across a replace_table_layout boundary re-adds files
         # staged under the OLD layout, so the declaration must follow
@@ -3615,6 +4346,17 @@ def table_changes(
 
     data = _data_dir(path)
 
+    # converted-in-place hive files need their partition constants
+    # injected from the key=value path segments (pathPartitionValues).
+    # Any pv file alive anywhere in the range is alive at from_version
+    # (pv entries are born at the CONVERT v0 and only ever die), so one
+    # state resolves the full set; the fallback keeps legacy tables and
+    # vacuumed-base corner cases on the unchanged path.
+    try:
+        _pv_all = _read_manifest(path, from_version).get("path_values") or {}
+    except (FileNotFoundError, ValueError):
+        _pv_all = {}
+
     def _read(
         files: list[str], schema, cmap: dict[str, str],
         with_meta: bool = False,
@@ -3631,33 +4373,50 @@ def table_changes(
             for f in schema.fields
             if f.name in cmap and cmap[f.name] != f.name
         }
-        meta = [
-            # manifest-key identity, matching _scan_live_rows' contract
-            # (clone-aware: absolute entries key by absolute path)
-            _file_identity_col(data, files),
-            F.col("_metadata.row_index").alias("__pos"),
-        ]
-        if not ren:
-            df = spark.read.schema(schema).parquet(
-                *[os.path.join(data, f) for f in files]
+        if ren:
+            read_schema = StructType(
+                [
+                    StructField(
+                        ren.get(f.name, f.name), f.dataType, f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
             )
-            return df.select("*", *meta) if with_meta else df
-        phys = StructType(
-            [
-                StructField(
-                    ren.get(f.name, f.name), f.dataType, f.nullable, f.metadata
-                )
-                for f in schema.fields
-            ]
-        )
+        else:
+            read_schema = schema
         proj = [
             F.col(ren.get(f.name, f.name)).alias(f.name)
             for f in schema.fields
         ]
-        df = spark.read.schema(phys).parquet(
-            *[os.path.join(data, f) for f in files]
+
+        def _grp(names: list[str], from_paths: bool) -> DataFrame:
+            reader = spark.read.schema(read_schema)
+            if from_paths:
+                reader = reader.option("basePath", data)
+            df = reader.parquet(*[os.path.join(data, f) for f in names])
+            meta = [
+                # manifest-key identity, matching _scan_live_rows'
+                # contract (clone-aware: absolute entries key by
+                # absolute path)
+                _file_identity_col(data, names),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+            if with_meta:
+                return df.select(*proj, *meta)
+            return df.select(*proj) if (ren or from_paths) else df
+
+        pv = [f for f in files if f in _pv_all]
+        plain_files = [f for f in files if f not in _pv_all]
+        groups = []
+        if plain_files:
+            groups.append(_grp(plain_files, False))
+        if pv:
+            groups.append(_grp(pv, True))
+        return (
+            groups[0] if len(groups) == 1
+            else groups[0].unionByName(groups[1])
         )
-        return df.select(*proj, *meta) if with_meta else df.select(*proj)
 
     def _prev_state(v: int) -> dict:
         try:

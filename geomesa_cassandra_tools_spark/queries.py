@@ -7087,8 +7087,10 @@ def _converted_table_path(spark: SparkSession, sf_dir: str) -> str:
                 f"CONVERT TO MANIFEST '{path}' STATS (o_orderkey) "
                 "AS q189_t",
             )
-        except (transactional.CommitConflict, ValueError):
-            pass  # racing builder converted first
+        except (transactional.CommitConflict, ValueError, OSError):
+            # racing builder converted first (convert itself degrades
+            # rename/commit races; OSError is the belt-and-braces catch)
+            pass
     transactional.register_manifest_view(spark, path, name="q189_t")
     if transactional.current_version(path) < 1:
         orders.createOrReplaceTempView("q189_stage")
@@ -7349,10 +7351,29 @@ def q190_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE bucket-level aggregation carries raw AND target counts (a
     # conditional sum, not a second corpus pass); the totals then fold
     # from the B-row bucket table, not the gram stream
-    bl = feats.groupBy("b").agg(
-        F.count("*").alias("cr"),
-        F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+    bl = _cache(
+        feats.groupBy("b").agg(
+            F.count("*").alias("cr"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
+        )
     )
+    # int64 OVERFLOW GUARD on the fixed-point weight: Spark's non-ANSI
+    # int64 wraps silently where DuckDB raises, so the bound is enforced
+    # here explicitly (exact, in Python bigints) instead of diverging
+    # silently at ~1e8+ grams. Production-scale corpora recompute the
+    # ratio in log-space (see docstring). The check's action also
+    # materializes the cached B-row bucket table that totals/w both
+    # fold from — no extra corpus pass.
+    chk = bl.agg(
+        F.max("ct").alias("maxct"), F.sum("cr").alias("nraw")
+    ).first()
+    if chk["nraw"] and (
+        1_000_000 * (chk["maxct"] + 1) * (chk["nraw"] + B) >= 2 ** 63
+    ):
+        raise ValueError(
+            "q190: fixed-point DSIR weight would overflow int64 at this "
+            "corpus size; recompute in log-space for corpora this large"
+        )
     totals = bl.agg(
         F.sum("cr").alias("nraw"), F.sum("ct").alias("ntgt")
     )

@@ -85,6 +85,7 @@ class FeedFileSlice(InputPartition):
         dv_new: str | None = None,
         dv_old: str | None = None,
         dv_exclude: str | None = None,
+        path_values: dict | None = None,
     ):
         self.file_path = file_path
         self.commit_version = commit_version
@@ -92,6 +93,36 @@ class FeedFileSlice(InputPartition):
         self.dv_new = dv_new
         self.dv_old = dv_old
         self.dv_exclude = dv_exclude
+        # converted-in-place hive file: {physical col -> raw dir value},
+        # injected as per-file constants at read() (pathPartitionValues)
+        self.path_values = path_values
+
+
+def _typed_path_value(raw: str, typ):
+    """Decode one hive ``key=value`` dir value to a Python scalar of the
+    Arrow ``typ`` (the feed-side twin of the batch reader's basePath
+    partition discovery). Undecodable -> None (reads stay conservative,
+    never wrong)."""
+    import datetime
+
+    import pyarrow as pa
+
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        if pa.types.is_integer(typ):
+            return int(raw)
+        if pa.types.is_floating(typ):
+            return float(raw)
+        if pa.types.is_date(typ):
+            return datetime.date.fromisoformat(raw)
+        if pa.types.is_boolean(typ):
+            return raw.lower() == "true"
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return raw
+    except (ValueError, TypeError):
+        return None
+    return None
 
 
 def _encode_where(where) -> str:
@@ -294,7 +325,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         hit = self._admission_cache.get(v)
         if hit is not None:
             return hit
-        added, removed, set_dv, unset_dv, _stats, _meta = self._commit_files(v)
+        added, removed, set_dv, unset_dv, _stats, _meta, _pv = (
+            self._commit_files(v)
+        )
         if self._feed == "cdf":
             names = (
                 list(added) + list(removed) + list(set_dv) + list(unset_dv)
@@ -441,7 +474,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
 
     def _commit_files(
         self, v: int
-    ) -> tuple[list[str], list[str], dict[str, str], list[str], dict, bool]:
+    ) -> tuple[
+        list[str], list[str], dict[str, str], list[str], dict, bool, dict
+    ]:
         """(added, removed, set_dv, unset_dv, add_stats, meta_changed) of
         commit v, legacy snapshots included (diffed against the resolved
         v-1 state; legacy commits carry no per-file stats — conservative
@@ -466,7 +501,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 else set()
             )
             now = set(body["files"])
-            return sorted(now - prev), sorted(prev - now), {}, [], {}, True
+            return (
+                sorted(now - prev), sorted(prev - now), {}, [], {}, True,
+                body.get("path_values") or {},
+            )
         meta_changed = any(
             k in body for k in ("partition_cols", "generated", "column_map")
         )
@@ -477,6 +515,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             list(body.get("unset_dv") or ()),
             body.get("add_stats") or {},
             meta_changed,
+            body.get("path_values") or {},
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -487,9 +526,8 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         data = tx._data_dir(self._path)
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            added, removed, set_dv, unset_dv, add_stats, meta_changed = (
-                self._commit_files(v)
-            )
+            added, removed, set_dv, unset_dv, add_stats, meta_changed, \
+                body_pv = self._commit_files(v)
             self._refresh_prune_preds(v, meta_changed)
             if any(
                 os.path.isabs(f)
@@ -538,11 +576,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 # multiset, one a per-file scan task cannot perform).
                 prev_dvs: dict[str, str] = {}
                 prev_stats: dict[str, dict] = {}
+                prev_pv: dict[str, dict] = {}
                 if (set_dv or unset_dv or removed) and v > 0:
                     try:
                         prev = tx._read_manifest(self._path, v - 1)
                         prev_dvs = prev.get("dvs") or {}
                         prev_stats = prev.get("stats") or {}
+                        prev_pv = prev.get("path_values") or {}
                     except FileNotFoundError:
                         raise ValueError(
                             f"commit v{v - 1} of {self._path!r} was vacuumed; "
@@ -591,7 +631,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             f for f in unset_dv if _keep(f, prev_stats)
                         ]
                 slices.extend(
-                    FeedFileSlice(os.path.join(data, f), v, "insert")
+                    FeedFileSlice(
+                        os.path.join(data, f), v, "insert",
+                        path_values=body_pv.get(f),
+                    )
                     for f in added
                 )
                 slices.extend(
@@ -601,6 +644,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             os.path.join(data, prev_dvs[f])
                             if f in prev_dvs else None
                         ),
+                        path_values=prev_pv.get(f),
                     )
                     for f in removed
                 )
@@ -615,12 +659,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     # (old - new) — read() computes dv_new minus dv_old
                     slices.append(FeedFileSlice(
                         os.path.join(data, f), v, "delete",
-                        dv_new=new, dv_old=old,
+                        dv_new=new, dv_old=old, path_values=prev_pv.get(f),
                     ))
                     if old is not None:
                         slices.append(FeedFileSlice(
                             os.path.join(data, f), v, "insert",
                             dv_new=old, dv_old=new,
+                            path_values=prev_pv.get(f),
                         ))
                 # unset (RESTORE cleared the vector): every previously
                 # masked row un-deletes
@@ -628,6 +673,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     FeedFileSlice(
                         os.path.join(data, f), v, "insert",
                         dv_new=os.path.join(data, prev_dvs[f]), dv_old=None,
+                        path_values=prev_pv.get(f),
                     )
                     for f in unset_dv if f in prev_dvs
                 )
@@ -652,7 +698,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     )
                 continue
             slices.extend(
-                FeedFileSlice(os.path.join(data, f), v) for f in added
+                FeedFileSlice(
+                    os.path.join(data, f), v, path_values=body_pv.get(f)
+                )
+                for f in added
             )
         return slices
 
@@ -719,6 +768,16 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 # logical schema through the anchor map (identity for
                 # never-mapped tables)
                 cols[field.name] = tbl.column(phys).cast(field.type)
+            elif partition.path_values and phys in partition.path_values:
+                # converted-in-place hive file: the partition column is
+                # not in the file bytes — inject the key=value dir
+                # constant, typed to the stream schema (null for the
+                # __HIVE_DEFAULT_PARTITION__ marker / undecodable types)
+                cols[field.name] = pa.array(
+                    [_typed_path_value(partition.path_values[phys],
+                                       field.type)] * len(tbl),
+                    field.type,
+                )
             else:
                 # file predates a merge_schema evolution (or the column
                 # was added after the file's commit): null backfill,

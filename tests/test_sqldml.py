@@ -151,11 +151,22 @@ def test_merge_subquery_source_and_key_rename(spark, tmp_path):
 def test_merge_unsupported_clause_named_loudly(spark, tmp_path):
     _mk(spark, tmp_path)
     spark.createDataFrame([(1,)], "k bigint").createOrReplaceTempView("s1")
-    with pytest.raises(ValueError, match="clause shape not supported"):
+    # column-level SET is supported (r12, the general clause router) —
+    # it routes to merge_clauses, not the legacy upsert fast path
+    res = sqldml.execute(
+        spark,
+        "MERGE INTO acct t USING s1 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = 0",
+    )
+    assert res["op"] == "merge_clauses" and res["version"] == 1
+    got = sqldml.execute(spark, "SELECT price FROM acct").collect()
+    assert [r["price"] for r in got] == [0.0]
+    # a garbled action still refuses loudly
+    with pytest.raises(ValueError, match="UPDATE SET"):
         sqldml.execute(
             spark,
             "MERGE INTO acct t USING s1 s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET price = 0",
+            "WHEN MATCHED THEN FROBNICATE",
         )
     with pytest.raises(ValueError, match="supported terms"):
         sqldml.execute(

@@ -3110,8 +3110,9 @@ def test_battery_convert_to_manifest(spark, tmp_path, protocol):
     """CONVERT TO DELTA analog: a plain parquet directory converts IN
     PLACE — files renamed under data/ (no bytes rewritten), stats
     harvested from footers so skipping prunes from the first read, and
-    the full transactional surface applies afterwards; hive layouts
-    and double conversion refuse."""
+    the full transactional surface applies afterwards. Hive layouts
+    convert too (partition values harvested from dir names, injected at
+    read time); mixed layouts and double conversion refuse."""
     import pyarrow.parquet as pq
 
     path = str(tmp_path / "plain")
@@ -3145,10 +3146,54 @@ def test_battery_convert_to_manifest(spark, tmp_path, protocol):
     assert tx.read_table(spark, path).count() == 41
     assert tx.read_table(spark, path, version=0).count() == 40
     assert [h["op"] for h in tx.table_history(path)][0] == "convert"
-    # refusals: double conversion; hive layout
+    # refusals: double conversion; mixed partition layouts
     with pytest.raises(ValueError, match="already has a manifest"):
         tx.convert_to_manifest(spark, path)
+
+    # HIVE-PARTITIONED convert (r12): key=value dirs harvest into a
+    # declared layout + exact per-file spans + path-injected constants
     hive = str(tmp_path / "hive")
     df.write.partitionBy("s").parquet(hive)
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        tx.convert_to_manifest(spark, hive)
+    hres = tx.convert_to_manifest(spark, hive, stats_cols=["k"])
+    assert hres["partition_by"] == ["s"]
+    hman = tx._read_manifest(hive, 0)
+    assert hman["partition_cols"] == ["s"]
+    assert "pathPartitionValues" in (hman.get("features") or ())
+    hdf = tx.read_table(spark, hive)
+    assert hdf.count() == 40
+    # the partition column reads back non-null, from the dir names
+    assert hdf.where(F.col("s").isNull()).count() == 0
+    rows = {(r["k"], r["s"]) for r in hdf.select("k", "s").collect()}
+    assert rows == {(i, f"s{i}") for i in range(40)}
+    # partition pruning equals a native partitioned table's: exact spans
+    assert len(tx.resolve_files(hive, [("s", "=", "s1")])) == len(
+        [f for f in hman["files"] if f.startswith("s=s1/")]
+    )
+    # DML rewrite materializes the column INTO new files; time travel
+    # still path-injects for the originals
+    tx.delete_where(spark, hive, "k % 2 = 1")
+    assert tx.read_table(spark, hive).count() == 20
+    assert tx.read_table(spark, hive, version=0).count() == 40
+
+    # mixed layout refusal
+    mixed = str(tmp_path / "mixed")
+    os.makedirs(os.path.join(mixed, "s=only"))
+    df.limit(1).coalesce(1).write.parquet(os.path.join(mixed, "tmp"))
+    part = [
+        f for f in os.listdir(os.path.join(mixed, "tmp"))
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(os.path.join(mixed, "tmp", part),
+              os.path.join(mixed, "flat.parquet"))
+    import shutil as _sh
+    _sh.rmtree(os.path.join(mixed, "tmp"))
+    df.limit(1).coalesce(1).write.parquet(os.path.join(mixed, "tmp2"))
+    part2 = [
+        f for f in os.listdir(os.path.join(mixed, "tmp2"))
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(os.path.join(mixed, "tmp2", part2),
+              os.path.join(mixed, "s=only", "a.parquet"))
+    _sh.rmtree(os.path.join(mixed, "tmp2"))
+    with pytest.raises(ValueError, match="mixes partition layouts"):
+        tx.convert_to_manifest(spark, mixed)
