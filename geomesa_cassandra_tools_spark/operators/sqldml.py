@@ -188,6 +188,27 @@ def execute(spark: SparkSession, statement: str):
     mask = _quote_mask(s)
 
     m = re.match(
+        rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})"
+        rf"(?:\s+PARTITION\s*\(([^)]*)\))?\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and not mask[0]:
+        return _insert_overwrite(
+            spark, m.group(1), m.group(2), m.group(3), None, statement
+        )
+
+    m = re.match(
+        rf"INSERT\s+INTO\s+({_IDENT})\s+REPLACE\s+WHERE\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and not mask[0]:
+        # Databricks' replaceWhere form: the condition runs up to the
+        # first top-level source keyword
+        view, rest = m.group(1), m.group(2)
+        cond, src = _split_cond_source(rest)
+        return _insert_overwrite(spark, view, None, src, cond, statement)
+
+    m = re.match(
         rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.+)$",
         s, re.IGNORECASE | re.DOTALL,
     )
@@ -900,6 +921,132 @@ def _parse_merge_clauses(
             },
         })
     return matched, not_matched, by_source
+
+
+def _split_cond_source(rest: str) -> tuple[str, str]:
+    """Split ``<condition> <source-query>`` at the first TOP-LEVEL
+    (quote- and paren-aware) source keyword (SELECT/VALUES/TABLE/WITH/
+    FROM) — a subquery inside the condition stays inside its parens."""
+    rmask = _quote_mask(rest)
+    depth = 0
+    kw = re.compile(r"(SELECT|VALUES|TABLE|WITH|FROM)\b", re.IGNORECASE)
+    i = 0
+    while i < len(rest):
+        if not rmask[i]:
+            ch = rest[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                mm = kw.match(rest, i)
+                if mm and (i == 0 or not (rest[i - 1].isalnum()
+                                          or rest[i - 1] == "_")):
+                    return rest[:i].strip(), rest[i:].strip()
+        i += 1
+    raise ValueError(
+        "REPLACE WHERE: expected a source query (SELECT/VALUES/...) "
+        "after the condition"
+    )
+
+
+def _insert_overwrite(
+    spark: SparkSession,
+    view: str,
+    part_spec: str | None,
+    source_sql: str,
+    cond: str | None,
+    original: str,
+):
+    """Route ``INSERT OVERWRITE view [PARTITION (...)] <source>`` and
+    ``INSERT INTO view REPLACE WHERE cond <source>`` to
+    `tx.overwrite_where` (ONE atomic commit — scope removed, batch in,
+    out-of-scope files carried by name):
+
+      * no PARTITION, no REPLACE WHERE -> full-table overwrite
+        (layout/constraints/generated preserved, unlike init_table)
+      * ``PARTITION (c = v, ...)`` -> static partition overwrite: the
+        scope is the named partition, the constants are appended to the
+        source rows (Hive syntax — the source omits them)
+      * ``PARTITION (c, ...)`` (no values) -> DYNAMIC partition
+        overwrite: exactly the partitions the source carries
+      * ``REPLACE WHERE cond`` -> replaceWhere (every source row must
+        satisfy the condition)
+    """
+    try:
+        path = _resolve(view)
+    except KeyError:
+        return spark.sql(original)
+    q = source_sql.strip()
+    if not re.match(r"(VALUES|SELECT|TABLE|WITH|FROM|\()", q, re.IGNORECASE):
+        raise ValueError(
+            f"INSERT OVERWRITE {view}: source must be VALUES/SELECT/"
+            f"TABLE/WITH, got {q[:40]!r}"
+        )
+    batch = spark.sql(q)
+    schema = _table_schema(path)
+    man = tx._read_manifest(path, tx.current_version(path))
+    gen_cols = set(man.get("generated") or ())
+    preds = None
+    dynamic = False
+    if part_spec is not None:
+        entries = [e.strip() for e in part_spec.split(",") if e.strip()]
+        withval = [e for e in entries if "=" in e]
+        if withval and len(withval) != len(entries):
+            raise ValueError(
+                f"INSERT OVERWRITE {view}: PARTITION spec mixes static "
+                "(c = v) and dynamic (bare c) entries"
+            )
+        pcols = man.get("partition_cols") or []
+        if not withval:
+            names = [e.strip().strip('`"') for e in entries]
+            if sorted(names) != sorted(pcols):
+                raise ValueError(
+                    f"INSERT OVERWRITE {view}: dynamic PARTITION names "
+                    f"{names} must equal the declared layout {pcols}"
+                )
+            dynamic = True
+        else:
+            preds = []
+            for entry in withval:
+                col, raw = entry.split("=", 1)
+                col = col.strip().strip('`"')
+                if col not in pcols:
+                    raise ValueError(
+                        f"INSERT OVERWRITE {view}: {col!r} is not a "
+                        f"declared partition column ({pcols})"
+                    )
+                raw = raw.strip()
+                if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+                    raw = raw[1:-1]  # quoted literal -> string value
+                preds.append((col, "=", _typed_literal(path, col, raw)))
+    # Hive static-partition syntax: the source omits the static
+    # partition constants — positional rename FIRST (source order =
+    # schema order minus generated minus static-partition columns),
+    # the constants appended after
+    static_cols = {c for c, _op, _v in (preds or [])}
+    names_needed = [
+        f.name for f in schema.fields
+        if f.name not in gen_cols and f.name not in static_cols
+    ]
+    if len(batch.columns) != len(names_needed):
+        raise ValueError(
+            f"INSERT OVERWRITE {view}: the source must produce all "
+            f"{len(names_needed)} non-generated/non-static table "
+            f"column(s); got {len(batch.columns)}"
+        )
+    batch = batch.toDF(*names_needed)
+    for col, _op, val in preds or []:
+        batch = batch.withColumn(col, F.lit(val))
+    batch = _align_to_schema(
+        batch, schema, "INSERT OVERWRITE source", leave_absent=gen_cols
+    )
+    res = tx.overwrite_where(
+        spark, path, batch,
+        condition=cond, preds=preds, dynamic=dynamic,
+    )
+    _repoint(spark, view, path)
+    return {"op": "insert_overwrite", "table": view, **res}
 
 
 def _alter_table(spark: SparkSession, view: str, path: str, action: str):

@@ -3087,6 +3087,100 @@ FROM base GROUP BY o_orderstatus
 # slice (% 5 = 3), live = union with the SQL-inserted slice (% 5 = 4),
 # pruned = the live face filtered (the engine's face must stats-prune
 # to the same rows the filter selects).
+# q192: the general MERGE clause surface replayed as join algebra —
+# matched even-source-cents rows update (first-match-wins), remaining
+# matched rows delete, unmatched source rows with cents % 5 != 0
+# insert, target rows that left the source purge (cents % 10 < 3) or
+# flag (status || '_S').
+ORACLES["q192_merge_conditional_clauses"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 1
+),
+src AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS cents
+  FROM orders WHERE o_orderkey % 7 IN (1, 2) AND o_orderkey % 3 = 0
+),
+live AS (
+  SELECT b.k, 'U' AS status, s.cents
+  FROM base b JOIN src s ON b.k = s.k WHERE s.cents % 2 = 0
+  UNION ALL
+  SELECT s.k, 'I' AS status, s.cents
+  FROM src s ANTI JOIN base b ON s.k = b.k WHERE s.cents % 5 <> 0
+  UNION ALL
+  SELECT b.k,
+         CASE WHEN b.cents % 10 >= 3 THEN b.status || '_S' END AS status,
+         b.cents
+  FROM base b ANTI JOIN src s ON b.k = s.k WHERE b.cents % 10 >= 3
+),
+f AS (
+  SELECT 'live' AS face, status, k, cents FROM live
+  UNION ALL
+  SELECT 'v0', status, k, cents FROM base
+)
+SELECT face, status,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM f GROUP BY face, status
+"""
+
+# q193: INSERT OVERWRITE / replaceWhere as two-branch set algebra —
+# live = untouched partitions + the backfill batch; v0 = the original;
+# pruned = live restricted to the replaced partition.
+ORACLES["q193_insert_overwrite_backfill"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderkey % 4 AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 9 = 2
+),
+live AS (
+  SELECT k, d, cents FROM base WHERE d <> 2
+  UNION ALL
+  SELECT k, d, cents + 777 FROM base WHERE d = 2 AND k % 2 = 0
+),
+f AS (
+  SELECT 'live' AS face, d, k, cents FROM live
+  UNION ALL
+  SELECT 'v0', d, k, cents FROM base
+  UNION ALL
+  SELECT 'pruned', d, k, cents FROM live WHERE d = 2
+)
+SELECT face, d,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM f GROUP BY face, d
+"""
+
+# q194: hive-partitioned CONVERT as set algebra — v0 = the converted
+# tree, live = v0 minus the post-convert delete, pruned = live's 'F'
+# partition.
+ORACLES["q194_convert_hive_partitioned"] = """
+WITH v0 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+live AS (
+  SELECT * FROM v0 WHERE NOT (cents % 10 = 3 AND status = 'O')
+),
+f AS (
+  SELECT 'live' AS face, status, k, cents FROM live
+  UNION ALL
+  SELECT 'v0', status, k, cents FROM v0
+  UNION ALL
+  SELECT 'pruned', status, k, cents FROM live WHERE status = 'F'
+)
+SELECT face, status,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM f GROUP BY face, status
+"""
+
 ORACLES["q189_convert_in_place"] = """
 WITH v0 AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice

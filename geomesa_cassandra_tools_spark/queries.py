@@ -7149,6 +7149,267 @@ def q189_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_clauses_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once GENERAL-MERGE fixture (q192): a manifest table of the
+    o_orderkey % 7 == 1 orders slice, hit by ONE SQL MERGE exercising
+    the full clause surface — two conditional MATCHED clauses
+    (first-match-wins), a conditional INSERT (cols) VALUES, and both
+    NOT MATCHED BY SOURCE shapes (purge + flag). Version-guarded and
+    race-tolerant like the other /tmp fixtures."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_merge_clauses")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.where(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                base, path, stats_cols=["o_orderkey"], only_if_absent=True
+            )
+        except (transactional.CommitConflict, ValueError):
+            pass  # racing builder created it first
+    if transactional.current_version(path) < 1:
+        transactional.register_manifest_view(spark, path, name="q192_t")
+        orders.where(
+            ((F.col("o_orderkey") % 7).isin(1, 2))
+            & (F.col("o_orderkey") % 3 == 0)
+        ).select(
+            "o_orderkey",
+            (
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                + F.lit(11)
+            ).alias("cents"),
+        ).createOrReplaceTempView("q192_src")
+        try:
+            sqldml.execute(
+                spark,
+                "MERGE INTO q192_t AS t USING q192_src AS s "
+                "ON t.o_orderkey = s.o_orderkey "
+                "WHEN MATCHED AND s.cents % 2 = 0 THEN "
+                "UPDATE SET cents = s.cents, status = 'U' "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED AND s.cents % 5 != 0 THEN "
+                "INSERT (o_orderkey, status, cents) "
+                "VALUES (s.o_orderkey, 'I', s.cents) "
+                "WHEN NOT MATCHED BY SOURCE AND t.cents % 10 < 3 THEN "
+                "DELETE "
+                "WHEN NOT MATCHED BY SOURCE THEN "
+                "UPDATE SET status = concat(t.status, '_S')",
+            )
+        except transactional.CommitConflict:
+            pass  # racing builder merged first
+    return path
+
+
+def q192_merge_conditional_clauses(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GENERAL MERGE clause surface driver-certified (r11 VERDICT
+    gap #2 — `transactional.merge_clauses` through the SQL router): one
+    MERGE statement carrying two conditional MATCHED clauses
+    (column-level SET with clause precedence: even source cents update,
+    the rest DELETE — first-match-wins is IN the hash), a conditional
+    INSERT (cols) VALUES, and both WHEN NOT MATCHED BY SOURCE shapes
+    (the Delta table-sync idiom: purge rows that left the source when
+    cents % 10 < 3, flag the rest with a target-expression update).
+    Faces: the LIVE post-merge snapshot and VERSION 0 time travel —
+    every clause's effect lands in the live face, the v0 face certifies
+    the merge was ONE atomic commit over the original. The oracle
+    replays the clause algebra as joins/anti-joins. Integer cents only.
+
+    Scale shape: the match is one equi-join on the merge key (AQE
+    broadcasts small CDC batches); classification + assignment are JVM
+    CASE chains inside the join projection; only files holding a
+    changed row are rewritten (`merge_clauses`, transactional.py)."""
+    path = _merge_clauses_table_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    v0 = transactional.read_table(spark, path, version=0)
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("face"), "status", "n_rows", "cents_sum",
+            "key_sum",
+        )
+
+    return _face(live, "live").unionAll(_face(v0, "v0"))
+
+
+def _overwrite_backfill_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once INSERT OVERWRITE fixture (q193): a DAY-PARTITIONED
+    manifest table (d = o_orderkey % 4) backfilled by ONE atomic
+    ``INSERT INTO ... REPLACE WHERE d = 2`` whose source is the even
+    half of that partition with shifted cents — the production
+    backfill: scope out, batch in, one commit. Version-guarded and
+    race-tolerant."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_overwrite")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.where(F.col("o_orderkey") % 9 == 2).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(
+                base, path, stats_cols=["o_orderkey"],
+                partition_by=["d"], only_if_absent=True,
+            )
+        except (transactional.CommitConflict, ValueError):
+            pass
+    if transactional.current_version(path) < 1:
+        transactional.register_manifest_view(spark, path, name="q193_t")
+        try:
+            sqldml.execute(
+                spark,
+                "INSERT INTO q193_t REPLACE WHERE d = 2 "
+                "SELECT o_orderkey, d, cents + 777 FROM q193_t "
+                "WHERE d = 2 AND o_orderkey % 2 = 0",
+            )
+        except transactional.CommitConflict:
+            pass
+    return path
+
+
+def q193_insert_overwrite_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSERT OVERWRITE / replaceWhere driver-certified (r11 VERDICT
+    gap #3 — `transactional.overwrite_where` through the SQL router):
+    one atomic commit replaces the d = 2 partition with a recomputed
+    batch (its even-key half, cents + 777); out-of-scope partitions
+    carry BY NAME. Three faces ride the hash: the LIVE post-backfill
+    snapshot, VERSION 0 time travel ACROSS the overwrite (the original
+    partition content stays addressable — the verdict's named check),
+    and the PRUNED d = 2 slice (partition spans prove the other files
+    away; the batch gate guarantees everything in the slice came from
+    the backfill). The oracle is two-branch set algebra.
+
+    Scale shape: the d = 2 files are stats-proven all-match
+    (`_file_all_match`) — removed WITHOUT being read; at 100 TB a
+    day's backfill reads zero old bytes and the commit is O(files)
+    metadata."""
+    path = _overwrite_backfill_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    v0 = transactional.read_table(spark, path, version=0)
+    pruned = transactional.read_table(spark, path, where=[("d", "=", 2)])
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("d").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("face"), "d", "n_rows", "cents_sum", "key_sum",
+        )
+
+    return (
+        _face(live, "live")
+        .unionAll(_face(v0, "v0"))
+        .unionAll(_face(pruned, "pruned"))
+    )
+
+
+def _hive_converted_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once HIVE-PARTITIONED CONVERT fixture (q194): the
+    o_orderkey % 11 == 0 orders slice written as a PLAIN
+    status-partitioned parquet directory (partition values live only in
+    the key=value dir names), converted to a manifest table in place —
+    byte-zero data movement — then hit with a post-convert DELETE that
+    rewrites part of one partition (materializing the column into the
+    new files). Version-guarded and race-tolerant."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_hive_conv")
+    if transactional.current_version(path) >= 1:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    if transactional.current_version(path) < 0:
+        if not os.path.isdir(path):
+            base.repartitionByRange(2, "o_orderkey").write.mode(
+                "ignore"
+            ).partitionBy("status").parquet(path)
+        try:
+            sqldml.execute(
+                spark,
+                f"CONVERT TO MANIFEST '{path}' STATS (o_orderkey) "
+                "AS q194_t",
+            )
+        except (transactional.CommitConflict, ValueError, OSError):
+            pass  # racing builder converted first
+    transactional.register_manifest_view(spark, path, name="q194_t")
+    if transactional.current_version(path) < 1:
+        try:
+            sqldml.execute(
+                spark,
+                "DELETE FROM q194_t "
+                "WHERE cents % 10 = 3 AND status = 'O'",
+            )
+        except transactional.CommitConflict:
+            pass
+    return path
+
+
+def q194_convert_hive_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-partitioned CONVERT TO MANIFEST driver-certified (r11
+    VERDICT gap #5 — the refusal at the old transactional.py:3293
+    lifted): a ``status=X`` directory tree converts IN PLACE — the
+    partition keys (absent from the file bytes) harvest from the dir
+    names into a declared layout, exact per-file [v, v] spans, and
+    path-injected read constants (`pathPartitionValues`). Three faces:
+    LIVE (after a post-convert DELETE whose rewrite materializes the
+    column into new files — both read paths in one snapshot), VERSION 0
+    time travel (pure path-injection), and a PARTITION-PRUNED slice
+    (status = 'F' — the synthesized spans must prune exactly like a
+    native partitioned table's). Oracle: set algebra over orders.
+
+    Scale shape: conversion is O(files) renames + one footer pass (zero
+    data bytes moved — the point of CONVERT at 100 TB); reads inject
+    constants via basePath partition discovery, a scan-time no-op."""
+    path = _hive_converted_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    v0 = transactional.read_table(spark, path, version=0)
+    pruned = transactional.read_table(
+        spark, path, where=[("status", "=", "F")]
+    )
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("face"), "status", "n_rows", "cents_sum",
+            "key_sum",
+        )
+
+    return (
+        _face(live, "live")
+        .unionAll(_face(v0, "v0"))
+        .unionAll(_face(pruned, "pruned"))
+    )
+
+
 def q186_sql_alter_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL ALTER TABLE surface driver-certified (r10 VERDICT gap #3
     — `operators/sqldml._alter_table`): a lifecycle whose every post-
@@ -7510,6 +7771,10 @@ def _with_cache_release(
 # After the window: the remainder, numeric order. bench.py sorts by name,
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new in round 12 (first driver certification => inside the window)
+    "q192_merge_conditional_clauses": q192_merge_conditional_clauses,
+    "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
+    "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
     "q185_mapped_stream_feed": q185_mapped_stream_feed,
     "q186_sql_alter_lifecycle": q186_sql_alter_lifecycle,
@@ -7518,9 +7783,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_convert_in_place": q189_convert_in_place,
     "q190_dsir_importance_weights": q190_dsir_importance_weights,
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
-    "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
-    "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
-    "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
     "q147_salted_skew_join": q147_salted_skew_join,
@@ -7564,6 +7826,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_generated_partition_pruning": q182_generated_partition_pruning,
     "q183_sql_ddl_generated_lifecycle": q183_sql_ddl_generated_lifecycle,
     "q184_corpus_quality_gate": q184_corpus_quality_gate,
+    # q142/q143/q144 displaced below the window for q192/q193/q194 in
+    # r12 (green since r06/r07, values unchanged -> union coverage holds)
+    "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
+    "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
+    "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
     # q63 displaced just below the window to make room for q170 (q63 is
     # green in r07 with unchanged values -> union coverage holds); q34
     # displaced for q171 (green r05, values unchanged); q01 displaced

@@ -1,6 +1,7 @@
 """Model-based certification of the manifest delta log: a random sequence
 of append / delete (rewrite AND deletion-vector modes) / key-set delete /
-merge / compact (bin-pack AND zorder re-layout) / truncate / checkpoint /
+merge (upsert AND general clauses) / INSERT OVERWRITE (replaceWhere) /
+compact (bin-pack AND zorder re-layout) / truncate / checkpoint /
 RESTORE / partition-evolution (replace_table_layout) commits is
 replayed against a trivial in-memory model (a Counter of rows). After
 EVERY op the table must equal the model; afterwards, every recorded
@@ -41,6 +42,11 @@ _op = st.one_of(
     st.tuples(st.just("zorder"), st.none()),
     st.tuples(st.just("scopedcompact"), st.integers(0, 5)),
     st.tuples(st.just("relayout"), st.sampled_from(["flat", "v", "k"])),
+    st.tuples(st.just("mergeclauses"), _rows),
+    st.tuples(
+        st.just("overwrite"),
+        st.tuples(st.integers(0, 12), st.integers(0, 12), _rows),
+    ),
 )
 
 
@@ -140,6 +146,56 @@ def _run_model(spark, tmp_path, ops, partition_by):
             model = Counter(
                 {r: c for r, c in model.items() if r[0] not in keys}
             )
+        elif kind == "mergeclauses":
+            # r12 general MERGE: conditional update / delete /
+            # conditional insert / both BY-SOURCE shapes in one commit
+            batch = list({k: (k, v) for k, v in arg}.values())
+            tx.merge_clauses(
+                spark, path,
+                spark.createDataFrame(batch, "k bigint, v bigint"), ["k"],
+                matched=[
+                    {"cond": "__s_v % 2 = 0", "action": "update",
+                     "set": {"v": "__s_v + 100"}},
+                    {"cond": None, "action": "delete"},
+                ],
+                not_matched=[{"cond": "__s_v % 3 != 0", "values": "*"}],
+                not_matched_by_source=[
+                    {"cond": "k >= 9", "action": "delete"},
+                    {"cond": None, "action": "update",
+                     "set": {"v": "v + 1000"}},
+                ],
+            )
+            bk = dict(batch)
+            tgt_keys = {r[0] for r in model}
+            new: Counter = Counter()
+            for (k, v), c in model.items():
+                if k in bk:
+                    if bk[k] % 2 == 0:
+                        new[(k, bk[k] + 100)] += c
+                    # else: matched DELETE
+                elif k >= 9:
+                    pass  # BY SOURCE purge
+                else:
+                    new[(k, v + 1000)] += c
+            for k, v in batch:
+                if k not in tgt_keys and v % 3 != 0:
+                    new[(k, v)] += 1
+            model = new
+        elif kind == "overwrite":
+            lo, hi, rows = arg
+            lo, hi = min(lo, hi), max(lo, hi)
+            # batch keys folded INTO the scope (the replaceWhere gate
+            # refuses out-of-scope rows — that's its own battery)
+            batch = [(lo + k % (hi - lo + 1), v) for k, v in rows]
+            tx.overwrite_where(
+                spark, path,
+                spark.createDataFrame(batch, "k bigint, v bigint"),
+                preds=[("k", "between", (lo, hi))],
+            )
+            model = Counter(
+                {r: c for r, c in model.items() if not lo <= r[0] <= hi}
+            )
+            model.update(batch)
         elif kind == "truncate":
             tx.truncate_table(path)
             model = Counter()

@@ -3197,3 +3197,179 @@ def test_battery_convert_to_manifest(spark, tmp_path, protocol):
     _sh.rmtree(os.path.join(mixed, "tmp2"))
     with pytest.raises(ValueError, match="mixes partition layouts"):
         tx.convert_to_manifest(spark, mixed)
+
+
+def test_battery_merge_clauses(spark, tmp_path, protocol):
+    """General MERGE clause surface under each protocol: clause
+    PRECEDENCE (first-match-wins), conditional INSERT, both NOT MATCHED
+    BY SOURCE shapes, no version burned on an all-carry merge, and the
+    refusals (duplicate source keys, generated-column assignment,
+    SET * on a BY SOURCE clause)."""
+    path = str(tmp_path / "t")
+    ddl = "k int, name string, v int"
+    tx.init_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)], ddl
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 200), (3, "c2", 5), (5, "e", 50), (6, "f", 60)], ddl
+    )
+    res = tx.merge_clauses(
+        spark, path, src, ["k"],
+        matched=[
+            # precedence: k=2 satisfies BOTH conds? no — v=200 even ->
+            # first clause wins; k=3 (v=5, odd) falls to DELETE
+            {"cond": "__s_v % 2 = 0", "action": "update",
+             "set": {"v": "__s_v", "name": "upper(__s_name)"}},
+            {"cond": None, "action": "delete"},
+        ],
+        not_matched=[{"cond": "__s_k < 6", "values": "*"}],
+        not_matched_by_source=[
+            {"cond": "k = 1", "action": "delete"},
+            {"cond": None, "action": "update",
+             "set": {"name": "concat(name, '_stale')"}},
+        ],
+    )
+    assert res["version"] == 1 and res["inserted"]
+    got = sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    assert got == [
+        (2, "B", 200),       # matched, first clause (update)
+        (4, "d_stale", 40),  # NOT MATCHED BY SOURCE update
+        (5, "e", 50),        # conditional insert (k < 6)
+    ]  # 1 purged by BY-SOURCE delete, 3 deleted by matched clause 2,
+    #    6 skipped by the insert condition
+
+    # precedence is ORDER, not specificity: flipping the clauses makes
+    # DELETE win for every matched row
+    path2 = str(tmp_path / "t2")
+    tx.init_table(spark.createDataFrame([(2, "b", 20)], ddl), path2)
+    tx.merge_clauses(
+        spark, path2, spark.createDataFrame([(2, "B", 200)], ddl), ["k"],
+        matched=[
+            {"cond": None, "action": "delete"},
+            {"cond": "__s_v % 2 = 0", "action": "update", "set": "*"},
+        ],
+    )
+    assert tx.read_table(spark, path2).count() == 0
+
+    # all-carry merge: no clause fires -> NO version burned
+    v = tx.current_version(path)
+    res = tx.merge_clauses(
+        spark, path,
+        spark.createDataFrame([(100, "x", 1)], ddl), ["k"],
+        matched=[{"cond": None, "action": "delete"}],
+    )
+    assert res["version"] == v and tx.current_version(path) == v
+
+    # refusals
+    dup = spark.createDataFrame([(5, "x", 1), (5, "y", 2)], ddl)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tx.merge_clauses(
+            spark, path, dup, ["k"],
+            matched=[{"cond": None, "action": "delete"}],
+        )
+    with pytest.raises(ValueError, match="SET \\* is"):
+        tx.merge_clauses(
+            spark, path, src, ["k"],
+            not_matched_by_source=[
+                {"cond": None, "action": "update", "set": "*"},
+            ],
+        )
+    gpath = str(tmp_path / "gen")
+    tx.init_table(
+        spark.createDataFrame([(1, 10, 20)], "k int, v int, g int"),
+        gpath, generated={"g": "v * 2"},
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        tx.merge_clauses(
+            spark, gpath,
+            spark.createDataFrame([(1, 10, 20)], "k int, v int, g int"),
+            ["k"],
+            matched=[{"cond": None, "action": "update", "set": {"g": "1"}}],
+        )
+    # generated columns RECOMPUTE through update and insert clauses
+    res = tx.merge_clauses(
+        spark, gpath,
+        spark.createDataFrame([(1, 50), (2, 7)], "k int, v int"), ["k"],
+        matched=[{"cond": None, "action": "update", "set": {"v": "__s_v"}}],
+        not_matched=[{"cond": None,
+                      "values": {"k": "__s_k", "v": "__s_v"}}],
+    )
+    got = sorted(tuple(r) for r in tx.read_table(spark, gpath).collect())
+    assert got == [(1, 50, 100), (2, 7, 14)]
+
+
+def test_battery_overwrite_where(spark, tmp_path, protocol):
+    """INSERT OVERWRITE / replaceWhere under each protocol: one atomic
+    commit, out-of-scope files untouched BY NAME, stats-proven
+    all-match files removed unscanned, the batch-outside-scope gate,
+    constraint gate, and CDF images across the overwrite."""
+    path = str(tmp_path / "t")
+    rows = [(i, i % 4, i * 10) for i in range(40)]
+    tx.init_table(
+        spark.createDataFrame(rows, "k int, d int, v int"), path,
+        stats_cols=["k"], partition_by=["d"],
+        check_constraints={"v_pos": "v >= 0"},
+    )
+    man0 = tx._read_manifest(path, 0)
+    out_of_scope = [f for f in man0["files"] if not f.startswith("d=2/")]
+
+    batch = spark.createDataFrame([(100, 2, 1), (101, 2, 2)],
+                                  "k int, d int, v int")
+    res = tx.overwrite_where(spark, path, batch, preds=[("d", "=", 2)])
+    assert res["version"] == 1
+    # stats-proven: partition files removed WITHOUT a scan
+    assert res["files_rewritten"] == 0 and res["files_removed"] > 0
+    man1 = tx._read_manifest(path, 1)
+    # out-of-scope files carried BY NAME (same manifest entries)
+    assert set(out_of_scope) <= set(man1["files"])
+    assert not any(f.startswith("d=2/") and f in man1["files"]
+                   for f in man0["files"])
+    got = tx.read_table(spark, path)
+    assert got.where("d = 2").count() == 2
+    assert got.count() == 32  # 30 untouched + 2 new
+    # time travel across the overwrite
+    assert tx.read_table(spark, path, version=0).count() == 40
+
+    # batch-outside-scope gate: refused, no version burned
+    with pytest.raises(tx.ConstraintViolation, match="replace scope"):
+        tx.overwrite_where(
+            spark, path,
+            spark.createDataFrame([(1, 3, 1)], "k int, d int, v int"),
+            preds=[("d", "=", 2)],
+        )
+    # table constraints gate the batch
+    with pytest.raises(tx.ConstraintViolation, match="v_pos"):
+        tx.overwrite_where(
+            spark, path,
+            spark.createDataFrame([(1, 2, -5)], "k int, d int, v int"),
+            preds=[("d", "=", 2)],
+        )
+    assert tx.current_version(path) == 1
+
+    # CDF images: the overwrite commit shows the replaced rows as
+    # deletes and the batch as inserts
+    ch = tx.table_changes(spark, path, 1, 1)
+    dels = ch.where("_change_type = 'delete'")
+    ins = ch.where("_change_type = 'insert'")
+    assert dels.count() == 10 and {r["d"] for r in dels.collect()} == {2}
+    assert ins.count() == 2 and {r["k"] for r in ins.collect()} == {100, 101}
+
+    # empty batch + matching scope = scoped truncate (one commit);
+    # empty batch + empty scope burns nothing
+    empty = spark.createDataFrame([], "k int, d int, v int")
+    res = tx.overwrite_where(spark, path, empty, preds=[("d", "=", 3)])
+    assert res["version"] == 2
+    assert tx.read_table(spark, path).where("d = 3").count() == 0
+    res = tx.overwrite_where(spark, path, empty, preds=[("d", "=", 99)])
+    assert res["version"] == 2 and tx.current_version(path) == 2
+
+    # dynamic partition overwrite replaces exactly the batch's partitions
+    dyn = spark.createDataFrame([(200, 0, 5), (201, 1, 6)],
+                                "k int, d int, v int")
+    res = tx.overwrite_where(spark, path, dyn, dynamic=True)
+    got = tx.read_table(spark, path)
+    assert got.where("d = 0").count() == 1 and got.where("d = 1").count() == 1
+    assert got.where("d = 2").count() == 2  # untouched by the dynamic pass
