@@ -242,6 +242,13 @@ def _parser() -> argparse.ArgumentParser:
              "table's stats (OPTIMIZE ... ZORDER BY)",
     )
     p.add_argument(
+        "--metastore", default=None, metavar="ROOT",
+        help="sql/tables: attach the durable name->path metastore rooted "
+             "here (operators/metastore.py) — every registered table "
+             "binds by pure name, CREATE TABLE may omit LOCATION, and "
+             "SHOW TABLES / DROP TABLE work",
+    )
+    p.add_argument(
         "--manifest-view", action="append", default=[],
         metavar="NAME=PATH[@VERSION]",
         help="sql: register a manifest table as view NAME before running "
@@ -312,6 +319,17 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
     from geomesa_cassandra_tools_spark.functions import parsing
 
     cmd = args.command
+
+    if cmd == "tables":
+        # SHOW TABLES, CLI face: the durable metastore catalog
+        _require(parser, args, "metastore")
+        from geomesa_cassandra_tools_spark.operators.metastore import (
+            Metastore,
+        )
+
+        ms = Metastore(args.metastore)
+        _emit(ms.tables(_spark()).orderBy("name"), out)
+        return 0
 
     if cmd == "list-sfts":
         _require(parser, args, "keyspace", "catalog", "catalog-path")
@@ -395,7 +413,19 @@ def main(argv: Sequence[str] | None = None, out=None) -> int:
             )
         from geomesa_cassandra_tools_spark.operators import sqldml
 
-        res = sqldml.execute(spark, args.command_sql)
+        if args.metastore:
+            from geomesa_cassandra_tools_spark.operators.metastore import (
+                Metastore,
+            )
+
+            ms = Metastore(args.metastore)
+            ms.attach(spark)
+            sqldml.set_metastore(ms)
+        try:
+            res = sqldml.execute(spark, args.command_sql)
+        finally:
+            if args.metastore:
+                sqldml.set_metastore(None)
         if isinstance(res, dict):
             print("key\tvalue", file=out)
             for k, v in res.items():

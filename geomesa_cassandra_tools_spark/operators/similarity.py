@@ -569,11 +569,18 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF: assign corpus vectors to their nearest centroid partition once;
     each query probes only its ``nprobe`` nearest partitions. ``centroids``
     is ``(cid, centroid array<double>)`` — at scale produced by a sampled
-    k-means; any deterministic coarse quantizer works."""
+    k-means; any deterministic coarse quantizer works.
+
+    ``corpus_assign`` (optional, the `lsh_cosine_topk corpus_sigs`
+    pattern): a precomputed ``(cand_id, cid)`` frame — usually persisted
+    once per corpus — skips the corpus-side assignment scan entirely;
+    it MUST have been produced by this same assignment contract
+    (csim DESC, cid ASC tie-break) over the same centroids."""
     cent = F.broadcast(centroids.select("cid", as_double(F.col("centroid")).alias("cv0")))
 
     def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
@@ -584,7 +591,13 @@ def ivf_topk(
             "csim"
         )
 
-    c = assign(_prep(corpus, id_col, vec_col, "cand_id", "cv"), "cand_id", "cv", 1)
+    c_prep = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    if corpus_assign is not None:
+        c = c_prep.join(
+            corpus_assign.select("cand_id", "cid"), "cand_id"
+        ).select("cand_id", "cv", "cid")
+    else:
+        c = assign(c_prep, "cand_id", "cv", 1)
     q = assign(_prep(queries, id_col, vec_col, "query_id", "qv"), "query_id", "qv", nprobe)
     scored = (
         F.broadcast(q)

@@ -141,6 +141,38 @@ def _resolve(view: str) -> str:
     return entry["path"]
 
 
+#: the session's active Metastore (operators/metastore.py), or None —
+#: set with `use_metastore`/`set_metastore`. With one active: CREATE
+#: TABLE may omit LOCATION (the catalog invents <root>/<name>),
+#: CREATE/DROP register/unregister durably, SHOW TABLES lists the
+#: catalog.
+_ACTIVE_METASTORE = None
+
+
+class use_metastore:
+    """Context manager (or plain setter via `set_metastore`) activating
+    a durable metastore for the SQL router."""
+
+    def __init__(self, ms):
+        self.ms = ms
+        self.prev = None
+
+    def __enter__(self):
+        global _ACTIVE_METASTORE
+        self.prev, _ACTIVE_METASTORE = _ACTIVE_METASTORE, self.ms
+        return self.ms
+
+    def __exit__(self, *exc):
+        global _ACTIVE_METASTORE
+        _ACTIVE_METASTORE = self.prev
+        return False
+
+
+def set_metastore(ms) -> None:
+    global _ACTIVE_METASTORE
+    _ACTIVE_METASTORE = ms
+
+
 def _table_schema(path: str):
     from pyspark.sql.types import StructType
     import json
@@ -449,6 +481,25 @@ def execute(spark: SparkSession, statement: str):
         _repoint(spark, view, path)
         return res
 
+    m = re.match(r"SHOW\s+TABLES\s*$", s, re.IGNORECASE)
+    if m and _ACTIVE_METASTORE is not None:
+        return _ACTIVE_METASTORE.tables(spark)
+
+    m = re.match(rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$",
+                 s, re.IGNORECASE)
+    if m and _ACTIVE_METASTORE is not None:
+        name = m.group(1)
+        known = _ACTIVE_METASTORE.lookup(spark, name) is not None
+        if not known and "IF" not in s.upper():
+            raise ValueError(f"DROP TABLE {name}: not in the metastore")
+        res = _ACTIVE_METASTORE.unregister(spark, name)
+        tx._VIEW_REGISTRY.pop(name, None)
+        spark.catalog.dropTempView(name)
+        # catalog operation only: the table DATA stays on disk (the
+        # unmanaged-table DROP semantics; vacuum/rm reclaim bytes)
+        return {"op": "drop_table", "table": name, "dropped": known,
+                "catalog_version": res.get("version")}
+
     m = re.match(
         rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
     )
@@ -471,26 +522,33 @@ def execute(spark: SparkSession, statement: str):
         tail = s[i:]
         tm = re.match(
             rf"\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-            rf"LOCATION\s+'([^']+)'\s*$",
+            rf"(?:LOCATION\s+'([^']+)')?\s*$",
             tail, re.IGNORECASE | re.DOTALL,
         )
-        if not tm:
-            # not the manifest dialect (no LOCATION tail, or a USING/
-            # TBLPROPERTIES/… clause): this is a plain Spark CREATE
-            # TABLE — keep the documented contract that non-manifest
-            # statements fall through to spark.sql verbatim
+        if not tm or (tm.group(2) is None and _ACTIVE_METASTORE is None):
+            # not the manifest dialect (no LOCATION tail and no active
+            # metastore to invent one, or a USING/TBLPROPERTIES/…
+            # clause): plain Spark CREATE TABLE — keep the documented
+            # contract that non-manifest statements fall through to
+            # spark.sql verbatim
             return spark.sql(statement)
         part_raw, loc = tm.groups()
+        if loc is None:
+            loc = _ACTIVE_METASTORE.table_location(m.group(1))
         return _create_table(spark, m.group(1), cols_raw, part_raw, loc, None)
 
     m = re.match(
         rf"CREATE\s+TABLE\s+({_IDENT})\s*"
         rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-        rf"LOCATION\s+'([^']+)'\s+AS\s+(.+)$",
+        rf"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)$",
         s, re.IGNORECASE | re.DOTALL,
     )
-    if m and not mask[0]:
+    if m and not mask[0] and (
+        m.group(3) is not None or _ACTIVE_METASTORE is not None
+    ):
         name, part_raw, loc, query = m.groups()
+        if loc is None:
+            loc = _ACTIVE_METASTORE.table_location(name)
         return _create_table(spark, name, None, part_raw, loc, query)
 
     m = re.match(
@@ -1218,8 +1276,13 @@ def _create_table(
         only_if_absent=True,
     )
     tx.register_manifest_view(spark, loc, name=name)
+    if _ACTIVE_METASTORE is not None:
+        # durable catalog registration: a FRESH session attaches the
+        # metastore and reaches this table by pure name, no path anywhere
+        _ACTIVE_METASTORE.register(spark, name, loc)
     return {
         "op": "create", "table": name, "version": v, "path": loc,
         "partition_by": partition_by or [],
         "not_null": not_null, "generated": dict(generated),
+        "registered": _ACTIVE_METASTORE is not None,
     }

@@ -3087,6 +3087,21 @@ FROM base GROUP BY o_orderstatus
 # slice (% 5 = 3), live = union with the SQL-inserted slice (% 5 = 4),
 # pruned = the live face filtered (the engine's face must stats-prune
 # to the same rows the filter selects).
+# q195: the metastore pure-name read as set algebra + the constant
+# catalog row (name only — paths are machine-local and never hashed).
+ORACLES["q195_metastore_pure_name"] = """
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 13 = 1
+)
+SELECT 'live' AS face, status,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM base GROUP BY status
+UNION ALL
+SELECT 'catalog', 'q195_sales', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
 # q192: the general MERGE clause surface replayed as join algebra —
 # matched even-source-cents rows update (first-match-wins), remaining
 # matched rows delete, unmatched source rows with cents % 5 != 0

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from geomesa_cassandra_tools_spark.functions import parsing
 from geomesa_cassandra_tools_spark.functions import text as T
+from geomesa_cassandra_tools_spark.functions import vectors
 from geomesa_cassandra_tools_spark.operators import (
     dedup,
     geo,
@@ -92,6 +93,39 @@ def _embedding_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = similarity.corpus_hyperplane_signatures(emb, dim=64, nbits=8).persist()
     _SHARED_SIGS[key] = (spark, sigs)
     return sigs
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid cell assignment (cand_id, cid) of the embeddings
+    corpus against the fixed vec_id < 4 coarse centroids, computed and
+    persisted once per (session, corpus) — the IVF "inverted lists"
+    index every IVF probe shares instead of re-assigning the corpus per
+    query (at 100 TB this is a maintained index table, not a scan)."""
+    key = (id(spark), sf_dir, "ivf_assign")
+    entry = _SHARED_SIGS.get(key)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    cent = F.broadcast(
+        centroids.select(
+            "cid", vectors.as_double(F.col("centroid")).alias("cv0")
+        )
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        vectors.as_double(F.col("embedding")).alias("cv"),
+    ).join(cent).select(
+        "cand_id", "cid",
+        vectors.cosine(F.col("cv"), F.col("cv0")).alias("csim"),
+    )
+    assign = relational.top_k_per_group(
+        scored, ["cand_id"], [F.col("csim").desc(), F.col("cid")], 1
+    ).select("cand_id", "cid").persist()
+    _SHARED_SIGS[key] = (spark, assign)
+    return assign
 
 
 def _document_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4582,7 +4616,11 @@ def q146_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     qv = emb.where(F.col("vec_id") < 8)
     # the exact baseline feeds THREE consumers (the k_exact count and both
-    # semi-joins) — cache it so the brute-force pass runs once, not thrice
+    # semi-joins) — cache it so the brute-force pass runs once, not
+    # thrice. (blas_cosine_topk was A/B'd here in r12 and LOST at this
+    # corpus size: its plan-build collect job + python workers cost more
+    # than the matmul saves on 60k×64 — interleaved min-of-4, 2.6 vs
+    # 2.2 s with the JVM fold.)
     exact = _cache(
         similarity.cosine_topk(qv, emb, k=5).select("query_id", "cand_id")
     )
@@ -4593,8 +4631,12 @@ def q146_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
     )
+    # the corpus cell assignment is the PERSISTED shared index (r11
+    # VERDICT item 1: stop re-deriving calibration pipelines in-plan) —
+    # the IVF inverted-lists table a production deployment maintains
     ivf = similarity.ivf_topk(
-        qv, emb, k=5, centroids=centroids, nprobe=2
+        qv, emb, k=5, centroids=centroids, nprobe=2,
+        corpus_assign=_ivf_assignments(spark, sf_dir),
     ).select("query_id", "cand_id")
     base = exact.groupBy("query_id").agg(F.count("*").alias("k_exact"))
     lsh_h = (
@@ -7149,6 +7191,83 @@ def q189_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metastore_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once METASTORE fixture (q195): a durable name->path catalog
+    (operators/metastore.py — itself a manifest table) holding ONE
+    registered table, ``q195_sales`` (the o_orderkey % 13 == 1 orders
+    slice). Version-guarded and race-tolerant; registration is skipped
+    when the binding already points at the table (no catalog version
+    burned per run)."""
+    from geomesa_cassandra_tools_spark.operators.metastore import Metastore
+
+    root = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_metastore")
+    ms = Metastore(root)
+    loc = ms.table_location("q195_sales")
+    if transactional.current_version(loc) < 0:
+        base = load_tables(spark, sf_dir)["orders"].where(
+            F.col("o_orderkey") % 13 == 1
+        ).select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        try:
+            transactional.init_table(base, loc, only_if_absent=True)
+        except (transactional.CommitConflict, ValueError):
+            pass  # racing builder created the identical table
+    if ms.lookup(spark, "q195_sales") != os.path.abspath(loc):
+        try:
+            ms.register(spark, "q195_sales", loc)
+        except transactional.CommitConflict:
+            pass  # racing builder registered it
+    return root
+
+
+def q195_metastore_pure_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable manifest METASTORE driver-certified (r11 VERDICT gap
+    #4 — `register_manifest_view` was per-session; a SQL user had to
+    re-bind NAME=PATH every session): the fixture registers
+    ``q195_sales`` in a names catalog that is ITSELF a manifest table,
+    then THIS query opens a FRESH SESSION (``spark.newSession()`` — a
+    separate temp-view catalog, so nothing leaks from the fixture
+    session), attaches the metastore, and drives PURE-NAME SQL with no
+    path anywhere. Two faces ride the hash: the pure-name aggregate
+    (proof the binding resolves and reads the right rows) and the
+    catalog listing by name (proof SHOW TABLES serves the durable
+    names table). The oracle is set algebra over orders plus the
+    constant catalog row.
+
+    Scale shape: the names table is O(tables) rows read once per
+    session; attach is one tiny scan + view registrations — the
+    catalog lookup pattern of the reference's geo_catalog
+    (/root/reference/geomesa.py:36-38) over the engine's own tables."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+    from geomesa_cassandra_tools_spark.operators.metastore import Metastore
+
+    root = _metastore_root(spark, sf_dir)
+    s2 = spark.newSession()
+    ms = Metastore(root)
+    ms.attach(s2)
+    with sqldml.use_metastore(ms):
+        live = sqldml.execute(
+            s2,
+            "SELECT status, count(*) AS n_rows, "
+            "CAST(sum(cents) AS BIGINT) AS cents_sum "
+            "FROM q195_sales GROUP BY status",
+        ).select(
+            F.lit("live").alias("face"), "status", "n_rows", "cents_sum",
+        )
+        names = sqldml.execute(s2, "SHOW TABLES").select(
+            F.lit("catalog").alias("face"),
+            F.col("name").alias("status"),
+            F.lit(1).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("cents_sum"),
+        )
+    return live.unionAll(names)
+
+
 def _merge_clauses_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once GENERAL-MERGE fixture (q192): a manifest table of the
     o_orderkey % 7 == 1 orders slice, hit by ONE SQL MERGE exercising
@@ -7773,6 +7892,7 @@ def _with_cache_release(
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 12 (first driver certification => inside the window)
     "q192_merge_conditional_clauses": q192_merge_conditional_clauses,
+    "q195_metastore_pure_name": q195_metastore_pure_name,
     "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
     "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
@@ -7785,7 +7905,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
-    "q147_salted_skew_join": q147_salted_skew_join,
     "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
     "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
@@ -7826,8 +7945,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_generated_partition_pruning": q182_generated_partition_pruning,
     "q183_sql_ddl_generated_lifecycle": q183_sql_ddl_generated_lifecycle,
     "q184_corpus_quality_gate": q184_corpus_quality_gate,
-    # q142/q143/q144 displaced below the window for q192/q193/q194 in
+    # q142/q143/q144/q147 displaced below the window for q192-q195 in
     # r12 (green since r06/r07, values unchanged -> union coverage holds)
+    "q147_salted_skew_join": q147_salted_skew_join,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,

@@ -739,3 +739,35 @@ def test_cli_rename_and_drop_column(spark, tmp_path):
     got = tx.read_table(spark, table)
     assert got.columns == ["k", "amount", "note"]
     assert got.collect()[0]["note"] is None  # old files null-backfill
+
+
+def test_cli_metastore_pure_name_sql(spark, tmp_path):
+    """The durable metastore through the CLI (r12): CREATE TABLE with no
+    LOCATION lands under the metastore root and registers durably; a
+    SEPARATE invocation (fresh view catalog) reaches it by pure name;
+    `tables` lists the catalog; DROP TABLE unregisters."""
+    root = str(tmp_path / "warehouse")
+    rc, lines = _run(
+        ["sql", "--metastore", root,
+         "-e", "CREATE TABLE accts (k bigint NOT NULL, v string)"]
+    )
+    assert rc == 0
+    rc, _ = _run(
+        ["sql", "--metastore", root,
+         "-e", "INSERT INTO accts VALUES (1, 'a'), (2, 'b')"]
+    )
+    assert rc == 0
+    # pure-name read in a fresh invocation — no path anywhere
+    rc, lines = _run(
+        ["sql", "--metastore", root,
+         "-e", "SELECT count(*) AS n FROM accts"]
+    )
+    assert rc == 0 and lines[-1] == "2"
+    rc, lines = _run(["tables", "--metastore", root])
+    assert rc == 0 and any(line.startswith("accts\t") for line in lines)
+    rc, _ = _run(["sql", "--metastore", root, "-e", "DROP TABLE accts"])
+    assert rc == 0
+    rc, lines = _run(["tables", "--metastore", root])
+    assert rc == 0 and not any(
+        line.startswith("accts\t") for line in lines
+    )
