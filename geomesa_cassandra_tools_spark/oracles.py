@@ -3087,6 +3087,155 @@ FROM base GROUP BY o_orderstatus
 # slice (% 5 = 3), live = union with the SQL-inserted slice (% 5 = 4),
 # pruned = the live face filtered (the engine's face must stats-prune
 # to the same rows the filter selects).
+# q196/q197: the REAL BPE tokenizer replayed in SQL — each training
+# iteration is one chained block (pair count over the previous state,
+# deterministic argmax, gaps-and-islands-parity merge application), so
+# the merge table AND the encoded tokens bit-match functions/bpe.py.
+def _bpe_apply_block(i: int, prefix: str, keys: list[str],
+                     state_prev: str, msrc: str) -> str:
+    """One merge-application block: {prefix}c{i} (state + lookahead),
+    {prefix}k{i} (kept candidate positions: island-parity selection),
+    {prefix}s{i} (the merged, renumbered state)."""
+    K = ", ".join(keys)
+    ck = ", ".join(f"c.{k}" for k in keys)
+    on_k = " AND ".join(f"c.{k} = k.{k}" for k in keys)
+    on_a = " AND ".join(f"c.{k} = ka.{k}" for k in keys)
+    return f"""{prefix}c{i} AS MATERIALIZED (
+  SELECT {K}, pos, sym,
+         lead(sym) OVER (PARTITION BY {K} ORDER BY pos) AS nxt
+  FROM {state_prev}
+),
+{prefix}k{i} AS MATERIALIZED (
+  SELECT {K}, pos FROM (
+    SELECT {K}, pos,
+           row_number() OVER (PARTITION BY {K}, isl ORDER BY pos) - 1
+             AS off
+    FROM (
+      SELECT {ck}, c.pos,
+             c.pos - row_number()
+               OVER (PARTITION BY {ck} ORDER BY c.pos) AS isl
+      FROM {prefix}c{i} c, {msrc} m
+      WHERE c.sym = m.lhs AND c.nxt = m.rhs
+    )
+  ) WHERE off % 2 = 0
+),
+{prefix}s{i} AS MATERIALIZED (
+  SELECT {K}, row_number() OVER (PARTITION BY {K} ORDER BY pos) AS pos,
+         sym
+  FROM (
+    SELECT {ck}, c.pos,
+           CASE WHEN k.pos IS NOT NULL THEN c.sym || c.nxt
+                ELSE c.sym END AS sym
+    FROM {prefix}c{i} c
+    LEFT JOIN {prefix}k{i} k ON {on_k} AND c.pos = k.pos
+    LEFT JOIN {prefix}k{i} ka ON {on_a} AND c.pos = ka.pos + 1
+    WHERE ka.pos IS NULL
+  )
+)"""
+
+
+def _bpe_train_ctes(top_v: int, n_merges: int) -> str:
+    """The full training chain: vocab -> char state s0 -> per-iteration
+    (argmax m{{i}} + merge application) -> s{{n}}. m{{i}} CTEs hold the
+    learned merge table rows."""
+    blocks = ["""w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+  FROM w WHERE length(word) > 0
+  GROUP BY word ORDER BY wcount DESC, word LIMIT %d
+),
+s0 AS MATERIALIZED (
+  SELECT word, wcount, CAST(i AS INT) AS pos,
+         substring(word, CAST(i AS INT), 1) AS sym
+  FROM (SELECT word, wcount,
+               unnest(range(1, length(word) + 1)) AS i FROM v)
+)""" % top_v]
+    keys = ["word", "wcount"]
+    for i in range(1, n_merges + 1):
+        prev = "s0" if i == 1 else f"ts{i - 1}"
+        K = ", ".join(keys)
+        blocks.append(f"""tc{i} AS MATERIALIZED (
+  SELECT {K}, pos, sym,
+         lead(sym) OVER (PARTITION BY {K} ORDER BY pos) AS nxt
+  FROM {prev}
+),
+m{i} AS MATERIALIZED (
+  SELECT sym AS lhs, nxt AS rhs, CAST(sum(wcount) AS BIGINT) AS cnt
+  FROM tc{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY cnt DESC, lhs, rhs LIMIT 1
+)""")
+        # the apply block re-derives the lookahead itself (tc{i} is the
+        # argmax's input; reusing it would be fine but keeping the block
+        # generator uniform costs one extra window over a tiny state)
+        blocks.append(
+            _bpe_apply_block(i, "t", keys, prev, f"m{i}").replace(
+                f"tc{i} AS MATERIALIZED (", f"tac{i} AS MATERIALIZED ("
+            ).replace(f"tc{i} c", f"tac{i} c")
+        )
+    return ",\n".join(blocks)
+
+
+_BPE_TOP_V, _BPE_N_MERGES = 60, 8
+
+ORACLES["q196_bpe_train_merges"] = "WITH " + _bpe_train_ctes(
+    _BPE_TOP_V, _BPE_N_MERGES
+) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT {i} AS step, lhs, rhs, cnt FROM m{i}"
+    for i in range(1, _BPE_N_MERGES + 1)
+)
+
+_BPE_ENCODE_CTES = """d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 47 = 5
+),
+wd AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx,
+         ws[CAST(i AS INT)] AS word
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM d)
+  WHERE length(ws[CAST(i AS INT)]) > 0
+),
+es0 AS MATERIALIZED (
+  SELECT doc_id, widx, CAST(i AS INT) AS pos,
+         substring(word, CAST(i AS INT), 1) AS sym
+  FROM (SELECT doc_id, widx, word,
+               unnest(range(1, length(word) + 1)) AS i FROM wd)
+)"""
+
+ORACLES["q197_bpe_encode"] = (
+    "WITH " + _bpe_train_ctes(_BPE_TOP_V, _BPE_N_MERGES) + ",\n"
+    + _BPE_ENCODE_CTES + ",\n"
+    + ",\n".join(
+        _bpe_apply_block(
+            i, "e", ["doc_id", "widx"],
+            "es0" if i == 1 else f"es{i - 1}", f"m{i}",
+        ).replace(f"ec{i} AS MATERIALIZED (", f"eac{i} AS MATERIALIZED (")
+         .replace(f"ec{i} c", f"eac{i} c")
+         .replace(f"ek{i}", f"eek{i}")
+         .replace(f"es{i} AS (", f"es{i} AS (")
+        for i in range(1, _BPE_N_MERGES + 1)
+    )
+    + """,
+pt AS (SELECT doc_id, sym, count(*) AS n FROM es%d GROUP BY doc_id, sym),
+tt AS (
+  SELECT doc_id, sym AS top_tok, n AS top_tok_n FROM (
+    SELECT doc_id, sym, n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, sym) AS rn
+    FROM pt
+  ) WHERE rn = 1
+),
+ag AS (
+  SELECT doc_id, count(DISTINCT widx) AS n_words, count(*) AS n_tokens,
+         count(DISTINCT sym) AS n_distinct_toks
+  FROM es%d GROUP BY doc_id
+)
+SELECT ag.doc_id, n_words, n_tokens, n_distinct_toks, top_tok, top_tok_n
+FROM ag JOIN tt USING (doc_id)
+""" % (_BPE_N_MERGES, _BPE_N_MERGES)
+)
+
 # q195: the metastore pure-name read as set algebra + the constant
 # catalog row (name only — paths are machine-local and never hashed).
 ORACLES["q195_metastore_pure_name"] = """

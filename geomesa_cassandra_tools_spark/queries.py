@@ -7191,6 +7191,111 @@ def q189_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_V = 60      # training vocabulary size (top words by frequency)
+BPE_N_MERGES = 8    # merges learned — enough to certify the algorithm
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Build-once TRAINED BPE MERGES (q196/q197): `functions/bpe.train`
+    over the documents corpus (top-60 word vocab, 8 merges), persisted
+    as json beside /tmp's other corpus-keyed artifacts (the q171
+    `_trained_books.json` discipline: atomic rename; racing builders
+    write identical bytes because training is bit-deterministic)."""
+    import json as _json
+
+    path = _corpus_keyed_tmp_path(sf_dir, "documents", "gcts_bpe")
+    merges_file = os.path.join(path, "_merges.json")
+    if os.path.exists(merges_file):
+        with open(merges_file) as fh:
+            return _json.load(fh)
+    from geomesa_cassandra_tools_spark.functions import bpe
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges, _seqs = bpe.train(
+        spark, docs, top_v=BPE_TOP_V, n_merges=BPE_N_MERGES
+    )
+    os.makedirs(path, exist_ok=True)
+    tmp = merges_file + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(merges, fh)
+    os.replace(tmp, merges_file)
+    return merges
+
+
+def q196_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE training driver-certified (r11 VERDICT next-round #6 —
+    the r11 tokenizer was a regex stand-in, `text.py bpe_tokens`): learn
+    8 merges from the corpus top-60 word vocabulary by iterated
+    adjacent-pair counting (Sennrich 2016), argmax tie-broken
+    (count DESC, left ASC, right ASC), merges applied as left-to-right
+    non-overlapping passes (gaps-and-islands parity — see
+    `functions/bpe`). The hashed surface is the MERGE TABLE itself
+    (step, lhs, rhs, cnt): the oracle re-derives all 8 iterations in
+    SQL (chained window CTEs computing each argmax from the previous
+    state), so one diverging count, tie-break, or merge application
+    anywhere in training breaks the hash — this is the
+    training-determinism gate, the q171 pattern for text.
+
+    Scale shape: the state is a relational (word, pos, sym) table —
+    windows inside per-word groups, pair counts as partial-agg
+    shuffles; training cost is bounded by the top-V vocab no matter the
+    corpus size (frequencies come from one corpus pass)."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["cnt"]) for m in merges],
+        "step int, lhs string, rhs string, cnt bigint",
+    )
+
+
+def q197_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the q196-trained merges, driver-certified: the
+    doc_id % 47 == 5 corpus slice tokenizes word-by-word (merges applied
+    in training order — the BPE encode rule), then per-doc aggregates
+    ride the hash: word count, token count, distinct tokens, and the
+    modal token (count DESC, token ASC). Tokens for words never seen in
+    training fall back to partially-merged symbol runs — true
+    generalization, which the oracle reproduces because it re-derives
+    the merges and re-applies them with the identical window algebra.
+
+    Scale shape: encoding is M chained window passes over (doc, word)
+    groups — map-side after one repartition by doc; the merge list is
+    O(M) broadcast literals."""
+    from geomesa_cassandra_tools_spark.functions import bpe
+
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].where(
+        F.col("doc_id") % 47 == 5
+    )
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("__i", "word"),
+    ).select(
+        "doc_id", (F.col("__i") + 1).alias("widx"), "word"
+    ).where(F.length("word") > 0)
+    # MAP-ONLY encode (bpe.encode_words, value-identical fold twin of
+    # the window path — the oracle replays the window form, so the
+    # equivalence itself is in the hash); one explode only at the end
+    toks = bpe.encode_words(words, merges).select(
+        "doc_id", "widx", F.explode("toks").alias("sym")
+    )
+    per_tok = toks.groupBy("doc_id", "sym").agg(
+        F.count("*").alias("n")
+    )
+    top_tok = relational.top_k_per_group(
+        per_tok, ["doc_id"], [F.col("n").desc(), F.col("sym")], 1
+    ).select("doc_id", F.col("sym").alias("top_tok"),
+             F.col("n").alias("top_tok_n"))
+    agg = toks.groupBy("doc_id").agg(
+        F.countDistinct("widx").alias("n_words"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("sym").alias("n_distinct_toks"),
+    )
+    return agg.join(top_tok, "doc_id").select(
+        "doc_id", "n_words", "n_tokens", "n_distinct_toks",
+        "top_tok", "top_tok_n",
+    )
+
+
 def _metastore_root(spark: SparkSession, sf_dir: str) -> str:
     """Build-once METASTORE fixture (q195): a durable name->path catalog
     (operators/metastore.py — itself a manifest table) holding ONE
@@ -7893,6 +7998,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 12 (first driver certification => inside the window)
     "q192_merge_conditional_clauses": q192_merge_conditional_clauses,
     "q195_metastore_pure_name": q195_metastore_pure_name,
+    "q196_bpe_train_merges": q196_bpe_train_merges,
+    "q197_bpe_encode": q197_bpe_encode,
     "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
     "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
@@ -7905,8 +8012,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
-    "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
-    "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q152_manifest_change_feed": q152_manifest_change_feed,
@@ -7945,9 +8050,12 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_generated_partition_pruning": q182_generated_partition_pruning,
     "q183_sql_ddl_generated_lifecycle": q183_sql_ddl_generated_lifecycle,
     "q184_corpus_quality_gate": q184_corpus_quality_gate,
-    # q142/q143/q144/q147 displaced below the window for q192-q195 in
-    # r12 (green since r06/r07, values unchanged -> union coverage holds)
+    # q142/q143/q144/q147/q148/q149 displaced below the window for
+    # q192-q197 in r12 (green since r06/r07, values unchanged -> union
+    # coverage holds)
     "q147_salted_skew_join": q147_salted_skew_join,
+    "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
+    "q149_manifest_compaction": q149_manifest_compaction,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,

@@ -2476,3 +2476,67 @@ def test_decode_headers_fills_only_recognized_rows(spark):
     # unrecognized payload: stored metadata untouched
     assert (got[3]["mime"], got[3]["width"], got[3]["height"],
             got[3]["duration_ms"]) == ("video/mp4", 640, 480, 9000)
+
+
+def test_bpe_train_and_encode_paths_agree(spark):
+    """functions/bpe: training learns the classic merges on the Sennrich
+    toy corpus; the window (relational) and fold (array) encode paths
+    produce identical tokenizations, including left-to-right
+    non-overlapping runs (the a+a case) and unseen words."""
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [("low low low low low lower lower newest newest newest "
+          "newest newest newest widest widest widest",)],
+        "text string",
+    )
+    merges, _state = bpe.train(spark, docs, top_v=10, n_merges=6)
+    assert [(m["left"], m["right"]) for m in merges[:4]] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+    ]
+    words = spark.createDataFrame(
+        [(1, 1, "lowest"), (1, 2, "newest"), (1, 3, "aaaa"),
+         (1, 4, "wilder")],
+        "doc_id int, widx int, word string",
+    )
+    rel = bpe.encode(
+        bpe.char_seqs(words, ["doc_id", "widx"]), ["doc_id", "widx"],
+        merges,
+    )
+    rel_toks = {
+        (r["doc_id"], r["widx"]): None
+        for r in rel.select("doc_id", "widx").distinct().collect()
+    }
+    got_rel = {
+        k: [r["sym"] for r in rel.where(
+            (F.col("doc_id") == k[0]) & (F.col("widx") == k[1])
+        ).orderBy("pos").collect()]
+        for k in rel_toks
+    }
+    fold = bpe.encode_words(words, merges)
+    got_fold = {
+        (r["doc_id"], r["widx"]): list(r["toks"])
+        for r in fold.collect()
+    }
+    assert got_rel == got_fold
+    assert got_fold[(1, 1)] == ["low", "est"]  # BPE's canonical example
+    # run-parity: merge (a,a)-style non-overlap — no merges learned for
+    # 'a' here, so 'aaaa' stays chars; check the pass itself directly
+    seqs = bpe.char_seqs(
+        spark.createDataFrame([(1, 1, "aaaa")],
+                              "doc_id int, widx int, word string"),
+        ["doc_id", "widx"],
+    )
+    one = bpe.apply_merge(seqs, ["doc_id", "widx"], "a", "a")
+    assert [r["sym"] for r in one.orderBy("pos").collect()] == ["aa", "aa"]
+    three = bpe.apply_merge(
+        bpe.char_seqs(
+            spark.createDataFrame([(1, 1, "aaa")],
+                                  "doc_id int, widx int, word string"),
+            ["doc_id", "widx"],
+        ),
+        ["doc_id", "widx"], "a", "a",
+    )
+    assert [r["sym"] for r in three.orderBy("pos").collect()] == ["aa", "a"]
