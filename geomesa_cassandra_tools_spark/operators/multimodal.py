@@ -272,3 +272,306 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL PIXEL DECODE (r12): BMP 24bpp, PPM P6, and PNG (zlib is stdlib —
+# IDAT inflate + all five scanline filters), plus pixel-writing twins.
+# Compressed codecs (JPEG etc.) stay out of scope in this container.
+
+def build_bmp_pixels(width: int, height: int, rgb: bytes) -> bytes:
+    """24bpp BMP around TOP-DOWN RGB pixel bytes: rows stored
+    BOTTOM-UP as BGR with 4-byte row padding (the format's layout —
+    exactly what `decode_pixels` must undo)."""
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + b"\x00" * pad)
+    body = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + body
+
+
+def build_ppm_pixels(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6) around top-down RGB bytes — raw, no padding."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(rgb)
+
+
+def build_png_pixels(width: int, height: int, rgb: bytes) -> bytes:
+    """Real PNG around top-down RGB bytes: IHDR + one zlib IDAT
+    (filter 0 per scanline) + IEND, all with correct CRCs."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(rgb[y * width * 3:(y + 1) * width * 3])
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
+    """Undo PNG scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) for 8-bit RGB — returns top-down RGB bytes."""
+    stride = width * 3
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter {ftype} unsupported")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """FULL image decode to (width, height, top-down RGB bytes) for the
+    pure-Python containers: BMP 24bpp (bottom-up BGR rows, 4-byte
+    padding — or top-down when the height field is negative), PPM P6,
+    PNG 8-bit RGB color-type 2 (zlib IDAT + the five scanline filters).
+    None for anything else — callers keep such rows undecoded."""
+    import zlib
+
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height_raw = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        off = struct.unpack_from("<I", payload, 10)[0]
+        if bpp != 24 or width <= 0 or height_raw == 0:
+            return None
+        height = abs(height_raw)
+        top_down = height_raw < 0
+        stride = width * 3 + ((-(width * 3)) % 4)
+        if len(payload) < off + stride * height:
+            return None
+        rgb = bytearray(width * height * 3)
+        for row in range(height):
+            y = row if top_down else (height - 1 - row)
+            base = off + row * stride
+            for x in range(width):
+                b = payload[base + x * 3]
+                g = payload[base + x * 3 + 1]
+                r = payload[base + x * 3 + 2]
+                i = (y * width + x) * 3
+                rgb[i], rgb[i + 1], rgb[i + 2] = r, g, b
+        return (width, height, bytes(rgb))
+    if payload[:2] == b"P6":
+        parts: list[bytes] = []
+        i = 2
+        while len(parts) < 3 and i < len(payload):
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            parts.append(payload[i:j])
+            i = j
+        if len(parts) < 3:
+            return None
+        width, height, maxv = (int(x) for x in parts)
+        if maxv != 255:
+            return None
+        i += 1  # single whitespace after maxval
+        need = width * height * 3
+        if len(payload) < i + need:
+            return None
+        return (width, height, bytes(payload[i:i + need]))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        i = 8
+        width = height = None
+        idat = bytearray()
+        ok_format = False
+        while i + 8 <= len(payload):
+            size = struct.unpack_from(">I", payload, i)[0]
+            tag = payload[i + 4:i + 8]
+            body = payload[i + 8:i + 8 + size]
+            if tag == b"IHDR" and size >= 13:
+                width, height = struct.unpack_from(">II", body, 0)
+                bit_depth, color_type = body[8], body[9]
+                ok_format = bit_depth == 8 and color_type == 2
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + size  # len + tag + body + crc
+        if not (ok_format and width and height and idat):
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        if len(raw) != height * (1 + width * 3):
+            return None
+        return (width, height, _png_unfilter(raw, width, height))
+    return None
+
+
+def ahash_hex(rgb: bytes, width: int, height: int) -> str | None:
+    """64-bit average-hash of a top-down RGB image as a 16-char lowercase
+    hex string — ALL-INTEGER so a SQL oracle reproduces it exactly:
+    gray = (299r + 587g + 114b) // 1000, 8×8 block means (floor), global
+    mean (floor), bit = block >= mean; byte per block-row, MSB = x 0."""
+    if width % 8 or height % 8 or width == 0 or height == 0:
+        return None
+    bw, bh = width // 8, height // 8
+    blocks = [[0] * 8 for _ in range(8)]
+    for y in range(height):
+        for x in range(width):
+            i = (y * width + x) * 3
+            g = (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
+            blocks[y // bh][x // bw] += g
+    vals = [
+        [blocks[by][bx] // (bw * bh) for bx in range(8)] for by in range(8)
+    ]
+    mean = sum(v for row in vals for v in row) // 64
+    out = []
+    for by in range(8):
+        byte = 0
+        for bx in range(8):
+            if vals[by][bx] >= mean:
+                byte |= 1 << (7 - bx)
+        out.append(f"{byte:02x}")
+    return "".join(out)
+
+
+def image_ahash(media: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Arrow-batched FULL decode + perceptual hash: (id_cols..., width,
+    height, ahash hex) per decodable payload; undecodable rows emit
+    nulls (never dropped silently)."""
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in zip(
+            id_cols,
+            [dict(media.dtypes)[c] for c in id_cols],
+        )
+    ) + ", width int, height int, ahash string"
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {c: pdf[c] for c in id_cols}
+            ws, hs, hx = [], [], []
+            for p in pdf["payload"]:
+                dec = decode_pixels(bytes(p) if p is not None else None)
+                if dec is None:
+                    ws.append(None), hs.append(None), hx.append(None)
+                else:
+                    w, h, rgb = dec
+                    ws.append(w), hs.append(h)
+                    hx.append(ahash_hex(rgb, w, h))
+            out = pd.DataFrame(cols)
+            out["width"], out["height"], out["ahash"] = ws, hs, hx
+            yield out
+
+    return media.mapInPandas(probe, schema=out_schema)
+
+
+def ahash_near_pairs(
+    hashes: DataFrame, id_col: str, hash_col: str = "ahash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by HAMMING-BANDED LSH over 64-bit
+    ahashes: 4 bands of 16 bits — by pigeonhole two hashes within
+    Hamming distance 3 share at least one untouched band, so for
+    ``max_hamming`` <= 3 the banded candidate set has EXACT recall (no
+    all-pairs comparison anywhere); candidates verify with an exact
+    bit_count(xor) over 16-bit chunks (no 64-bit sign traps). Returns
+    (a, b, hamming), a < b."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees recall only for max_hamming <= 3;"
+            " raise the band count for looser thresholds"
+        )
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    bands = h.select(
+        "__id", "__h",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(str(i)),
+                    F.substring(F.col("__h"), 1 + 4 * i, 4),
+                ) for i in range(4)
+            ])
+        ).alias("__band"),
+    )
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["__band"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("a"), F.col("r.__id").alias("b"),
+            F.col("l.__h").alias("ha"), F.col("r.__h").alias("hb"),
+        )
+        .distinct()
+    )
+    chunks = [
+        F.bit_count(
+            F.conv(F.substring("ha", 1 + 4 * i, 4), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("hb", 1 + 4 * i, 4), 16, 10)
+                .cast("long")
+            )
+        )
+        for i in range(4)
+    ]
+    ham = chunks[0]
+    for c in chunks[1:]:
+        ham = ham + c
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

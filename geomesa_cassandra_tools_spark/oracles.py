@@ -3236,6 +3236,65 @@ FROM ag JOIN tt USING (doc_id)
 """ % (_BPE_N_MERGES, _BPE_N_MERGES)
 )
 
+# q198: the image decode + perceptual hash replayed ANALYTICALLY —
+# the oracle never touches bytes; it derives the 16x16 gradient the
+# fixture wrote, folds the same integer block/mean/bit arithmetic to
+# the hex hash, and computes near-dup pairs as the full bit-difference
+# join (Hamming <= 3 pairs ARE the banded candidates by pigeonhole).
+ORACLES["q198_image_phash_dedup"] = """
+WITH ds AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE doc_id % 23 = 9
+),
+px AS MATERIALIZED (
+  SELECT doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+         (7 * doc_id + 3 * x + 5 * y + (x * y) % 13) % 256 AS v
+  FROM ds,
+       (SELECT unnest(range(0, 16)) AS x),
+       (SELECT unnest(range(0, 16)) AS y)
+),
+blk AS MATERIALIZED (
+  SELECT doc_id, x // 2 AS bx, y // 2 AS by, sum(v) // 4 AS bval
+  FROM px GROUP BY doc_id, x // 2, y // 2
+),
+mn AS MATERIALIZED (
+  SELECT doc_id, sum(bval) // 64 AS mean FROM blk GROUP BY doc_id
+),
+bits AS MATERIALIZED (
+  SELECT b.doc_id, b.by, b.bx,
+         CASE WHEN b.bval >= m.mean THEN 1 ELSE 0 END AS bit
+  FROM blk b JOIN mn m ON b.doc_id = m.doc_id
+),
+bytes_ AS MATERIALIZED (
+  SELECT doc_id, by,
+         CAST(sum(bit * (1 << (7 - CAST(bx AS INT)))) AS INT) AS bv
+  FROM bits GROUP BY doc_id, by
+),
+hashes AS MATERIALIZED (
+  SELECT doc_id, string_agg(printf('%02x', bv), '' ORDER BY by) AS ahash
+  FROM bytes_ GROUP BY doc_id
+),
+hash_face AS (
+  SELECT 'hash' AS face, doc_id AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+         ahash, CAST(31 AS BIGINT) AS m
+  FROM hashes
+),
+ham AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS m
+  FROM bits a JOIN bits b
+    ON a.by = b.by AND a.bx = b.bx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pair_face AS (
+  SELECT 'pair' AS face, doc_a, doc_b, '' AS ahash, m
+  FROM ham WHERE m <= 3
+)
+SELECT * FROM hash_face
+UNION ALL
+SELECT * FROM pair_face
+"""
+
 # q195: the metastore pure-name read as set algebra + the constant
 # catalog row (name only — paths are machine-local and never hashed).
 ORACLES["q195_metastore_pure_name"] = """

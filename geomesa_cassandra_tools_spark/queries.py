@@ -7296,6 +7296,84 @@ def q197_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL image pixel decode + perceptual-hash near-dup (r11 VERDICT
+    next-round #7 — the multimodal family stopped at headers): one
+    Arrow pass WRITES the same 16×16 gradient image
+    (r = g = b = (7·doc_id + 3x + 5y + (x·y % 13)) % 256) into THREE
+    real containers per document — 24bpp BMP (bottom-up BGR rows,
+    4-byte padding), binary PPM, and a real zlib PNG (IDAT + CRCs) —
+    and `multimodal.image_ahash` decodes the PIXELS back (PNG inflate +
+    scanline unfilter, BMP row flip) and computes the all-integer
+    64-bit average hash. Faces: per-doc 'hash' rows certify that all
+    three containers decode to the SAME pixels (m = n_formats·10 +
+    n_distinct_hashes must be 31) and pin the hash value the oracle
+    derives ANALYTICALLY from the generator (any decode bug — an
+    endianness slip, a bad unfilter, a padding error — shifts a pixel
+    and flips the hash); 'pair' rows are cross-document near-dups from
+    `ahash_near_pairs` (4×16-bit Hamming bands, pigeonhole-EXACT recall
+    at distance <= 3), which the oracle replays as the full
+    bit-difference join.
+
+    Scale shape: decode + hash is one Arrow-batched scan (binary
+    columns never collect); candidate generation is a banded equi-join
+    — never all-pairs — with exact recall at the certified threshold."""
+    docs = load_tables(spark, sf_dir)["documents"].where(
+        F.col("doc_id") % 23 == 9
+    ).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    (7 * d + 3 * x + 5 * y + (x * y) % 13) % 256
+                    for y in range(16) for x in range(16)
+                    for _ in range(3)
+                )
+                for fmt, builder in (
+                    ("bmp", multimodal.build_bmp_pixels),
+                    ("ppm", multimodal.build_ppm_pixels),
+                    ("png", multimodal.build_png_pixels),
+                ):
+                    out["doc_id"].append(d)
+                    out["fmt"].append(fmt)
+                    out["payload"].append(builder(16, 16, rgb))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        gen, "doc_id bigint, fmt string, payload binary"
+    )
+    hashes = multimodal.image_ahash(media, ["doc_id", "fmt"])
+    per_doc = hashes.groupBy("doc_id").agg(
+        (
+            F.count("*") * 10 + F.countDistinct("ahash")
+        ).cast("bigint").alias("m"),
+        F.min("ahash").alias("ahash"),
+    )
+    # sentinels, not NULLs: a null bigint surfaces as NaN through the
+    # oracle's pandas frame and the hash comparison would diverge on
+    # representation alone
+    hash_face = per_doc.select(
+        F.lit("hash").alias("face"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(-1).cast("bigint").alias("doc_b"),
+        "ahash", "m",
+    )
+    pairs = multimodal.ahash_near_pairs(
+        per_doc.select("doc_id", "ahash"), "doc_id", max_hamming=3
+    )
+    pair_face = pairs.select(
+        F.lit("pair").alias("face"),
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.lit("").alias("ahash"),
+        F.col("hamming").cast("bigint").alias("m"),
+    )
+    return hash_face.unionAll(pair_face)
+
+
 def _metastore_root(spark: SparkSession, sf_dir: str) -> str:
     """Build-once METASTORE fixture (q195): a durable name->path catalog
     (operators/metastore.py — itself a manifest table) holding ONE
@@ -8000,6 +8078,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_metastore_pure_name": q195_metastore_pure_name,
     "q196_bpe_train_merges": q196_bpe_train_merges,
     "q197_bpe_encode": q197_bpe_encode,
+    "q198_image_phash_dedup": q198_image_phash_dedup,
     "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
     "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
@@ -8012,7 +8091,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
-    "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q152_manifest_change_feed": q152_manifest_change_feed,
     "q153_semdedup_prune": q153_semdedup_prune,
@@ -8056,6 +8134,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_salted_skew_join": q147_salted_skew_join,
     "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
     "q149_manifest_compaction": q149_manifest_compaction,
+    "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,

@@ -2540,3 +2540,67 @@ def test_bpe_train_and_encode_paths_agree(spark):
         ["doc_id", "widx"], "a", "a",
     )
     assert [r["sym"] for r in three.orderBy("pos").collect()] == ["aa", "a"]
+
+
+def test_image_pixel_decode_and_ahash(spark):
+    """multimodal r12: full pixel decode round-trips all three
+    containers byte-identically (BMP bottom-up+padding, top-down BMP
+    via negative height, PPM, real-zlib PNG), ahash is stable across
+    them, undecodable payloads emit null, and the banded near-pair op
+    finds exactly the Hamming<=3 pairs."""
+    import struct
+    import zlib
+
+    from geomesa_cassandra_tools_spark.operators import multimodal as M
+
+    W = H = 16
+    rgb = bytes(
+        (3 * x + 5 * y + (x * y) % 13) % 256
+        for y in range(H) for x in range(W) for _ in range(3)
+    )
+    payloads = {
+        "bmp": M.build_bmp_pixels(W, H, rgb),
+        "ppm": M.build_ppm_pixels(W, H, rgb),
+        "png": M.build_png_pixels(W, H, rgb),
+    }
+    hashes = set()
+    for fmt, p in payloads.items():
+        w, h, out = M.decode_pixels(p)
+        assert (w, h, out) == (W, H, rgb), fmt
+        hashes.add(M.ahash_hex(out, w, h))
+    assert len(hashes) == 1
+
+    # top-down BMP (negative height field) decodes to the same pixels
+    td = bytearray(M.build_bmp_pixels(W, H, rgb))
+    # rebuild body rows in top-down order and flip the height sign
+    stride = W * 3 + ((-(W * 3)) % 4)
+    body = td[54:]
+    flipped = b"".join(
+        bytes(body[(H - 1 - y) * stride:(H - y) * stride])
+        for y in range(H)
+    )
+    td = td[:54] + flipped
+    struct.pack_into("<i", td, 22, -H)
+    assert M.decode_pixels(bytes(td))[2] == rgb
+
+    # undecodable payloads -> null hash rows (not dropped)
+    media = spark.createDataFrame(
+        [(1, bytearray(payloads["png"])), (2, bytearray(b"garbage"))],
+        "media_id bigint, payload binary",
+    )
+    got = {r["media_id"]: r["ahash"]
+           for r in M.image_ahash(media, ["media_id"]).collect()}
+    assert got[1] is not None and got[2] is None
+
+    # banded pairs: hamming 0 and 2 found, hamming 8 excluded
+    h0 = "00ff00ff00ff00ff"
+    h2 = "00ff00fc00ff00ff"  # last nibble of band 2 flips 2 bits
+    h8 = "ffff00ff00ff0000"
+    frame = spark.createDataFrame(
+        [(1, h0), (2, h0), (3, h2), (4, h8)], "doc_id bigint, ahash string"
+    )
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in M.ahash_near_pairs(frame, "doc_id").collect()
+    }
+    assert pairs == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
