@@ -369,11 +369,12 @@ def execute(spark: SparkSession, statement: str):
     m = re.match(
         rf"OPTIMIZE\s+({_IDENT})"
         rf"(?:\s+WHERE\s+(.+?))?"
-        rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?"
+        rf"(\s+INCREMENTAL)?\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m and not mask[0]:
-        view, where_raw, zorder_raw = m.groups()
+        view, where_raw, zorder_raw, inc_raw = m.groups()
         try:
             path = _resolve(view)
         except KeyError:
@@ -400,8 +401,14 @@ def execute(spark: SparkSession, statement: str):
             [c.strip().strip('`"') for c in zorder_raw.split(",") if c.strip()]
             if zorder_raw else None
         )
+        if inc_raw and not zorder_by:
+            raise ValueError(
+                f"OPTIMIZE {view}: INCREMENTAL applies to ZORDER BY "
+                "(liquid-style clustering provenance)"
+            )
         res = tx.compact_table(
-            spark, path, where=where, zorder_by=zorder_by
+            spark, path, where=where, zorder_by=zorder_by,
+            incremental=bool(inc_raw),
         )
         _repoint(spark, view, path)
         return {"op": "optimize", "table": view, **res}

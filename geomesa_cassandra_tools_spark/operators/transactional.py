@@ -250,6 +250,7 @@ def _empty_state() -> dict:
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
         "features": None, "writer_features": None, "path_values": {},
+        "zcube": {},
     }
 
 
@@ -289,6 +290,17 @@ def _apply_delta(state: dict, delta: dict) -> dict:
         if f in file_set:
             pv[f] = v
     state["path_values"] = pv
+    # clustering provenance (liquid-style ZCube tags): an entry names
+    # the clustering spec that WROTE the file; it dies with the file,
+    # so incremental OPTIMIZE sees exactly the not-yet-clustered set
+    zc = {
+        f: v for f, v in (state.get("zcube") or {}).items()
+        if f in file_set
+    }
+    for f, v in (delta.get("zcube") or {}).items():
+        if f in file_set:
+            zc[f] = v
+    state["zcube"] = zc
     # partition layout is IMMUTABLE after init and constraints change
     # only through the explicit ALTER verbs: ordinary deltas omit both
     # keys and the state values carry; a delta that carries one sets it
@@ -350,6 +362,7 @@ def _as_state(body: dict) -> dict:
         "features": body.get("features"),
         "writer_features": body.get("writer_features"),
         "path_values": body.get("path_values") or {},
+        "zcube": body.get("zcube") or {},
     }
 
 
@@ -421,6 +434,7 @@ def _commit(
     writer_features: list[str] | None = None,
     prev_state: dict | None = None,
     path_values: dict | None = None,
+    zcube: dict | None = None,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -535,6 +549,8 @@ def _commit(
         body["writer_features"] = sorted(set(writer_features))
     if path_values:
         body["path_values"] = path_values
+    if zcube:
+        body["zcube"] = zcube
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -594,6 +610,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["writer_features"] = state["writer_features"]
     if state.get("path_values"):
         body["path_values"] = state["path_values"]
+    if state.get("zcube"):
+        body["zcube"] = state["zcube"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -3504,6 +3522,7 @@ def compact_table(
     zorder_strategy: str = "minmax",
     max_commit_retries: int = 40,
     where: list[tuple] | None = None,
+    incremental: bool = False,
 ) -> dict:
     """OPTIMIZE: bin-pack live files smaller than ``target_bytes`` into
     ~target-sized rewrites, published as ONE atomic commit (remove the
@@ -3540,6 +3559,19 @@ def compact_table(
     columns (whose spans are exact, so a partition predicate scopes
     exactly). Rows never change — the scope changes only which files
     rewrite.
+
+    ``incremental=True`` (with ``zorder_by``) is LIQUID-STYLE
+    incremental clustering: every z-order rewrite tags its output files
+    with the clustering spec (a ZCube-provenance entry in the manifest,
+    carried by state resolution, dying with the file), and an
+    incremental pass SKIPS files already tagged with the same spec —
+    so repeated OPTIMIZE on a mostly-clustered 100 TB table rewrites
+    O(new files), not O(table). The skipped cubes and the fresh cube
+    are independently curve-clustered (pruning rides per-file stats
+    either way — Delta liquid clustering's exact tradeoff); a changed
+    key/resolution/strategy invalidates the tags and the next pass
+    rewrites everything. dv-carrying files always participate (the
+    rewrite is their sanctioned materialization route).
 
     Concurrency: data files are staged once; only the metadata commit
     retries. A conflicting commit is re-read and checked — if any input
@@ -3579,7 +3611,25 @@ def compact_table(
             f for f in scope
             if all(_file_survives(stats.get(f), _phys_pred(p, cm)) for p in where)
         ]
-    if zorder_by:
+    zspec = (
+        f"z:{','.join(zorder_by)}:{zorder_res}:{zorder_strategy}"
+        if zorder_by else None
+    )
+    if zorder_by and incremental:
+        # liquid-style: skip files a previous pass already clustered
+        # under the SAME spec (their tag dies with any rewrite, so the
+        # tag set is exactly the still-valid cubes)
+        tags = man.get("zcube") or {}
+        inputs = sorted(
+            f for f in scope
+            if tags.get(f) != zspec or f in dv_map
+        )
+        if not inputs:
+            return {
+                "version": version, "files_compacted": 0,
+                "files_written": 0, "files_skipped_clustered": len(scope),
+            }
+    elif zorder_by:
         # OPTIMIZE ZORDER: a re-layout, not a bin-pack — every scoped
         # live file participates so the slice ends up curve-clustered
         inputs = sorted(scope)
@@ -3628,11 +3678,20 @@ def compact_table(
                 path, version + 1, man["schema"], man["txns"], stats_cols,
                 add=staged, remove=inputs, add_stats=new_stats, op="compact",
                 prev_state=man,
+                # clustering provenance: z-order outputs tag with the
+                # spec so a later incremental pass can skip them
+                zcube=(
+                    {f: zspec for f in staged} if zspec else None
+                ),
             )
             return {
                 "version": version + 1,
                 "files_compacted": len(inputs),
                 "files_written": len(staged),
+                **(
+                    {"files_skipped_clustered": len(scope) - len(inputs)}
+                    if zorder_by and incremental else {}
+                ),
             }
         except CommitConflict:
             version = current_version(path)

@@ -3373,3 +3373,75 @@ def test_battery_overwrite_where(spark, tmp_path, protocol):
     got = tx.read_table(spark, path)
     assert got.where("d = 0").count() == 1 and got.where("d = 1").count() == 1
     assert got.where("d = 2").count() == 2  # untouched by the dynamic pass
+
+
+def test_battery_incremental_optimize(spark, tmp_path, protocol):
+    """Liquid-style incremental OPTIMIZE ZORDER under each protocol:
+    the first pass rewrites and TAGS everything; the second is a
+    near-no-op (no version burned, scope reported skipped, names carried
+    BY REFERENCE); appended files rewrite ALONE on the third pass while
+    the clustered cubes carry; rows stay byte-identical throughout; a
+    changed spec invalidates the tags."""
+    path = str(tmp_path / "t")
+    rows = [(i, (i * 37) % 100, i * 1.0) for i in range(200)]
+    tx.init_table(
+        spark.createDataFrame(rows, "k int, a int, v double")
+        .repartition(4),
+        path, stats_cols=["k"],
+    )
+    baseline = sorted(
+        tuple(r) for r in tx.read_table(spark, path).collect()
+    )
+    r1 = tx.compact_table(
+        spark, path, zorder_by=["k", "a"], incremental=True
+    )
+    assert r1["files_compacted"] > 0
+    man1 = tx._read_manifest(path, tx.current_version(path))
+    assert set(man1["zcube"]) == set(man1["files"])  # outputs tagged
+    v1 = tx.current_version(path)
+
+    # second pass: near-no-op — no version burned, all files skipped
+    r2 = tx.compact_table(
+        spark, path, zorder_by=["k", "a"], incremental=True
+    )
+    assert r2["files_compacted"] == 0
+    assert r2["files_skipped_clustered"] == len(man1["files"])
+    assert tx.current_version(path) == v1
+    man2 = tx._read_manifest(path, tx.current_version(path))
+    assert man2["files"] == man1["files"]  # carried BY NAME
+
+    # new appends rewrite alone; the clustered cubes carry
+    tx.append_batch(
+        spark.createDataFrame([(1000, 1, 1.0), (1001, 2, 2.0)],
+                              "k int, a int, v double").repartition(2),
+        path,
+    )
+    man3 = tx._read_manifest(path, tx.current_version(path))
+    fresh = [f for f in man3["files"] if f not in set(man1["files"])]
+    r3 = tx.compact_table(
+        spark, path, zorder_by=["k", "a"], incremental=True
+    )
+    assert r3["files_compacted"] == len(fresh)
+    assert r3["files_skipped_clustered"] == len(man1["files"])
+    man4 = tx._read_manifest(path, tx.current_version(path))
+    assert set(man1["files"]) <= set(man4["files"])  # cubes untouched
+    got = sorted(tuple(r) for r in tx.read_table(spark, path).collect())
+    assert got == sorted(
+        baseline + [(1000, 1, 1.0), (1001, 2, 2.0)]
+    )  # rows byte-identical through every pass
+
+    # a changed spec invalidates the provenance: everything rewrites
+    r4 = tx.compact_table(
+        spark, path, zorder_by=["k"], incremental=True
+    )
+    assert r4["files_compacted"] == len(man4["files"])
+
+    # dv-carrying files participate even when tagged
+    tx.compact_table(spark, path, zorder_by=["k"], incremental=True)
+    tx.delete_where(spark, path, "k = 1000", mode="dv")
+    man5 = tx._read_manifest(path, tx.current_version(path))
+    dv_files = set(man5.get("dvs") or ())
+    assert dv_files
+    r5 = tx.compact_table(spark, path, zorder_by=["k"], incremental=True)
+    assert r5["files_compacted"] >= len(dv_files)
+    assert tx.read_table(spark, path).where("k = 1000").count() == 0
