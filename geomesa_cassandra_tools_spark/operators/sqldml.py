@@ -182,15 +182,18 @@ def _table_schema(path: str):
 
 
 def _align_to_schema(
-    batch: DataFrame, schema, what: str, leave_absent: set | None = None
+    batch: DataFrame, schema, what: str, leave_absent: set | None = None,
+    defaults: dict | None = None,
 ) -> DataFrame:
     """Project a source frame to the table schema: columns matched BY
     NAME, cast to the table's types, missing nullable columns
-    null-filled (standard INSERT column-list semantics), extra columns
-    refused loudly. ``leave_absent`` columns (the table's GENERATED
-    columns) are NOT null-filled when the source omits them — the write
-    path computes them; a null-fill here would read as a supplied
-    (and diverging) value."""
+    null-filled (standard INSERT column-list semantics) — or filled
+    with the table's COLUMN DEFAULT expression when one is declared
+    (``defaults``: Delta's allowColumnDefaults, write-time only) —
+    extra columns refused loudly. ``leave_absent`` columns (the table's
+    GENERATED columns) are NOT null-filled when the source omits them —
+    the write path computes them; a null-fill here would read as a
+    supplied (and diverging) value."""
     extra = set(batch.columns) - {f.name for f in schema.fields}
     if extra:
         raise ValueError(
@@ -202,6 +205,10 @@ def _align_to_schema(
     for f in schema.fields:
         if f.name in batch.columns:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name in (defaults or {}):
+            cols.append(
+                F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
+            )
         elif f.name not in (leave_absent or ()):
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return batch.select(*cols)
@@ -274,13 +281,12 @@ def execute(spark: SparkSession, statement: str):
                     f"produces {len(batch.columns)} — name the columns"
                 )
             batch = batch.toDF(*(f.name for f in schema.fields))
-        gen_cols = set(
-            tx._read_manifest(path, tx.current_version(path)).get("generated")
-            or ()
-        )
+        man_ins = tx._read_manifest(path, tx.current_version(path))
+        gen_cols = set(man_ins.get("generated") or ())
         batch = _align_to_schema(
             batch, _table_schema(path), "INSERT source",
             leave_absent=gen_cols,
+            defaults=man_ins.get("defaults"),
         )
         v = tx.append_batch(batch, path)
         _repoint(spark, view, path)
@@ -1148,6 +1154,22 @@ def _alter_table(spark: SparkSession, view: str, path: str, action: str):
         return {"op": "drop_constraint", "table": view,
                 "constraint": m.group(1), "version": v}
     m = re.match(
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+SET\s+DEFAULT\s+(.+)$",
+        action, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        v = tx.set_column_default(path, m.group(1), m.group(2).strip())
+        return {"op": "set_default", "table": view, "column": m.group(1),
+                "version": v}
+    m = re.match(
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+DROP\s+DEFAULT\s*$",
+        action, re.IGNORECASE,
+    )
+    if m:
+        v = tx.set_column_default(path, m.group(1), None)
+        return {"op": "drop_default", "table": view,
+                "column": m.group(1), "version": v}
+    m = re.match(
         rf"ALTER\s+COLUMN\s+({_IDENT})\s+(SET|DROP)\s+NOT\s+NULL\s*$",
         action, re.IGNORECASE,
     )
@@ -1199,15 +1221,24 @@ def _alter_table(spark: SparkSession, view: str, path: str, action: str):
                     f"ALTER TABLE {view} ADD COLUMNS: one column per "
                     f"statement is supported, got {spec[:40]!r}"
                 )
+        dm = re.search(r"\s+DEFAULT\s+(.+)$", spec,
+                       re.IGNORECASE | re.DOTALL)
+        default = None
+        if dm:
+            default = dm.group(1).strip()
+            spec = spec[: dm.start()].rstrip()
         cm = re.match(rf"({_IDENT})\s+(.+)$", spec, re.DOTALL)
         if not cm:
             raise ValueError(
-                f"ALTER TABLE {view} ADD COLUMN: expected '<name> <type>', "
-                f"got {spec[:40]!r}"
+                f"ALTER TABLE {view} ADD COLUMN: expected '<name> <type> "
+                f"[DEFAULT expr]', got {spec[:40]!r}"
             )
-        v = tx.add_column(path, cm.group(1), cm.group(2).strip())
+        v = tx.add_column(
+            path, cm.group(1), cm.group(2).strip(), default=default
+        )
         return {"op": "add_column", "table": view, "column": cm.group(1),
-                "type": cm.group(2).strip(), "version": v}
+                "type": cm.group(2).strip(), "version": v,
+                "default": default}
     raise ValueError(
         f"ALTER TABLE {view}: unsupported action {action[:60]!r}; "
         "supported: ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT "

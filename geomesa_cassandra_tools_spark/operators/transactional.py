@@ -218,7 +218,11 @@ SUPPORTED_FEATURES = frozenset({
 #: so `_commit` gates on the UNION of both sets; reads never consult
 #: ``writer_features``. Monotone like the reader set; carried by
 #: checkpoints and clones.
-SUPPORTED_WRITER_FEATURES = frozenset(SUPPORTED_FEATURES)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    # columnDefaults is WRITER-ONLY (Delta's allowColumnDefaults):
+    # defaults materialize at write time, so old readers stay safe
+    SUPPORTED_FEATURES | {"columnDefaults"}
+)
 
 #: Column names the deletion-vector read path claims for itself; a table
 #: schema using one would make every post-dv read ambiguous, so _commit
@@ -250,7 +254,7 @@ def _empty_state() -> dict:
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
         "features": None, "writer_features": None, "path_values": {},
-        "zcube": {},
+        "zcube": {}, "defaults": None,
     }
 
 
@@ -323,6 +327,11 @@ def _apply_delta(state: dict, delta: dict) -> dict:
             set(state.get("writer_features") or ())
             | set(delta["writer_features"])
         )
+    # column DEFAULTs change only through the explicit verbs (ADD
+    # COLUMN ... DEFAULT / SET DEFAULT / DROP DEFAULT): ordinary deltas
+    # omit the key and the state value carries
+    if "defaults" in delta:
+        state["defaults"] = delta["defaults"]
     # column mapping changes only through the explicit verbs (rename /
     # drop / evolution assigning fresh physical names): ordinary deltas
     # omit the key and the state values carry
@@ -363,6 +372,7 @@ def _as_state(body: dict) -> dict:
         "writer_features": body.get("writer_features"),
         "path_values": body.get("path_values") or {},
         "zcube": body.get("zcube") or {},
+        "defaults": body.get("defaults"),
     }
 
 
@@ -435,6 +445,7 @@ def _commit(
     prev_state: dict | None = None,
     path_values: dict | None = None,
     zcube: dict | None = None,
+    defaults: dict | None = _UNSET,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -551,6 +562,8 @@ def _commit(
         body["path_values"] = path_values
     if zcube:
         body["zcube"] = zcube
+    if defaults is not _UNSET:
+        body["defaults"] = defaults
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -612,6 +625,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["path_values"] = state["path_values"]
     if state.get("zcube"):
         body["zcube"] = state["zcube"]
+    if state.get("defaults"):
+        body["defaults"] = state["defaults"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -1525,6 +1540,12 @@ def rename_column(
                 ),
                 "checks": dict(cons.get("checks") or {}),
             }
+        dfl = man.get("defaults")
+        dfl_kw = {}
+        if dfl and old in dfl:
+            dfl_kw = {"defaults": {
+                (new if c == old else c): e for c, e in dfl.items()
+            }}
         try:
             _commit(
                 path, version + 1, new_schema, man.get("txns", {}),
@@ -1534,6 +1555,7 @@ def rename_column(
                 features=["columnMapping"],
                 constraints=cons if cons is not man.get("constraints") else _UNSET,
                 column_map=cmap, column_map_seq=seq, prev_state=man,
+                **dfl_kw,
             )
             return version + 1
         except CommitConflict:
@@ -1541,6 +1563,53 @@ def rename_column(
     raise CommitConflict(
         f"rename_column on {path!r} lost {max_commit_retries} consecutive "
         "commit races; back off and retry"
+    )
+
+
+def set_column_default(
+    path: str, col: str, default: str | None,
+    max_commit_retries: int = 40,
+) -> int:
+    """ALTER TABLE ALTER COLUMN ... SET DEFAULT expr / DROP DEFAULT
+    (``default=None``): metadata-only commit updating the table's
+    column-DEFAULT map (write-time fills for omitted columns; existing
+    rows are untouched — Delta's allowColumnDefaults contract). Setting
+    a default records the writer-only ``columnDefaults`` feature."""
+    for _ in range(max_commit_retries):
+        version = current_version(path)
+        if version < 0:
+            raise ValueError(f"no committed manifest under {path!r}")
+        man = _read_manifest(path, version)
+        names = {
+            f["name"] for f in json.loads(man["schema"])["fields"]
+        }
+        if col not in names:
+            raise ValueError(
+                f"set_column_default: no column {col!r} in {path!r}"
+            )
+        cur = dict(man.get("defaults") or {})
+        if default is None:
+            if col not in cur:
+                return version  # nothing to drop — idempotent
+            cur.pop(col)
+        else:
+            if cur.get(col) == default:
+                return version  # identical — idempotent
+            cur[col] = default
+        try:
+            _commit(
+                path, version + 1, man["schema"], man.get("txns", {}),
+                man.get("stats_cols"), add=[], remove=[],
+                op="set_default", defaults=cur or None,
+                writer_features=["columnDefaults"] if default else None,
+                prev_state=man,
+            )
+            return version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"set_column_default on {path!r} lost {max_commit_retries} "
+        "consecutive commit races; back off and retry"
     )
 
 
@@ -1602,6 +1671,14 @@ def drop_column(
         new_stats_cols = (
             [c for c in stats_cols if c != phys] if stats_cols else None
         )
+        dfl = man.get("defaults")
+        dfl_kw = {}
+        if dfl and col in dfl:
+            # purge the dropped column's default — a stale entry would
+            # silently re-apply to a later same-named ADD COLUMN
+            dfl_kw = {"defaults": {
+                c: e for c, e in dfl.items() if c != col
+            } or None}
         try:
             _commit(
                 path, version + 1, new_schema, man.get("txns", {}),
@@ -1609,6 +1686,7 @@ def drop_column(
                 op="drop_column",
                 column_map=cmap, column_map_seq=seq,
                 features=["columnMapping"], prev_state=man,
+                **dfl_kw,
             )
             return version + 1
         except CommitConflict:
@@ -1620,7 +1698,8 @@ def drop_column(
 
 
 def add_column(
-    path: str, col: str, dtype: str, max_commit_retries: int = 40
+    path: str, col: str, dtype: str, max_commit_retries: int = 40,
+    default: str | None = None,
 ) -> int:
     """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit — the explicit
     twin of `append_batch(merge_schema=True)`'s net-new-field evolution
@@ -1656,6 +1735,11 @@ def add_column(
         dt = T.StructType.fromDDL(f"`{col}` {dtype}").fields[0].dataType
     fjson = {"name": col, "type": dt.jsonValue(), "nullable": True,
              "metadata": {}}
+    # ``default`` (a SQL expression string) records a COLUMN DEFAULT:
+    # future writes that omit the column fill it with the expression
+    # instead of null (Delta's allowColumnDefaults — write-time only;
+    # EXISTING rows still read null, exactly Delta's contract). Carried
+    # in the manifest as the writer-only columnDefaults feature.
     for _ in range(max_commit_retries):
         version = current_version(path)
         if version < 0:
@@ -1682,6 +1766,11 @@ def add_column(
                 "column_map": cmap, "column_map_seq": seq,
                 "features": ["columnMapping"],
             }
+        if default is not None:
+            extra["defaults"] = {
+                **(man.get("defaults") or {}), col: default,
+            }
+            extra["writer_features"] = ["columnDefaults"]
         try:
             _commit(
                 path, version + 1, new_schema, man.get("txns", {}),
@@ -3156,10 +3245,18 @@ def merge_clauses(
             "__action", _chain([(l, c) for l, c, _ in n_list])
         ).where(F.col("__action") != "carry")
         cols = []
+        table_defaults = man.get("defaults") or {}
         for f in schema.fields:
             if f.name in gen:
                 continue  # recomputed below by _apply_generated
-            val = F.lit(None).cast(f.dataType)
+            # unassigned columns fill with the table's COLUMN DEFAULT
+            # when one is declared (constant expressions — Delta's
+            # allowColumnDefaults), else null
+            val = (
+                F.expr(table_defaults[f.name]).cast(f.dataType)
+                if f.name in table_defaults
+                else F.lit(None).cast(f.dataType)
+            )
             for lab, _c, cl in n_list:
                 vals = _resolved_set(cl)
                 if f.name in vals:

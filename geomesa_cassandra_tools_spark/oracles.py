@@ -3087,6 +3087,33 @@ FROM base GROUP BY o_orderstatus
 # slice (% 5 = 3), live = union with the SQL-inserted slice (% 5 = 4),
 # pruned = the live face filtered (the engine's face must stats-prune
 # to the same rows the filter selects).
+# q199: column defaults as three constant-tagged slices — pre-column
+# rows read null (write-time semantics), each insert carries the
+# default in force when it ran.
+ORACLES["q199_column_defaults"] = """
+WITH s4 AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT)
+    AS cents, '<pre>' AS tier
+  FROM orders WHERE o_orderkey % 17 = 4
+),
+s5 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), 'std'
+  FROM orders WHERE o_orderkey % 17 = 5
+),
+s6 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), 'gold'
+  FROM orders WHERE o_orderkey % 17 = 6
+),
+u AS (
+  SELECT * FROM s4 UNION ALL SELECT * FROM s5 UNION ALL
+  SELECT * FROM s6
+)
+SELECT tier, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM u GROUP BY tier
+"""
+
 # q196/q197: the REAL BPE tokenizer replayed in SQL — each training
 # iteration is one chained block (pair count over the previous state,
 # deterministic argmax, gaps-and-islands-parity merge application), so

@@ -7296,6 +7296,82 @@ def q197_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _defaults_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once COLUMN-DEFAULTS fixture (q199): a manifest table of
+    the o_orderkey % 17 == 4 orders slice, evolved by SQL
+    ``ADD COLUMN tier string DEFAULT 'std'``, filled by an INSERT that
+    omits the column (default 'std'), re-defaulted to 'gold'
+    (``ALTER COLUMN tier SET DEFAULT``), and filled again — existing
+    rows keep reading null (the Delta allowColumnDefaults contract:
+    write-time only). Version-guarded and race-tolerant."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = _corpus_keyed_tmp_path(sf_dir, "orders", "gcts_defaults")
+    if transactional.current_version(path) >= 4:
+        return path
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def _slice(r: int) -> DataFrame:
+        return orders.where(F.col("o_orderkey") % 17 == r).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+
+    if transactional.current_version(path) < 0:
+        try:
+            transactional.init_table(_slice(4), path, only_if_absent=True)
+        except (transactional.CommitConflict, ValueError):
+            pass
+    transactional.register_manifest_view(spark, path, name="q199_t")
+    steps = [
+        "ALTER TABLE q199_t ADD COLUMN tier string DEFAULT 'std'",
+        "INSERT INTO q199_t (o_orderkey, cents) "
+        "SELECT o_orderkey, cents FROM q199_stage5",
+        "ALTER TABLE q199_t ALTER COLUMN tier SET DEFAULT 'gold'",
+        "INSERT INTO q199_t (o_orderkey, cents) "
+        "SELECT o_orderkey, cents FROM q199_stage6",
+    ]
+    _slice(5).createOrReplaceTempView("q199_stage5")
+    _slice(6).createOrReplaceTempView("q199_stage6")
+    for i, stmt in enumerate(steps, start=1):
+        if transactional.current_version(path) < i:
+            try:
+                sqldml.execute(spark, stmt)
+            except (transactional.CommitConflict, ValueError):
+                pass  # racing builder ran the identical step
+    return path
+
+
+def q199_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULT values driver-certified (r11 VERDICT missing #6 —
+    evolution-added columns could only null-backfill): SQL ``ADD COLUMN
+    ... DEFAULT`` + ``ALTER COLUMN ... SET DEFAULT`` record a manifest
+    default map (the writer-only ``columnDefaults`` feature), and every
+    write path that omits the column fills it with the CURRENT default
+    instead of null — while rows that predate the column still read
+    null (write-time semantics, exactly Delta's allowColumnDefaults).
+    One face per tier bucket: the pre-evolution rows (tier null), the
+    'std'-default insert, and the 'gold'-default insert after the
+    re-default — so the default VALUE, its mutability, and the
+    null-for-existing-rows contract are all in the hash. Oracle: three
+    constant-tagged slices of orders.
+
+    Scale shape: defaults are metadata-only commits; the fill is one
+    literal column in the write projection — zero read-side cost (no
+    backfill rewrite, which is the point at 100 TB)."""
+    path = _defaults_table_path(spark, sf_dir)
+    live = transactional.read_table(spark, path)
+    return live.groupBy(
+        F.coalesce(F.col("tier"), F.lit("<pre>")).alias("tier")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_sum"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
 def q198_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL image pixel decode + perceptual-hash near-dup (r11 VERDICT
     next-round #7 — the multimodal family stopped at headers): one
@@ -8079,6 +8155,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_bpe_train_merges": q196_bpe_train_merges,
     "q197_bpe_encode": q197_bpe_encode,
     "q198_image_phash_dedup": q198_image_phash_dedup,
+    "q199_column_defaults": q199_column_defaults,
     "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
     "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
@@ -8091,7 +8168,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
-    "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q152_manifest_change_feed": q152_manifest_change_feed,
     "q153_semdedup_prune": q153_semdedup_prune,
     "q154_bm25_retrieval": q154_bm25_retrieval,
@@ -8135,6 +8211,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_manifest_evolution_timetravel": q148_manifest_evolution_timetravel,
     "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
+    "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,

@@ -3445,3 +3445,52 @@ def test_battery_incremental_optimize(spark, tmp_path, protocol):
     r5 = tx.compact_table(spark, path, zorder_by=["k"], incremental=True)
     assert r5["files_compacted"] >= len(dv_files)
     assert tx.read_table(spark, path).where("k = 1000").count() == 0
+
+
+def test_battery_column_defaults(spark, tmp_path, protocol):
+    """Column DEFAULTs under each protocol: add_column(default=) and
+    set_column_default are metadata-only commits recording the
+    writer-only columnDefaults feature; INSERT/merge fills use the
+    default in force AT WRITE TIME; existing rows read null; DROP
+    DEFAULT reverts to null-fill; idempotent re-sets burn no version."""
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([(1, 10)], "k bigint, v bigint"), path
+    )
+    v = tx.add_column(path, "tier", "string", default="'std'")
+    man = tx._read_manifest(path, v)
+    assert man["defaults"] == {"tier": "'std'"}
+    assert "columnDefaults" in man["writer_features"]
+    tx.register_manifest_view(spark, path, name="dft")
+    sqldml.execute(spark, "INSERT INTO dft (k, v) VALUES (2, 20)")
+    got = {r["k"]: r["tier"]
+           for r in tx.read_table(spark, path).collect()}
+    assert got == {1: None, 2: "std"}  # pre-column rows stay null
+
+    # re-default: later writes pick up the new value, old rows untouched
+    tx.set_column_default(path, "tier", "'gold'")
+    sqldml.execute(spark, "INSERT INTO dft (k, v) VALUES (3, 30)")
+    got = {r["k"]: r["tier"] for r in tx.read_table(spark, path).collect()}
+    assert got == {1: None, 2: "std", 3: "gold"}
+
+    # merge INSERT clauses fill unassigned columns with the default
+    tx.merge_clauses(
+        spark, path,
+        spark.createDataFrame([(4, 40)], "k bigint, v bigint"), ["k"],
+        not_matched=[{"cond": None,
+                      "values": {"k": "__s_k", "v": "__s_v"}}],
+    )
+    got = {r["k"]: r["tier"] for r in tx.read_table(spark, path).collect()}
+    assert got[4] == "gold"
+
+    # idempotent re-set burns no version; DROP reverts to null-fill
+    vv = tx.current_version(path)
+    assert tx.set_column_default(path, "tier", "'gold'") == vv
+    tx.set_column_default(path, "tier", None)
+    sqldml.execute(spark, "INSERT INTO dft (k, v) VALUES (5, 50)")
+    got = {r["k"]: r["tier"] for r in tx.read_table(spark, path).collect()}
+    assert got[5] is None
+    with pytest.raises(ValueError, match="no column"):
+        tx.set_column_default(path, "nope", "'x'")
