@@ -1077,3 +1077,54 @@ def test_feed_cdf_stats_column_pruning(spark, tmp_path):
         ).collect()
     )
     assert survivors == expect == [i for i in range(10) if i % 5 != 1]
+
+
+def test_feed_and_cdf_over_converted_hive_table(spark, tmp_path):
+    """pathPartitionValues (r12): a hive-partitioned directory converted
+    in place streams through BOTH feeds with the partition constants
+    injected per file from the key=value dir names — the append feed's
+    rows carry the column, and the CDF feed's pre-image deletes of a
+    post-convert rewrite carry it too."""
+    path = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 10) for i in range(20)],
+        "k bigint, day string, v bigint",
+    ).write.partitionBy("day").parquet(path)
+    res = tx.convert_to_manifest(spark, path, stats_cols=["k"])
+    assert res["partition_by"] == ["day"]
+
+    got = _drain(spark, path, str(tmp_path / "c1"), str(tmp_path / "o1"))
+    want = sorted(
+        tuple(r) for r in tx.read_table(spark, path).collect()
+    )
+    # discovery appends the partition column last: (k, v, day)
+    assert got == want and all(r[2] in ("d0", "d1") for r in got)
+
+    # post-convert delete rewrites files; CDF images (incl. the
+    # pre-image deletes of CONVERTED files) carry the injected column
+    tx.delete_where(spark, path, "k >= 15")
+    ch = tx.table_changes(spark, path, 1, 1)
+    dels = ch.where("_change_type = 'delete'").collect()
+    assert dels and all(r["day"] in ("d0", "d1") for r in dels)
+    cdf = mf.stream_feed(spark, path, feed="cdf", starting_version=0)
+    q = (
+        cdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "o2")).collect()
+    assert rows and all(r["day"] in ("d0", "d1") for r in rows)
+    # folding the stream nets the live table (constants included)
+    from collections import Counter
+
+    fold = Counter()
+    for r in rows:
+        d = (r["k"], r["day"], r["v"])
+        fold[d] += 1 if r["_change_type"] == "insert" else -1
+    live = Counter(
+        (r["k"], r["day"], r["v"])
+        for r in tx.read_table(spark, path).collect()
+    )
+    assert +fold == live
