@@ -3213,22 +3213,31 @@ ORACLES["q196_bpe_train_merges"] = "WITH " + _bpe_train_ctes(
     for i in range(1, _BPE_N_MERGES + 1)
 )
 
-_BPE_ENCODE_CTES = """d AS (
-  SELECT doc_id, string_split(text, ' ') AS ws
-  FROM documents WHERE doc_id % 47 = 5
+def _bpe_encode_ctes(pred: str, extra_cols: str = "") -> str:
+    """The encode-side state bootstrap over a document slice: words with
+    indexes, then the char state ``es0``. ``extra_cols`` (e.g.
+    ``"lang,"``) carries extra document columns through the chain."""
+    x = f"{extra_cols} " if extra_cols else ""
+    return f"""d AS (
+  SELECT {x}doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE {pred}
 ),
 wd AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS widx,
+  SELECT {x}doc_id, CAST(i AS BIGINT) AS widx,
          ws[CAST(i AS INT)] AS word
-  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM d)
+  FROM (SELECT {x}doc_id, ws,
+               unnest(range(1, len(ws) + 1)) AS i FROM d)
   WHERE length(ws[CAST(i AS INT)]) > 0
 ),
 es0 AS MATERIALIZED (
-  SELECT doc_id, widx, CAST(i AS INT) AS pos,
+  SELECT {x}doc_id, widx, CAST(i AS INT) AS pos,
          substring(word, CAST(i AS INT), 1) AS sym
-  FROM (SELECT doc_id, widx, word,
+  FROM (SELECT {x}doc_id, widx, word,
                unnest(range(1, length(word) + 1)) AS i FROM wd)
 )"""
+
+
+_BPE_ENCODE_CTES = _bpe_encode_ctes("doc_id % 47 = 5")
 
 ORACLES["q197_bpe_encode"] = (
     "WITH " + _bpe_train_ctes(_BPE_TOP_V, _BPE_N_MERGES) + ",\n"
@@ -3261,6 +3270,41 @@ ag AS (
 SELECT ag.doc_id, n_words, n_tokens, n_distinct_toks, top_tok, top_tok_n
 FROM ag JOIN tt USING (doc_id)
 """ % (_BPE_N_MERGES, _BPE_N_MERGES)
+)
+
+# q200: real-BPE sequence packing — the train chain + the encode chain
+# over the % 11 slice, per-doc token counts, then q125's cumsum.
+ORACLES["q200_bpe_sequence_packing"] = (
+    "WITH " + _bpe_train_ctes(_BPE_TOP_V, _BPE_N_MERGES) + ",\n"
+    + _bpe_encode_ctes("doc_id % 11 = 0") + ",\n"
+    + ",\n".join(
+        _bpe_apply_block(
+            i, "e", ["doc_id", "widx"],
+            "es0" if i == 1 else f"es{i - 1}", f"m{i}",
+        ).replace(f"ec{i} AS MATERIALIZED (", f"eac{i} AS MATERIALIZED (")
+         .replace(f"ec{i} c", f"eac{i} c")
+         .replace(f"ek{i}", f"eek{i}")
+        for i in range(1, _BPE_N_MERGES + 1)
+    )
+    + """,
+nt AS (SELECT doc_id, count(*) AS ntok FROM es%d GROUP BY doc_id),
+dl AS (SELECT doc_id, lang FROM documents WHERE doc_id %% 11 = 0),
+toks AS (SELECT dl.lang, dl.doc_id, nt.ntok FROM dl JOIN nt USING (doc_id)),
+packed AS (
+  SELECT lang, ntok,
+         sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM toks
+)
+SELECT lang,
+       CAST(floor((cum - ntok) / 2048.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS tokens,
+       round(sum(ntok) / 2048.0, 4) AS utilization
+FROM packed
+GROUP BY lang, CAST(floor((cum - ntok) / 2048.0) AS BIGINT)
+""" % _BPE_N_MERGES
 )
 
 # q198: the image decode + perceptual hash replayed ANALYTICALLY —

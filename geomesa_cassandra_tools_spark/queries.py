@@ -7372,6 +7372,58 @@ def q199_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q200_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over REAL BPE token counts (the r11 verdict's
+    "rewire the packing plan to accept the real tokenizer" — q125 packs
+    whitespace counts; this packs the q196-trained tokenizer's ACTUAL
+    per-document token counts on the doc_id % 11 == 0 slice): each
+    document's ntok is the summed token-array length of the map-only
+    `bpe.encode_words` fold, then the identical deterministic
+    first-token-window cumsum as q125 (2048-token budget, per-lang
+    shards). The oracle re-derives the merges AND re-encodes the slice
+    with the window-form CTE chain before packing — so tokenizer
+    training, encode equivalence, and packing arithmetic all sit in one
+    hash.
+
+    Scale shape: token counting is the same map-only fold as q197 (no
+    shuffle until the per-doc count); packing is one cumsum window per
+    shard key — at 100 TB the shard key is the input split, so windows
+    never concentrate the corpus."""
+    from geomesa_cassandra_tools_spark.functions import bpe
+
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].where(
+        F.col("doc_id") % 11 == 0
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.length("word") > 0)
+    ntok = (
+        bpe.encode_words(words, merges)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("toks")).alias("ntok"))
+    )
+    toks = docs.select("lang", "doc_id").join(ntok, "doc_id")
+    budget = 2048
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("ntok").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("ntok")) / F.lit(float(budget))),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("tokens"),
+        F.round(F.sum("ntok") / F.lit(float(budget)), 4).alias(
+            "utilization"
+        ),
+    )
+
+
 def q198_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL image pixel decode + perceptual-hash near-dup (r11 VERDICT
     next-round #7 — the multimodal family stopped at headers): one
@@ -8156,6 +8208,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q197_bpe_encode": q197_bpe_encode,
     "q198_image_phash_dedup": q198_image_phash_dedup,
     "q199_column_defaults": q199_column_defaults,
+    "q200_bpe_sequence_packing": q200_bpe_sequence_packing,
     "q193_insert_overwrite_backfill": q193_insert_overwrite_backfill,
     "q194_convert_hive_partitioned": q194_convert_hive_partitioned,
     # -- new in round 11 (first driver certification => inside the window)
@@ -8168,7 +8221,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_line_gates_real_newlines": q191_line_gates_real_newlines,
     "q145_kmeans_lloyd_trainer": q145_kmeans_lloyd_trainer,
     "q146_ann_recall_calibration": q146_ann_recall_calibration,
-    "q152_manifest_change_feed": q152_manifest_change_feed,
     "q153_semdedup_prune": q153_semdedup_prune,
     "q154_bm25_retrieval": q154_bm25_retrieval,
     "q155_shared_run_pairs": q155_shared_run_pairs,
@@ -8212,6 +8264,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_manifest_compaction": q149_manifest_compaction,
     "q150_lsh_multitable_topk": q150_lsh_multitable_topk,
     "q151_manifest_merge_upsert": q151_manifest_merge_upsert,
+    "q152_manifest_change_feed": q152_manifest_change_feed,
     "q142_bloom_decontaminate_audit": q142_bloom_decontaminate_audit,
     "q143_bloom_mapside_prefilter": q143_bloom_mapside_prefilter,
     "q144_manifest_skipping_scan": q144_manifest_skipping_scan,
