@@ -421,3 +421,21 @@ def test_q187_char_gates_stay_map_only(spark):
     inspect.assert_no_python_udf(df)
     plan = inspect.explain_str(df)
     assert "Generate" not in plan, "q187 must not explode grams"
+
+
+def test_r12_text_and_image_paths_stay_vectorized(spark):
+    """r12 plan hygiene: the BPE fold encode (q197/q200) and the image
+    hash pipeline (q198) carry no row-at-a-time Python UDF — the only
+    Python is Arrow-batched mapInPandas (decode) and JVM folds
+    (encode); and the banded pair join is an equi-join (the no-cartesian
+    sweep covers the rest)."""
+    for name in (
+        "q197_bpe_encode",
+        "q200_bpe_sequence_packing",
+        "q198_image_phash_dedup",
+        "q192_merge_conditional_clauses",
+        "q193_insert_overwrite_backfill",
+        "q194_convert_hive_partitioned",
+        "q199_column_defaults",
+    ):
+        inspect.assert_no_python_udf(QUERIES[name](spark, SF))
