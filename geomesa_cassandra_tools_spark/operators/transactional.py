@@ -4894,6 +4894,16 @@ def describe_table(path: str) -> dict:
         ),
         "oldest_version": versions[0] if versions else version,
         "num_commits_retained": len(versions),
+        # r12 observability: write-time column defaults, the count of
+        # converted-hive files still serving partition values from their
+        # key=value paths (drops as rewrites materialize the column),
+        # and the count of files carrying liquid-clustering provenance
+        "column_defaults": [
+            f"{c} DEFAULT {e}"
+            for c, e in sorted((man.get("defaults") or {}).items())
+        ],
+        "num_path_valued_files": len(man.get("path_values") or {}),
+        "num_clustered_files": len(man.get("zcube") or {}),
     }
 
 
