@@ -74,19 +74,30 @@ class Metastore:
 
     def register(
         self, spark: SparkSession, name: str, path: str,
-        comment: str | None = None,
+        comment: str | None = None, max_commit_retries: int = 40,
     ) -> int | None:
         """Durably bind ``name`` -> ``path`` (one atomic merge commit;
-        re-registering a name repoints it, latest wins)."""
+        re-registering a name repoints it, latest wins). Registrations
+        of DIFFERENT names are commutative, so a lost commit race simply
+        retries (`merge_upsert` is single-attempt by contract and
+        key-idempotent on re-run)."""
         if name == "_tables":
             raise ValueError("'_tables' is reserved for the catalog itself")
         self._ensure(spark)
         batch = spark.createDataFrame(
             [(name, os.path.abspath(path), comment)], _DDL
         )
-        return tx.merge_upsert(spark, self.tables_path, batch, ["name"])[
-            "version"
-        ]
+        for _ in range(max_commit_retries):
+            try:
+                return tx.merge_upsert(
+                    spark, self.tables_path, batch, ["name"]
+                )["version"]
+            except tx.CommitConflict:
+                continue  # a racing register landed; re-read and retry
+        raise tx.CommitConflict(
+            f"register({name!r}) lost {max_commit_retries} consecutive "
+            "catalog commit races; back off and retry"
+        )
 
     def unregister(self, spark: SparkSession, name: str) -> dict:
         """Remove the binding (the DATA stays — DROP TABLE here is a

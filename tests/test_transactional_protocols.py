@@ -3494,3 +3494,66 @@ def test_battery_column_defaults(spark, tmp_path, protocol):
     assert got[5] is None
     with pytest.raises(ValueError, match="no column"):
         tx.set_column_default(path, "nope", "'x'")
+
+
+def test_battery_metastore_concurrency(spark, tmp_path, protocol):
+    """The durable metastore under each protocol: concurrent registers
+    of DIFFERENT names both land (merge commits retry through the
+    optimistic loop); re-registering a name repoints it (latest wins);
+    unregister is exact; a fresh attach binds only live tables and the
+    catalog itself time-travels like any manifest table."""
+    import threading
+
+    from geomesa_cassandra_tools_spark.operators.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "wh"))
+    paths = {}
+    for name in ("a", "b"):
+        p = str(tmp_path / name)
+        tx.init_table(spark.createDataFrame([(1,)], "k bigint"), p)
+        paths[name] = p
+
+    errs = []
+
+    def reg(name):
+        try:
+            ms.register(spark, name, paths[name])
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=reg, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = {r["name"]: r["path"] for r in ms.tables(spark).collect()}
+    assert set(got) == {"a", "b"}
+
+    # repoint: latest wins, one row per name
+    p2 = str(tmp_path / "a2")
+    tx.init_table(spark.createDataFrame([(2,), (3,)], "k bigint"), p2)
+    ms.register(spark, "a", p2)
+    got = {r["name"]: r["path"] for r in ms.tables(spark).collect()}
+    assert got["a"].endswith("/a2") and len(got) == 2
+
+    # fresh attach binds live names; a stale binding (vacated path) is
+    # skipped, not fatal
+    ms.register(spark, "ghost", str(tmp_path / "nowhere"))
+    s2 = spark.newSession()
+    bound = ms.attach(s2)
+    assert set(bound) == {"a", "b"}
+    assert s2.table("a").count() == 2
+
+    # the catalog itself is a manifest table: history + time travel
+    hist = tx.table_history(ms.tables_path)
+    assert [h["op"] for h in hist][0] == "init"
+    v0 = tx.read_table(spark, ms.tables_path, version=0)
+    assert v0.count() == 0  # bootstrapped empty
+
+    ms.unregister(spark, "ghost")
+    assert ms.lookup(spark, "ghost") is None
+
+    # the reserved catalog name refuses
+    with pytest.raises(ValueError, match="reserved"):
+        ms.register(spark, "_tables", paths["a"])
