@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geomesa_cassandra_tools_spark.operators import transactional as tx
 
@@ -111,9 +112,13 @@ class Metastore:
 
     def lookup(self, spark: SparkSession, name: str) -> str | None:
         self._ensure(spark)
+        # Column expression, not an interpolated predicate string: a
+        # registered name containing a quote must still resolve (register
+        # accepts it — an f-string here would leave it unresolvable, or
+        # worse, inject predicate syntax)
         rows = (
             tx.read_table(spark, self.tables_path)
-            .where(f"name = '{name}'").limit(1).collect()
+            .where(F.col("name") == F.lit(name)).limit(1).collect()
         )
         return rows[0]["path"] if rows else None
 

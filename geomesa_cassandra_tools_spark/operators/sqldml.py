@@ -205,11 +205,16 @@ def _align_to_schema(
     for f in schema.fields:
         if f.name in batch.columns:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name in (leave_absent or ()):
+            # generated wins over any (stale/invalid) defaults entry: a
+            # default-filled generated column would read as a supplied
+            # value and bypass the generation path
+            continue
         elif f.name in (defaults or {}):
             cols.append(
                 F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
             )
-        elif f.name not in (leave_absent or ()):
+        else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return batch.select(*cols)
 

@@ -1587,6 +1587,15 @@ def set_column_default(
             raise ValueError(
                 f"set_column_default: no column {col!r} in {path!r}"
             )
+        if default is not None and col in (man.get("generated") or {}):
+            # a default on a GENERATED column would pre-fill it in
+            # _align_to_schema and bypass (or fail) the generation
+            # contract — Delta refuses the same combination
+            raise ValueError(
+                f"set_column_default: {col!r} is a generated column; its "
+                "value comes from the generation expression, never a "
+                "DEFAULT"
+            )
         cur = dict(man.get("defaults") or {})
         if default is None:
             if col not in cur:
@@ -2447,14 +2456,14 @@ def _scan_live_rows(
 
     pvals = man.get("path_values") or {}
 
-    def _read_group(names: list[str], from_paths: bool) -> DataFrame:
+    def _read_group(names: list[str], base_path: str | None) -> DataFrame:
         reader = spark.read.schema(read_schema)
-        if from_paths:
+        if base_path is not None:
             # converted-in-place hive files: the partition columns are
             # NOT in the file bytes — basePath partition discovery fills
             # them from the key=value path segments (cast to the
             # manifest schema's declared types), per-file constants
-            reader = reader.option("basePath", data)
+            reader = reader.option("basePath", base_path)
         df = reader.parquet(*[os.path.join(data, f) for f in names])
         proj = [
             F.col(ren.get(f.name, f.name)).alias(f.name)
@@ -2462,22 +2471,36 @@ def _scan_live_rows(
         ] if ren else [F.col(f.name) for f in schema.fields]
         if need_meta:
             return df.select(*proj, *meta_cols)
-        if ren or from_paths:
+        if ren or base_path is not None:
             return df.select(*proj)
         return df
+
+    def _hive_base(f: str) -> str:
+        # a path-valued file's OWN hive base: strip the filename plus
+        # every trailing key=value segment. For data/-relative convert
+        # entries this is exactly `data`; for a shallow clone's absolute
+        # entries it is the SOURCE table's base, so partition discovery
+        # works without materializing the values into the clone
+        d = os.path.dirname(os.path.join(data, f))
+        while "=" in os.path.basename(d):
+            d = os.path.dirname(d)
+        return d
 
     def _read(names: list[str]) -> DataFrame:
         pv = [f for f in names if f in pvals]
         plain_files = [f for f in names if f not in pvals]
         groups = []
         if plain_files:
-            groups.append(_read_group(plain_files, False))
-        if pv:
-            groups.append(_read_group(pv, True))
-        return (
-            groups[0] if len(groups) == 1
-            else groups[0].unionByName(groups[1])
-        )
+            groups.append(_read_group(plain_files, None))
+        by_base: dict[str, list[str]] = {}
+        for f in pv:
+            by_base.setdefault(_hive_base(f), []).append(f)
+        for base in sorted(by_base):
+            groups.append(_read_group(by_base[base], base))
+        out = groups[0]
+        for g in groups[1:]:
+            out = out.unionByName(g)
+        return out
 
     plain = [f for f in files if f not in dvs]
     parts = []
@@ -4253,10 +4276,25 @@ def restore_table(path: str, version: int) -> dict:
         {f: (target.get("stats") or {}).get(f) for f in add}
         if stats_cols else None
     )
+    # re-added files bring back their provenance maps: a converted-hive
+    # file's path_values entry died with the file in _apply_delta when a
+    # later commit dropped it, so the restore must re-state it or the
+    # partition columns (absent from the file bytes) silently read NULL;
+    # same for clustering zcube tags (incremental OPTIMIZE would
+    # otherwise re-cluster files the target had already clustered)
+    tgt_pv = target.get("path_values") or {}
+    tgt_zc = target.get("zcube") or {}
     _commit(
         path, latest + 1, target["schema"], cur.get("txns", {}), stats_cols,
         add=add, remove=remove, add_stats=add_stats, op="restore",
         set_dv=set_dv, unset_dv=unset_dv, prev_state=cur,
+        path_values={f: tgt_pv[f] for f in add if f in tgt_pv} or None,
+        zcube={f: tgt_zc[f] for f in add if f in tgt_zc} or None,
+        # the TARGET's defaults map comes back with its schema: leaving
+        # the CURRENT map in force would keep a stale default for a
+        # column the rollback removed, which would silently re-apply to
+        # a later same-named ADD COLUMN (the hazard drop_column purges)
+        defaults=target.get("defaults"),
         # the PARTITION LAYOUT comes back with the target's files: a
         # restore across a replace_table_layout boundary re-adds files
         # staged under the OLD layout, so the declaration must follow
@@ -4379,6 +4417,21 @@ def clone_table(
         partition_cols=man.get("partition_cols") or [],
         constraints=man.get("constraints"),
         generated=man.get("generated"),
+        # converted-hive provenance rides the clone re-keyed absolute:
+        # without it the pathPartitionValues feature flag carries with no
+        # data behind it and the partition columns read NULL (the scan
+        # groups path-valued files by their own hive base dir, so
+        # absolute source entries resolve against the SOURCE's layout)
+        path_values={
+            _abs(f): v for f, v in (man.get("path_values") or {}).items()
+        } or None,
+        zcube={
+            _abs(f): v for f, v in (man.get("zcube") or {}).items()
+        } or None,
+        # column DEFAULTs carry with the columnDefaults writer feature —
+        # a clone keeping the flag but losing the map would refuse
+        # nothing and fill nothing
+        defaults=man.get("defaults"),
         features=sorted(
             set(man.get("features") or ()) | {"shallowClone"}
         ),

@@ -3557,3 +3557,101 @@ def test_battery_metastore_concurrency(spark, tmp_path, protocol):
     # the reserved catalog name refuses
     with pytest.raises(ValueError, match="reserved"):
         ms.register(spark, "_tables", paths["a"])
+
+
+def test_battery_provenance_carries_restore_and_clone(spark, tmp_path, protocol):
+    """r13 ADVICE fixes: (a) RESTORE re-adding a converted-hive file
+    re-states its path_values entry (partition columns must not read
+    NULL); (b) SHALLOW CLONE of a converted-hive table carries the
+    path_values map re-keyed absolute; (c) restore rolls the DEFAULTS
+    map back with the schema; (d) clone carries the defaults map; (e)
+    DEFAULT on a generated column refuses; (f) metastore lookup survives
+    a quoted name."""
+    ddl = "k bigint, s string, v double"
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i)) for i in range(40)], ddl
+    )
+
+    # --- (a) convert -> delete-rewrite -> restore -----------------------
+    hive = str(tmp_path / "hive")
+    df.write.partitionBy("s").parquet(hive)
+    tx.convert_to_manifest(spark, hive, stats_cols=["k"])
+    pv0 = tx._read_manifest(hive, 0).get("path_values") or {}
+    assert pv0  # converted-hive provenance exists at v0
+    # rewrite drops converted files (their pv entries die with them)
+    tx.delete_where(spark, hive, "k % 2 = 1")
+    res = tx.restore_table(hive, 0)
+    assert res["files_added"] > 0
+    man = tx._read_manifest(hive, res["version"])
+    # every restored converted file got its provenance back
+    assert (man.get("path_values") or {}) == pv0
+    got = tx.read_table(spark, hive)
+    assert got.count() == 40
+    assert got.where(F.col("s").isNull()).count() == 0
+    rows = {(r["k"], r["s"]) for r in got.select("k", "s").collect()}
+    assert rows == {(i, f"s{i % 4}") for i in range(40)}
+
+    # --- (b) shallow clone of the converted-hive table ------------------
+    dst = str(tmp_path / "hive_clone")
+    tx.clone_table(hive, dst)
+    cman = tx._read_manifest(dst, 0)
+    cpv = cman.get("path_values") or {}
+    assert cpv and all(os.path.isabs(f) for f in cpv)
+    cgot = tx.read_table(spark, dst)
+    assert cgot.count() == 40
+    assert cgot.where(F.col("s").isNull()).count() == 0
+    crows = {(r["k"], r["s"]) for r in cgot.select("k", "s").collect()}
+    assert crows == rows
+    # the clone is independently writable; rewrites materialize locally
+    tx.delete_where(spark, dst, "k >= 20")
+    assert tx.read_table(spark, dst).count() == 20
+    assert tx.read_table(spark, hive).count() == 40  # source untouched
+
+    # --- (c) restore below ADD COLUMN ... DEFAULT prunes the default ----
+    t = str(tmp_path / "defs")
+    tx.init_table(spark.createDataFrame([(1,), (2,)], "k bigint"), t)
+    tx.add_column(t, "tag", "string", default="'legacy'")
+    assert (tx._read_manifest(t, 1).get("defaults") or {}) == {
+        "tag": "'legacy'"
+    }
+    rv = tx.restore_table(t, 0)
+    assert tx._read_manifest(t, rv["version"]).get("defaults") in (None, {})
+    # a later same-named ADD COLUMN (no default) must NOT inherit 'legacy'
+    tx.add_column(t, "tag", "string")
+    from geomesa_cassandra_tools_spark.operators import sqldml
+
+    tx.register_manifest_view(spark, t, name="defs_r13")
+    sqldml.execute(spark, "INSERT INTO defs_r13 (k) VALUES (3)")
+    row = (
+        tx.read_table(spark, t).where(F.col("k") == 3).collect()[0]
+    )
+    assert row["tag"] is None
+
+    # --- (d) clone carries column DEFAULTs -------------------------------
+    t2 = str(tmp_path / "defs_src")
+    tx.init_table(spark.createDataFrame([(1,)], "k bigint"), t2)
+    tx.add_column(t2, "tag", "string", default="'d'")
+    d2 = str(tmp_path / "defs_clone")
+    tx.clone_table(t2, d2)
+    assert (tx._read_manifest(d2, 0).get("defaults") or {}) == {"tag": "'d'"}
+    tx.register_manifest_view(spark, d2, name="defs_clone_r13")
+    sqldml.execute(spark, "INSERT INTO defs_clone_r13 (k) VALUES (9)")
+    row = tx.read_table(spark, d2).where(F.col("k") == 9).collect()[0]
+    assert row["tag"] == "d"
+
+    # --- (e) DEFAULT on a generated column refuses -----------------------
+    g = str(tmp_path / "gen")
+    tx.init_table(
+        spark.createDataFrame([(1, 2)], "a bigint, b bigint"), g,
+        generated={"b": "a + 1"},
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        tx.set_column_default(g, "b", "42")
+
+    # --- (f) metastore lookup with a quoted name -------------------------
+    from geomesa_cassandra_tools_spark.operators.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "cat"))
+    ms.register(spark, "o'brien", t2)
+    assert ms.lookup(spark, "o'brien") == t2
+    assert ms.lookup(spark, "nope") is None
