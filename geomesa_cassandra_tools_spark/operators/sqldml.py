@@ -287,7 +287,12 @@ def execute(spark: SparkSession, statement: str):
                 )
             batch = batch.toDF(*(f.name for f in schema.fields))
         man_ins = tx._read_manifest(path, tx.current_version(path))
-        gen_cols = set(man_ins.get("generated") or ())
+        # generated AND identity columns stay absent: append_batch
+        # computes/allocates them (a null-fill or default-fill here would
+        # read as supplied and be refused by the GENERATED ALWAYS gate)
+        gen_cols = set(man_ins.get("generated") or ()) | set(
+            man_ins.get("identity") or ()
+        )
         batch = _align_to_schema(
             batch, _table_schema(path), "INSERT source",
             leave_absent=gen_cols,
@@ -1278,12 +1283,29 @@ def _create_table(
     )
     not_null: list[str] = []
     generated: dict[str, str] = {}
+    identity: dict[str, dict] = {}
     if ctas_query is not None:
         df = spark.sql(ctas_query.strip())
     else:
         plain_defs = []
         for coldef in _split_toplevel_commas(cols_raw):
             d = coldef.strip()
+            # GENERATED ALWAYS AS IDENTITY [(START WITH s INCREMENT BY k)]
+            # (Delta's identity syntax) — matched before the expression
+            # form, which requires a parenthesized expr after AS
+            im = re.search(
+                r"\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+"
+                r"(-?\d+)\s*\))?\s*$",
+                d, re.IGNORECASE,
+            )
+            ident_spec = None
+            if im:
+                ident_spec = {
+                    "start": int(im.group(1) or 1),
+                    "step": int(im.group(2) or 1),
+                }
+                d = d[: im.start()].rstrip()
             gm = re.search(
                 r"\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$",
                 d, re.IGNORECASE | re.DOTALL,
@@ -1301,13 +1323,24 @@ def _create_table(
                 raise ValueError(
                     f"CREATE TABLE {name}: cannot parse column def "
                     f"{coldef.strip()!r} (expected: name TYPE [NOT NULL] "
-                    "[GENERATED ALWAYS AS (expr)])"
+                    "[GENERATED ALWAYS AS (expr) | GENERATED ALWAYS AS "
+                    "IDENTITY [(START WITH s INCREMENT BY k)]])"
                 )
             col = cm.group(1).strip("`")
             if nn:
                 not_null.append(col)
             if expr is not None:
                 generated[col] = expr
+            if ident_spec is not None:
+                if cm.group(2).strip().lower() not in ("bigint", "long"):
+                    raise ValueError(
+                        f"CREATE TABLE {name}: identity column {col!r} "
+                        "must be BIGINT"
+                    )
+                # the identity column is NOT part of the init frame —
+                # init_table appends it (allocation owns the column)
+                identity[col] = ident_spec
+                continue
             plain_defs.append(f"{col} {cm.group(2).strip()}")
         schema_ddl = ", ".join(plain_defs)
         df = spark.createDataFrame([], schema_ddl)
@@ -1316,6 +1349,7 @@ def _create_table(
         partition_by=partition_by,
         not_null=not_null or None,
         generated=generated or None,
+        identity=identity or None,
         only_if_absent=True,
     )
     tx.register_manifest_view(spark, loc, name=name)
@@ -1327,5 +1361,6 @@ def _create_table(
         "op": "create", "table": name, "version": v, "path": loc,
         "partition_by": partition_by or [],
         "not_null": not_null, "generated": dict(generated),
+        "identity": dict(identity),
         "registered": _ACTIVE_METASTORE is not None,
     }

@@ -220,8 +220,10 @@ SUPPORTED_FEATURES = frozenset({
 #: checkpoints and clones.
 SUPPORTED_WRITER_FEATURES = frozenset(
     # columnDefaults is WRITER-ONLY (Delta's allowColumnDefaults):
-    # defaults materialize at write time, so old readers stay safe
-    SUPPORTED_FEATURES | {"columnDefaults"}
+    # defaults materialize at write time, so old readers stay safe.
+    # identityColumns is writer-only too: files carry plain bigints; the
+    # invariant (uniqueness, the high-water mark) lives in the write path
+    SUPPORTED_FEATURES | {"columnDefaults", "identityColumns"}
 )
 
 #: Column names the deletion-vector read path claims for itself; a table
@@ -254,7 +256,7 @@ def _empty_state() -> dict:
         "partition_cols": None, "constraints": None,
         "column_map": None, "column_map_seq": 0, "generated": None,
         "features": None, "writer_features": None, "path_values": {},
-        "zcube": {}, "defaults": None,
+        "zcube": {}, "defaults": None, "identity": None,
     }
 
 
@@ -332,6 +334,12 @@ def _apply_delta(state: dict, delta: dict) -> dict:
     # omit the key and the state value carries
     if "defaults" in delta:
         state["defaults"] = delta["defaults"]
+    # IDENTITY columns: the spec (start/step) is immutable after init,
+    # but every allocating commit advances the per-column HIGH-WATER
+    # mark — allocating commits carry the whole updated map; ordinary
+    # commits omit the key and the state carries
+    if "identity" in delta:
+        state["identity"] = delta["identity"]
     # column mapping changes only through the explicit verbs (rename /
     # drop / evolution assigning fresh physical names): ordinary deltas
     # omit the key and the state values carry
@@ -373,6 +381,7 @@ def _as_state(body: dict) -> dict:
         "path_values": body.get("path_values") or {},
         "zcube": body.get("zcube") or {},
         "defaults": body.get("defaults"),
+        "identity": body.get("identity"),
     }
 
 
@@ -446,6 +455,7 @@ def _commit(
     path_values: dict | None = None,
     zcube: dict | None = None,
     defaults: dict | None = _UNSET,
+    identity: dict | None = _UNSET,
 ) -> None:
     """Atomically publish DELTA ``version`` through the active
     `CommitProtocol`. A same-version race loses with `CommitConflict` —
@@ -564,6 +574,8 @@ def _commit(
         body["zcube"] = zcube
     if defaults is not _UNSET:
         body["defaults"] = defaults
+    if identity is not _UNSET:
+        body["identity"] = identity
     if extra:
         # informational commit metadata (e.g. clone lineage) — read by
         # table_history/DESCRIBE, never by state resolution
@@ -627,6 +639,8 @@ def checkpoint_table(path: str, version: int | None = None) -> int:
         body["zcube"] = state["zcube"]
     if state.get("defaults"):
         body["defaults"] = state["defaults"]
+    if state.get("identity"):
+        body["identity"] = state["identity"]
     try:
         _PROTOCOL.publish(
             _manifest_dir(path), f"checkpoint-v{version}.json",
@@ -1300,6 +1314,118 @@ def _apply_generated(
     return df
 
 
+def _normalize_identity(identity) -> dict | None:
+    """Normalize an IDENTITY spec to ``{col: {start, step, high}}``.
+    Accepts a list of names (start 1, step 1), or a dict of col ->
+    {"start": s, "step": k} / col -> None. ``high`` is the high-water
+    mark — the LAST allocated value; ``start - step`` means nothing
+    allocated yet."""
+    if not identity:
+        return None
+    if isinstance(identity, (list, tuple, set)):
+        identity = {c: None for c in identity}
+    out = {}
+    for col, spec in identity.items():
+        spec = spec or {}
+        start = int(spec.get("start", 1))
+        step = int(spec.get("step", 1))
+        if step == 0:
+            raise ValueError(f"identity column {col!r}: step must be nonzero")
+        out[col] = {"start": start, "step": step, "high": start - step}
+    return out
+
+
+def _assign_identity(
+    df: DataFrame, ident: dict | None, path: str
+) -> tuple[DataFrame, dict | None]:
+    """GENERATED ALWAYS AS IDENTITY at the write boundary (Delta's
+    identity-columns contract): a batch SUPPLYING an identity column is
+    refused (ALWAYS, never BY DEFAULT — a producer-supplied id would
+    break the uniqueness invariant silently); a batch omitting it gets
+    CONTIGUOUS values allocated past the table's high-water mark.
+
+    Allocation is exact and distributed: one cached pass counts rows per
+    input partition (a collect of O(partitions) tiny rows), the driver
+    prefix-sums the offsets, and a window keyed on the partition id
+    assigns ``high + step * (offset + local_rank)`` — the shuffle hashes
+    on the partition id, so parallelism equals the input partition count
+    at any scale (never a single-partition global window). Values are
+    CONTIGUOUS per commit, so the allocated SET is deterministic
+    regardless of partitioning (the row->value MAPPING is not — Delta
+    guarantees uniqueness/monotonicity, not assignment order).
+
+    Returns (df_with_values, updated identity map). The caller owns the
+    returned frame's persistence (unpersist after staging)."""
+    if not ident:
+        return df, None
+    supplied = [c for c in ident if c in df.columns]
+    if supplied:
+        raise ValueError(
+            f"write to {path!r} refused — column(s) {sorted(supplied)} "
+            "are GENERATED ALWAYS AS IDENTITY; omit them and the write "
+            "path allocates values"
+        )
+    from pyspark.sql.window import Window
+
+    # pin partitioning + row order between the count pass and the
+    # assignment pass (arbitrary upstream frames are not re-read-stable)
+    df = df.persist()
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in df.groupBy(
+            F.spark_partition_id().alias("__pid")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    new_ident = {
+        c: {**spec, "high": spec["high"] + spec["step"] * n}
+        for c, spec in ident.items()
+    }
+    if n == 0:
+        for c, spec in ident.items():
+            df = df.withColumn(c, F.lit(None).cast("long"))
+        return df, new_ident
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for p, o in offsets for x in (p, o)]
+    )
+    df = df.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    idx = (
+        F.row_number().over(w).cast("long") - 1
+        + F.element_at(omap, F.col("__pid")).cast("long")
+    )
+    for c, spec in ident.items():
+        df = df.withColumn(
+            c,
+            (
+                F.lit(spec["high"]).cast("long")
+                + F.lit(spec["step"]).cast("long") * (idx + F.lit(1))
+            ).alias(c),
+        )
+    return df.drop("__pid"), new_ident
+
+
+def _refuse_identity(man: dict | None, path: str, verb: str) -> None:
+    """Mutation paths that REPLACE rows wholesale (merge_upsert's
+    batch-wins contract, merge_clauses SET *) cannot preserve an
+    existing row's identity value nor allocate for inserts without
+    per-row matched/insert provenance — refuse loudly rather than
+    corrupt the uniqueness invariant. Append/INSERT/streaming-sink and
+    rewrite-in-place paths (delete/update/compact) support identity
+    tables fully."""
+    if man and man.get("identity"):
+        raise ValueError(
+            f"{verb} on {path!r} refused — the table has IDENTITY "
+            f"column(s) {sorted(man['identity'])}; use append_batch / "
+            "INSERT INTO (allocation) and delete/update (preservation) "
+            "instead"
+        )
+
+
 def _init_features(partition_by, constraints, generated) -> list[str]:
     """The feature names an init/overwrite commit must declare for the
     capabilities it switches on (see SUPPORTED_FEATURES)."""
@@ -1587,14 +1713,16 @@ def set_column_default(
             raise ValueError(
                 f"set_column_default: no column {col!r} in {path!r}"
             )
-        if default is not None and col in (man.get("generated") or {}):
-            # a default on a GENERATED column would pre-fill it in
-            # _align_to_schema and bypass (or fail) the generation
-            # contract — Delta refuses the same combination
+        if default is not None and (
+            col in (man.get("generated") or {})
+            or col in (man.get("identity") or {})
+        ):
+            # a default on a GENERATED (expression or IDENTITY) column
+            # would pre-fill it in _align_to_schema and bypass (or fail)
+            # the generation contract — Delta refuses the same combination
             raise ValueError(
                 f"set_column_default: {col!r} is a generated column; its "
-                "value comes from the generation expression, never a "
-                "DEFAULT"
+                "value comes from the generation path, never a DEFAULT"
             )
         cur = dict(man.get("defaults") or {})
         if default is None:
@@ -1804,6 +1932,7 @@ def init_table(
     not_null: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict | list | None = None,
 ) -> int:
     """Create (or overwrite, as a new snapshot) a manifest table from a
     frame. Returns the committed version. ``stats_cols`` declares the
@@ -1844,7 +1973,36 @@ def init_table(
     overwriting. This closes the check-then-init race for idempotent
     build-once fixtures: a racing builder that already committed v0 (and
     possibly more) can never be silently overwritten by a stale second
-    builder whose existence check passed moments earlier."""
+    builder whose existence check passed moments earlier.
+
+    ``identity`` declares GENERATED ALWAYS AS IDENTITY column(s)
+    (Delta's identity columns — creation-time only, like Delta): a list
+    of names (START WITH 1 INCREMENT BY 1) or ``{col: {"start": s,
+    "step": k}}``. The initial frame must OMIT them (values are
+    allocated, never supplied); every later append/INSERT allocates a
+    contiguous block past the manifest's per-column high-water mark,
+    with commit races re-allocating so concurrent writers never
+    collide. Uniqueness and |step|-monotonicity are the contract;
+    consecutiveness across commits is not (Delta's contract too)."""
+    ident = _normalize_identity(identity)
+    if ident:
+        clash = set(ident) & set(generated or ())
+        if clash:
+            raise ValueError(
+                f"column(s) {sorted(clash)} cannot be both IDENTITY and "
+                "GENERATED AS expression"
+            )
+        if set(ident) & set(partition_by or ()):
+            raise ValueError(
+                "identity columns cannot be partition columns"
+            )
+        df, ident = _assign_identity(df, ident, path)
+        # identity columns are natural skipping columns (monotone per
+        # commit): record their spans like generated columns
+        stats_cols = [
+            *(stats_cols or []),
+            *[c for c in ident if c not in set(stats_cols or [])],
+        ]
     if generated:
         # GENERATED ALWAYS AS: compute-if-absent / validate-if-present —
         # BEFORE the partition check, so `partition_by` may name a
@@ -1887,7 +2045,11 @@ def init_table(
             constraints=constraints, column_map=None,
             generated=dict(generated) if generated else None,
             features=_init_features(partition_by, constraints, generated),
+            identity=ident,
+            writer_features=["identityColumns"] if ident else None,
         )
+        if ident:
+            df.unpersist()
         return 0
     prior = current_version(path)
     if prior >= 0:
@@ -1912,7 +2074,11 @@ def init_table(
         generated=dict(generated) if generated else None,
         features=_init_features(partition_by, constraints, generated),
         prev_state=st,
+        identity=ident,
+        writer_features=["identityColumns"] if ident else None,
     )
+    if ident:
+        df.unpersist()
     return version
 
 
@@ -2100,6 +2266,15 @@ def append_batch(
     # Delta's rule.
     _UNCHECKED = object()
     validated_cons = _UNCHECKED  # sentinel: no gate has run yet
+    # IDENTITY bookkeeping: values are allocated from the high-water
+    # marks of the manifest we read; if a racing commit advances them
+    # before our publish wins, our staged values would collide with the
+    # winner's — the retry loop re-allocates and restages (the loser
+    # pays the restage; the winner's range is never violated)
+    ident_new: dict | None = None   # updated map to commit
+    ident_base: dict | None = None  # highs we allocated FROM
+    ident_df: DataFrame | None = None  # persisted handle to release
+    raw_df = df  # the producer's frame, before identity assignment
     _v0 = current_version(path)
     if _v0 >= 0:
         try:
@@ -2113,6 +2288,15 @@ def append_batch(
             # after init, so no per-retry re-run is needed — the loop's
             # v0-race guard covers the one path that skips this read)
             df = _apply_generated(df, _man0.get("generated"), path)
+            raw_df = df
+            if _man0.get("identity"):
+                ident_base = {
+                    c: s["high"] for c, s in _man0["identity"].items()
+                }
+                df, ident_new = _assign_identity(
+                    df, _man0["identity"], path
+                )
+                ident_df = df
             missing_parts = set(_man0.get("partition_cols") or ()) - set(
                 df.columns
             )
@@ -2167,6 +2351,28 @@ def append_batch(
                 f"generated column(s) {sorted(missing_gen)}; retry the "
                 "append (generation will compute them)"
             )
+        man_ident = man.get("identity")
+        if man_ident and ident_base is None:
+            # the v0-race twin for identity: the table came into existence
+            # with identity columns after our pre-loop read — the caller
+            # retries and the pre-loop allocation completes the batch
+            raise ValueError(
+                f"append to {path!r} lost a create race to a table with "
+                f"identity column(s) {sorted(man_ident)}; retry the append"
+            )
+        if man_ident and {
+            c: s["high"] for c, s in man_ident.items()
+        } != ident_base:
+            # a racing allocator advanced the high-water marks past the
+            # base we assigned from: our staged values would collide with
+            # the winner's range — re-allocate from the fresh marks and
+            # restage (staged orphans are vacuum-swept)
+            if ident_df is not None:
+                ident_df.unpersist()
+            ident_base = {c: s["high"] for c, s in man_ident.items()}
+            df, ident_new = _assign_identity(raw_df, man_ident, path)
+            ident_df = df
+            staged, staged_stats, staged_map = None, None, None
         if merge_schema:
             # evolution is validated (and re-merged) per attempt: a racing
             # append may itself have evolved the schema we merge into
@@ -2223,10 +2429,15 @@ def append_batch(
                     {"column_map": eff_map, "column_map_seq": eff_seq}
                     if map_changed else {}
                 ),
+                **({"identity": ident_new} if ident_new else {}),
             )
+            if ident_df is not None:
+                ident_df.unpersist()
             return version + 1
         except CommitConflict:
             continue
+    if ident_df is not None:
+        ident_df.unpersist()
     raise CommitConflict(
         f"append to {path!r} lost {max_commit_retries} consecutive commit "
         "races; back off and retry"
@@ -2908,6 +3119,14 @@ def update_where(
             "columns are always computed — assign the source column and "
             "the generated value follows"
         )
+    # identity columns are GENERATED ALWAYS: assigning one is refused;
+    # the rewrite naturally PRESERVES values on updated/carried rows
+    bad_ident = sorted(c for c in assignments if c in (man.get("identity") or {}))
+    if bad_ident:
+        raise ValueError(
+            f"UPDATE assigns identity column(s) {bad_ident}; identity "
+            "values are allocated at insert and immutable after"
+        )
     for g, e in gen.items():
         if any(re.search(rf"\b{re.escape(c)}\b", e) for c in assignments):
             out = out.withColumn(g, F.expr(e).cast(by_name[g].dataType))
@@ -2981,6 +3200,7 @@ def merge_upsert(
     if txn_app is not None:
         txns[txn_app] = txn_id
     schema = StructType.fromJson(json.loads(man["schema"]))
+    _refuse_identity(man, path, "merge_upsert")
     # generated columns complete the batch BEFORE the schema check (a CDC
     # producer never carries them; computing them here keeps the strict
     # signature contract for everything else)
@@ -3130,6 +3350,7 @@ def merge_clauses(
             "append_batch to create the table first"
         )
     man = _read_manifest(path, version)
+    _refuse_identity(man, path, "merge_clauses")
     txns = dict(man.get("txns", {}))
     if txn_app is not None and txns.get(txn_app, -1) >= txn_id:
         return None  # replayed batch — the watermark refuses it
@@ -3471,6 +3692,7 @@ def overwrite_where(
             "create the table first"
         )
     man = _read_manifest(path, version)
+    _refuse_identity(man, path, "overwrite_where")
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(man["schema"]))
@@ -4295,6 +4517,23 @@ def restore_table(path: str, version: int) -> dict:
         # column the rollback removed, which would silently re-apply to
         # a later same-named ADD COLUMN (the hazard drop_column purges)
         defaults=target.get("defaults"),
+        # identity: the SPEC follows the target schema, but the
+        # HIGH-WATER marks stay monotone across the rollback (never
+        # reissue a value — rows allocated by the rolled-back commits
+        # may live in downstream systems; same rule as column_map_seq)
+        identity=(
+            {
+                c: {
+                    **spec,
+                    "high": max(
+                        spec["high"],
+                        ((cur.get("identity") or {}).get(c) or spec)["high"],
+                    ),
+                }
+                for c, spec in target["identity"].items()
+            }
+            if target.get("identity") else target.get("identity")
+        ),
         # the PARTITION LAYOUT comes back with the target's files: a
         # restore across a replace_table_layout boundary re-adds files
         # staged under the OLD layout, so the declaration must follow
@@ -4432,6 +4671,10 @@ def clone_table(
         # a clone keeping the flag but losing the map would refuse
         # nothing and fill nothing
         defaults=man.get("defaults"),
+        # identity spec + high-water marks carry: appends to the clone
+        # allocate past the source snapshot's marks, never colliding
+        # with the cloned rows' values
+        identity=man.get("identity"),
         features=sorted(
             set(man.get("features") or ()) | {"shallowClone"}
         ),
@@ -4957,6 +5200,12 @@ def describe_table(path: str) -> dict:
         ],
         "num_path_valued_files": len(man.get("path_values") or {}),
         "num_clustered_files": len(man.get("zcube") or {}),
+        # r13: GENERATED ALWAYS AS IDENTITY — spec + current high-water
+        "identity_columns": [
+            f"{c} START WITH {s['start']} INCREMENT BY {s['step']} "
+            f"(high-water {s['high']})"
+            for c, s in sorted((man.get("identity") or {}).items())
+        ],
     }
 
 

@@ -3114,6 +3114,41 @@ SELECT tier, count(*) AS n_rows,
 FROM u GROUP BY tier
 """
 
+# q201: identity allocation replayed arithmetically — contiguous
+# per-commit blocks mean the live id SET is a pure function of the
+# three slice counts (A at start 1000 step 3; B rolled back by RESTORE
+# but its range stays reserved; C starts past B's high-water; the
+# final DELETE keeps odd ids only).
+ORACLES["q201_identity_columns"] = """
+WITH n AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey % 19 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS na,
+    CAST(sum(CASE WHEN o_orderkey % 19 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nb,
+    CAST(sum(CASE WHEN o_orderkey % 19 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nc
+  FROM orders
+),
+ids AS (
+  SELECT CAST(1000 + 3 * (u - 1) AS BIGINT) AS id
+  FROM (SELECT unnest(range(1, na + 1)) AS u FROM n)
+  UNION ALL
+  SELECT CAST(1000 + 3 * (na + nb + u - 1) AS BIGINT)
+  FROM (SELECT unnest(range(1, nc + 1)) AS u, na, nb FROM n)
+),
+live AS (SELECT id FROM ids WHERE id % 2 <> 0),
+hw AS (SELECT CAST(1000 + 3 * (na + nb + nc - 1) AS BIGINT) AS high FROM n)
+SELECT id % 7 AS bucket,
+       count(*) AS n_rows,
+       count(DISTINCT id) AS n_distinct,
+       min(id) AS id_min,
+       max(id) AS id_max,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       (SELECT high FROM hw) AS high_water
+FROM live GROUP BY bucket
+"""
+
 # q196/q197: the REAL BPE tokenizer replayed in SQL — each training
 # iteration is one chained block (pair count over the previous state,
 # deterministic argmax, gaps-and-islands-parity merge application), so

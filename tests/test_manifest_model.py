@@ -236,3 +236,82 @@ def _run_model(spark, tmp_path, ops, partition_by):
         d = (r["k"], r["v"])
         fold[d] += 1 if r["_change_type"] == "insert" else -1
     assert +fold == model, "change feed does not fold to the final state"
+
+
+# --- identity-columns model (r13) --------------------------------------
+
+_ident_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 6)),
+    st.tuples(st.just("delete"), st.tuples(st.integers(1, 40), st.integers(1, 40))),
+    st.tuples(st.just("truncate"), st.none()),
+    st.tuples(st.just("checkpoint"), st.none()),
+    st.tuples(st.just("restore"), st.integers(0, 100)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_ident_op, min_size=1, max_size=6))
+def test_identity_log_matches_model(spark, tmp_path, ops):
+    """Model-based identity certification: appends allocate exactly the
+    contiguous block past the high-water mark (the allocated SET is
+    deterministic even though the row->value mapping is not), deletes
+    never disturb surviving values, RESTORE rolls rows back while the
+    mark stays monotone (rolled-back ids are never reissued), and the
+    mark in the manifest equals the model's after every op."""
+    path = str(tmp_path / f"ident{next(_seq)}")
+    tx.init_table(
+        spark.createDataFrame([], "name string"), path,
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    live: set[int] = set()
+    high = 0
+    history = {0: (set(), 0)}
+
+    for kind, arg in ops:
+        if kind == "append":
+            tx.append_batch(
+                spark.createDataFrame(
+                    [(f"r{high + j}",) for j in range(arg)], "name string"
+                ),
+                path,
+            )
+            live |= set(range(high + 1, high + arg + 1))
+            high += arg
+        elif kind == "delete":
+            lo, hi = min(arg), max(arg)
+            res = tx.delete_where(
+                spark, path, (F.col("id") >= lo) & (F.col("id") <= hi)
+            )
+            live -= set(range(lo, hi + 1))
+            if res["files_rewritten"] == 0 and res["version"] in history:
+                continue  # no-match delete burns no version
+        elif kind == "truncate":
+            tx.truncate_table(path)
+            live = set()
+        elif kind == "checkpoint":
+            tx.checkpoint_table(path)
+            continue
+        elif kind == "restore":
+            versions = sorted(history)
+            target = versions[arg % len(versions)]
+            tx.restore_table(path, target)
+            live = set(history[target][0])
+            # high NEVER rolls back (monotone across restore)
+        history[tx.current_version(path)] = (set(live), high)
+        got = sorted(
+            r["id"] for r in tx.read_table(spark, path).collect()
+        )
+        assert got == sorted(live), f"live ids diverge after {kind}"
+        man = tx._read_manifest(path, tx.current_version(path))
+        assert man["identity"]["id"]["high"] == high, f"mark after {kind}"
+
+    # time travel: every version's id set replays exactly
+    for v, (snap, _h) in history.items():
+        got = sorted(
+            r["id"] for r in tx.read_table(spark, path, version=v).collect()
+        )
+        assert got == sorted(snap), f"time travel to v{v}"

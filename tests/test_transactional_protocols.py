@@ -3655,3 +3655,130 @@ def test_battery_provenance_carries_restore_and_clone(spark, tmp_path, protocol)
     ms.register(spark, "o'brien", t2)
     assert ms.lookup(spark, "o'brien") == t2
     assert ms.lookup(spark, "nope") is None
+
+
+def test_battery_identity_columns(spark, tmp_path, protocol):
+    """GENERATED ALWAYS AS IDENTITY (r13): contiguous per-commit
+    allocation from the manifest's high-water marks, GENERATED ALWAYS
+    refusals across every writer verb, monotone marks across RESTORE,
+    carry across CLONE, and collision-free concurrent appends."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(f"u{i}",) for i in range(10)], "name string")
+    tx.init_table(df, path, identity={"id": {"start": 100, "step": 2}})
+    got = tx.read_table(spark, path)
+    ids = sorted(r["id"] for r in got.collect())
+    # START WITH 100 INCREMENT BY 2: the first value IS 100 (Delta)
+    assert ids == list(range(100, 120, 2))
+    man = tx._read_manifest(path, 0)
+    assert man["identity"]["id"] == {"start": 100, "step": 2, "high": 118}
+    assert "identityColumns" in (man.get("writer_features") or ())
+
+    # append allocates past the mark; values stay unique and contiguous
+    tx.append_batch(
+        spark.createDataFrame([("x",), ("y",), ("z",)], "name string"), path
+    )
+    ids2 = sorted(r["id"] for r in tx.read_table(spark, path).collect())
+    assert ids2 == list(range(100, 126, 2))
+
+    # GENERATED ALWAYS: supplying the column refuses on every verb
+    supplied = spark.createDataFrame([(1, "q")], "id bigint, name string")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tx.append_batch(supplied, path)
+    with pytest.raises(ValueError, match="identity"):
+        tx.update_where(spark, path, {"id": "1"})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tx.merge_upsert(spark, path, supplied, ["id"])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tx.merge_clauses(
+            spark, path, supplied, ["id"],
+            matched=[{"action": "delete"}],
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tx.overwrite_where(spark, path, supplied)
+    with pytest.raises(ValueError, match="generated column"):
+        tx.set_column_default(path, "id", "42")
+
+    # delete/update preserve existing values (rewrite-in-place paths)
+    before = sorted(r["id"] for r in tx.read_table(spark, path).collect())
+    tx.update_where(spark, path, {"name": "'upd'"}, "id = 104")
+    tx.delete_where(spark, path, "id = 118")
+    after = sorted(r["id"] for r in tx.read_table(spark, path).collect())
+    assert after == [i for i in before if i != 118]
+
+    # RESTORE keeps the high-water monotone: rolled-back values are
+    # never reissued
+    high_before = tx._read_manifest(
+        path, tx.current_version(path)
+    )["identity"]["id"]["high"]
+    tx.restore_table(path, 0)
+    man_r = tx._read_manifest(path, tx.current_version(path))
+    assert man_r["identity"]["id"]["high"] == high_before
+    tx.append_batch(spark.createDataFrame([("w",)], "name string"), path)
+    new_id = max(
+        r["id"] for r in tx.read_table(spark, path).collect()
+    )
+    assert new_id == high_before + 2
+
+    # CLONE carries spec + marks; clone appends never collide with
+    # cloned rows
+    dst = str(tmp_path / "c")
+    tx.clone_table(path, dst)
+    tx.append_batch(spark.createDataFrame([("e",)], "name string"), dst)
+    clone_ids = [r["id"] for r in tx.read_table(spark, dst).collect()]
+    assert len(clone_ids) == len(set(clone_ids))
+    assert max(clone_ids) == new_id + 2
+
+    # negative step + refusals at init
+    neg = str(tmp_path / "neg")
+    tx.init_table(
+        spark.createDataFrame([("a",), ("b",)], "name string"), neg,
+        identity={"id": {"start": 0, "step": -5}},
+    )
+    assert sorted(
+        r["id"] for r in tx.read_table(spark, neg).collect()
+    ) == [-5, 0]
+    with pytest.raises(ValueError, match="step"):
+        tx.init_table(df, str(tmp_path / "z0"), identity={"id": {"step": 0}})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        tx.init_table(
+            spark.createDataFrame([(1, "a")], "id bigint, name string"),
+            str(tmp_path / "z1"), identity=["id"],
+        )
+    with pytest.raises(ValueError, match="both IDENTITY and"):
+        tx.init_table(
+            df, str(tmp_path / "z2"),
+            identity=["id"], generated={"id": "1"},
+        )
+
+
+def test_battery_identity_concurrent_storm(spark, tmp_path, protocol):
+    """Allocation ranges reserved at commit: 8 racing appenders x 25
+    rows on one identity table — every id unique, the final high-water
+    mark exact, and the id SET exactly the contiguous range (losers
+    re-allocate + restage, winners' ranges never violated)."""
+    path = str(tmp_path / "t")
+    tx.init_table(
+        spark.createDataFrame([], "name string"), path, identity=["id"]
+    )
+    errs = []
+
+    def app(i):
+        try:
+            b = spark.createDataFrame(
+                [(f"w{i}_{j}",) for j in range(25)], "name string"
+            )
+            tx.append_batch(b, path)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=app, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    ids = [r["id"] for r in tx.read_table(spark, path).collect()]
+    assert len(ids) == 200 and len(set(ids)) == 200
+    assert sorted(ids) == list(range(1, 201))
+    man = tx._read_manifest(path, tx.current_version(path))
+    assert man["identity"]["id"]["high"] == 200
