@@ -17,6 +17,7 @@ small and NEVER collect these columns to the driver).
 from __future__ import annotations
 
 import struct
+import sys
 from typing import Iterator
 
 import pandas as pd
@@ -575,3 +576,142 @@ def ahash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --- audio PCM content analysis (r13 — the q198 byte-decode pattern
+# extended to the audio modality: real sample decode, not just the RIFF
+# header walk) ----------------------------------------------------------
+
+
+def build_wav_pcm(sample_rate: int, channels: int, pcm: bytes) -> bytes:
+    """Real RIFF/WAVE container around 16-bit little-endian PCM frames —
+    the writer twin of `decode_wav_pcm` (`build_wav` zero-fills; this
+    carries actual samples)."""
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, "array.array"] | None:
+    """FULL PCM decode of a 16-bit RIFF/WAVE payload: the chunk walk of
+    `parse_media_header` continued into the ``data`` chunk. Returns
+    (sample_rate, channels, int16 samples) or None for anything that is
+    not uncompressed 16-bit PCM (compressed codecs are out of scope —
+    the disclosed boundary of the stdlib-only container layer)."""
+    import array
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = fmt_tag = None
+    data = None
+    while i + 8 <= len(payload):
+        tag = payload[i:i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8:i + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif tag == b"data":
+            data = body
+        i += 8 + size + (size % 2)  # RIFF chunks pad to even
+    if fmt_tag != 1 or bits != 16 or rate is None or data is None:
+        return None
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - (len(data) % 2)])
+    if sys.byteorder == "big":  # WAV PCM is little-endian
+        samples.byteswap()
+    return rate, channels, samples
+
+
+def audio_pcm_stats(
+    media: DataFrame, id_cols: list[str], silence_threshold: int = 256
+) -> DataFrame:
+    """Arrow-batched PCM CONTENT statistics per payload (the loudness /
+    silence / clipping triage every audio ingestion pipeline runs before
+    feature extraction) — all-integer so the certification hash is
+    bit-exact across engines:
+
+      sample_rate, n_samples        — from the decoded container
+      peak                          — max |sample|
+      sum_sq                        — Σ sample² (the exact loudness
+                                      basis; RMS = sqrt(sum_sq/n) is a
+                                      lossy float and stays out of the
+                                      hash)
+      n_clipped                     — samples at the int16 rails
+      n_zero_cross                  — sign changes (sign(0) = +1)
+      max_silence_run               — longest run with |s| <
+                                      ``silence_threshold``
+
+    Undecodable / non-PCM payloads emit -1 sentinels (never dropped,
+    never NULL — the q198 NaN-through-pandas lesson). One mapInPandas
+    pass; binary columns never collect."""
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in zip(
+            id_cols, [dict(media.dtypes)[c] for c in id_cols]
+        )
+    ) + (
+        ", sample_rate bigint, n_samples bigint, peak bigint,"
+        " sum_sq bigint, n_clipped bigint, n_zero_cross bigint,"
+        " max_silence_run bigint"
+    )
+    thr = int(silence_threshold)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {c: pdf[c] for c in id_cols}
+            stats = {k: [] for k in (
+                "sample_rate", "n_samples", "peak", "sum_sq",
+                "n_clipped", "n_zero_cross", "max_silence_run",
+            )}
+            for p in pdf["payload"]:
+                dec = decode_wav_pcm(bytes(p) if p is not None else None)
+                if dec is None:
+                    for k in stats:
+                        stats[k].append(-1)
+                    continue
+                rate, _ch, s = dec
+                peak = sum_sq = clipped = crossings = 0
+                run = best_run = 0
+                prev_sign = 1
+                for v in s:
+                    a = -v if v < 0 else v
+                    if a > peak:
+                        peak = a
+                    sum_sq += v * v
+                    if v == 32767 or v == -32768:
+                        clipped += 1
+                    sign = 1 if v >= 0 else -1
+                    if sign != prev_sign:
+                        crossings += 1
+                    prev_sign = sign
+                    if a < thr:
+                        run += 1
+                        if run > best_run:
+                            best_run = run
+                    else:
+                        run = 0
+                stats["sample_rate"].append(rate)
+                stats["n_samples"].append(len(s))
+                stats["peak"].append(peak)
+                stats["sum_sq"].append(sum_sq)
+                stats["n_clipped"].append(clipped)
+                stats["n_zero_cross"].append(crossings)
+                stats["max_silence_run"].append(best_run)
+            out = pd.DataFrame(cols)
+            for k, v in stats.items():
+                out[k] = pd.Series(v, dtype="int64")
+            yield out
+
+    return media.mapInPandas(probe, schema=out_schema)

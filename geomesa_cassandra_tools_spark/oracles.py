@@ -3149,6 +3149,194 @@ SELECT id % 7 AS bucket,
 FROM live GROUP BY bucket
 """
 
+# q203/q204: the trained linear quality classifier replayed in SQL —
+# the full batch-perceptron trajectory unrolled as chained MATERIALIZED
+# CTEs (the q196 lesson: self-referencing chains must materialize or
+# DuckDB's inliner duplicates the base scan exponentially). Round 1
+# starts from w=0, so every labeled doc is an error and the first
+# gradient is the full label-weighted feature sum; later rounds join
+# the previous weight vector, classify, and accumulate.
+def _classifier_train_cte(rounds: int = 3, dim: int = 32) -> str:
+    markers = ", ".join(f"'{m}'" for m in ("order", "window", "group"))
+    blocks = [f"""cw AS MATERIALIZED (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+cfeat AS MATERIALIZED (
+  SELECT doc_id, CAST(({_hashed_tid_sql('word')}) % {dim} AS INTEGER)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cw GROUP BY 1, 2
+),
+clab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN sum(CASE WHEN word IN ({markers}) THEN 1 ELSE 0 END)
+                >= 2 THEN 1 ELSE -1 END AS y
+  FROM cw GROUP BY doc_id
+),
+cfj AS MATERIALIZED (
+  SELECT f.doc_id, f.bucket, f.cnt, l.y
+  FROM cfeat f JOIN clab l USING (doc_id)
+),
+g1 AS MATERIALIZED (
+  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS g FROM cfj GROUP BY bucket
+),
+w1 AS MATERIALIZED (
+  SELECT CAST(b.bucket AS INTEGER) AS bucket, coalesce(g1.g, 0) AS w
+  FROM (SELECT unnest(range(0, {dim})) AS bucket) b
+  LEFT JOIN g1 ON g1.bucket = b.bucket
+)"""]
+    for t in range(2, rounds + 1):
+        blocks.append(f"""m{t} AS MATERIALIZED (
+  SELECT f.doc_id, any_value(f.y) AS y,
+         CAST(sum(f.cnt * w.w) AS BIGINT) AS margin
+  FROM cfj f JOIN w{t - 1} w USING (bucket) GROUP BY f.doc_id
+),
+e{t} AS MATERIALIZED (
+  SELECT doc_id FROM m{t} WHERE y * margin <= 0
+),
+g{t} AS MATERIALIZED (
+  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS g
+  FROM cfj WHERE doc_id IN (SELECT doc_id FROM e{t})
+  GROUP BY bucket
+),
+w{t} AS MATERIALIZED (
+  SELECT p.bucket, p.w + coalesce(g{t}.g, 0) AS w
+  FROM w{t - 1} p LEFT JOIN g{t} ON g{t}.bucket = p.bucket
+)""")
+    return ",\n".join(blocks)
+
+
+ORACLES["q203_quality_classifier_train"] = f"""
+WITH {_classifier_train_cte(3, 32)}
+SELECT CAST(1 AS INTEGER) AS round, bucket, w,
+       (SELECT count(DISTINCT doc_id) FROM cfj) AS n_errors FROM w1
+UNION ALL
+SELECT CAST(2 AS INTEGER), bucket, w,
+       (SELECT count(*) FROM e2) FROM w2
+UNION ALL
+SELECT CAST(3 AS INTEGER), bucket, w,
+       (SELECT count(*) FROM e3) FROM w3
+"""
+
+ORACLES["q204_classifier_cluster_keeper"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_VOCAB_CTE},
+  sigs AS (
+    SELECT doc_id,
+           {_minhash_select(16)}
+    FROM sid GROUP BY doc_id
+  ),
+  bands AS (
+    {_bands_union(8, 2)}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  pair_inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  verified AS (
+    SELECT doc_a, doc_b
+    FROM pair_inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE inter / (za.sz + zb.sz - inter) >= 0.1
+  ),
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b, doc_a FROM verified
+  ),
+  reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+  ),
+  clusters AS (
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+  ),
+{_classifier_train_cte(3, 32)},
+  cmarg AS (
+    SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS margin
+    FROM cfeat f JOIN w3 w USING (bucket) GROUP BY f.doc_id
+  ),
+  members AS (
+    SELECT c.cluster_id, c.node, m.margin
+    FROM clusters c JOIN cmarg m ON m.doc_id = c.node
+  ),
+  ranked AS (
+    SELECT cluster_id, node, margin,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY margin DESC, node
+           ) AS rn
+    FROM members
+  )
+SELECT m.cluster_id,
+       count(*) AS n_docs,
+       max(CASE WHEN r.rn = 1 THEN r.node END) AS keeper_doc,
+       max(CASE WHEN r.rn = 1 THEN r.margin END) AS keeper_margin,
+       min(m.margin) AS worst_margin
+FROM members m
+JOIN ranked r ON r.cluster_id = m.cluster_id AND r.node = m.node
+GROUP BY m.cluster_id
+"""
+
+# q202: the WAV PCM generator replayed analytically — the Spark side
+# decodes real RIFF/WAVE bytes back into samples; the oracle never sees
+# bytes, it recomputes the integer waveform and folds the same stats
+# (any decode defect — endianness, chunk-walk off-by-one, sign
+# convention — diverges). Longest silence run is gaps-and-islands over
+# the sub-threshold rows; zero crossings lag the sign with initial +1.
+ORACLES["q202_audio_pcm_stats"] = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 7),
+s AS MATERIALIZED (
+  SELECT doc_id, u AS t,
+         CASE WHEN u % 37 < 5 THEN u % 3
+              ELSE GREATEST(-32768, LEAST(32767,
+                ((11 * doc_id + 13 * u + (u * u) % 101) % 80011) - 40005))
+         END AS v
+  FROM (SELECT doc_id, unnest(range(0, 480)) AS u FROM d)
+),
+x AS (
+  SELECT doc_id, t, v,
+         CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sgn,
+         lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END, 1, 1)
+           OVER (PARTITION BY doc_id ORDER BY t) AS psgn
+  FROM s
+),
+runs AS (
+  SELECT doc_id, max(runlen) AS maxrun FROM (
+    SELECT doc_id, count(*) AS runlen
+    FROM (
+      SELECT doc_id, t,
+             t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS isl
+      FROM s WHERE abs(v) < 256
+    ) GROUP BY doc_id, isl
+  ) GROUP BY doc_id
+)
+SELECT x.doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(sum(CASE WHEN sgn <> psgn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross,
+       CAST(coalesce(any_value(runs.maxrun), 0) AS BIGINT)
+         AS max_silence_run
+FROM x LEFT JOIN runs ON x.doc_id = runs.doc_id
+GROUP BY x.doc_id
+"""
+
 # q196/q197: the REAL BPE tokenizer replayed in SQL — each training
 # iteration is one chained block (pair count over the previous state,
 # deterministic argmax, gaps-and-islands-parity merge application), so

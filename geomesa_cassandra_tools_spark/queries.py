@@ -7277,9 +7277,12 @@ def q197_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization, which the oracle reproduces because it re-derives
     the merges and re-applies them with the identical window algebra.
 
-    Scale shape: encoding is M chained window passes over (doc, word)
-    groups — map-side after one repartition by doc; the merge list is
-    O(M) broadcast literals."""
+    Scale shape: encoding is the map-only fold (one pass, no shuffle
+    until the aggregates); the merge list is O(M) broadcast literals.
+    The encoded frame is CACHED because two aggregations consume it —
+    without the cache the M-fold interpreted-HOF encode (whose per-task
+    PREP, not execution, is the dominant cost — the r11 q180 lesson)
+    runs twice, and its 10× scale slope doubles (r12 verdict #5)."""
     from geomesa_cassandra_tools_spark.functions import bpe
 
     merges = _bpe_merges(spark, sf_dir)
@@ -7295,8 +7298,10 @@ def q197_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MAP-ONLY encode (bpe.encode_words, value-identical fold twin of
     # the window path — the oracle replays the window form, so the
     # equivalence itself is in the hash); one explode only at the end
-    toks = bpe.encode_words(words, merges).select(
-        "doc_id", "widx", F.explode("toks").alias("sym")
+    toks = _cache(
+        bpe.encode_words(words, merges).select(
+            "doc_id", "widx", F.explode("toks").alias("sym")
+        )
     )
     per_tok = toks.groupBy("doc_id", "sym").agg(
         F.count("*").alias("n")
@@ -7619,6 +7624,205 @@ def q198_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("bigint").alias("m"),
     )
     return hash_face.unionAll(pair_face)
+
+
+def q202_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL audio PCM content analysis (r12 VERDICT next-round #7 — the
+    audio modality stopped at the RIFF header's duration): one Arrow
+    pass WRITES a real 16-bit PCM WAV per document (480 samples at
+    8 kHz: a clipped integer waveform ``clamp(((11·doc + 13·t + t²%101)
+    % 80011) − 40005)`` with forced near-silence stretches ``t%37<5 →
+    t%3``), and `multimodal.audio_pcm_stats` decodes the SAMPLES back
+    through the RIFF chunk walk and computes the all-integer loudness/
+    silence/clipping triage: peak, Σsample² (the exact RMS basis),
+    rail-clipped count, zero crossings (sign(0)=+1), longest
+    sub-threshold run. The oracle replays the generator analytically
+    (unnest(range) + windows), so one endianness slip, off-by-one in
+    the chunk walk, or sign-convention drift flips the hash — the q198
+    contract, completed for audio.
+
+    Scale shape: generation and decode are one mapInPandas scan each
+    (binary payloads never collect, never shuffle); stats are per-row
+    fold inside the Arrow batch. At 100 TB this is the admission pass
+    before feature extraction — embarrassingly parallel by file."""
+    import array as _array
+    import sys as _sys
+
+    docs = load_tables(spark, sf_dir)["documents"].where(
+        F.col("doc_id") % 29 == 7
+    ).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = []
+                for t in range(480):
+                    if t % 37 < 5:
+                        samples.append(t % 3)
+                        continue
+                    raw = ((11 * d + 13 * t + (t * t) % 101) % 80011) - 40005
+                    samples.append(max(-32768, min(32767, raw)))
+                arr = _array.array("h", samples)
+                if _sys.byteorder == "big":
+                    arr.byteswap()
+                out["doc_id"].append(d)
+                out["payload"].append(
+                    multimodal.build_wav_pcm(8000, 1, arr.tobytes())
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return multimodal.audio_pcm_stats(media, ["doc_id"])
+
+
+#: trained quality classifier (q203/q204): marker words whose presence
+#: (>= 2 occurrences) labels a document "keep" — the classifier then
+#: LEARNS which hash buckets host them (shared with the oracle SQL).
+CLASSIFIER_MARKERS = ("order", "window", "group")
+CLASSIFIER_ROUNDS = 3
+
+
+def _classifier_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") > 0)
+
+
+def _classifier_labels(words: DataFrame) -> DataFrame:
+    """(doc_id, y): +1 iff the doc carries >= 2 marker-word occurrences."""
+    mc = words.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("word").isin(*CLASSIFIER_MARKERS), 1
+            ).otherwise(0)
+        ).alias("mc")
+    )
+    return mc.select(
+        "doc_id",
+        F.when(F.col("mc") >= 2, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+
+
+def _classifier_history(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Build-once TRAINED CLASSIFIER (q203/q204): the full batch-
+    perceptron trajectory over hashed bag-of-words features, persisted
+    as json beside the corpus-keyed fixtures (the `_bpe_merges`
+    discipline: training is bit-deterministic, racing builders write
+    identical bytes, atomic rename)."""
+    import json as _json
+
+    from geomesa_cassandra_tools_spark.functions import classifier
+
+    path = _corpus_keyed_tmp_path(sf_dir, "documents", "gcts_classifier")
+    hist_file = os.path.join(path, "_weights.json")
+    if os.path.exists(hist_file):
+        with open(hist_file) as fh:
+            hist = _json.load(fh)
+        # json object keys are strings — rehydrate bucket ints
+        for h in hist:
+            h["weights"] = {int(k): v for k, v in h["weights"].items()}
+        return hist
+    words = _cache(_classifier_words(spark, sf_dir))
+    feats = classifier.hashed_features(words)
+    labels = _classifier_labels(words)
+    hist = classifier.perceptron_train(
+        feats, labels, rounds=CLASSIFIER_ROUNDS
+    )
+    os.makedirs(path, exist_ok=True)
+    tmp = hist_file + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(hist, fh)
+    os.replace(tmp, hist_file)
+    return hist
+
+
+def q203_quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED quality classifier — the training trajectory certified
+    (r12 VERDICT missing #3: every production LLM pipeline runs a
+    trained filter next to the heuristics; fastText's shape is a linear
+    model over hashed n-gram features): 3 batch-perceptron rounds over
+    `classifier.hashed_features` (md5-fold bucket hashing, dim 32),
+    labels = ">= 2 marker-word occurrences". The hashed face is the
+    ENTIRE trajectory — (round, bucket, weight, n_errors) for every
+    round — and the oracle re-derives it by unrolling all three rounds
+    as chained materialized CTEs (the q196 lesson): one diverging
+    margin, error set, or gradient anywhere in training breaks the
+    hash. Integer arithmetic end-to-end — the `kmeans_iterate`/
+    `pq_train` bit-determinism discipline (the transcendental sigmoid
+    is deliberately NOT in the loss: see functions/classifier.py).
+
+    Scale shape: featurization is map + partial-agg (hashed buckets —
+    no vocabulary build); each round is one margin aggregation with the
+    O(dim) weight map broadcast as a literal, one semi-join, one
+    dim-sized gradient collect. Driver state is O(dim) per round."""
+    hist = _classifier_history(spark, sf_dir)
+    from geomesa_cassandra_tools_spark.functions.classifier import DIM
+
+    rows = [
+        (h["round"], b, h["weights"].get(b, 0), h["n_errors"])
+        for h in hist
+        for b in range(DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "round int, bucket int, w bigint, n_errors bigint"
+    )
+
+
+def q204_classifier_cluster_keeper(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained classifier WIRED AS THE KEEPER POLICY (the r12
+    verdict's "wire it as an alternative keeper policy beside q175"):
+    q58's dedup clusters (shared shingle/MinHash index → LSH candidates
+    → exact-Jaccard verify → connected components), with each member
+    scored by the TRAINED margin (map-only `classifier.score` under the
+    q203 weights) instead of q175's heuristic quality — the keeper is
+    the (margin, -doc_id) struct-max per cluster. The oracle re-derives
+    the full training AND the full cluster pipeline in one statement.
+
+    Scale shape: identical to q175 (nothing new shuffles beyond q58's
+    pipeline); scoring is one broadcast-map aggregate over the hashed
+    features."""
+    from geomesa_cassandra_tools_spark.functions import classifier
+
+    hist = _classifier_history(spark, sf_dir)
+    final_w = hist[-1]["weights"]
+    sh = _document_shingles(spark, sf_dir)
+    sigs = _document_minhash(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands).where(
+        F.col("jaccard") >= 0.1
+    )
+    comp = dedup.connected_components(pairs)
+    words = _classifier_words(spark, sf_dir)
+    margins = classifier.score(
+        classifier.hashed_features(words), final_w
+    )
+    members = comp.join(
+        margins, comp["node"] == margins["doc_id"]
+    ).select("cluster_id", "node", "margin")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(
+                F.struct(F.col("margin"), (-F.col("node")).alias("negid"))
+            ).alias("best"),
+            F.min("margin").alias("worst_margin"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("best.negid")).alias("keeper_doc"),
+            F.col("best.margin").alias("keeper_margin"),
+            "worst_margin",
+        )
+    )
 
 
 def _metastore_root(spark: SparkSession, sf_dir: str) -> str:
@@ -8322,6 +8526,9 @@ def _with_cache_release(
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 13 (first driver certification => inside the window)
     "q201_identity_columns": q201_identity_columns,
+    "q202_audio_pcm_stats": q202_audio_pcm_stats,
+    "q203_quality_classifier_train": q203_quality_classifier_train,
+    "q204_classifier_cluster_keeper": q204_classifier_cluster_keeper,
     # -- new in round 12 (first driver certification => inside the window)
     "q192_merge_conditional_clauses": q192_merge_conditional_clauses,
     "q195_metastore_pure_name": q195_metastore_pure_name,

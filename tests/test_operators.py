@@ -2604,3 +2604,89 @@ def test_image_pixel_decode_and_ahash(spark):
         for r in M.ahash_near_pairs(frame, "doc_id").collect()
     }
     assert pairs == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_wav_pcm_decode_and_stats(spark):
+    """r13 audio PCM content analysis: build_wav_pcm/decode_wav_pcm
+    round-trip real samples; audio_pcm_stats computes the all-integer
+    triage and emits -1 sentinels for undecodable payloads."""
+    import array
+
+    from geomesa_cassandra_tools_spark.operators import multimodal as mm
+
+    samples = [0, 100, -200, 32767, -32768, 5, -5, 300, 0, 0, 0, -1]
+    arr = array.array("h", samples)
+    import sys as _sys
+    if _sys.byteorder == "big":
+        arr.byteswap()
+    payload = mm.build_wav_pcm(16000, 1, arr.tobytes())
+    rate, ch, got = mm.decode_wav_pcm(payload)
+    assert (rate, ch) == (16000, 1) and list(got) == samples
+    # header walk still agrees (duration from frame count)
+    meta = mm.parse_media_header(payload)
+    assert meta["mime"] == "audio/wav"
+    assert meta["duration_ms"] == int(len(samples) / 16000 * 1000)
+    # non-PCM refusals return None (compressed fmt tag, truncated)
+    assert mm.decode_wav_pcm(payload[:20]) is None
+    bad_fmt = bytearray(payload)
+    bad_fmt[20] = 2  # fmt tag != 1 (not uncompressed PCM)
+    assert mm.decode_wav_pcm(bytes(bad_fmt)) is None
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a wav"))],
+        "id bigint, payload binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in mm.audio_pcm_stats(media, ["id"]).collect()
+    }
+    r1 = rows[1]
+    assert r1["sample_rate"] == 16000
+    assert r1["n_samples"] == len(samples)
+    assert r1["peak"] == 32768
+    assert r1["sum_sq"] == sum(v * v for v in samples)
+    assert r1["n_clipped"] == 2
+    # signs: + + - + - + - + + + + -  (initial prev = +1) -> 7 changes
+    assert r1["n_zero_cross"] == 7
+    # |s| < 256 runs: [0,100,-200]=3 then [5,-5]=2 then [0,0,0,-1]=4
+    assert r1["max_silence_run"] == 4
+    r2 = rows[2]
+    assert all(
+        r2[k] == -1
+        for k in ("sample_rate", "n_samples", "peak", "sum_sq",
+                  "n_clipped", "n_zero_cross", "max_silence_run")
+    )
+
+
+def test_perceptron_classifier_trains_and_scores(spark):
+    """r13 trained quality classifier: the batch perceptron separates a
+    linearly separable hashed-feature problem, training is
+    bit-deterministic across re-runs, and scoring is consistent with
+    the final weights."""
+    from geomesa_cassandra_tools_spark.functions import classifier
+
+    rows = []
+    for d in range(20):
+        y = 1 if d % 2 == 0 else -1
+        # positives carry 'order' words, negatives carry 'junk'
+        w = "order" if y == 1 else "junk"
+        rows.extend((d, w) for _ in range(3 + d % 3))
+    words = spark.createDataFrame(rows, "doc_id bigint, word string")
+    feats = classifier.hashed_features(words)
+    labels = spark.createDataFrame(
+        [(d, 1 if d % 2 == 0 else -1) for d in range(20)],
+        "doc_id bigint, y int",
+    )
+    h1 = classifier.perceptron_train(feats, labels, rounds=3)
+    h2 = classifier.perceptron_train(feats, labels, rounds=3)
+    assert h1 == h2  # bit-deterministic
+    assert h1[0]["n_errors"] == 20  # w0 = 0: every doc errs
+    # separable two-word problem converges: last round has no errors
+    assert h1[-1]["n_errors"] == 0
+    final = h1[-1]["weights"]
+    margins = {
+        r["doc_id"]: r["margin"]
+        for r in classifier.score(feats, final).collect()
+    }
+    for d in range(20):
+        assert (margins[d] > 0) == (d % 2 == 0), (d, margins[d])
