@@ -128,3 +128,126 @@ def score(
             * F.coalesce(F.element_at(wmap, F.col("bucket")), F.lit(0))
         ).cast("bigint").alias("margin")
     )
+
+
+def multiclass_perceptron_train(
+    spark,
+    feats: DataFrame,
+    labels: DataFrame,
+    classes: list[str],
+    dim: int = DIM,
+    rounds: int = 2,
+    id_col: str = "doc_id",
+) -> list[dict]:
+    """Multiclass (one-weight-vector-per-class) batch perceptron — the
+    fastText-style trained language-ID shape: per round, each doc's
+    predicted class is argmax_c Σ cnt·w_c[bucket] (ties to the
+    lexicographically smallest class — exactly replayable); every
+    misclassified doc adds its counts to its TRUE class's vector and
+    subtracts them from the PREDICTED one. All integer; batch updates;
+    no randomness.
+
+    ``labels`` is (id, cls). Returns one dict per round:
+    {"round", "weights": {(cls, bucket): w}, "n_errors"}.
+
+    Scale shape: margins are one equi-join of the feature rows against
+    the O(K·dim) broadcast weight table + a partial-agg groupBy; the
+    argmax is a struct-min per doc; gradients aggregate to K·dim rows
+    collected driver-side (the Lloyd's-centroid discipline)."""
+    joined = feats.join(labels, id_col).select(
+        id_col, "bucket", "cnt", "cls"
+    )
+    w = {(c, b): 0 for c in classes for b in range(dim)}
+    out: list[dict] = []
+    for t in range(1, rounds + 1):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(c, b, w[(c, b)]) for c in classes for b in range(dim)],
+                "wcls string, bucket int, w long",
+            )
+        )
+        margins = (
+            feats.join(wdf, "bucket")
+            .groupBy(id_col, "wcls")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("margin"))
+        )
+        # argmax with ties to the smallest class name: min over
+        # (-margin, class) — deterministic, oracle-replayable
+        pred = (
+            margins.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("margin")).alias("negm"),
+                        F.col("wcls").alias("c"),
+                    )
+                ).alias("p")
+            )
+            .select(id_col, F.col("p.c").alias("pred"))
+        )
+        errs = (
+            labels.join(pred, id_col)
+            .where(F.col("cls") != F.col("pred"))
+            .select(id_col, "cls", "pred")
+        )
+        updates = (
+            joined.drop("cls").join(errs, id_col)
+            .select(
+                "bucket",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("cls").alias("c"),
+                            F.col("cnt").alias("g"),
+                        ),
+                        F.struct(
+                            F.col("pred").alias("c"),
+                            (-F.col("cnt")).alias("g"),
+                        ),
+                    )
+                ).alias("u"),
+            )
+            .groupBy(F.col("u.c").alias("c"), "bucket")
+            .agg(F.sum("u.g").alias("g"))
+            .collect()
+        )
+        n_err = errs.count()
+        for r in updates:
+            w[(r["c"], r["bucket"])] += r["g"]
+        out.append(
+            {"round": t, "weights": dict(w), "n_errors": n_err}
+        )
+    return out
+
+
+def multiclass_score(
+    spark,
+    feats: DataFrame,
+    weights: dict,
+    classes: list[str],
+    dim: int = DIM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pred) under trained multiclass weights — one broadcast join
+    + argmax, map-shaped like the binary `score`."""
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, b, weights[(c, b)]) for c in classes for b in range(dim)],
+            "wcls string, bucket int, w long",
+        )
+    )
+    return (
+        feats.join(wdf, "bucket")
+        .groupBy(id_col, "wcls")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("margin"))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("margin")).alias("negm"),
+                    F.col("wcls").alias("c"),
+                )
+            ).alias("p")
+        )
+        .select(id_col, F.col("p.c").alias("pred"))
+    )

@@ -3289,6 +3289,112 @@ JOIN ranked r ON r.cluster_id = m.cluster_id AND r.node = m.node
 GROUP BY m.cluster_id
 """
 
+# q206: the multiclass language-ID perceptron replayed in SQL — both
+# training rounds AND the final scoring pass. Round 1's margins are all
+# zero (w0 = 0), so every featured doc predicts the alphabetically
+# first language; later rounds join the previous weight table, take the
+# per-doc argmax (margin DESC, class ASC — the tie rule), and fold the
+# +true/-pred gradients of the misclassified docs.
+ORACLES["q206_langid_classifier"] = f"""
+WITH cw AS MATERIALIZED (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+cfeat AS MATERIALIZED (
+  SELECT doc_id, CAST(({_hashed_tid_sql('word')}) % 32 AS INTEGER)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cw GROUP BY 1, 2
+),
+ml AS MATERIALIZED (SELECT doc_id, lang AS cls FROM documents),
+k AS MATERIALIZED (SELECT DISTINCT lang AS cls FROM documents),
+buckets AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS bucket),
+fdocs AS MATERIALIZED (SELECT DISTINCT doc_id FROM cfeat),
+p1 AS MATERIALIZED (
+  SELECT doc_id, (SELECT min(cls) FROM k) AS pred FROM fdocs
+),
+e1 AS MATERIALIZED (
+  SELECT l.doc_id, l.cls AS true_cls, p.pred
+  FROM ml l JOIN p1 p USING (doc_id) WHERE l.cls <> p.pred
+),
+g1 AS MATERIALIZED (
+  SELECT c, bucket, CAST(sum(g) AS BIGINT) AS g FROM (
+    SELECT e.true_cls AS c, f.bucket, f.cnt AS g
+    FROM e1 e JOIN cfeat f USING (doc_id)
+    UNION ALL
+    SELECT e.pred, f.bucket, -f.cnt
+    FROM e1 e JOIN cfeat f USING (doc_id)
+  ) GROUP BY c, bucket
+),
+w1 AS MATERIALIZED (
+  SELECT kb.cls, kb.bucket, coalesce(g1.g, 0) AS w
+  FROM (SELECT k.cls, b.bucket FROM k CROSS JOIN buckets b) kb
+  LEFT JOIN g1 ON g1.c = kb.cls AND g1.bucket = kb.bucket
+),
+m2 AS MATERIALIZED (
+  SELECT f.doc_id, w.cls,
+         CAST(sum(f.cnt * w.w) AS BIGINT) AS margin
+  FROM cfeat f JOIN w1 w ON w.bucket = f.bucket
+  GROUP BY f.doc_id, w.cls
+),
+p2 AS MATERIALIZED (
+  SELECT doc_id, cls AS pred FROM (
+    SELECT doc_id, cls,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY margin DESC, cls
+           ) AS rn
+    FROM m2
+  ) WHERE rn = 1
+),
+e2 AS MATERIALIZED (
+  SELECT l.doc_id, l.cls AS true_cls, p.pred
+  FROM ml l JOIN p2 p USING (doc_id) WHERE l.cls <> p.pred
+),
+g2 AS MATERIALIZED (
+  SELECT c, bucket, CAST(sum(g) AS BIGINT) AS g FROM (
+    SELECT e.true_cls AS c, f.bucket, f.cnt AS g
+    FROM e2 e JOIN cfeat f USING (doc_id)
+    UNION ALL
+    SELECT e.pred, f.bucket, -f.cnt
+    FROM e2 e JOIN cfeat f USING (doc_id)
+  ) GROUP BY c, bucket
+),
+w2 AS MATERIALIZED (
+  SELECT p.cls, p.bucket, p.w + coalesce(g2.g, 0) AS w
+  FROM w1 p LEFT JOIN g2 ON g2.c = p.cls AND g2.bucket = p.bucket
+),
+m3 AS MATERIALIZED (
+  SELECT f.doc_id, w.cls,
+         CAST(sum(f.cnt * w.w) AS BIGINT) AS margin
+  FROM cfeat f JOIN w2 w ON w.bucket = f.bucket
+  GROUP BY f.doc_id, w.cls
+),
+p3 AS MATERIALIZED (
+  SELECT doc_id, cls AS pred FROM (
+    SELECT doc_id, cls,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY margin DESC, cls
+           ) AS rn
+    FROM m3
+  ) WHERE rn = 1
+)
+SELECT 'w' AS face, CAST(1 AS INTEGER) AS round, cls, bucket, w FROM w1
+UNION ALL
+SELECT 'w', CAST(2 AS INTEGER), cls, bucket, w FROM w2
+UNION ALL
+SELECT 'err', CAST(1 AS INTEGER), '', -1,
+       (SELECT count(*) FROM e1)
+UNION ALL
+SELECT 'err', CAST(2 AS INTEGER), '', -1,
+       (SELECT count(*) FROM e2)
+UNION ALL
+SELECT 'conf', CAST(2 AS INTEGER), l.cls || '>' || p.pred, -1,
+       CAST(count(*) AS BIGINT)
+FROM ml l JOIN p3 p USING (doc_id)
+GROUP BY l.cls || '>' || p.pred
+"""
+
 # q202: the WAV PCM generator replayed analytically — the Spark side
 # decodes real RIFF/WAVE bytes back into samples; the oracle never sees
 # bytes, it recomputes the integer waveform and folds the same stats
@@ -3578,6 +3684,69 @@ ham AS MATERIALIZED (
            AS m
   FROM bits a JOIN bits b
     ON a.by = b.by AND a.bx = b.bx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pair_face AS (
+  SELECT 'pair' AS face, doc_a, doc_b, '' AS ahash, m
+  FROM ham WHERE m <= 3
+)
+SELECT * FROM hash_face
+UNION ALL
+SELECT * FROM pair_face
+"""
+
+# q205: video frame decode + per-frame aHash replayed analytically —
+# the q198 arithmetic extended with the frame dimension; sampling at
+# 250 ms against the 4 fps container visits every frame (ts 0/250/500/
+# 750 -> idx 0..3); near-dups on frame 0 are the full bit-difference
+# join (pigeonhole-exact at Hamming <= 3, like q198's pairs).
+ORACLES["q205_video_frame_dedup"] = """
+WITH ds AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE doc_id % 31 = 6
+),
+px AS MATERIALIZED (
+  SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(x AS INT) AS x,
+         CAST(y AS INT) AS y,
+         (7 * doc_id + 3 * x + 5 * y + 11 * f + (x * y) % 13) % 256 AS v
+  FROM ds,
+       (SELECT unnest(range(0, 4)) AS f),
+       (SELECT unnest(range(0, 16)) AS x),
+       (SELECT unnest(range(0, 16)) AS y)
+),
+blk AS MATERIALIZED (
+  SELECT doc_id, f, x // 2 AS bx, y // 2 AS by, sum(v) // 4 AS bval
+  FROM px GROUP BY doc_id, f, x // 2, y // 2
+),
+mn AS MATERIALIZED (
+  SELECT doc_id, f, sum(bval) // 64 AS mean FROM blk GROUP BY doc_id, f
+),
+bits AS MATERIALIZED (
+  SELECT b.doc_id, b.f, b.by, b.bx,
+         CASE WHEN b.bval >= m.mean THEN 1 ELSE 0 END AS bit
+  FROM blk b JOIN mn m ON b.doc_id = m.doc_id AND b.f = m.f
+),
+bytes_ AS MATERIALIZED (
+  SELECT doc_id, f, by,
+         CAST(sum(bit * (1 << (7 - CAST(bx AS INT)))) AS INT) AS bv
+  FROM bits GROUP BY doc_id, f, by
+),
+hashes AS MATERIALIZED (
+  SELECT doc_id, f,
+         string_agg(printf('%02x', bv), '' ORDER BY by) AS ahash
+  FROM bytes_ GROUP BY doc_id, f
+),
+hash_face AS (
+  SELECT 'hash' AS face, doc_id AS doc_a, f AS doc_b, ahash,
+         CAST(f * 250 AS BIGINT) AS m
+  FROM hashes
+),
+ham AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS m
+  FROM bits a JOIN bits b
+    ON a.by = b.by AND a.bx = b.bx AND a.f = 0 AND b.f = 0
+   AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 pair_face AS (

@@ -2690,3 +2690,84 @@ def test_perceptron_classifier_trains_and_scores(spark):
     }
     for d in range(20):
         assert (margins[d] > 0) == (d % 2 == 0), (d, margins[d])
+
+
+def test_avi_frame_decode_and_hash(spark):
+    """r13 video content decode: build_avi/decode_avi_frames round-trip
+    real uncompressed frames; header probe reads avih; compressed and
+    truncated payloads refuse; video_frame_ahash samples on the
+    container's own cadence and emits sentinels for undecodables."""
+    import struct as _struct
+
+    from geomesa_cassandra_tools_spark.operators import multimodal as mm
+
+    frames = [
+        bytes((d * 7 + 3 * x + 5 * y) % 256
+              for y in range(16) for x in range(16) for _ in range(3))
+        for d in range(4)
+    ]
+    avi = mm.build_avi(16, 16, 4, frames)
+    meta = mm.parse_media_header(avi)
+    assert meta == {"mime": "video/x-msvideo", "width": 16, "height": 16,
+                    "duration_ms": 1000}
+    w, h, uspf, got = mm.decode_avi_frames(avi)
+    assert (w, h, uspf) == (16, 16, 250000)
+    assert got == frames  # row flip + BGR swap + padding all undone
+    # compressed streams refuse loudly (biCompression != 0)
+    bad = bytearray(avi)
+    i = avi.index(b"strf")
+    _struct.pack_into("<I", bad, i + 8 + 16, 1)
+    assert mm.decode_avi_frames(bytes(bad)) is None
+    # truncated frame refuses
+    assert mm.decode_avi_frames(avi[:-10]) is None
+
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"junk"))],
+        "id bigint, payload binary",
+    )
+    rows = mm.video_frame_ahash(media, ["id"], every_ms=500).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # 500 ms cadence over a 1000 ms 4 fps clip -> frames 0 and 2
+    assert sorted(r["frame_idx"] for r in by_id[1]) == [0, 2]
+    assert all(r["ahash"] is not None for r in by_id[1])
+    assert [(r["frame_idx"], r["frame_ts_ms"], r["ahash"])
+            for r in by_id[2]] == [(-1, -1, None)]
+
+
+def test_multiclass_perceptron_langid_shape(spark):
+    """r13 multiclass (one-vs-rest) perceptron: separable three-class
+    marker problem converges, ties break to the smallest class name,
+    training is deterministic across re-runs."""
+    from geomesa_cassandra_tools_spark.functions import classifier
+
+    marker = {"aa": "alpha", "bb": "beta", "cc": "gamma"}
+    rows, labs = [], []
+    for d in range(30):
+        cls = ["aa", "bb", "cc"][d % 3]
+        labs.append((d, cls))
+        rows.extend((d, marker[cls]) for _ in range(2 + d % 2))
+    words = spark.createDataFrame(rows, "doc_id bigint, word string")
+    feats = classifier.hashed_features(words)
+    labels = spark.createDataFrame(labs, "doc_id bigint, cls string")
+    classes = ["aa", "bb", "cc"]
+    h1 = classifier.multiclass_perceptron_train(
+        spark, feats, labels, classes, rounds=3
+    )
+    h2 = classifier.multiclass_perceptron_train(
+        spark, feats, labels, classes, rounds=3
+    )
+    assert h1 == h2
+    # round 1 cold start: all margins 0 -> everyone predicts 'aa';
+    # exactly the 20 non-aa docs err
+    assert h1[0]["n_errors"] == 20
+    assert h1[-1]["n_errors"] == 0  # separable -> converges
+    pred = {
+        r["doc_id"]: r["pred"]
+        for r in classifier.multiclass_score(
+            spark, feats, h1[-1]["weights"], classes
+        ).collect()
+    }
+    for d, cls in labs:
+        assert pred[d] == cls, (d, cls, pred[d])
