@@ -417,3 +417,52 @@ def test_cdc_delete_with_null_key_fails_loudly(spark, tmp_path):
         sinks._apply_cdc_deletes(deletes, table, ["k"], [0], [0])
     # nothing applied: the good key must not have been half-applied either
     assert transactional.current_version(table) == 0
+
+
+def test_stream_to_manifest_identity_allocation(spark, tmp_path):
+    """r13: identity columns through the STREAMING sink — each
+    foreachBatch append allocates past the high-water mark; a replayed
+    drain over the same checkpoint allocates nothing (exactly-once
+    extends to the allocated ranges: a replay can never burn or
+    duplicate ids)."""
+    from geomesa_cassandra_tools_spark.operators import transactional
+    from geomesa_cassandra_tools_spark.streaming import sinks
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark, src,
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 11:00:00", "b")],
+    )
+    schema = spark.read.parquet(src).schema
+    transactional.init_table(
+        spark.createDataFrame([], schema), table, identity=["row_id"]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream, table, "ing", checkpoint=ckpt) >= 1
+    got = transactional.read_table(spark, table)
+    ids = sorted(r["row_id"] for r in got.collect())
+    assert ids == [1, 2]
+    man = transactional._read_manifest(
+        table, transactional.current_version(table)
+    )
+    assert man["identity"]["row_id"]["high"] == 2
+
+    # replayed drain: nothing applied, no ids burned
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream2, table, "ing", checkpoint=ckpt) == 0
+    man2 = transactional._read_manifest(
+        table, transactional.current_version(table)
+    )
+    assert man2["identity"]["row_id"]["high"] == 2
+
+    # new data: the resumed checkpoint allocates exactly the delta
+    _write_batch(spark, src, [("2024-01-01 12:00:00", "c")])
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    assert sinks.stream_to_manifest(stream3, table, "ing", checkpoint=ckpt) == 1
+    ids = sorted(
+        r["row_id"]
+        for r in transactional.read_table(spark, table).collect()
+    )
+    assert ids == [1, 2, 3]
