@@ -758,16 +758,17 @@ def build_avi(
     bottom-up BGR rows, 4-byte row padding (exactly `build_bmp_pixels`'
     body layout) — in one '00db' chunk inside LIST movi. The writer twin
     of `decode_avi_frames`."""
+    import numpy as np
+
     def dib_body(rgb: bytes) -> bytes:
         pad = (-(width * 3)) % 4
-        rows = []
-        for y in range(height - 1, -1, -1):
-            row = bytearray()
-            for x in range(width):
-                i = (y * width + x) * 3
-                row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))
-            rows.append(bytes(row) + b"\x00" * pad)
-        return b"".join(rows)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        a = a[::-1, :, ::-1].reshape(height, width * 3)
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((height, pad), dtype=np.uint8)], axis=1
+            )
+        return a.tobytes()
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (
@@ -854,19 +855,17 @@ def decode_avi_frames(
     pad = (-(width * 3)) % 4
     stride = width * 3 + pad
     out: list[bytes] = []
+    import numpy as np
+
     for body in frames:
         if len(body) < stride * height:
             return None  # truncated frame — refuse, never misdecode
-        rgb = bytearray(width * height * 3)
-        for y in range(height):
-            src = (height - 1 - y) * stride
-            for x in range(width):
-                b = body[src + x * 3]
-                g = body[src + x * 3 + 1]
-                r = body[src + x * 3 + 2]
-                d = (y * width + x) * 3
-                rgb[d], rgb[d + 1], rgb[d + 2] = r, g, b
-        out.append(bytes(rgb))
+        # vectorized DIB undo: drop row padding, flip bottom-up rows,
+        # swap BGR->RGB — byte-identical to the scalar walk (unit-pinned)
+        a = np.frombuffer(body[: stride * height], dtype=np.uint8)
+        a = a.reshape(height, stride)[:, : width * 3]
+        a = a.reshape(height, width, 3)[::-1, :, ::-1]
+        out.append(a.tobytes())
     return width, height, us_per_frame, out
 
 
