@@ -4861,10 +4861,14 @@ def q155_shared_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate windows) — the exact-substring duplication signal
     set-similarity dedup dilutes. Gram equi-join, then gaps-and-islands
     per (pair, diagonal); every output is an integer. The oracle replays
-    windows, the equi-join, and the islands in SQL; position ties and
-    run arithmetic are exact, so no float discipline is needed at all."""
+    windows, the string equi-join, and the islands in SQL; position ties
+    and run arithmetic are exact, so no float discipline is needed. The
+    Spark side joins on the 128-bit hashed gram key (dedup.py collision
+    analysis) and caches the window frame so the self-join's two sides
+    expand it once — same result, the oracle's exact string join is the
+    per-round proof of that."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return dedup.shared_run_pairs(docs, w=5, min_tokens=8)
+    return dedup.shared_run_pairs(docs, w=5, min_tokens=8, cache_fn=_cache)
 
 
 SEMDEDUP_TAU = 0.30

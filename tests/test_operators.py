@@ -1954,6 +1954,16 @@ def test_shared_run_pairs_semantics(spark):
     assert got[(0, 2)] == 5  # max of the two 5-token runs, not their sum
     assert (1, 2) in got and got[(1, 2)] == 5
     assert all(3 not in pair and 4 not in pair for pair in got)
+    # the hashed-gram join (default) and the exact string join are the
+    # same operator: identical pair set and run lengths
+    exact = dd.shared_run_pairs(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        w=5, min_tokens=5, exact_grams=True,
+    )
+    got_exact = {
+        (r["doc_a"], r["doc_b"]): r["run_tokens"] for r in exact.collect()
+    }
+    assert got_exact == got
     # min_tokens fences: at 11 nothing survives
     assert dd.shared_run_pairs(
         spark.createDataFrame(rows, "doc_id bigint, text string"),
