@@ -5261,3 +5261,67 @@ SELECT lang,
          AS n_quality
 FROM r GROUP BY lang
 """
+
+# q207 replays the full ExactSubstr removal in SQL: windows exactly as
+# q155's oracle, duplicated-window marking by a corpus-frequency window
+# count over the EXACT gram string (the Spark side's hashed 128-bit key
+# must be transparent — the hash gate proves it), gaps-and-islands spans,
+# DISTINCT coverage union (adjacent spans overlap by up to w-1 tokens),
+# and a positional anti-join token filter with an ORDER BY i string_agg.
+# A fully-erased document yields no clean rows -> COALESCE to ''.
+ORACLES["q207_exact_substring_removal"] = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(list_slice(a, i, i + 4), 'string_agg', ' ') AS gram
+  FROM arr, unnest(range(1, len(a) - 3)) AS t(i)
+  WHERE len(a) >= 5
+),
+dupw AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_sites FROM g
+  ) WHERE n_sites >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dupw
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM isl GROUP BY doc_id, grp
+  HAVING (max(pos) + 4) - min(pos) + 1 >= 8
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+  FROM spans, unnest(range(s, e + 1)) AS t(p)
+),
+nsp AS (
+  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+),
+nrem AS (
+  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+),
+toks AS (
+  SELECT arr.doc_id, i, a[CAST(i AS INTEGER)] AS tok
+  FROM arr, unnest(range(1, len(a) + 1)) AS t(i)
+  WHERE arr.doc_id IN (SELECT doc_id FROM nsp)
+),
+clean AS (
+  SELECT toks.doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY toks.doc_id
+)
+SELECT nsp.doc_id,
+       CAST(len(arr.a) AS BIGINT) AS n_tokens,
+       nsp.n_spans,
+       nrem.n_removed,
+       COALESCE(clean.clean_text, '') AS clean_text
+FROM nsp
+JOIN arr ON arr.doc_id = nsp.doc_id
+JOIN nrem ON nrem.doc_id = nsp.doc_id
+LEFT JOIN clean ON clean.doc_id = nsp.doc_id
+"""

@@ -4871,6 +4871,28 @@ def q155_shared_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shared_run_pairs(docs, w=5, min_tokens=8, cache_fn=_cache)
 
 
+def q207_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup.duplicated_span_removal` driver-certified: the REMOVAL half
+    of the Lee et al. 2021 ExactSubstr pipeline (q155 detects pairwise
+    shared runs; this rewrites the corpus). Every maximal run of
+    corpus-duplicated 5-token windows covering >= 8 tokens is cut; one
+    row per CHANGED document carries the token/span/removal counts AND
+    the rewritten text itself — the hash certifies the actual cleaned
+    corpus, not a summary of it. The oracle replays window building,
+    the corpus-frequency window count (exact gram strings), the
+    gaps-and-islands spans, the coverage union, and the positional
+    token filter in SQL; every certified value is an integer or a
+    string, so no float discipline is needed. The Spark side marks
+    duplicated windows with ONE window count over the hashed 128-bit
+    gram key — frequency, not pairing, so no hot-gram quadratic fanout
+    exists to cap — and rewrites with a JVM index-lambda filter (no
+    UDF)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.duplicated_span_removal(
+        docs, w=5, min_tokens=8, cache_fn=_cache
+    )
+
+
 SEMDEDUP_TAU = 0.30
 
 
@@ -8709,6 +8731,7 @@ def _with_cache_release(
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 13 (first driver certification => inside the window)
+    "q207_exact_substring_removal": q207_exact_substring_removal,
     "q201_identity_columns": q201_identity_columns,
     "q202_audio_pcm_stats": q202_audio_pcm_stats,
     "q203_quality_classifier_train": q203_quality_classifier_train,

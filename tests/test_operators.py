@@ -1971,6 +1971,54 @@ def test_shared_run_pairs_semantics(spark):
     ).count() == 0
 
 
+def test_duplicated_span_removal_semantics(spark):
+    """ExactSubstr removal: the shared 10-token run is cut from BOTH of
+    its carriers (corpus-frequency marking, not pairing); sub-threshold
+    runs survive; self-repeats within one document count as duplication;
+    unchanged documents are not emitted; hashed and exact gram paths
+    agree; a fully-duplicated document comes back as empty text."""
+    from geomesa_cassandra_tools_spark.operators import dedup as dd
+
+    run10 = "a b c d e f g h i j"
+    rows = [
+        (0, run10 + " x1 x2 x3"),
+        (1, "y1 y2 " + run10 + " y3"),
+        # two 5-window overlaps with doc 0 -> below min_tokens=8, kept
+        (2, "a b c d e z1 z2 z3 f g h i j z4"),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),  # unique: not emitted
+        (4, "a b c"),  # shorter than w: not emitted
+        # self-repeat: the same 5-gram twice INSIDE one doc; run = 5 < 8
+        (5, "s1 s2 s3 s4 s5 m1 m2 s1 s2 s3 s4 s5"),
+        (6, run10),  # the run IS the whole doc -> fully erased
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dd.duplicated_span_removal(df, w=5, min_tokens=8).collect()
+    }
+    assert set(out) == {0, 1, 6}
+    assert out[0]["clean_text"] == "x1 x2 x3"
+    assert out[0]["n_removed"] == 10 and out[0]["n_spans"] == 1
+    assert out[1]["clean_text"] == "y1 y2 y3"
+    assert out[6]["clean_text"] == "" and out[6]["n_removed"] == 10
+    assert out[6]["n_tokens"] == 10
+    # the self-repeat doc IS cut once min_tokens admits 5-token runs
+    low = {
+        r["doc_id"]: r.asDict()
+        for r in dd.duplicated_span_removal(df, w=5, min_tokens=5).collect()
+    }
+    assert 5 in low and low[5]["n_spans"] == 2 and low[5]["n_removed"] == 10
+    assert low[5]["clean_text"] == "m1 m2"
+    # hashed-key (default) and exact string paths are the same operator
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in dd.duplicated_span_removal(
+            df, w=5, min_tokens=8, exact_grams=True
+        ).collect()
+    }
+    assert exact == out
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (similarity.pq_*)
 # ---------------------------------------------------------------------------
