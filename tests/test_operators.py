@@ -2019,6 +2019,76 @@ def test_duplicated_span_removal_semantics(spark):
     assert exact == out
 
 
+def _span_removal_ref(texts, w, min_tokens):
+    """Pure-Python reference for duplicated_span_removal: count every
+    w-gram's corpus sites, mark windows, take maximal consecutive-pos
+    runs, keep runs covering >= min_tokens tokens, union coverage, drop
+    covered tokens. Returns {doc_id: (n_tokens, n_spans, n_removed,
+    clean_text)} for changed docs only."""
+    from collections import Counter
+
+    grams = Counter()
+    wins = {}
+    for did, text in texts:
+        toks = text.split(" ")
+        ws = [
+            " ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)
+        ]
+        wins[did] = (toks, ws)
+        grams.update(ws)
+    out = {}
+    for did, (toks, ws) in wins.items():
+        dup = [p for p, g in enumerate(ws) if grams[g] >= 2]
+        spans = []
+        i = 0
+        while i < len(dup):
+            j = i
+            while j + 1 < len(dup) and dup[j + 1] == dup[j] + 1:
+                j += 1
+            s, e = dup[i], dup[j] + w - 1  # 0-based token coverage
+            if e - s + 1 >= min_tokens:
+                spans.append((s, e))
+            i = j + 1
+        if not spans:
+            continue
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e + 1))
+        clean = " ".join(t for p, t in enumerate(toks) if p not in covered)
+        out[did] = (len(toks), len(spans), len(covered), clean)
+    return out
+
+
+def test_duplicated_span_removal_model(spark):
+    """Model check: the operator equals the pure-Python reference on a
+    seeded collision-rich corpus (tiny vocabulary forces real duplicated
+    runs, self-repeats, and overlapping spans; lengths straddle w)."""
+    import random
+
+    from geomesa_cassandra_tools_spark.operators import dedup as dd
+
+    rng = random.Random(1307)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = []
+    for did in range(40):
+        n = rng.randint(1, 30)
+        texts.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    # inject verbatim cross-doc plagiarism so long runs certainly exist
+    texts[7] = (7, texts[3][1] + " zz " + texts[11][1])
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    for w, mt in [(5, 8), (3, 4)]:
+        ref = _span_removal_ref(texts, w, mt)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_spans"], r["n_removed"], r["clean_text"]
+            )
+            for r in dd.duplicated_span_removal(
+                df, w=w, min_tokens=mt
+            ).collect()
+        }
+        assert got == ref, f"mismatch at w={w} min_tokens={mt}"
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (similarity.pq_*)
 # ---------------------------------------------------------------------------
