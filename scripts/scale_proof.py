@@ -57,6 +57,7 @@ QUERIES_UNDER_TEST = [
     "q182_generated_partition_pruning",
     "q168_ivfpq_topk",
     "q169_sq8_adc_topk",
+    "q207_exact_substring_removal",
 ]
 
 
