@@ -5325,3 +5325,49 @@ JOIN arr ON arr.doc_id = nsp.doc_id
 JOIN nrem ON nrem.doc_id = nsp.doc_id
 LEFT JOIN clean ON clean.doc_id = nsp.doc_id
 """
+
+# q208 re-estimates the add-1 bigram LM on the src0 slice and replays the
+# scoring join with the SAME expression shape as the Spark side (the q154
+# rule): each -ln p snaps to integer micro-nats before the per-doc sum,
+# the mean is integer division (values nonnegative, so // == div), and
+# the kept flag is an integer comparison. 3500000 interpolates
+# queries.PPL_THRESHOLD_MICRO.
+ORACLES["q208_perplexity_filter"] = """
+WITH arr AS (
+  SELECT doc_id, source, string_split(text, ' ') AS a FROM documents
+),
+train_bi AS (
+  SELECT a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2,
+         count(*) AS c
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+  WHERE source = 'src0' AND len(a) >= 2
+  GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(c) AS n FROM train_bi GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(a) AS tok FROM arr WHERE source = 'src0')
+),
+corpus_bi AS (
+  SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+  WHERE len(a) >= 2
+),
+scored AS (
+  SELECT cb.doc_id,
+         CAST(round(-ln(
+           (COALESCE(tb.c, 0) + 1.0) / (COALESCE(cx.n, 0) + vocab.v)
+         ) * 1000000.0) AS BIGINT) AS nll_micro
+  FROM corpus_bi cb
+  LEFT JOIN train_bi tb ON cb.w1 = tb.w1 AND cb.w2 = tb.w2
+  LEFT JOIN ctx cx ON cb.w1 = cx.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(CAST(sum(nll_micro) AS BIGINT) // count(*) AS BIGINT)
+         AS avg_nll_micro,
+       CAST(CASE WHEN CAST(sum(nll_micro) AS BIGINT) // count(*) <= 3500000
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored GROUP BY doc_id
+"""

@@ -4893,6 +4893,33 @@ def q207_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q208 CCNet gate: mean bigram NLL threshold in micro-nats (e^3.5 ≈ 33
+#: perplexity). Splits the corpus non-trivially at every SF; the nearest
+#: doc score sits 78 micro-nats away at sf0.1 — ten orders above
+#: cross-libm ln drift.
+PPL_THRESHOLD_MICRO = 3_500_000
+
+
+def q208_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lm.perplexity_filter` driver-certified: the CCNet perplexity gate
+    (Wenzek et al. 2020) — an add-1 bigram LM estimated on the trusted
+    slice (source='src0', the curated-corpus stand-in) scores every
+    document by mean negative log-likelihood in integer micro-nats, and
+    an integer threshold keeps the unsurprising ones. Per-bigram −ln p
+    snaps to micro-nats BEFORE the per-doc sum (the q154 discipline;
+    min boundary distance 2e-4, five orders above libm ulp drift), the
+    mean is exact integer division, and the kept flag is 1/0 — nothing
+    float crosses the gate. The oracle re-estimates the LM and replays
+    the scoring join with the same expression shape. Scale: the CCNet
+    asymmetry — the LM (curated slice) broadcasts; the crawl side is
+    map-only until one per-doc aggregation shuffle."""
+    from geomesa_cassandra_tools_spark.functions import lm
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.where(F.col("source") == "src0")
+    return lm.perplexity_filter(docs, train, PPL_THRESHOLD_MICRO)
+
+
 SEMDEDUP_TAU = 0.30
 
 
@@ -8731,6 +8758,7 @@ def _with_cache_release(
 # so benchmark output is unaffected.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 13 (first driver certification => inside the window)
+    "q208_perplexity_filter": q208_perplexity_filter,
     "q207_exact_substring_removal": q207_exact_substring_removal,
     "q201_identity_columns": q201_identity_columns,
     "q202_audio_pcm_stats": q202_audio_pcm_stats,

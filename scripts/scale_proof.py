@@ -58,6 +58,7 @@ QUERIES_UNDER_TEST = [
     "q168_ivfpq_topk",
     "q169_sq8_adc_topk",
     "q207_exact_substring_removal",
+    "q208_perplexity_filter",
 ]
 
 

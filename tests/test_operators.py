@@ -2899,3 +2899,34 @@ def test_multiclass_perceptron_langid_shape(spark):
     }
     for d, cls in labs:
         assert pred[d] == cls, (d, cls, pred[d])
+
+
+def test_perplexity_filter_semantics(spark):
+    """Hand-computed add-1 bigram LM: train 'a b a b c' gives
+    c(a,b)=2, c(b,a)=1, c(b,c)=1, ctx(a)=ctx(b)=2, V=3. Doc 'a b c'
+    averages -ln(3/5), -ln(2/5) in micro-nats; an all-unseen doc backs
+    off to the uniform 1/V; single-token docs are excluded; the kept
+    flag is an integer threshold comparison."""
+    import math
+
+    from geomesa_cassandra_tools_spark.functions import lm
+
+    train = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "z z z"), (3, "only")],
+        "doc_id bigint, text string",
+    )
+    exp_1 = (
+        round(-math.log(3 / 5) * 1e6) + round(-math.log(2 / 5) * 1e6)
+    ) // 2
+    exp_2 = round(-math.log(1 / 3) * 1e6)  # both bigrams unseen: 1/V
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in lm.perplexity_filter(docs, train, 1_000_000).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 2 and out[1]["avg_nll_micro"] == exp_1
+    assert out[2]["n_bigrams"] == 2 and out[2]["avg_nll_micro"] == exp_2
+    assert out[1]["kept"] == 1 and out[2]["kept"] == 0

@@ -439,3 +439,18 @@ def test_r12_text_and_image_paths_stay_vectorized(spark):
         "q199_column_defaults",
     ):
         inspect.assert_no_python_udf(QUERIES[name](spark, SF))
+
+
+def test_q208_lm_tables_are_broadcast(spark):
+    """The CCNet asymmetry, asserted in-plan: the bigram LM (trained on
+    the curated slice) must come back over the corpus bigram stream as
+    BROADCAST joins — a sort-merge here would shuffle the full exploded
+    bigram stream against KB-scale LM tables. No Python UDF anywhere."""
+    df = QUERIES["q208_perplexity_filter"](spark, SF)
+    inspect.assert_no_python_udf(df)
+    plan = inspect.explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "LM count tables must broadcast, never sort-merge against the "
+        "corpus bigram stream"
+    )
