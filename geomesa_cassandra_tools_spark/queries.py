@@ -4909,10 +4909,15 @@ def q208_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps to micro-nats BEFORE the per-doc sum (the q154 discipline;
     min boundary distance 2e-4, five orders above libm ulp drift), the
     mean is exact integer division, and the kept flag is 1/0 — nothing
-    float crosses the gate. The oracle re-estimates the LM and replays
-    the scoring join with the same expression shape. Scale: the CCNet
-    asymmetry — the LM (curated slice) broadcasts; the crawl side is
-    map-only until one per-doc aggregation shuffle."""
+    float crosses the gate. Distinct from q94's in-corpus bigram score
+    the way q203's trained classifier is distinct from q17's heuristic:
+    q94 scores a corpus against ITSELF with rational-arithmetic mean
+    probabilities; this is the cross-domain gate — a curated-slice LM,
+    log-space perplexity semantics, and a keep/drop decision. The
+    oracle re-estimates the LM and replays the scoring join with the
+    same expression shape. Scale: the CCNet asymmetry — the LM
+    (curated slice) broadcasts; the crawl side is map-only until one
+    per-doc aggregation shuffle."""
     from geomesa_cassandra_tools_spark.functions import lm
 
     docs = load_tables(spark, sf_dir)["documents"]

@@ -163,6 +163,7 @@ def test_no_accidental_cross_joins_anywhere(spark):
         "q83_fuzzy_name_match",     # dirty names × broadcast clean dim (candidate gen)
         "q86_nearest_hub_assignment",  # points × 8 broadcast hub centroids
         "q94_bigram_lm_score",      # single-row broadcast of vocab size V
+        "q208_perplexity_filter",   # single-row broadcast of the train-slice vocab size V
         "q100_token_cooccurrence",  # single-row broadcast of corpus size N
         "q128_token_kl_divergence",  # single-row broadcast of corpus token total N
         "q102_copurchase_triangles",  # 1-row agg × 1-row agg result stitch
