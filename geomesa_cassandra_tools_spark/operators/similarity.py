@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from geomesa_cassandra_tools_spark.functions.vectors import as_double, cosine, dot
 from geomesa_cassandra_tools_spark.operators.relational import (
     ensure_parallelism,
+    sized_parallelism,
     top_k_per_group,
 )
 
@@ -420,9 +421,10 @@ def cosine_pairs_above(
        below the threshold provably contain no qualifying pair and are
        dropped before any row is crossed. Only O(n_blocks) aggregated
        values (the radii) ever reach the driver.
-    3. **Verify** surviving block pairs with cogrouped BLAS
-       (`applyInPandas`): each (i, j) group multiplies block i against
-       block j and emits only above-threshold pairs.
+    3. **Verify** surviving block pairs with BLAS (`applyInPandas` over
+       side-tagged rows grouped by block pair): each (i, j) group
+       multiplies block i against block j and emits only above-threshold
+       pairs.
 
     Why not hyperplane LSH for stage 2: banded LSH recall is < 1 by
     construction, and a threshold join's qualifying pairs concentrate AT
@@ -480,18 +482,21 @@ def cosine_pairs_above(
                 }
             )
 
-    def make_assigned() -> DataFrame:
-        # Fresh plan per consumer: cogrouped applyInPandas rejects two sides
-        # sharing attribute ids (self-join ambiguity), and at scale the
-        # assignment would be persisted once anyway instead of re-derived.
-        return ensure_parallelism(prep).mapInPandas(
-            assign, "id bigint, v array<double>, nrm double, cid int, rad double"
-        )
+    # Assign ONCE and truncate lineage: the assignment feeds three
+    # consumers (radii, left side, right side). The r13 rewrite replaced
+    # the previous fresh-plan-per-consumer shape (the corpus BLAS pass ran
+    # 3× because cogrouped applyInPandas rejects two sides sharing
+    # attribute ids) with one materialized pass + a side-TAGGED single
+    # applyInPandas below — this is also the "persist the assignment" the
+    # 100 TB note always prescribed.
+    assigned = sized_parallelism(prep).mapInPandas(
+        assign, "id bigint, v array<double>, nrm double, cid int, rad double"
+    ).localCheckpoint(eager=True)
 
     # Block radii: n_blocks aggregated doubles — the only other driver data.
     radii = {
         r["cid"]: r["r"]
-        for r in make_assigned().groupBy("cid").agg(F.max("rad").alias("r")).collect()
+        for r in assigned.groupBy("cid").agg(F.max("rad").alias("r")).collect()
     }
     cdots = cmat @ cmat.T
     eps = 1e-9
@@ -502,15 +507,18 @@ def cosine_pairs_above(
         if i <= j
         and cdots[i, j] + radii[i] + radii[j] + radii[i] * radii[j] + eps >= threshold
     ]
-    def make_side(pair_col: str) -> DataFrame:
-        rows = make_assigned()
-        pairs = spark.createDataFrame(pair_rows, "ci int, cj int")
-        return rows.join(F.broadcast(pairs), rows["cid"] == pairs[pair_col]).select(
-            "ci", "cj", "id", "v", "nrm"
-        )
-
-    left = make_side("ci")
-    right = make_side("cj")
+    pairs = spark.createDataFrame(pair_rows, "ci int, cj int")
+    # one frame, both roles: a row of block b joins every surviving pair
+    # whose ci (role L) or cj (role R) is b — the union replaces the old
+    # two-sided cogroup (2 exchanges + 2 python scans of the assignment)
+    # with ONE exchange keyed (ci, cj) and ONE python stage
+    sides = assigned.join(
+        F.broadcast(pairs), assigned["cid"] == pairs["ci"]
+    ).select("ci", "cj", F.lit(0).alias("side"), "id", "v", "nrm").unionAll(
+        assigned.join(
+            F.broadcast(pairs), assigned["cid"] == pairs["cj"]
+        ).select("ci", "cj", F.lit(1).alias("side"), "id", "v", "nrm")
+    )
 
     def seq_cos(a, b):
         # EVERY term sequential — dot AND both norms. The BLAS norms from
@@ -526,7 +534,9 @@ def cosine_pairs_above(
             nb += y * y
         return acc / (math.sqrt(na) * math.sqrt(nb))
 
-    def verify(key, lpdf, rpdf):
+    def verify(key, pdf):
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
                 {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
@@ -554,10 +564,8 @@ def cosine_pairs_above(
             }
         )
 
-    return (
-        left.groupBy("ci", "cj")
-        .cogroup(right.groupBy("ci", "cj"))
-        .applyInPandas(verify, "vec_a bigint, vec_b bigint, cos double")
+    return sides.groupBy("ci", "cj").applyInPandas(
+        verify, "vec_a bigint, vec_b bigint, cos double"
     )
 
 

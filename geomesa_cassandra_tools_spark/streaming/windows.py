@@ -173,6 +173,28 @@ def stateful_session_close(
 
 _RUN_SEQ = [0]
 
+#: Completed drains' memory-sink view names, with the owning session.
+#: A memory sink holds its rows on the DRIVER for as long as the temp
+#: view pins it — a bench/driver session that runs many drain queries
+#: (11 registry drains × N passes) would otherwise accumulate every
+#: drained batch in driver memory for the session lifetime, inflating GC
+#: on everything that follows. The registry's cache-release hook
+#: (`queries.release_query_caches`) drops them once the consuming query's
+#: result has been collected — the same lifecycle as per-query caches.
+_DRAINED_SINKS: list[tuple] = []
+
+
+def release_drained_sinks() -> None:
+    """Drop the temp views of completed drains, freeing their driver-held
+    rows. Safe once the consuming query's result has been collected; a
+    view already dropped (or a stopped session) is ignored."""
+    while _DRAINED_SINKS:
+        spark, name = _DRAINED_SINKS.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — stopped session / already gone
+            pass
+
 
 def _checkpoint_root() -> str:
     """Checkpoint base for drains: a RAM-backed dir when the host has one
@@ -286,6 +308,7 @@ def _drain_once(
             )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    _DRAINED_SINKS.append((spark, name))
     return name
 
 
