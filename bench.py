@@ -99,7 +99,10 @@ def main() -> None:
     errors: dict[str, str] = {}
     # RESIDENT-INDEX POLICY (r13, declared in BENCH.md's header): shared
     # index frames (embedding signatures, IVF assignments, the exact-
-    # cosine baseline, document shingles/minhash) persist ACROSS passes —
+    # cosine baseline, document shingles/minhash, and — r13 optimization
+    # round — the verified-dedup cluster map, the hashed classifier
+    # feature table and the fixed-probe BM25 scored frame) persist
+    # ACROSS passes —
     # built inside the FIRST pass's first consumer (so pass 1 still pays
     # and reports the build), then served, exactly the production shape
     # (ingestion maintains the index; queries serve from it). Minima over

@@ -41,6 +41,15 @@ FAMILY = [
     "q26_lsh_cosine_topk",
     "q57_lsh_multiprobe_topk",
     "q58_neardup_clusters",
+    # r13 optimization round: the cluster map, classifier feature table
+    # and BM25 scored frame joined the resident tier — their consumers
+    # A/B under the same arms
+    "q175_cluster_keeper_by_quality",
+    "q204_classifier_cluster_keeper",
+    "q206_langid_classifier",
+    "q154_bm25_retrieval",
+    "q158_hybrid_rrf_retrieval",
+    "q62_decontaminate_train",
 ]
 
 
