@@ -97,21 +97,19 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # RESIDENT-INDEX POLICY (r13, declared in BENCH.md's header): shared
-    # index frames (embedding signatures, IVF assignments, the exact-
-    # cosine baseline, document shingles/minhash, and — r13 optimization
-    # round — the verified-dedup cluster map, the hashed classifier
-    # feature table and the fixed-probe BM25 scored frame) persist
-    # ACROSS passes —
-    # built inside the FIRST pass's first consumer (so pass 1 still pays
-    # and reports the build), then served, exactly the production shape
-    # (ingestion maintains the index; queries serve from it). Minima over
-    # N>=2 passes therefore price SERVING; the r10-r12 rebuild-per-pass
-    # policy priced build+serve into every family-first row (q126/q146)
-    # and is preserved as the 'rebuild' arm of
-    # bench_data/resident_index_ab.tsv. Set SPARK_GRAFT_REBUILD_INDEXES=1
-    # to reproduce the old policy.
-    rebuild_per_pass = os.environ.get("SPARK_GRAFT_REBUILD_INDEXES") == "1"
+    # INDEX POLICY (r14, per the r13 verdict): the HEADLINE stat rebuilds
+    # every shared index frame (embedding signatures, IVF assignments,
+    # the exact-cosine baseline, document shingles/minhash, the
+    # verified-dedup cluster map, the hashed classifier feature table,
+    # the fixed-probe BM25 scored frame) EACH PASS — so the reported
+    # min-over-passes prices build+serve for every index-family query
+    # and stays comparable with the r12-and-earlier numbers and with the
+    # DuckDB oracle (which re-derives per run). The r13 resident policy
+    # (indexes persist across passes; minima price serving only — the
+    # production shape where ingestion maintains the index) remains
+    # available as the OPT-IN arm via SPARK_GRAFT_RESIDENT=1 and is
+    # reported as the secondary table in bench_data/resident_index_ab*.
+    rebuild_per_pass = os.environ.get("SPARK_GRAFT_RESIDENT") != "1"
     release_shared_caches()
     for _ in range(runs):
         if rebuild_per_pass:

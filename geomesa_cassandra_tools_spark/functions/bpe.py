@@ -39,6 +39,9 @@ collects ONE row (the argmax merge) — the Lloyd's-centroid pattern.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -204,40 +207,58 @@ def encode_words(
     word_col: str = "word", out_col: str = "toks",
 ) -> DataFrame:
     """MAP-ONLY BPE encode: each word becomes its token ARRAY by one
-    chained left-fold per merge (`aggregate`), no window, no shuffle —
-    the scan-shaped encode path for bulk tokenization (the relational
-    `encode` is the window twin the training oracle replays).
+    left-fold per merge applied in training order, no window, no
+    shuffle — the scan-shaped encode path for bulk tokenization (the
+    relational `encode` is the window twin the training oracle replays).
 
     The fold is value-identical to the left-to-right non-overlapping
     pass: merge when the accumulator's last element is ``left`` and the
     incoming symbol is ``right``. A just-merged token can never
     re-trigger the same merge spuriously (``left+right == left`` would
     need an empty ``right``), so no just-merged flag is needed — the
-    q197 hash pins this equivalence against the island-parity oracle."""
-    col = F.expr(
-        f"transform(sequence(1, length({word_col})), "
-        f"i -> substring({word_col}, i, 1))"
-    )
-    def _step_for(lf: str, rf: str):
-        # closure (not default args): PySpark HOF lambdas derive arity
-        # from the signature, so bound defaults would read as the index
-        # parameter
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(lf))
-                & (x == F.lit(rf)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(lf + rf)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
+    q197 hash pins this equivalence against the island-parity oracle,
+    and tests/test_operators.py pins it against the relational window
+    path per word.
 
-        return step
+    Implementation (r14, guide §4.2/§4.5): an Arrow-batched iterator
+    UDF with a per-task MEMO keyed on the word. The previous form — M
+    nested interpreted `aggregate` HOFs, each step copying the
+    accumulator array — re-encoded every OCCURRENCE of every word and
+    dominated q197/q200 in per-task expression-interpreter work; word
+    frequencies are Zipfian, so the memo collapses the work to one
+    encode per DISTINCT word per task, and a substring pre-check skips
+    merges that cannot occur in the word at all (symbols are contiguous
+    substrings of the word, so adjacent symbols ``left``,``right``
+    imply ``left+right`` is a substring). Only the word column crosses
+    the Python boundary (§4.1); the pure-Python fold is bit-exact —
+    strings and list ops only, no floats. The q180 lesson (per-task
+    PREP of the giant HOF tree dominating) goes away with the tree."""
+    mt = [(m["left"], m["right"], m["left"] + m["right"]) for m in merges]
 
-    for m in merges:
-        col = F.aggregate(
-            col, F.array().cast("array<string>"),
-            _step_for(m["left"], m["right"]),
-        )
-    return words.withColumn(out_col, col)
+    @F.pandas_udf("array<string>")
+    def _enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms: list[str] = list(w)
+            for lf, rf, mg in mt:
+                if mg not in w:
+                    continue  # left+right never adjacent in this word
+                out: list[str] = []
+                append = out.append
+                for x in syms:
+                    if out and out[-1] == lf and x == rf:
+                        out[-1] = mg
+                    else:
+                        append(x)
+                syms = out
+            memo[w] = syms
+            return syms
+
+        for s in batches:
+            yield s.map(enc)
+
+    return words.withColumn(out_col, _enc(F.col(word_col)))

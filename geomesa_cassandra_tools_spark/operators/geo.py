@@ -311,8 +311,15 @@ def bbox_filter(
         if ranges and z2_stored:
             return df.where(_between_cover(F.col(z2_col), ranges)).where(exact)
         if ranges:
+            # COMPUTED z: the cover cannot skip I/O (the column is not at
+            # the scan), so evaluate the CHEAP exact refine first — the
+            # combined Filter short-circuits left-to-right, and the big
+            # interleave+ranges expression then runs only on rows already
+            # inside the box (r14, guide §1.2: don't compute what you
+            # throw away). Stored covers stay cover-first: there the
+            # BETWEENs are the pushable scan predicate.
             cover = _ranges_cover_bound_once(F.col(z2_col), ranges)
-            return df.where(cover).where(exact)
+            return df.where(exact).where(cover)
     return df.where(exact)
 
 
@@ -408,7 +415,9 @@ def spacetime_filter(
         return df.where(exact)
     if z3_stored:
         return df.where(_between_cover(z, ranges)).where(exact)
-    return df.where(_ranges_cover_bound_once(z, ranges)).where(exact)
+    # computed z3: exact refine first, big interleave cover second — same
+    # short-circuit rationale as bbox_filter's computed branch
+    return df.where(exact).where(_ranges_cover_bound_once(z, ranges))
 
 
 def cell_of(coord: Column, lo: float, hi: float, res: int) -> Column:

@@ -20,7 +20,12 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geomesa_cassandra_tools_spark.functions.vectors import as_double, cosine, dot
+from geomesa_cassandra_tools_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    norm,
+)
 from geomesa_cassandra_tools_spark.operators.relational import (
     ensure_parallelism,
     sized_parallelism,
@@ -30,6 +35,44 @@ from geomesa_cassandra_tools_spark.operators.relational import (
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str) -> DataFrame:
     return df.select(F.col(id_col).alias(id_out), as_double(F.col(vec_col)).alias(vec_out))
+
+
+#: operator-internal persisted intermediates (e.g. cosine_pairs_above's
+#: block assignment) — registered here and drained by the registry's
+#: release_query_caches hook, the same lifecycle as per-query caches.
+#: persist + explicit release instead of localCheckpoint: checkpoint
+#: blocks are unrecoverable after executor loss (truncated lineage
+#: cannot recompute — r13 ADVICE item 3), a persisted frame just
+#: recomputes.
+_SCRATCH_CACHES: list[DataFrame] = []
+
+
+def _scratch_cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SCRATCH_CACHES.append(df)
+    return df
+
+
+def release_scratch_caches() -> None:
+    while _SCRATCH_CACHES:
+        try:
+            _SCRATCH_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — stopped session
+            pass
+
+
+def _paired_cosine(nq: str = "__nq", nc: str = "__nc") -> Column:
+    """`cosine(qv, cv)` with the two norms read from COLUMNS computed
+    once per input row BEFORE the join (r14, guide §2.3): the inline
+    form re-derives both norm folds per candidate PAIR — on a
+    quadratic scoring stage that is 4 of its 5 interpreted folds.
+    Projections on opposite sides of a join are never collapsed into
+    the pair-level select, so each side's norm is evaluated once per
+    row; the denominator product and the guarded division see the
+    identical doubles, so every cos is bit-identical to the inline
+    form."""
+    denom = F.col(nq) * F.col(nc)
+    return F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom)
 
 
 def cosine_topk(
@@ -44,13 +87,20 @@ def cosine_topk(
     The query side is broadcast (it is the small side by construction), so
     the 'cross join' is a broadcast nested loop with no shuffle of the
     corpus — each corpus partition scores independently, then one window
-    top-k shuffle on query_id. Self-matches are excluded.
-    """
-    q = F.broadcast(_prep(queries, id_col, vec_col, "query_id", "qv"))
-    c = _prep(corpus, id_col, vec_col, "cand_id", "cv")
+    top-k shuffle on query_id. Self-matches are excluded. Norms are
+    hoisted to per-side projections (`_paired_cosine`), so the O(|q|·|c|)
+    stage pays one dot fold per pair, not five folds."""
+    q = F.broadcast(
+        _prep(queries, id_col, vec_col, "query_id", "qv").withColumn(
+            "__nq", norm(F.col("qv"))
+        )
+    )
+    c = _prep(corpus, id_col, vec_col, "cand_id", "cv").withColumn(
+        "__nc", norm(F.col("cv"))
+    )
     scored = (
         q.join(c, F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "cand_id", _paired_cosine().alias("cos"))
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
@@ -272,17 +322,19 @@ def lsh_cosine_topk(
     if ntables > 1:
         join_cond = join_cond & (F.col("q.table") == F.col("c.table"))
     pairs = (
-        F.broadcast(q)
+        F.broadcast(q.withColumn("__nq", norm(F.col("qv"))))
         .alias("q")
-        .join(c.alias("c"), join_cond)
-        .select("query_id", "cand_id", "qv", "cv")
+        .join(c.withColumn("__nc", norm(F.col("cv"))).alias("c"), join_cond)
+        .select("query_id", "cand_id", "qv", "cv", "__nq", "__nc")
     )
     if multiprobe > 0 or ntables > 1:
         # a candidate can land in several probed buckets/tables — dedup
         # before scoring
         pairs = pairs.dropDuplicates(["query_id", "cand_id"])
+    # norms hoisted to per-side projections (one fold per input row, not
+    # five per candidate pair — guide §2.3); cos values bit-identical
     scored = pairs.select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id", "cand_id", _paired_cosine().alias("cos")
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
@@ -482,16 +534,22 @@ def cosine_pairs_above(
                 }
             )
 
-    # Assign ONCE and truncate lineage: the assignment feeds three
-    # consumers (radii, left side, right side). The r13 rewrite replaced
-    # the previous fresh-plan-per-consumer shape (the corpus BLAS pass ran
-    # 3× because cogrouped applyInPandas rejects two sides sharing
-    # attribute ids) with one materialized pass + a side-TAGGED single
-    # applyInPandas below — this is also the "persist the assignment" the
-    # 100 TB note always prescribed.
-    assigned = sized_parallelism(prep).mapInPandas(
-        assign, "id bigint, v array<double>, nrm double, cid int, rad double"
-    ).localCheckpoint(eager=True)
+    # Assign ONCE and persist: the assignment feeds three consumers
+    # (radii, left side, right side). The r13 rewrite replaced the
+    # fresh-plan-per-consumer shape (the corpus BLAS pass ran 3× because
+    # cogrouped applyInPandas rejects two sides sharing attribute ids)
+    # with one materialized pass + a side-TAGGED single applyInPandas
+    # below — this is also the "persist the assignment" the 100 TB note
+    # always prescribed. r14: persist (released by the registry hook)
+    # instead of localCheckpoint(eager) — an A/B at sf0.1 read 1.53 vs
+    # 1.57 vs 1.60 s (checkpoint/persist/none, min of 3) so the choice
+    # is noise-level here, and persist survives executor loss where a
+    # checkpointed lineage cannot recompute (r13 ADVICE item 3).
+    assigned = _scratch_cache(
+        sized_parallelism(prep).mapInPandas(
+            assign, "id bigint, v array<double>, nrm double, cid int, rad double"
+        )
+    )
 
     # Block radii: n_blocks aggregated doubles — the only other driver data.
     radii = {
@@ -569,6 +627,87 @@ def cosine_pairs_above(
     )
 
 
+def nearest_cell(
+    vec_col: str, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Map-only nearest-centroid pick against LITERAL centroids —
+    value-identical to the window form
+    ``top_k_per_group(corpus × centroids, [id], [csim DESC, cid ASC], 1)``
+    but with NO join, NO exchange and NO sort: one struct-argmin
+    projection per row (the `_assign_struct` k-means pattern applied to
+    the cosine quantizer; r14, guide §2.4).
+
+    Equivalence to the window ordering, field by field of the argmin
+    struct: ``nul`` (csim IS NULL — false sorts first, so non-null
+    csims win, the window's NULLS LAST), ``neg`` (−csim with NULL→0.0 —
+    ascending −csim is exactly descending csim for the finite doubles
+    embeddings carry; all-NULL rows tie at 0.0 and fall through),
+    ``cid`` (ascending — the window's tie-break).
+
+    csim arithmetic is bit-identical to `cosine(vec, centroid)`:
+    dot/(‖v‖·‖c‖) with NULL on a zero denominator, the same left-fold
+    dot, the same ‖v‖ value (computed once per row and BOUND as a
+    lambda variable — interpreted HOF expressions get no CSE, so naming
+    subexpressions through lambdas is the only way to evaluate them
+    once; the first cut of this function re-evaluated each csim 3× per
+    struct field and LOST to the join form it replaced), and centroid
+    norms precomputed in Python — the identical doubles: the JVM fold
+    is a left-to-right sum of IEEE products and Math.sqrt/math.sqrt are
+    both correctly rounded, so sqrt(Σ x·x) is the same bits either way.
+
+    Returns the struct; read ``.cid`` (and ``.csim`` when the caller
+    needs the similarity)."""
+    rows = sorted(cent_rows)
+    if not rows:
+        raise ValueError("nearest_cell: empty centroid set")
+    cid_lit = F.array(*[F.lit(int(cid)) for cid, _ in rows])
+    cnorms = []
+    for _cid, cv in rows:
+        acc = 0.0
+        for x in cv:
+            acc += float(x) * float(x)
+        cnorms.append(math.sqrt(acc))
+
+    def _pick(na):
+        csims = []
+        for (_cid, cv), nb in zip(rows, cnorms):
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            denom = na * F.lit(nb)
+            csims.append(
+                F.when(denom != 0, dot(F.col(vec_col), lit) / denom)
+            )
+        return F.array_min(
+            F.transform(
+                F.array(*csims),
+                lambda c, i: F.struct(
+                    c.isNull().alias("nul"),
+                    F.coalesce(-c, F.lit(0.0)).alias("neg"),
+                    F.element_at(cid_lit, i + F.lit(1)).alias("cid"),
+                    c.alias("csim"),
+                ),
+            )
+        )
+
+    # bind ‖v‖ once per row (1 fold), then one dot fold per centroid —
+    # 1+K folds/row versus the join form's 5K
+    return F.element_at(
+        F.transform(F.array(norm(F.col(vec_col))), _pick), 1
+    )
+
+
+def collect_centroids(
+    centroids: DataFrame, id_col: str = "cid", vec_col: str = "centroid"
+) -> list[tuple[int, list[float]]]:
+    """Driver-collect a (cid, centroid) frame into `nearest_cell` rows —
+    bounded by construction (a coarse quantizer is n_cells × dim; the
+    residual path already collects the same thing)."""
+    prepped = centroids.select(id_col, as_double(F.col(vec_col)).alias("__cv"))
+    return sorted(
+        (int(r[id_col]), [float(x) for x in r["__cv"]])
+        for r in prepped.collect()
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -605,13 +744,20 @@ def ivf_topk(
             corpus_assign.select("cand_id", "cid"), "cand_id"
         ).select("cand_id", "cv", "cid")
     else:
-        c = assign(c_prep, "cand_id", "cv", 1)
+        # corpus-side assignment is top-1: the map-only literal-centroid
+        # argmin (no corpus×centroids join, no window exchange — r14,
+        # guide §2.4); the query side keeps the window form (nprobe > 1
+        # over a bounded query set — the join is trivial there)
+        pick = nearest_cell("cv", collect_centroids(centroids))
+        c = c_prep.select("cand_id", "cv", pick["cid"].alias("cid"))
     q = assign(_prep(queries, id_col, vec_col, "query_id", "qv"), "query_id", "qv", nprobe)
+    # per-side norm columns: the probed-cell scoring stage pays one dot
+    # fold per (query, candidate) pair instead of five (guide §2.3)
     scored = (
-        F.broadcast(q)
-        .join(c, ["cid"])
+        F.broadcast(q.withColumn("__nq", norm(F.col("qv"))))
+        .join(c.withColumn("__nc", norm(F.col("cv"))), ["cid"])
         .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "cand_id", _paired_cosine().alias("cos"))
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("cand_id")], k, keep_rank=True
@@ -1186,9 +1332,14 @@ def ivf_pq_topk(
             scored, [idc], [F.col("csim").desc(), F.col("cid")], n
         ).drop("csim")
 
-    cells = assign(
-        _prep(corpus, id_col, vec_col, "cand_id", "cv"), "cand_id", "cv", 1
-    ).select("cand_id", "cid")
+    # corpus-side top-1 assignment: map-only literal-centroid argmin —
+    # the window/join form (corpus × centroids BNLJ + top-1 exchange)
+    # cost one full-corpus shuffle per run for a result every row can
+    # compute locally (r14, guide §2.4); csim arithmetic is unchanged
+    pick = nearest_cell("cv", collect_centroids(centroids))
+    cells = _prep(corpus, id_col, vec_col, "cand_id", "cv").select(
+        "cand_id", pick["cid"].alias("cid")
+    )
     if corpus_codes is None:
         corpus_codes = pq_encode_blas(
             corpus, codebooks, id_col=id_col, vec_col=vec_col
@@ -1210,11 +1361,14 @@ def ivf_pq_topk(
         .select("query_id", "cid").collect()
     ]
     spark = queries.sparkSession
-    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, cid bigint")
 
     # per-query ADC distance tables (the same sequential-fold build as
-    # pq_adc_topk), shipped as ONE map literal query_id -> m x k doubles
-    map_args = []
+    # pq_adc_topk), shipped as a COLUMN of the broadcast probe frame —
+    # data, not plan literals (the ivf_pq_residual_topk discipline: a
+    # literal map of m×k doubles per query bloats the expression tree
+    # and every per-row fold step re-resolved the map by query_id;
+    # values are the identical doubles either way)
+    tables: dict[int, list[list[float]]] = {}
     for r in qrows:
         qv = [float(x) for x in r["__q"]]
         table = []
@@ -1227,11 +1381,11 @@ def ivf_pq_topk(
                     d += diff * diff
                 row.append(d)
             table.append(row)
-        map_args.append(F.lit(int(r["query_id"])))
-        map_args.append(
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in table])
-        )
-    qmap = F.create_map(*map_args)
+        tables[int(r["query_id"])] = table
+    probe_df = spark.createDataFrame(
+        [(qid, cid, tables[qid]) for qid, cid in probe_rows],
+        "query_id bigint, cid bigint, __qt array<array<double>>",
+    )
 
     cand = indexed.join(F.broadcast(probe_df), "cid").where(
         F.col("cand_id") != F.col("query_id")
@@ -1241,7 +1395,7 @@ def ivf_pq_topk(
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
-            F.element_at(F.element_at(qmap, F.col("query_id")), s),
+            F.element_at(F.col("__qt"), s),
             F.element_at(F.col("codes"), s) + F.lit(1),
         ),
     )
@@ -1551,30 +1705,48 @@ def sq8_adc_topk(
             f"sq8_adc_topk: query side exceeds max_queries={max_queries}; "
             "batch large query sets"
         )
-    structs = []
-    for r in qrows:
-        q_lit = F.array(*[F.lit(float(x)) for x in r["__q"]])
-        dist = F.aggregate(
-            F.sequence(F.lit(1), F.lit(dim)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.pow(
-                F.element_at(q_lit, i)
-                - (
-                    F.element_at(lo_lit, i)
-                    + F.element_at(F.col("codes"), i) * F.element_at(s255_lit, i)
+    # the reconstruction lo_i + code_i·s255_i is QUERY-INDEPENDENT: bind
+    # it ONCE per candidate row as a lambda variable (the bbox_filter
+    # bind-once trick — Catalyst substitution cannot re-inline through a
+    # lambda), so each of the |queries| per-query folds reads the shared
+    # recon array instead of re-deriving it term by term — per-term work
+    # in the hot fold roughly halves, values bit-identical (the fold
+    # still computes pow(q_i − (lo_i + code_i·s255_i), 2) with the same
+    # operand tree and left-to-right accumulation). r14, guide §2.3
+    # (don't recompute what you can share) applied inside one row.
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + c * F.element_at(s255_lit, i + 1),
+    )
+
+    def _dist_structs(r_var):
+        structs = []
+        for r in qrows:
+            q_lit = F.array(*[F.lit(float(x)) for x in r["__q"]])
+            dist = F.aggregate(
+                F.sequence(F.lit(1), F.lit(dim)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.pow(
+                    F.element_at(q_lit, i) - F.element_at(r_var, i),
+                    F.lit(2),
                 ),
-                F.lit(2),
-            ),
-        )
-        structs.append(
-            F.struct(
-                F.lit(int(r["query_id"])).alias("query_id"), dist.alias("d2")
             )
-        )
+            structs.append(
+                F.struct(
+                    F.lit(int(r["query_id"])).alias("query_id"),
+                    dist.alias("d2"),
+                )
+            )
+        return F.array(*structs)
+
+    per_query = F.element_at(
+        F.transform(F.array(recon), _dist_structs), 1
+    )
     scored = (
         corpus_codes.withColumnRenamed(id_col, "cand_id")
-        .select("cand_id", F.explode(F.array(*structs)).alias("__s"))
+        .select("cand_id", F.explode(per_query).alias("__s"))
         .select("cand_id", "__s.query_id", "__s.d2")
         .where(F.col("cand_id") != F.col("query_id"))
     )

@@ -77,6 +77,9 @@ def release_query_caches() -> None:
     # lifecycle: the consuming query's result is collected before the
     # next registry query starts, so their driver-held rows are dead
     stream_win.release_drained_sinks()
+    # operator-internal persisted intermediates (cosine_pairs_above's
+    # block assignment) share the lifecycle too
+    similarity.release_scratch_caches()
 
 
 def release_shared_caches() -> None:
@@ -113,21 +116,17 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
     )
-    cent = F.broadcast(
-        centroids.select(
-            "cid", vectors.as_double(F.col("centroid")).alias("cv0")
-        )
+    # map-only literal-centroid argmin (similarity.nearest_cell) — the
+    # r13 form joined corpus × broadcast centroids and window-top-1'd
+    # the 4× rows back down: one full-corpus exchange per index build
+    # for a value every row computes locally (r14, guide §2.4)
+    pick = similarity.nearest_cell(
+        "cv", similarity.collect_centroids(centroids)
     )
-    scored = emb.select(
+    assign = emb.select(
         F.col("vec_id").alias("cand_id"),
         vectors.as_double(F.col("embedding")).alias("cv"),
-    ).join(cent).select(
-        "cand_id", "cid",
-        vectors.cosine(F.col("cv"), F.col("cv0")).alias("csim"),
-    )
-    assign = relational.top_k_per_group(
-        scored, ["cand_id"], [F.col("csim").desc(), F.col("cid")], 1
-    ).select("cand_id", "cid").persist()
+    ).select("cand_id", pick["cid"].alias("cid")).persist()
     _SHARED_SIGS[key] = (spark, assign)
     return assign
 
@@ -1555,9 +1554,13 @@ def q62_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    train_sh = sh.join(
-        F.broadcast(train.select("doc_id")), "doc_id", "left_semi"
-    )
+    # train ids = all doc ids minus the held-out source (sources
+    # partition documents), so the train-side index slice is an ANTI
+    # join against the SAME tiny eval id list — at 100 TB broadcasting
+    # the eval ids is safe (benchmarks are small) where broadcasting
+    # the train id list (nearly the whole corpus) would OOM the driver
+    # (r13 ADVICE item 1).
+    train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
     contaminated = (
         train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
         .select("doc_id")
@@ -1985,7 +1988,17 @@ def q76_stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_win.stateful_session_close(
         ev, gap_ms=7_200_000, watermark="30 seconds"
     )
-    name = stream_win.run_availablenow_update(out, "session_expiry")
+    # state_partitions=None → the session's data-sized shuffle setting:
+    # this drain's cost is per-USER-GROUP Python work in
+    # applyInPandasWithState (both batches — the timer batch touches
+    # every key), which parallelizes with partitions; pinning 8 stores
+    # left 3/4 of a 32-core box idle (A/B at sf0.1: 8→3.5 s,
+    # data-sized/16→2.9 s, min of 3), while the per-store fixed cost
+    # that motivated small counts for q80/q81 is noise at this key
+    # volume. Scale-adaptive, not a local[32] constant.
+    name = stream_win.run_availablenow_update(
+        out, "session_expiry", state_partitions=None
+    )
     return spark.table(name).select("user_id", "n_events", "closed")
 
 
@@ -4649,7 +4662,12 @@ def q145_kmeans_lloyd_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_cassandra_tools_spark.functions.vectors import as_double
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    # cache the decoded vector frame INSIDE the timed region: every Lloyd
+    # round (the update collect AND the final assign the caller consumes)
+    # re-ran the parquet scan + float→double decode from lineage — n_iter+1
+    # identical scans per run (r13 verdict item 5; guide §5 caching rule:
+    # reused AND expensive-to-recompute). Released at next-query start.
+    v = _cache(emb.select("vec_id", as_double(F.col("embedding")).alias("e")))
     assigned = similarity.kmeans_iterate(
         v, k=KMEANS_K, n_iter=2, id_col="vec_id", vec_col="e"
     )
@@ -5287,9 +5305,13 @@ def q156_manifest_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _manifest_feed_fixture_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path)
     # stateless pass-through drain: no watermark, no state -> the
-    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s).
+    # sink="parquet" (r14): the whole 100k-row payload no longer funnels
+    # through a driver memory sink + LocalTableScan — parallel write,
+    # parallel columnar read-back (guide §5)
     name = stream_win.run_appendmode(
-        feed, "manifest_feed", state_partitions=None, no_data_batch=False
+        feed, "manifest_feed", state_partitions=None, no_data_batch=False,
+        sink="parquet",
     )
     return (
         spark.table(name)
@@ -5355,9 +5377,11 @@ def q159_manifest_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame
     path = _manifest_merge_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path, feed="cdf")
     # stateless pass-through drain: no watermark, no state -> the
-    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s).
+    # sink="parquet": see q156 — no driver-held batch, parallel read-back
     name = stream_win.run_appendmode(
-        feed, "manifest_cdf_fold", state_partitions=None, no_data_batch=False
+        feed, "manifest_cdf_fold", state_partitions=None, no_data_batch=False,
+        sink="parquet",
     )
     folded = (
         spark.table(name)
@@ -6275,9 +6299,11 @@ def q173_partitioned_feed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, where=[("event_date", "=", day)]
     )
     # stateless pass-through drain: no watermark, no state -> the
-    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s).
+    # sink="parquet": see q156 — no driver-held batch, parallel read-back
     name = stream_win.run_appendmode(
-        feed, "partitioned_feed", state_partitions=None, no_data_batch=False
+        feed, "partitioned_feed", state_partitions=None, no_data_batch=False,
+        sink="parquet",
     )
     return (
         spark.table(name)
@@ -7141,9 +7167,11 @@ def q185_mapped_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _mapped_feed_fixture_path(spark, sf_dir)
     feed = manifestfeed.stream_feed(spark, path)
     # stateless pass-through drain: no watermark, no state -> the
-    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s)
+    # trailing no-data micro-batch only costs wall (measured ~0.5-1 s).
+    # sink="parquet": see q156 — no driver-held batch, parallel read-back
     name = stream_win.run_appendmode(
-        feed, "mapped_feed", state_partitions=None, no_data_batch=False
+        feed, "mapped_feed", state_partitions=None, no_data_batch=False,
+        sink="parquet",
     )
     return (
         spark.table(name)

@@ -714,8 +714,24 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         if self._arrow_schema is None:
             self._arrow_schema = to_arrow_schema(self._schema)
         target = self._arrow_schema
+        # COLUMN PRUNING at the scan (r14, guide §6): materialize only
+        # the physical columns the declared stream schema projects — a
+        # full read_table decodes every column of the file even though
+        # the projection below drops the rest. One footer read resolves
+        # the file's column set; absent columns null-backfill as before.
+        wanted = {
+            self._cmap.get(f.name, f.name)
+            for f in target
+            if f.name not in _CDF_COLS
+        }
         try:
-            tbl = pq.read_table(partition.file_path)
+            present = set(pq.read_schema(partition.file_path).names)
+            cols_to_read = sorted(wanted & present)
+            # empty intersection (pure null-backfill file): full read —
+            # the row COUNT still matters and columns=[] is ill-defined
+            tbl = pq.read_table(
+                partition.file_path, columns=cols_to_read or None
+            )
         except FileNotFoundError:
             raise ValueError(
                 f"data file {partition.file_path!r} (commit "

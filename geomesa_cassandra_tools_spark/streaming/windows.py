@@ -173,12 +173,13 @@ def stateful_session_close(
 
 _RUN_SEQ = [0]
 
-#: Completed drains' memory-sink view names, with the owning session.
-#: A memory sink holds its rows on the DRIVER for as long as the temp
-#: view pins it — a bench/driver session that runs many drain queries
-#: (11 registry drains × N passes) would otherwise accumulate every
-#: drained batch in driver memory for the session lifetime, inflating GC
-#: on everything that follows. The registry's cache-release hook
+#: Completed drains' sink view names, with the owning session and (for
+#: parquet sinks) the output directory to reclaim. A memory sink holds
+#: its rows on the DRIVER for as long as the temp view pins it — a
+#: bench/driver session that runs many drain queries (11 registry
+#: drains × N passes) would otherwise accumulate every drained batch in
+#: driver memory for the session lifetime, inflating GC on everything
+#: that follows. The registry's cache-release hook
 #: (`queries.release_query_caches`) drops them once the consuming query's
 #: result has been collected — the same lifecycle as per-query caches.
 _DRAINED_SINKS: list[tuple] = []
@@ -186,14 +187,17 @@ _DRAINED_SINKS: list[tuple] = []
 
 def release_drained_sinks() -> None:
     """Drop the temp views of completed drains, freeing their driver-held
-    rows. Safe once the consuming query's result has been collected; a
-    view already dropped (or a stopped session) is ignored."""
+    rows (memory sinks) / their RAM-disk output files (parquet sinks).
+    Safe once the consuming query's result has been collected; a view
+    already dropped (or a stopped session) is ignored."""
     while _DRAINED_SINKS:
-        spark, name = _DRAINED_SINKS.pop()
+        spark, name, out_dir = _DRAINED_SINKS.pop()
         try:
             spark.catalog.dropTempView(name)
         except Exception:  # noqa: BLE001 — stopped session / already gone
             pass
+        if out_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _checkpoint_root() -> str:
@@ -216,6 +220,7 @@ def _drain(
     timeout_sec: int,
     state_partitions: int | None,
     no_data_batch: bool = True,
+    sink: str = "memory",
 ):
     """Fault-isolated wrapper over `_drain_once`: retry EXACTLY once, and
     only for the transient Python-worker spawn failure ("Python worker
@@ -228,7 +233,7 @@ def _drain(
     try:
         return _drain_once(
             stream_df, query_name, output_mode, timeout_sec,
-            state_partitions, no_data_batch,
+            state_partitions, no_data_batch, sink,
         )
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         msg = str(exc)
@@ -243,7 +248,7 @@ def _drain(
         _time.sleep(1.0)
         return _drain_once(
             stream_df, query_name, output_mode, timeout_sec,
-            state_partitions, no_data_batch,
+            state_partitions, no_data_batch, sink,
         )
 
 
@@ -254,8 +259,19 @@ def _drain_once(
     timeout_sec: int,
     state_partitions: int | None,
     no_data_batch: bool = True,
+    sink: str = "memory",
 ):
-    """Start an AvailableNow drain to a memory sink and block until done.
+    """Start an AvailableNow drain and block until done.
+
+    ``sink="memory"`` (default) collects every batch to a driver-held
+    memory-sink table. ``sink="parquet"`` (append mode only — the file
+    sink's contract) writes batches as parquet under the RAM-backed
+    checkpoint root and registers a read-back view: no driver collect
+    on the write side, a parallel columnar scan on the read side — the
+    production multi-hop shape, and measurably faster for the stateless
+    pass-through drains whose whole payload otherwise funnels through
+    one LocalTableScan (r14, guide §5: the driver should do no data
+    work). The drained multiset is identical either way.
 
     ``state_partitions`` temporarily overrides shuffle partitions for the
     stream start: streaming state instantiates one store per shuffle
@@ -272,10 +288,18 @@ def _drain_once(
     pure overhead per drain at sf0.1, near the cost of the data batch
     itself. Operators whose OUTPUT depends on the final watermark advance
     (event-time timers, append-mode window finalization) must keep it."""
+    if sink not in ("memory", "parquet"):
+        raise ValueError(f"unknown drain sink {sink!r}")
+    if sink == "parquet" and output_mode != "append":
+        raise ValueError(
+            "the parquet drain sink supports append mode only (the file "
+            f"sink contract); got output_mode={output_mode!r}"
+        )
     _RUN_SEQ[0] += 1
     name = f"{query_name}_{_RUN_SEQ[0]}"
     spark = stream_df.sparkSession
     ckpt = os.path.join(_checkpoint_root(), f"{name}_{os.getpid()}")
+    out_dir = None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     try:
@@ -283,14 +307,16 @@ def _drain_once(
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if not no_data_batch:
             spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
+        writer = (
+            stream_df.writeStream.outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
         )
+        if sink == "parquet":
+            out_dir = ckpt + "_out"
+            q = writer.format("parquet").option("path", out_dir).start()
+        else:
+            q = writer.format("memory").queryName(name).start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
@@ -299,16 +325,26 @@ def _drain_once(
     # nondeterministic partial table and leak the query. Fail loudly.
     # The memory-sink drain is ephemeral — nothing ever resumes this
     # checkpoint, so reclaim it (it may live in RAM) on EVERY exit path,
-    # including a failing query raising StreamingQueryException.
+    # including a failing query raising StreamingQueryException. The
+    # sink name is likewise registered for release on EVERY path: a
+    # drain that raises after start() may already have created the
+    # memory-sink temp view with partial batches, and an unregistered
+    # view would hold those driver rows for the session lifetime.
     try:
         if not q.awaitTermination(timeout_sec):
             q.stop()
             raise TimeoutError(
                 f"streaming drain {name!r} did not finish within {timeout_sec}s"
             )
+        if sink == "parquet":
+            # explicit schema: a zero-row drain writes only the sink's
+            # metadata log, where inference would fail
+            spark.read.schema(stream_df.schema).parquet(
+                out_dir
+            ).createOrReplaceTempView(name)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    _DRAINED_SINKS.append((spark, name))
+        _DRAINED_SINKS.append((spark, name, out_dir))
     return name
 
 
@@ -331,6 +367,7 @@ def run_appendmode(
     timeout_sec: int = 120,
     state_partitions: int | None = 8,
     no_data_batch: bool = True,
+    sink: str = "memory",
 ):
     """AvailableNow drain in `append` output mode: only rows whose window
     the watermark has finalized are emitted — the mode that exercises
@@ -338,9 +375,13 @@ def run_appendmode(
     restarts use a FILE sink — the memory sink cannot recover a checkpoint
     (see tests/test_streaming.py for the parquet-sink restart pattern).
     Pass ``no_data_batch=False`` ONLY for eagerly-emitting operators
-    (inner joins, dedup) — see `_drain`."""
+    (inner joins, dedup) — see `_drain`. ``sink="parquet"`` drains to
+    RAM-disk parquet instead of a driver-held memory table — prefer it
+    for pass-through drains whose whole payload the consumer re-reads
+    (see `_drain_once`)."""
     return _drain(
-        stream_df, query_name, "append", timeout_sec, state_partitions, no_data_batch
+        stream_df, query_name, "append", timeout_sec, state_partitions,
+        no_data_batch, sink,
     )
 
 
