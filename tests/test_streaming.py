@@ -466,3 +466,108 @@ def test_stream_to_manifest_identity_allocation(spark, tmp_path):
         for r in transactional.read_table(spark, table).collect()
     )
     assert ids == [1, 2, 3]
+
+
+def test_parquet_drain_sink_matches_memory_sink(spark, tmp_path):
+    """r14: `_drain(sink="parquet")` must yield the identical drained
+    multiset as the memory sink (parallel file write + columnar
+    read-back instead of a driver-held batch), and releasing the sink
+    must reclaim both the temp view and the RAM-disk output dir."""
+    import os
+
+    src = str(tmp_path / "psrc")
+    _write_batch(
+        spark, src,
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 10:00:01", "b"),
+         ("2024-01-01 10:00:02", "a")],
+    )
+
+    def stream():
+        return spark.readStream.schema("ts timestamp, k string").parquet(src)
+
+    mem = stream_win.run_appendmode(
+        stream(), "psink_mem", state_partitions=None, no_data_batch=False
+    )
+    mem_rows = sorted(
+        (str(r["ts"]), r["k"]) for r in spark.table(mem).collect()
+    )
+    pq = stream_win.run_appendmode(
+        stream(), "psink_pq", state_partitions=None, no_data_batch=False,
+        sink="parquet",
+    )
+    out_dirs = [d for (_s, n, d) in stream_win._DRAINED_SINKS if n == pq]
+    assert out_dirs and out_dirs[0] and os.path.isdir(out_dirs[0])
+    pq_rows = sorted(
+        (str(r["ts"]), r["k"]) for r in spark.table(pq).collect()
+    )
+    assert pq_rows == mem_rows and len(pq_rows) == 3
+
+    stream_win.release_drained_sinks()
+    assert not os.path.exists(out_dirs[0])  # output dir reclaimed
+    assert not any(
+        v.name == pq for v in spark.catalog.listTables() if v.isTemporary
+    )
+
+
+def test_parquet_drain_sink_rejects_non_append(spark, tmp_path):
+    """The file sink only supports append mode — the harness must refuse
+    loudly, not let Spark fail deep in query start."""
+    src = str(tmp_path / "psrc2")
+    _write_batch(spark, src, [("2024-01-01 10:00:00", "a")])
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+    with pytest.raises(ValueError, match="append mode only"):
+        stream_win._drain(
+            stream, "psink_bad", "complete", 60, None, True, "parquet"
+        )
+
+
+def test_nearest_cell_matches_window_assignment(spark):
+    """r14: the map-only literal-centroid argmin must reproduce the
+    window form (csim DESC NULLS LAST, cid ASC tie-break) row for row —
+    including a zero vector (NULL cosine everywhere → smallest cid) and
+    an exact tie (equidistant vector → smaller cid)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_cassandra_tools_spark.functions.vectors import as_double, cosine
+    from geomesa_cassandra_tools_spark.operators import relational, similarity
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (10, [2.0, 0.1]),     # clearly cell 0
+        (11, [0.1, 3.0]),     # clearly cell 1
+        (12, [1.0, 1.0]),     # exact tie → cid 0
+        (13, [0.0, 0.0]),     # zero vector → NULL csims → cid 0
+        (14, [-1.0, -1.0]),   # negative tie → cid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent_df = spark.createDataFrame(
+        cents, "cid bigint, centroid array<double>"
+    )
+
+    # window form (the pre-r14 mechanism)
+    cent_b = F.broadcast(
+        cent_df.select("cid", as_double(F.col("centroid")).alias("cv0"))
+    )
+    scored = df.select(
+        "vec_id", as_double(F.col("embedding")).alias("cv")
+    ).join(cent_b).select(
+        "vec_id", "cid", cosine(F.col("cv"), F.col("cv0")).alias("csim")
+    )
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in relational.top_k_per_group(
+            scored, ["vec_id"], [F.col("csim").desc(), F.col("cid")], 1
+        ).collect()
+    }
+
+    pick = similarity.nearest_cell(
+        "cv", similarity.collect_centroids(cent_df)
+    )
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", as_double(F.col("embedding")).alias("cv")
+        ).select("vec_id", pick["cid"].alias("cid")).collect()
+    }
+    assert got == want
+    assert got[12] == 0 and got[13] == 0 and got[14] == 0
