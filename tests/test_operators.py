@@ -2930,3 +2930,26 @@ def test_perplexity_filter_semantics(spark):
     assert out[1]["n_bigrams"] == 2 and out[1]["avg_nll_micro"] == exp_1
     assert out[2]["n_bigrams"] == 2 and out[2]["avg_nll_micro"] == exp_2
     assert out[1]["kept"] == 1 and out[2]["kept"] == 0
+
+
+def test_connected_components_small_graph_matches_distributed(spark):
+    """r14: the bounded driver union-find (small-graph shortcut) must
+    produce exactly the distributed min-label loop's (node, cluster_id)
+    rows — chains (pointer-jump territory), disjoint components,
+    singleton-free pairs, and the min-id representative rule."""
+    pairs = spark.createDataFrame(
+        [(5, 6), (2, 3), (3, 4), (4, 9), (11, 10), (7, 8), (8, 5)],
+        "doc_a bigint, doc_b bigint",
+    )
+    small = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    }
+    assert small == dist
+    assert (9, 2) in small and (6, 5) in small and (11, 10) in small
